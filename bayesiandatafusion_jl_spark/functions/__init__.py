@@ -1,0 +1,9 @@
+"""Function surface: scalar (§2.H), vector/similarity (H4, J3, J4),
+text/dedup (J1–J6 + text analysis)."""
+
+from bayesiandatafusion_jl_spark.functions import (  # noqa: F401
+    dedup,
+    scalar,
+    text,
+    vector,
+)

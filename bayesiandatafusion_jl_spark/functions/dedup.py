@@ -1,0 +1,334 @@
+"""Deduplication operators (north-star J1/J2 + SimHash + embedding near-dup).
+
+Five strategies, each with its scale story:
+
+- exact (J1): hash-groupBy on a normalized content hash — one shuffle on
+  the 256-bit key, perfectly balanced.
+- n-gram Jaccard (J2 exact): shingle → token-postings self-join → pair
+  agg. Exact but O(Σ df²); bounded here, LSH at scale.
+- MinHash+LSH (J2 scale): shingle → minhash signature → band buckets →
+  join only within buckets. Candidate set shrinks from |D|² to Σ|bucket|²;
+  this is the 100 TB path.
+- SimHash: 64-bit projection of the token set; near-dups differ in few
+  bits — bucket by 16-bit sub-keys (pigeonhole: hamming ≤ 3 ⇒ one of the 4
+  sub-keys equal).
+- embedding cosine: near-dup ⇔ cosine ≥ τ on document embeddings (reuses
+  the vector surface).
+
+All signature computation is built-in (xxhash64/sha2/explode/agg) — no
+Python in the signature path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bayesiandatafusion_jl_spark.catalog import load_table
+from bayesiandatafusion_jl_spark.functions.exprs import dot, sql_dot
+from bayesiandatafusion_jl_spark.registry import register
+
+
+def normalized_text(col: str = "text") -> F.Column:
+    return F.trim(F.lower(F.col(col)))
+
+
+@register(
+    "q_llm_exact_dedup",
+    oracle="""
+    SELECT sha256(TRIM(LOWER(text))) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY sha256(TRIM(LOWER(text)))
+    """,
+    tags=("J1",),
+)
+def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — exact dedup: group by normalized content hash, keep the lowest
+    doc_id (deterministic representative)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("content_hash", F.sha2(normalized_text(), 256))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "q_llm_near_dedup",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS token
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    """,
+    tags=("J2",),
+)
+def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (exact, bounded) — token-set Jaccard ≥ 0.5 pairs on a 1/5 doc
+    sample. Exact formulation for the oracle; the unbounded-scale variant
+    is ``q_llm_near_dedup_lsh`` below."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    tok = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .distinct()
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    common = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return jac.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """k-token shingles (sliding word k-grams), one row per distinct shingle.
+
+    Shingling, not unigrams, is what makes MinHash work on real corpora:
+    with a small vocabulary two unrelated documents share most unigrams
+    (random-pair Jaccard ≈ 0.3 here → LSH buckets go quadratic, measured
+    278 s at sf0.1), while exact k-gram matches between unrelated docs are
+    rare (random-pair Jaccard ≈ 0). Pure built-ins: transform over a
+    sequence of positions, then explode.
+    """
+    toks = docs.withColumn("toks", F.split(F.lower("text"), r"\s+"))
+    sh = toks.withColumn(
+        "shingle",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, greatest(size(toks) - {k}, 0)),"
+                f" i -> concat_ws(' ', slice(toks, i + 1, {k})))"
+            )
+        ),
+    )
+    return sh.filter(F.col("shingle") != "").select("doc_id", "shingle").distinct()
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 32, k: int = 3) -> DataFrame:
+    """MinHash signatures over k-token shingles, fully JVM-side.
+
+    h_i(shingle) = xxhash64(shingle, seed=i); signature[i] = min over
+    shingles. Returns (doc_id, sig: array<long>). One explode + one groupBy
+    on doc_id — linear in corpus size, the 100 TB-safe shape.
+    """
+    sh = shingles(docs, k=k)
+    return sh.groupBy("doc_id").agg(
+        F.array(
+            *[F.min(F.xxhash64("shingle", F.lit(i))) for i in range(n_hashes)]
+        ).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, n_bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures; docs sharing any band bucket become candidates.
+
+    One explode (n_bands rows/doc) + one shuffle on (band, bucket_hash) —
+    the candidate generation never compares all pairs.
+    """
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register("q_llm_near_dedup_lsh", oracle=None, tags=("J2", "lsh"))
+def q_llm_near_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (scale path) — MinHash+LSH near-dup candidates, verified by exact
+    Jaccard on the candidate set only. Rows-only driver check (hash seeds
+    are engine-specific); recall vs exact J2 asserted in tests.
+
+    Self-duplicates are constructed (testdata texts are unique): each doc
+    with doc_id % 7 == 0 gets a mutated twin (first token dropped), and the
+    operator must find twin pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    corpus = docs.unionByName(twins)
+    sigs = minhash_signatures(corpus)
+    cands = lsh_candidate_pairs(sigs)
+    # exact-verify candidates with true shingle-Jaccard
+    toksets = shingles(corpus).groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("toks")
+    )
+    ta = toksets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    verified = (
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+            / F.size(F.array_union("toks_a", "toks_b")),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return verified.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash of the token multiset, via bit-vote aggregation.
+
+    For each of 64 bits: vote +1 if xxhash64(token) has the bit set else
+    −1; the sign of the vote sum is the signature bit. Pure explode + agg.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    h = tok.withColumn("h", F.xxhash64("token"))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    bit_terms = [
+        F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i) if i < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(0)
+        for i in range(64)
+    ]
+    sig = votes.select(
+        "doc_id",
+        sum(bit_terms[1:], bit_terms[0]).alias("simhash"),
+    )
+    return sig
+
+
+@register("q_llm_simhash", oracle=None, tags=("simhash",))
+def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: bucket by 16-bit sub-keys (hamming ≤ 3 guarantees
+    a shared sub-key), verify candidates by exact hamming distance.
+    Rows-only check; twin-pair recall asserted in tests."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    corpus = docs.unionByName(twins)
+    sigs = simhash64(corpus)
+    # 4 × 16-bit sub-keys
+    subkeys = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band", "sub"),
+    )
+    a = subkeys.alias("a")
+    b = subkeys.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@register(
+    "q_llm_embed_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({sql_dot('a.embedding', 'b.embedding')}, 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id < b.vec_id AND a.label = b.label
+    WHERE {sql_dot('a.embedding', 'b.embedding')} >= 0.95
+    """,
+    tags=("embed-dedup",),
+)
+def q_llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairs with cosine ≥ 0.95 (vectors are
+    L2-normalized → dot ≡ cosine). Blocked by label (the natural coarse
+    bucket here; at scale the block key is an LSH/IVF cell id) so the
+    self-join never goes quadratic over the full corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = dot(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (F.col("a.label") == F.col("b.label")),
+        )
+        .withColumn("cos_sim_raw", sim)
+        .filter(F.col("cos_sim_raw") >= 0.95)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("cos_sim_raw", 4).alias("cos_sim"),
+        )
+    )

@@ -1,0 +1,182 @@
+"""Text analysis (SURVEY §2 J5, J6 + north-star text ops).
+
+Tokenization, term stats, TF-IDF, language-ID heuristic, quality scoring,
+token counting, document fingerprinting — all over ``documents``. Every hot
+path is built-in functions (split/explode/regexp) — the only shuffles are
+the groupBys on (term) / (doc), which is the minimal motion for DF/TF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bayesiandatafusion_jl_spark.catalog import load_table
+from bayesiandatafusion_jl_spark.registry import register
+
+# Tiny per-language marker lists for the n-gram/stopword heuristic. The
+# testdata text is an analytics word soup, so this exercises the plumbing;
+# real corpora would swap in proper stopword tables (broadcast join —
+# the plan shape is what matters).
+_LANG_MARKERS = {
+    "en": ("the", "of", "and", "fast", "slow", "table", "key"),
+    "es": ("el", "de", "la", "rapido"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "de", "et"),
+    "zh": ("de", "shi"),
+}
+
+
+def tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Split into lowercase whitespace tokens, one row per token."""
+    return df.withColumn(
+        "token", F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
+    ).filter(F.col("token") != "")
+
+
+@register(
+    "q_llm_wordcount",
+    oracle="""
+    SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM (
+      SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS token
+      FROM documents
+    ) t
+    WHERE token <> ''
+    GROUP BY token
+    """,
+    tags=("J5",),
+)
+def q_llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — corpus term stats: term frequency + document frequency."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tokens(docs).groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+
+
+@register(
+    "q_llm_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS token
+      FROM documents WHERE doc_id < 50
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok WHERE token <> '' GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok WHERE token <> '' GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE doc_id < 50)
+    SELECT tf.doc_id, tf.token,
+           CAST(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df) AS REAL) AS tfidf
+    FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    """,
+    tags=("J6",),
+)
+def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — TF-IDF per (doc, term) on a bounded doc subset.
+
+    df is a tiny aggregate → broadcast back against tf; n_docs is a scalar
+    cross join (1 row). At corpus scale the same plan holds: the df table
+    is |vocab|-sized, still broadcastable.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    tok = tokens(docs).select("doc_id", "token")
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")))
+            .cast("float")
+            .alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+    SELECT doc_id, lang, source,
+           LENGTH(text) AS n_chars_calc,
+           len(string_split(text, ' ')) AS n_tokens,
+           LENGTH(REPLACE(text, ' ', '')) AS n_nonspace,
+           ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS avg_token_len
+    FROM documents
+    """,
+    tags=("text-quality",),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring features: char/token counts, average token length
+    (the length/punct/stopword-ratio family — punct ratio is 0 on this
+    corpus by construction, so the informative stats are kept)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    n_nonspace = F.length(F.regexp_replace("text", " ", ""))
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars_calc"),
+        n_tok.alias("n_tokens"),
+        n_nonspace.alias("n_nonspace"),
+        F.round(n_nonspace.cast("double") / n_tok, 4).alias("avg_token_len"),
+    )
+
+
+@register(
+    "q_text_langid",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, UNNEST(string_split(LOWER(text), ' ')) AS token
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           SUM(CASE WHEN token IN ('the','of','and','fast','slow','table','key')
+                    THEN 1 ELSE 0 END) AS en_hits,
+           COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(CASE WHEN token IN ('the','of','and','fast','slow','table','key')
+                    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS en_score
+    FROM tok
+    GROUP BY doc_id, lang
+    """,
+    tags=("text-langid",),
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-token hit-rate per doc (the stopword
+    n-gram heuristic; per-language scores are the same plan per language)."""
+    docs = load_table(spark, sf_dir, "documents")
+    en = list(_LANG_MARKERS["en"])
+    hit = F.when(F.col("token").isin(en), 1).otherwise(0)
+    return tokens(docs).groupBy("doc_id", "lang").agg(
+        F.sum(hit).alias("en_hits"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum(hit).cast("double") / F.count(F.lit(1)), 4).alias("en_score"),
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           sha256(array_to_string(list_sort(list_distinct(string_split(LOWER(text), ' '))), ' '))
+             AS fingerprint
+    FROM documents
+    """,
+    tags=("text-fingerprint",),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: order-insensitive content hash — sha256 of the
+    sorted distinct token set. Robust to token reordering (the rolling-hash
+    family's canonical-form variant, chosen because it is exactly
+    reproducible in any engine)."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.array_join(F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), " ")
+    return docs.select("doc_id", F.sha2(canon, 256).alias("fingerprint"))

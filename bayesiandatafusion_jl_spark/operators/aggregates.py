@@ -1,0 +1,223 @@
+"""Aggregations (SURVEY §2.D).
+
+The sampler's sufficient statistics are aggregations — Gram matrices
+Σ v_j v_jᵀ and weighted sums Σ r_ij v_j per entity instance [paper:BPMF].
+All hash aggregates here run partial (map-side) + final — one shuffle on
+the group key, which is the minimal data motion for the semantics.
+
+Float determinism: every double sum goes through decimal(38,6) (exact,
+order-independent — see functions/exprs.py), so results are identical no
+matter how many partial aggregates merge (32 local tasks or 100k cluster
+tasks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bayesiandatafusion_jl_spark.catalog import load_table
+from bayesiandatafusion_jl_spark.functions.exprs import dmean, dsum, sql_dmean, sql_dsum
+from bayesiandatafusion_jl_spark.registry import register
+
+
+@register(
+    "q_agg_groupby",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dmean('l_quantity')} AS avg_qty,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("D1",),
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 — hash group-by with multi-agg (TPC-H Q1 shape; per-entity
+    sufficient-stats shape [paper:BPMF])."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+        dmean("l_quantity").alias("avg_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "q_agg_global",
+    oracle=f"""
+    SELECT COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total,
+           {sql_dmean('o_totalprice')} AS avg_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    """,
+    tags=("D2",),
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 — global aggregate, no grouping (the RMSE-readout shape [api])."""
+    return load_table(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total"),
+        dmean("o_totalprice").alias("avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "q_agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("D3",),
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 — exact distinct aggregation (#distinct entities observed)."""
+    return load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+    )
+
+
+@register(
+    "q_agg_approx_distinct",
+    oracle=None,  # HLL sketch values are engine-specific → rows-only check
+    tags=("D4",),
+)
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 — approximate count-distinct (HLL++). At 100 TB this replaces the
+    exact expand+two-phase distinct: one pass, constant memory per group."""
+    return load_table(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("D5",),
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 — rollup (hierarchical subtotals + grand total)."""
+    return load_table(spark, sf_dir, "orders").rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {sql_dsum('l_quantity')} AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("D6",),
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 — cube (all grouping sets)."""
+    return load_table(spark, sf_dir, "lineitem").cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("qty")
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_cust
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING COUNT(*) > 40
+    """,
+    tags=("D7",),
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 — post-aggregation filter (min-degree entity selection: entities
+    with too few observations fall back to the prior [paper:Macau])."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .filter(F.col("n_cust") > 40)
+    )
+
+
+@register(
+    "q_agg_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F,
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("D8",),
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 — pivot: long COO → wide matrix view (the dense-matrix export
+    shape). Explicit value list so no extra distinct pass is needed."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum("l_quantity"))
+        .withColumnRenamed("F", "qty_F")
+        .withColumnRenamed("O", "qty_O")
+    )
+
+
+@register(
+    "q_agg_vector_sum",
+    oracle="""
+    SELECT label, pos,
+           ROUND(SUM(CAST(v AS DOUBLE)), 4) AS s,
+           COUNT(*) AS n
+    FROM (
+      SELECT label, UNNEST(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ) t
+    GROUP BY label, pos
+    """,
+    tags=("D9",),
+)
+def q_agg_vector_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 — element-wise vector aggregate: Σ v per (label, position) — the
+    factor-moment accumulation of the Normal–Wishart step [paper:BPMF].
+
+    posexplode + groupBy(pos): fully JVM-side, partial-agg map-side. pos is
+    1-based to match SQL ``generate_subscripts``. (The ML path uses a
+    grouped-agg pandas UDF for the full Gram matrix; this is the pure-SQL
+    moment form.)
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos0", "v")).select(
+        "label", (F.col("pos0") + 1).alias("pos"), F.col("v").cast("double").alias("v")
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.round(F.sum("v"), 4).alias("s"), F.count(F.lit(1)).alias("n")
+    )

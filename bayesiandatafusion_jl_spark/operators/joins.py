@@ -1,0 +1,208 @@
+"""Joins (SURVEY §2.C).
+
+The Gibbs sweep's core data motion is "join observations with the opposing
+entity's factors" [paper:BPMF]; the reference does it via per-entity index
+lookups (IndexedDF [upstream:src/RelationData.jl — UNVERIFIED]), the engine
+does it as real joins and lets Catalyst pick the physical strategy.
+
+Scale notes:
+- dim tables (region/nation/supplier/part at TPC-H ratios) are broadcast —
+  no shuffle of the fact side;
+- fact⋈fact joins (orders⋈lineitem) shuffle on the key; AQE handles skew;
+- the flagship plan is verified broadcast-heavy via .explain (see
+  tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bayesiandatafusion_jl_spark.catalog import load_table
+from bayesiandatafusion_jl_spark.functions.exprs import dsum, sql_dsum
+from bayesiandatafusion_jl_spark.registry import register
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 400000
+    """,
+    tags=("C1",),
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 — inner equi-join (obs ⋈ factors shape [paper:BPMF])."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "q_join_multiway",
+    oracle=f"""
+    SELECT r_name, n_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey   = c_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY r_name, n_name
+    """,
+    tags=("C2", "flagship"),
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 (flagship) — 5-way multi-relational join + revenue rollup.
+
+    The multi-relational shape of the reference (a relation joins ≥2 entity
+    tables [api]) as a star-schema query. region/nation/customer broadcast;
+    orders⋈lineitem is the only shuffle pair; the date + segment filters
+    push below the joins.
+    """
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        F.broadcast(r.join(n, n.n_regionkey == r.r_regionkey))
+        .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(dims, o.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle=f"""
+    SELECT p_brand, s_name,
+           {sql_dsum('l_extendedprice')} AS gross,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE p_size <= 10
+    GROUP BY p_brand, s_name
+    """,
+    tags=("C3",),
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 — explicit broadcast joins: small dims (the 346-target side of the
+    ChEMBL example [api]) broadcast against the large COO fact table; the
+    fact side never shuffles for the joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("p_brand", "s_name")
+        .agg(dsum("l_extendedprice").alias("gross"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@register(
+    "q_join_left",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey) AS n_orders,
+           COALESCE({sql_dsum('o_totalprice')}, 0.0) AS total_spend
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    tags=("C4",),
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 — left outer join: keep *all* entities incl. unobserved ones
+    (the pred-all full-matrix prediction shape [api])."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    """,
+    tags=("C5",),
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 — left semi join: active-set restriction (entities having ≥1
+    observation in the sweep's training set)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("C6",),
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 — left anti join: cold-start entities with zero observations,
+    predicted from side info only [paper:Macau]."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+    SELECT r_name, seg
+    FROM region
+    CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer) segs
+    """,
+    tags=("C9",),
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 — cross join: the dense candidate grid (all entity combos) used
+    for tensor-mode prediction [paper:Macau §tensor]. Only ever small×small
+    or broadcast-nested-loop."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    segs = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg")
+    ).distinct()
+    return r.crossJoin(segs)

@@ -1,0 +1,192 @@
+"""Window functions (SURVEY §2.E).
+
+E1/E2 are reference capabilities (top-k prediction readout, AUC [api]);
+E3–E5 are north-star event analytics. One shuffle per distinct partitioning
+— queries below each use a single partitioning so the window adds exactly
+one exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from bayesiandatafusion_jl_spark.catalog import load_table
+from bayesiandatafusion_jl_spark.functions.exprs import dsum, sql_dsum
+from bayesiandatafusion_jl_spark.registry import register
+
+
+@register(
+    "q_win_rank_topk_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+             ) AS rn
+      FROM orders
+    ) t
+    WHERE rn <= 3
+    """,
+    tags=("E1",),
+)
+def q_win_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — top-k per group (top-k predictions per entity readout [api]).
+    row_number with an explicit unique tiebreak (o_orderkey) so the k rows
+    selected are deterministic across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice", "rn"
+        )
+    )
+
+
+@register(
+    "q_win_auc",
+    oracle="""
+    WITH scored AS (
+      SELECT value AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+             ROW_NUMBER() OVER (ORDER BY value ASC, event_id ASC) AS rk
+      FROM events
+    )
+    SELECT ROUND(
+        (SUM(CASE WHEN label = 1 THEN CAST(rk AS DOUBLE) END)
+          - (SUM(label) * (SUM(label) + 1)) / 2.0)
+        / (SUM(label) * (COUNT(*) - SUM(label))), 6) AS auc
+    FROM scored
+    """,
+    tags=("E2", "I8"),
+)
+def q_win_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/I8 — Mann–Whitney AUC via ranks (macau reports AUC when
+    ``class_cut`` is set [api] [upstream:src/macau.jl — UNVERIFIED]).
+
+    AUC = (Σ ranks₊ − n₊(n₊+1)/2) / (n₊ n₋). Rank by (score, event_id) —
+    unique tiebreak keeps the rank assignment deterministic. One global
+    sort (range-partitioned at scale), one scalar aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+        F.row_number().over(W.orderBy(F.asc("value"), F.asc("event_id"))).alias("rk"),
+    )
+    n_pos = F.sum("label")
+    n_neg = F.count(F.lit(1)) - n_pos
+    sum_rk_pos = F.sum(F.when(F.col("label") == 1, F.col("rk").cast("double")))
+    return scored.agg(
+        F.round(
+            (sum_rk_pos - (n_pos * (n_pos + 1)) / 2.0) / (n_pos * n_neg), 6
+        ).alias("auc")
+    )
+
+
+@register(
+    "q_win_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           date_diff('microsecond',
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS gap_us,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS next_type
+    FROM events
+    """,
+    tags=("E3",),
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — lag/lead: inter-event gaps per user (µs, exact integer)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .select(
+            "user_id",
+            "event_id",
+            F.when(
+                F.col("prev_ts").isNotNull(),
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("prev_ts").cast("timestamp")),
+            ).alias("gap_us"),
+            "next_type",
+        )
+    )
+
+
+@register(
+    "q_win_moving_frame",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             {sql_dsum('o_totalprice')} AS day_total,
+             COUNT(*) AS n
+      FROM orders
+      GROUP BY CAST(o_orderdate AS DATE)
+    )
+    SELECT day, n, day_total,
+           CAST(SUM(CAST(day_total AS DECIMAL(38,6))) OVER (
+             ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / COUNT(*) OVER (
+             ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+           AS avg7
+    FROM daily
+    """,
+    tags=("E4",),
+)
+def q_win_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — sliding-frame aggregate: 7-row moving average of daily revenue.
+    Aggregate to days first (shrinks the window input by ~10³) then one
+    ordered window. The moving average is exact-decimal sum / count —
+    engines disagree on sliding-window float summation (DuckDB uses a
+    segment tree, Spark recomputes the frame), decimal makes both exact."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        dsum("o_totalprice").alias("day_total"), F.count(F.lit(1)).alias("n")
+    )
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "n",
+        "day_total",
+        (
+            F.sum(F.col("day_total").cast("decimal(38,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("avg7"),
+    )
+
+
+@register(
+    "q_win_cumsum",
+    oracle="""
+    SELECT o_custkey AS c_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS cum_spend
+    FROM orders
+    """,
+    tags=("E5",),
+)
+def q_win_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 — cumulative aggregate (the running posterior-mean accumulation
+    shape of Gibbs sample averaging [paper:BPMF]). Decimal accumulation →
+    every prefix sum is exact and order-stable."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w).cast("double").alias("cum_spend"),
+    )

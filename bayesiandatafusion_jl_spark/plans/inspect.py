@@ -1,0 +1,34 @@
+"""Physical-plan inspection helpers.
+
+Used by tests/test_plans.py to assert scale properties *structurally*:
+filters pushed to parquet, dims broadcast, shuffle counts bounded. A query
+that is correct but plans a cartesian product or a full-column scan fails
+these tests — correctness at 100 TB is a plan property, not just a result
+property.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def n_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan."""
+    return len(re.findall(r"\bExchange\b(?! SinglePartition)", formatted_plan(df)))
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    plan = formatted_plan(df)
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)

@@ -1,0 +1,85 @@
+"""Query registry: binds each operator to its driver-checkable contract.
+
+Every operator from SURVEY.md §2 registers here as a ``QuerySpec``:
+
+- ``fn(spark, sf_dir) -> DataFrame`` — the Spark-native implementation.
+- ``oracle`` — equivalent ANSI SQL for the DuckDB oracle (None for
+  non-SQL-expressible ops; the driver then records a rows-only check).
+
+Determinism rules (SURVEY §5.2, enforced by convention here):
+
+- every computed column is aliased identically in fn and oracle;
+- float aggregates go through ``decimal(38,6)`` (order-independent exact
+  sum) and are cast back to double, or are rounded identically in both
+  engines;
+- top-k / ranked outputs always carry a unique tiebreak key in the sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: register a query implementation with its oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query registration: {name}")
+        _REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "", tags=tuple(tags)
+        )
+        return fn
+
+    return deco
+
+
+def _ensure_loaded() -> None:
+    """Import every module that registers queries (idempotent)."""
+    # Local import to avoid circulars at package import time.
+    import bayesiandatafusion_jl_spark.operators  # noqa: F401
+    import bayesiandatafusion_jl_spark.functions  # noqa: F401
+    import bayesiandatafusion_jl_spark.ml.queries  # noqa: F401
+    import bayesiandatafusion_jl_spark.streaming  # noqa: F401
+    import bayesiandatafusion_jl_spark.multimodal  # noqa: F401
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return {name: spec.fn for name, spec in sorted(_REGISTRY.items())}
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return {
+        name: spec.oracle
+        for name, spec in sorted(_REGISTRY.items())
+        if spec.oracle is not None
+    }
+
+
+def get_query(name: str) -> QuerySpec:
+    _ensure_loaded()
+    return _REGISTRY[name]
+
+
+def specs() -> dict[str, QuerySpec]:
+    _ensure_loaded()
+    return dict(sorted(_REGISTRY.items()))

@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs ``local[N]`` single-JVM; the config below is written so
+the same code is correct on a 1000-executor cluster reading 100 TB:
+
+- AQE on (runtime join-strategy switch, skew-join splitting, partition
+  coalescing) — at 100 TB, static shuffle-partition counts are always wrong;
+  AQE re-plans from runtime statistics.
+- Arrow on — every pandas-UDF kernel (the ML path) transfers via Arrow
+  batches, not pickled rows.
+- shuffle.partitions sized for the local box; on a real cluster this is
+  overridden per-deploy (or left to AQE's coalescing from a high initial
+  number).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "bayesiandatafusion_jl_spark", cpus: str | None = None) -> SparkSession:
+    cpus = cpus or DEFAULT_CPUS
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_runtime(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs the engine depends on.
+
+    Called on every entry point because the driver may hand us a session we
+    did not build. All of these are dynamic SQL confs (verified runtime-
+    settable on Spark 4.1.2).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark

@@ -1,0 +1,70 @@
+"""Readers/writers.
+
+The reference reads delimited sparse files and custom sparse-binary
+matrices ([upstream:src/sbm.jl — UNVERIFIED]); the engine's canonical
+at-rest format is Parquet COO (columnar, predicate-pushdown-able,
+splittable — everything the bespoke binary format existed for, natively).
+CSV/JSON readers cover the delimited-input capability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bayesiandatafusion_jl_spark.session import configure_runtime
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    configure_runtime(spark)
+    return spark.read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str | None = None, **options) -> DataFrame:
+    """Delimited source. Always pass an explicit schema in production —
+    inference is a full extra pass over 100 TB."""
+    configure_runtime(spark)
+    reader = spark.read.options(header="true", **options)
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str | None = None, **options) -> DataFrame:
+    configure_runtime(spark)
+    reader = spark.read.options(**options)
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_coo(spark: SparkSession, path: str) -> DataFrame:
+    """Sparse COO relation from parquet: (i1, i2[, i3…], value) long format
+    — the engine's representation of the reference's Relation cells."""
+    return read_parquet(spark, path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
+    table_name: str | None = None,
+) -> None:
+    """Parquet sink. ``partition_by`` for partition pruning on read;
+    ``bucket_by`` (requires ``table_name``, saveAsTable) to persist a
+    co-partitioned layout that joins without a shuffle across sweeps."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if bucket_by:
+        n, cols = bucket_by
+        if not table_name:
+            raise ValueError("bucketed writes need table_name (saveAsTable)")
+        writer.bucketBy(n, *cols).sortBy(*cols).option("path", path).saveAsTable(
+            table_name
+        )
+        return
+    writer.parquet(path)

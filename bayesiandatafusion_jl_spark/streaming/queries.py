@@ -1,0 +1,76 @@
+"""Batch-form windowed aggregations (J7, J8) with SQL oracles.
+
+Structured Streaming's time-window semantics are deterministic functions of
+the event time, so the batch formulation is the correctness reference for
+the streaming pipelines in ``streaming.pipelines`` (which reuse the same
+``F.window`` calls on a ``readStream`` source).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bayesiandatafusion_jl_spark.catalog import load_table
+from bayesiandatafusion_jl_spark.functions.exprs import dsum, sql_dsum
+from bayesiandatafusion_jl_spark.registry import register
+
+
+@register(
+    "q_stream_tumbling",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY CAST(date_trunc('day', ts) AS DATE), event_type
+    """,
+    tags=("J7",),
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 — tumbling 1-day window per event_type. Uses ``F.window`` (the
+    same expression the streaming pipeline uses); window starts for 1-day
+    tumbling are epoch-aligned = date_trunc('day')."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_stream_sliding",
+    oracle=f"""
+    WITH offs AS (SELECT UNNEST([0, 1, 2, 3]) AS o),
+    windows AS (
+      SELECT (epoch_us(ts) // 1000000 // 21600 - o) * 21600 AS start_s,
+             event_type, value
+      FROM events CROSS JOIN offs
+    )
+    SELECT make_timestamp(start_s * 1000000) AS win_start, event_type,
+           COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+    FROM windows
+    GROUP BY make_timestamp(start_s * 1000000), event_type
+    """,
+    tags=("J8",),
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — sliding window (1 day length, 6 h slide): every event lands in
+    exactly 4 windows. Oracle replicates Spark's epoch-aligned window-start
+    arithmetic: starts = (ts_s div 21600 − k)·21600, k ∈ 0..3."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
