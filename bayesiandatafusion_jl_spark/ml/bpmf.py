@@ -1,0 +1,457 @@
+"""BPMF / Macau Gibbs training harness (SURVEY §2.I, EP2).
+
+One Gibbs sweep = one Spark job DAG per entity, orchestrated by a plain
+Python loop on the driver (the reference's sweep loop
+[upstream:src/macau.jl — UNVERIFIED], re-expressed):
+
+    for sweep:
+      for each entity e:
+        (μ_e, Λ_e) ~ NormalWishart(moments of U_e [− F β offset])   (I4, driver)
+        if e has side info: β_e ~ exact posterior via solver         (I5)
+        U_e ← join(train cells ⋈ opposing factors)                   (I3)
+               .groupBy(block).applyInPandas(sample_block)
+        cold-start instances ← prior_block                           (C6 shape)
+      after burnin: accumulate test predictions                      (I7/I11)
+
+Scale discipline (SURVEY §4, §7 hard parts):
+- factor DataFrames are persisted and ``localCheckpoint``-ed every sweep —
+  without lineage truncation the plan doubles per iteration and planning
+  time explodes;
+- opposing-factor tables are broadcast when small (dimension side of the
+  ChEMBL example), else sort-merge joined on the co-partitioned COO;
+- the groupBy(block) shuffle is the only wide motion per update; blocks =
+  shuffle partitions so every core gets one Arrow batch;
+- per-(seed, sweep, instance) RNG keys → task-retry-idempotent sampling.
+
+Supports arity-2 (matrix), arity-m (tensor, I9 — opposing factors combine
+by Hadamard product [paper:Macau §tensor]) and collective factorization
+(I10 — an entity shared by several relations fuses all their cells in one
+update, with per-relation α).
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field
+from functools import reduce
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bayesiandatafusion_jl_spark.ml import kernels
+from bayesiandatafusion_jl_spark.ml.nw import (
+    sample_lambda_beta,
+    sample_normal_wishart,
+)
+from bayesiandatafusion_jl_spark.ml.relation import RelationData
+
+BROADCAST_MAX_ROWS = 1_000_000  # factor tables up to ~K·8·1e6 B comfortably broadcast
+
+
+def _entity_seed(seed: int, name: str) -> int:
+    """Entity-decorrelated RNG sub-seed. Without this, instance i of entity A
+    and instance i of entity B would draw identical noise at every sweep
+    (same (seed, sweep, id) key), correlating the factor chains. crc32, not
+    hash(str): str hashing is PYTHONHASHSEED-randomized across executor
+    processes."""
+    return (seed * 1_000_003 + zlib.crc32(name.encode())) % (2**31)
+
+
+def _moments_fn(k):
+    def f(pdf):
+        return kernels.moments_block(pdf.drop(columns="__b"), k)
+
+    return f
+
+
+def _sample_fn(k, mu, lam, seed, sweep, off_col):
+    def f(pdf):
+        return kernels.sample_block(
+            pdf, k, 1.0, mu, lam, seed, sweep, off_col=off_col, alpha_col="__alpha"
+        )
+
+    return f
+
+
+def _prior_fn(k, mu, lam, seed, sweep):
+    def f(pdf):
+        return kernels.prior_block(pdf.drop(columns="__b"), k, mu, lam, seed, sweep)
+
+    return f
+
+
+
+@dataclass
+class TrainResult:
+    factors: dict[str, DataFrame]
+    pred_mean: DataFrame | None
+    rmse_trace: list[float] = field(default_factory=list)
+    rmse: float | None = None
+    beta: dict[str, np.ndarray] = field(default_factory=dict)
+    hyper: dict[str, tuple[np.ndarray, np.ndarray]] = field(default_factory=dict)
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
+    return F.broadcast(df) if n_rows <= BROADCAST_MAX_ROWS else df
+
+
+def _hadamard(cols: list[str]) -> F.Column:
+    """Element-wise product of K-dim factor arrays (tensor mode, I9)."""
+    return reduce(lambda a, b: F.zip_with(a, b, lambda x, y: x * y), [F.col(c) for c in cols])
+
+
+class MacauTrainer:
+    def __init__(
+        self,
+        spark: SparkSession,
+        rd: RelationData,
+        num_latent: int = 16,
+        burnin: int = 10,
+        psamples: int = 10,
+        seed: int = 42,
+        n_blocks: int | None = None,
+        lambda_beta: float = 5.0,
+        center: bool = True,
+    ):
+        self.spark = spark
+        self.rd = rd
+        self.k = num_latent
+        self.burnin = burnin
+        self.psamples = psamples
+        self.seed = seed
+        self.n_blocks = n_blocks or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        self.lambda_beta = {e: lambda_beta for e in rd.entities}
+        self.center = center
+        self.rng = np.random.default_rng(seed)
+
+        self.factors: dict[str, DataFrame] = {}
+        self.hyper: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self.beta: dict[str, np.ndarray] = {}
+        self.offsets: dict[str, DataFrame] = {}
+        self.side_np: dict[str, tuple[np.ndarray, np.ndarray]] = {}  # ids, F matrix
+        self.global_mean = 0.0
+        self._entity_counts: dict[str, int] = {}
+
+    # ---------- setup ----------
+
+    def _entity_universe(self, name: str) -> DataFrame:
+        """All instance ids of an entity = ids seen in any relation ∪ side
+        info ids (cold-start instances exist only in side info)."""
+        parts = []
+        for rel, mode in self.rd.relations_of(name):
+            parts.append(rel.df.select(F.col(rel.entities[mode]).cast("long").alias("id")))
+        ent = self.rd.entities[name]
+        if ent.side_info is not None:
+            parts.append(ent.side_info.select(F.col("id").cast("long")))
+        return reduce(lambda a, b: a.unionByName(b), parts).distinct()
+
+    def _init(self) -> None:
+        k, seed = self.k, self.seed
+        if self.center:
+            tot, cnt = 0.0, 0
+            for rel in self.rd.relations:
+                df = rel.df
+                if "split" in df.columns:
+                    df = df.filter(F.col("split") == "train")
+                row = df.agg(
+                    F.sum(rel.value_col).alias("s"), F.count(F.lit(1)).alias("c")
+                ).collect()[0]
+                tot += row["s"] or 0.0
+                cnt += row["c"]
+            self.global_mean = tot / max(cnt, 1)
+
+        def _make_init_fn(eseed):
+            # factory, not default-arg: applyInPandas dispatches on arg count,
+            # so a 2-arg closure would be mistaken for the (key, pdf) form
+            def _init_fn(pdf):
+                return kernels.init_factors_pdf(pdf.drop(columns="__b"), k, eseed)
+
+            return _init_fn
+
+        for name, ent in self.rd.entities.items():
+            universe = self._entity_universe(name)
+            _init_fn = _make_init_fn(_entity_seed(seed, name))
+
+            init = universe.withColumn(
+                "__b", F.pmod(F.col("id"), F.lit(self.n_blocks))
+            ).groupBy("__b").applyInPandas(
+                _init_fn, schema="id long, factor array<double>"
+            )
+            self.factors[name] = init.persist()
+            self.factors[name] = self.factors[name].localCheckpoint()
+            self._entity_counts[name] = self.factors[name].count()
+            self.hyper[name] = (np.zeros(k), np.eye(k))
+            if ent.side_info is not None:
+                rows = ent.side_info.select("id", "features").orderBy("id").collect()
+                ids = np.array([r["id"] for r in rows], dtype=np.int64)
+                fm = np.stack([np.asarray(r["features"], dtype=np.float64) for r in rows])
+                self.side_np[name] = (ids, fm)
+                self.beta[name] = np.zeros((fm.shape[1], k))
+                self._refresh_offsets(name)
+
+    def _refresh_offsets(self, name: str) -> None:
+        """offset_i = βᵀ f_i as a DataFrame (id, __off). β is D×K driver-side;
+        for huge D the same product runs through cg.DistributedMatvec.fx."""
+        ids, fm = self.side_np[name]
+        off = fm @ self.beta[name]
+        pdf_rows = [(int(i), off[n].tolist()) for n, i in enumerate(ids)]
+        df = self.spark.createDataFrame(pdf_rows, schema="id long, __off array<double>")
+        self.offsets[name] = F.broadcast(df)
+
+    # ---------- per-sweep steps ----------
+
+    def _moments(self, name: str) -> tuple[int, np.ndarray, np.ndarray]:
+        """Distributed partial moments (I4): per-block (n, Σu, Σuuᵀ), driver
+        reduces ~n_blocks rows. For Macau the moments are of the residual
+        u − βᵀf (the NW prior governs the residual [paper:Macau])."""
+        fac = self.factors[name]
+        if name in self.offsets:
+            fac = fac.join(self.offsets[name], "id", "left").select(
+                "id",
+                F.when(
+                    F.col("__off").isNotNull(),
+                    F.zip_with("factor", "__off", lambda a, b: a - b),
+                )
+                .otherwise(F.col("factor"))
+                .alias("factor"),
+            )
+        k = self.k
+        parts = (
+            fac.withColumn("__b", F.pmod(F.col("id"), F.lit(self.n_blocks)))
+            .groupBy("__b")
+            .applyInPandas(
+                _moments_fn(k),
+                schema="n long, sum_u array<double>, sum_uut array<double>",
+            )
+            .collect()
+        )
+        n = sum(r["n"] for r in parts)
+        su = np.sum([np.array(r["sum_u"]) for r in parts], axis=0)
+        suu = np.sum([np.array(r["sum_uut"]).reshape(k, k) for r in parts], axis=0)
+        return n, su, suu
+
+    def _sample_beta(self, name: str) -> None:
+        """I5 — link matrix via the exact Bhattacharya–Mallick sampler:
+
+            β_k = (λ_u FᵀF + λ_β I)⁻¹ (λ_u Fᵀũ_k + √λ_u Fᵀe₁ + √λ_β e₂)
+
+        which is a *sample* from the β posterior (mean/cov check out by
+        direct computation). λ_u = mean diag(Λ) (exact when Λ isotropic —
+        the property-tested regime; documented approximation otherwise).
+        D here is small enough for a driver-side solve of the D×D system;
+        the D ≥ 10⁵ path swaps in cg.cg_solve with DistributedMatvec —
+        identical math, matvecs distributed [paper:Macau]."""
+        ids, fm = self.side_np[name]
+        mu, lam = self.hyper[name]
+        lam_u = float(np.mean(np.diag(lam)))
+        lam_b = self.lambda_beta[name]
+        # collect this entity's factors aligned to side-info ids
+        rows = {r["id"]: np.array(r["factor"]) for r in self.factors[name].collect()}
+        u = np.stack([rows.get(int(i), np.zeros(self.k)) for i in ids])
+        ut = u - mu  # residual target
+        d = fm.shape[1]
+        e1 = self.rng.standard_normal(u.shape)
+        e2 = self.rng.standard_normal((d, self.k))
+        rhs = lam_u * fm.T @ ut + np.sqrt(lam_u) * (fm.T @ e1) + np.sqrt(lam_b) * e2
+        a = lam_u * (fm.T @ fm) + lam_b * np.eye(d)
+        self.beta[name] = np.linalg.solve(a, rhs)
+        self.lambda_beta[name] = sample_lambda_beta(self.beta[name], self.rng)
+        self._refresh_offsets(name)
+
+    def _cell_inputs(self, name: str) -> DataFrame:
+        """Fuse every relation's training cells for this entity into
+        (__id, __val, __fac, __alpha): the opposing factor is the Hadamard
+        product of all other modes' factors (arity-2 degenerates to the
+        plain factor). Collective = unionByName across relations (I10)."""
+        pieces = []
+        for rel, mode in self.rd.relations_of(name):
+            df = rel.df
+            if "split" in df.columns:
+                df = df.filter(F.col("split") == "train")
+            df = df.withColumn("__val", F.col(rel.value_col) - F.lit(self.global_mean))
+            fac_cols = []
+            for m, other in enumerate(rel.entities):
+                if m == mode:
+                    continue
+                fcol = f"__f{m}"
+                other_fac = self.factors[other].select(
+                    F.col("id").alias(f"__oid{m}"), F.col("factor").alias(fcol)
+                )
+                df = df.join(
+                    _maybe_broadcast(other_fac, self._entity_counts[other]),
+                    F.col(rel.entities[m]).cast("long") == F.col(f"__oid{m}"),
+                )
+                fac_cols.append(fcol)
+            df = df.select(
+                F.col(rel.entities[mode]).cast("long").alias("__id"),
+                F.col("__val"),
+                _hadamard(fac_cols).alias("__fac"),
+                F.lit(rel.alpha).alias("__alpha"),
+            )
+            pieces.append(df)
+        return reduce(lambda a, b: a.unionByName(b), pieces)
+
+    def _sample_entity(self, name: str, sweep: int) -> None:
+        k, seed = self.k, _entity_seed(self.seed, name)
+        mu, lam = self.hyper[name]
+        cells = self._cell_inputs(name)
+        off_col = None
+        if name in self.offsets:
+            cells = cells.join(
+                self.offsets[name].select(F.col("id").alias("__id"), "__off"),
+                "__id",
+                "left",
+            )
+            off_col = "__off"
+        new = (
+            cells.withColumn("__b", F.pmod(F.col("__id"), F.lit(self.n_blocks)))
+            .groupBy("__b")
+            .applyInPandas(
+                _sample_fn(k, mu, lam, seed, sweep, off_col),
+                schema="id long, factor array<double>",
+            )
+        )
+        # cold-start: instances with no training cells sample from the prior
+        missing = self.factors[name].select("id").join(new.select("id"), "id", "left_anti")
+        if name in self.offsets:
+            missing = missing.join(self.offsets[name], "id", "left")
+        prior = (
+            missing.withColumn("__b", F.pmod(F.col("id"), F.lit(self.n_blocks)))
+            .groupBy("__b")
+            .applyInPandas(
+                _prior_fn(k, mu, lam, seed, sweep),
+                schema="id long, factor array<double>",
+            )
+        )
+        updated = new.unionByName(prior).persist()
+        updated = updated.localCheckpoint()  # truncate lineage (SURVEY §7)
+        old = self.factors[name]
+        self.factors[name] = updated
+        old.unpersist()
+
+    # ---------- prediction ----------
+
+    def _predict_sample(self, rel, test_df: DataFrame) -> DataFrame:
+        """r̂ = global_mean + Σ_k Π_modes u^{(m)}_k — for arity 2 this is
+        the dot product u·v [paper:BPMF]; tensors use the Hadamard sum."""
+        df = test_df
+        fac_cols = []
+        for m, ent in enumerate(rel.entities):
+            fcol = f"__f{m}"
+            fdf = self.factors[ent].select(
+                F.col("id").alias(f"__oid{m}"), F.col("factor").alias(fcol)
+            )
+            df = df.join(
+                _maybe_broadcast(fdf, self._entity_counts[ent]),
+                F.col(rel.entities[m]).cast("long") == F.col(f"__oid{m}"),
+            )
+            fac_cols.append(fcol)
+        prod = _hadamard(fac_cols)
+        pred = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x) + F.lit(self.global_mean)
+        return df.select(
+            *[F.col(c) for c in rel.entities],
+            F.col(rel.value_col).alias("y"),
+            pred.alias("p"),
+        )
+
+    # ---------- main loop ----------
+
+    def train(self) -> TrainResult:
+        self._init()
+        rel0 = self.rd.relations[0]
+        test_df = (
+            rel0.df.filter(F.col("split") == "test")
+            if "split" in rel0.df.columns
+            else None
+        )
+        acc: DataFrame | None = None
+        n_acc = 0
+        trace: list[float] = []
+
+        total = self.burnin + self.psamples
+        for sweep in range(total):
+            for name in self.rd.entities:
+                n, su, suu = self._moments(name)
+                self.hyper[name] = sample_normal_wishart(n, su, suu, self.rng)
+                if name in self.side_np:
+                    self._sample_beta(name)
+                self._sample_entity(name, sweep)
+
+            if test_df is not None and sweep >= self.burnin:
+                pred = self._predict_sample(rel0, test_df)
+                prev_acc = acc
+                if acc is None:
+                    acc = pred.select(
+                        *rel0.entities, "y", F.col("p").alias("p_sum"),
+                        (F.col("p") * F.col("p")).alias("p_sq"),
+                    )
+                else:
+                    pred_only = pred.select(*rel0.entities, "p")
+                    acc = (
+                        acc.join(pred_only, on=[*rel0.entities], how="inner")
+                        .select(
+                            *rel0.entities,
+                            "y",
+                            (F.col("p_sum") + F.col("p")).alias("p_sum"),
+                            (F.col("p_sq") + F.col("p") * F.col("p")).alias("p_sq"),
+                        )
+                    )
+                acc = acc.persist().localCheckpoint()
+                if prev_acc is not None:
+                    prev_acc.unpersist()
+                n_acc += 1
+                rmse = acc.select(
+                    F.sqrt(
+                        F.avg(F.pow(F.col("y") - F.col("p_sum") / n_acc, 2))
+                    ).alias("rmse")
+                ).collect()[0]["rmse"]
+                trace.append(float(rmse))
+
+        pred_mean = None
+        if acc is not None and n_acc > 0:
+            pred_mean = acc.select(
+                *rel0.entities,
+                "y",
+                (F.col("p_sum") / n_acc).alias("pred"),
+                F.sqrt(
+                    F.greatest(
+                        F.col("p_sq") / n_acc - F.pow(F.col("p_sum") / n_acc, 2),
+                        F.lit(0.0),
+                    )
+                ).alias("pred_std"),
+            )
+        return TrainResult(
+            factors=self.factors,
+            pred_mean=pred_mean,
+            rmse_trace=trace,
+            rmse=trace[-1] if trace else None,
+            beta=self.beta,
+            hyper=self.hyper,
+        )
+
+
+def macau(
+    spark: SparkSession,
+    rd: RelationData,
+    num_latent: int = 16,
+    burnin: int = 10,
+    psamples: int = 10,
+    seed: int = 42,
+    **kw,
+) -> TrainResult:
+    """The reference's main entry point ``macau(rd; num_latent, burnin,
+    psamples, ...)`` [api], Spark-native."""
+    return MacauTrainer(
+        spark, rd, num_latent=num_latent, burnin=burnin, psamples=psamples, seed=seed, **kw
+    ).train()
+
+
+def bpmf(
+    spark: SparkSession,
+    rd: RelationData,
+    **kw,
+) -> TrainResult:
+    """BPMF = Macau without side information [paper:BPMF] [api]."""
+    return macau(spark, rd, **kw)

@@ -1,0 +1,150 @@
+"""Arrow-vectorized Gibbs kernels (SURVEY I2, I3).
+
+The per-instance conditional Gaussian sample [paper:BPMF]:
+
+    Λ_i = Λ + α Σ_{j∈obs(i)} v_j v_jᵀ
+    b_i = Λ (μ + βᵀf_i) + α Σ_{j∈obs(i)} r_ij v_j
+    u_i ~ N(Λ_i⁻¹ b_i, Λ_i⁻¹)   (via Cholesky)
+
+Executed as ``applyInPandas`` over *blocks* of instances (block =
+pmod(id, n_blocks)) — grouping by block instead of by instance amortizes
+Arrow batch overhead over thousands of instances while staying
+embarrassingly parallel across blocks [paper:BPMF §Gibbs]. Inside a block
+the per-instance solves are K×K numpy Cholesky factorizations (K ≈ 8–64),
+exactly the reference's inner kernel re-expressed vectorized.
+
+Determinism under task retries (SURVEY §7): the RNG for instance i at
+sweep s is ``default_rng((seed, sweep, i))`` — retry-idempotent, so a
+recomputed partition reproduces identical samples.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+
+def _stable_seed(seed: int, sweep: int, i: int) -> int:
+    # int/tuple hashing is PYTHONHASHSEED-independent → retry-idempotent
+    return abs(hash((seed, sweep, int(i)))) % (2**63)
+
+
+def sample_block(
+    pdf: pd.DataFrame,
+    k: int,
+    alpha: float,
+    mu: np.ndarray,
+    lam: np.ndarray,
+    seed: int,
+    sweep: int,
+    id_col: str = "__id",
+    val_col: str = "__val",
+    fac_col: str = "__fac",
+    off_col: str | None = None,
+    alpha_col: str | None = None,
+) -> pd.DataFrame:
+    """Sample new factors for every instance present in one block.
+
+    pdf rows: one per observed cell of the block's instances —
+    (id, rating, opposing-factor array[, prior-offset array][, per-cell α]).
+    Per-cell α carries collective factorization (I10): cells from different
+    relations keep their relation's noise precision in one fused update.
+    Returns (id, factor array) per instance.
+    """
+    ids = pdf[id_col].to_numpy()
+    vals = pdf[val_col].to_numpy(dtype=np.float64)
+    vmat = np.stack(pdf[fac_col].to_numpy())  # (n_cells, K)
+    alphas = (
+        pdf[alpha_col].to_numpy(dtype=np.float64)
+        if alpha_col is not None and alpha_col in pdf.columns
+        else np.full(len(ids), alpha)
+    )
+    offsets = None
+    if off_col is not None and off_col in pdf.columns:
+        off_raw = pdf[off_col].to_numpy()
+        offsets = {
+            int(i): np.asarray(o, dtype=np.float64)
+            for i, o in zip(ids, off_raw)
+            if o is not None
+        }
+
+    order = np.argsort(ids, kind="stable")
+    ids_s, vals_s, vmat_s, alpha_s = ids[order], vals[order], vmat[order], alphas[order]
+    uniq, starts = np.unique(ids_s, return_index=True)
+    bounds = np.append(starts, len(ids_s))
+
+    out_ids = np.empty(len(uniq), dtype=np.int64)
+    out_fac = np.empty((len(uniq), k), dtype=np.float64)
+    lam_mu = lam @ mu
+    for n, i in enumerate(uniq):
+        lo, hi = bounds[n], bounds[n + 1]
+        vi = vmat_s[lo:hi]  # (deg, K)
+        ri = vals_s[lo:hi]
+        ai = alpha_s[lo:hi]
+        via = vi * ai[:, None]
+        prec = lam + vi.T @ via
+        if offsets is not None and int(i) in offsets:
+            b = lam @ (mu + offsets[int(i)]) + via.T @ ri
+        else:
+            b = lam_mu + via.T @ ri
+        chol = np.linalg.cholesky(prec)
+        mean = np.linalg.solve(prec, b)  # K×K, tiny
+        rng = np.random.default_rng(_stable_seed(seed, sweep, int(i)))
+        z = rng.standard_normal(k)
+        # u ~ N(mean, prec^-1): mean + L^-T z with L = chol(prec)
+        out_ids[n] = i
+        out_fac[n] = mean + np.linalg.solve(chol.T, z)
+    return pd.DataFrame({"id": out_ids, "factor": list(out_fac)})
+
+
+def prior_block(
+    pdf: pd.DataFrame,
+    k: int,
+    mu: np.ndarray,
+    lam: np.ndarray,
+    seed: int,
+    sweep: int,
+) -> pd.DataFrame:
+    """Cold-start instances (no training cells this sweep): sample from the
+    prior u_i ~ N(μ + βᵀf_i, Λ⁻¹) [paper:Macau cold start]. pdf rows:
+    (id[, __off])."""
+    ids = pdf["id"].to_numpy()
+    offs = None
+    if "__off" in pdf.columns:
+        offs = pdf["__off"].to_numpy()
+    cov = np.linalg.inv(lam)
+    chol = np.linalg.cholesky((cov + cov.T) / 2)
+    out = np.empty((len(ids), k), dtype=np.float64)
+    for n, i in enumerate(ids):
+        rng = np.random.default_rng(_stable_seed(seed, sweep, int(i)))
+        m = mu.copy()
+        if offs is not None and offs[n] is not None:
+            m = m + np.asarray(offs[n], dtype=np.float64)
+        out[n] = m + chol @ rng.standard_normal(k)
+    return pd.DataFrame({"id": ids, "factor": list(out)})
+
+
+def init_factors_pdf(pdf: pd.DataFrame, k: int, seed: int, scale: float = 0.3) -> pd.DataFrame:
+    """I2 — seeded random init per instance: u_i ~ N(0, scale²) with RNG
+    keyed by (seed, id) → reproducible under retries."""
+    ids = pdf["id"].to_numpy()
+    out = np.empty((len(ids), k), dtype=np.float64)
+    for n, i in enumerate(ids):
+        rng = np.random.default_rng(abs(hash((seed, 0, int(i)))) % (2**63))
+        out[n] = scale * rng.standard_normal(k)
+    return pd.DataFrame({"id": ids, "factor": list(out)})
+
+
+def moments_block(pdf: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Partial factor moments for the Normal–Wishart step (I4): per block,
+    (n, Σu, Σuuᵀ flattened). Driver reduces the ~n_blocks partial rows —
+    a treeAggregate-sized collect, constant in data size."""
+    fac = np.stack(pdf["factor"].to_numpy())
+    n = fac.shape[0]
+    s = fac.sum(axis=0)
+    ss = fac.T @ fac
+    return pd.DataFrame(
+        {"n": [n], "sum_u": [s.tolist()], "sum_uut": [ss.reshape(-1).tolist()]}
+    )

@@ -1,0 +1,96 @@
+"""RelationData: the engine's model of the reference's data abstractions.
+
+Reference ([api], [upstream:src/RelationData.jl — UNVERIFIED]):
+``Entity`` (a dimension, optionally with side-info features F),
+``Relation`` (a sparse COO tensor over 2+ entities), ``RelationData``
+(entities + relations sharing entities → collective factorization).
+
+Engine: entities index DataFrames of factors; relations are long-format
+COO DataFrames. The per-entity index the reference builds (IndexedDF) maps
+to co-partitioning by entity id, not a data structure (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Entity:
+    """A named dimension. ``side_info``: optional (id, features:array<float>)
+    DataFrame — the Macau F matrix [paper:Macau]."""
+
+    name: str
+    side_info: DataFrame | None = None
+
+
+@dataclass
+class Relation:
+    """Sparse observed relation in COO long format.
+
+    ``df`` columns: one id column per entity (named by the entity), plus
+    ``value_col``. Arity 2 = matrix, ≥3 = tensor. ``alpha`` is the noise
+    precision [paper:Macau]; ``class_cut`` enables the binary/AUC readout
+    [api].
+    """
+
+    df: DataFrame
+    entities: list[str]
+    value_col: str = "value"
+    alpha: float = 2.0
+    class_cut: float | None = None
+
+    @property
+    def arity(self) -> int:
+        return len(self.entities)
+
+
+@dataclass
+class RelationData:
+    """The 'database': entities + relations sharing them.
+
+    Entities referenced by multiple relations get their sufficient
+    statistics summed across relations in the Gibbs sweep — collective
+    matrix factorization [api] [paper:Macau].
+    """
+
+    entities: dict[str, Entity] = field(default_factory=dict)
+    relations: list[Relation] = field(default_factory=list)
+
+    def add_entity(self, entity: Entity) -> "RelationData":
+        self.entities[entity.name] = entity
+        return self
+
+    def add_relation(self, rel: Relation) -> "RelationData":
+        for e in rel.entities:
+            if e not in self.entities:
+                self.entities[e] = Entity(e)
+        self.relations.append(rel)
+        return self
+
+    def relations_of(self, entity: str) -> list[tuple["Relation", int]]:
+        """All (relation, mode) pairs this entity participates in."""
+        out = []
+        for rel in self.relations:
+            for mode, name in enumerate(rel.entities):
+                if name == entity:
+                    out.append((rel, mode))
+        return out
+
+
+def split_train_test(
+    df: DataFrame, id_cols: list[str], test_frac: float = 0.2, seed: int = 42
+) -> DataFrame:
+    """Deterministic arithmetic cell split (SURVEY I1) — ``assignToTest!``
+    [api] without rand(), so runs are reproducible and oracle-checkable.
+    Adds a ``split`` column ('train'/'test')."""
+    mod = 1_000_003  # prime
+    cut = int(test_frac * mod)
+    mix = F.lit(seed).cast("long")
+    for k, c in enumerate(id_cols):
+        mix = mix + F.col(c).cast("long") * F.lit(2654435761 * (k + 1)).cast("long")
+    bucket = F.pmod(mix, F.lit(mod).cast("long"))
+    return df.withColumn("split", F.when(bucket < cut, "test").otherwise("train"))

@@ -34,6 +34,11 @@ def get_spark(app_name: str = "bayesiandatafusion_jl_spark", cpus: str | None = 
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # iterative ML loops create thousands of broadcasts/persists per run;
+        # default 30-min periodic GC lets dead broadcast blocks pile up until
+        # the storage memory pool rejects new ones
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
