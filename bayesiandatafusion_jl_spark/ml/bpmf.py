@@ -114,6 +114,7 @@ class MacauTrainer:
         n_blocks: int | None = None,
         lambda_beta: float = 5.0,
         center: bool = True,
+        track_rmse: bool = True,
     ):
         self.spark = spark
         self.rd = rd
@@ -124,6 +125,7 @@ class MacauTrainer:
         self.n_blocks = n_blocks or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         self.lambda_beta = {e: lambda_beta for e in rd.entities}
         self.center = center
+        self.track_rmse = track_rmse  # False: skip per-sample RMSE collects
         self.rng = np.random.default_rng(seed)
 
         self.factors: dict[str, DataFrame] = {}
@@ -402,14 +404,23 @@ class MacauTrainer:
                 if prev_acc is not None:
                     prev_acc.unpersist()
                 n_acc += 1
-                rmse = acc.select(
-                    F.sqrt(
-                        F.avg(F.pow(F.col("y") - F.col("p_sum") / n_acc, 2))
-                    ).alias("rmse")
-                ).collect()[0]["rmse"]
-                trace.append(float(rmse))
+                if self.track_rmse:
+                    rmse = acc.select(
+                        F.sqrt(
+                            F.avg(F.pow(F.col("y") - F.col("p_sum") / n_acc, 2))
+                        ).alias("rmse")
+                    ).collect()[0]["rmse"]
+                    trace.append(float(rmse))
 
         pred_mean = None
+        if acc is not None and n_acc > 0 and not self.track_rmse:
+            # one final RMSE instead of one per sample
+            rmse = acc.select(
+                F.sqrt(
+                    F.avg(F.pow(F.col("y") - F.col("p_sum") / n_acc, 2))
+                ).alias("rmse")
+            ).collect()[0]["rmse"]
+            trace.append(float(rmse))
         if acc is not None and n_acc > 0:
             pred_mean = acc.select(
                 *rel0.entities,

@@ -57,6 +57,172 @@ def q_ml_traintest_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_ml_bpmf_events", oracle=None, tags=("I2", "I3", "I4", "I7", "I11"))
+def q_ml_bpmf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end BPMF (the reference's flagship ``macau(rd)`` [api]) on the
+    driver's events table: factorize the (user_id × event_type, avg value)
+    matrix and return posterior mean + std per held-out cell.
+
+    Rows-only check (randomized Gibbs — no SQL oracle by design, SURVEY
+    §2.I). Deliberately small config so the driver's per-query budget holds;
+    the property tests in tests/test_ml.py are the statistical gate.
+    """
+    from bayesiandatafusion_jl_spark.ml.bpmf import bpmf
+    from bayesiandatafusion_jl_spark.ml.relation import (
+        Relation,
+        RelationData,
+        split_train_test,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    # type ids must be integral for the COO contract
+    types = ev.select("event_type").distinct().orderBy("event_type")
+    type_ids = {
+        r["event_type"]: i for i, r in enumerate(types.collect())
+    }
+    mapping = F.create_map(
+        *[x for k, v in type_ids.items() for x in (F.lit(k), F.lit(v))]
+    )
+    cells = (
+        ev.select(
+            F.col("user_id").alias("u"),
+            mapping[F.col("event_type")].cast("long").alias("t"),
+            F.log1p("value").alias("value"),
+        )
+        .groupBy("u", "t")
+        .agg(F.avg("value").alias("value"))
+    )
+    cells = split_train_test(cells, ["u", "t"], test_frac=0.2, seed=11)
+    rd = RelationData().add_relation(Relation(cells, ["u", "t"], alpha=10.0))
+    res = bpmf(
+        spark, rd, num_latent=4, burnin=3, psamples=2, seed=7,
+        n_blocks=8, track_rmse=False,
+    )
+    return res.pred_mean.select(
+        F.col("u").alias("user_id"),
+        F.col("t").alias("type_id"),
+        F.col("y").alias("actual"),
+        "pred",
+        "pred_std",
+    )
+
+
+_CUT = 35.0  # class_cut near the events.value median → balanced classes
+
+
+@register(
+    "q_ml_auc",
+    oracle=f"""
+    WITH split AS (
+      SELECT *,
+             CASE WHEN ((event_id * {_P1} + user_id * {_P2}) % {_MOD} + {_MOD}) % {_MOD}
+                       < {_TRAIN}
+                  THEN 'train' ELSE 'test' END AS split
+      FROM events
+    ),
+    gmean AS (
+      SELECT CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS g
+      FROM split WHERE split = 'train'
+    ),
+    ubias AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS ub
+      FROM split WHERE split = 'train' GROUP BY user_id
+    ),
+    tbias AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS tb
+      FROM split WHERE split = 'train' GROUP BY event_type
+    ),
+    scored AS (
+      SELECT CASE WHEN s.value > {_CUT} THEN 1 ELSE 0 END AS label,
+             COALESCE(ub, g) + COALESCE(tb, g) - g AS score
+      FROM split s
+      LEFT JOIN ubias USING (user_id)
+      LEFT JOIN tbias USING (event_type)
+      CROSS JOIN gmean
+      WHERE s.split = 'test'
+    ),
+    ranked AS (
+      SELECT label,
+             RANK() OVER (ORDER BY score)
+               + (COUNT(*) OVER (PARTITION BY score) - 1) / 2.0 AS avg_rank
+      FROM scored
+    )
+    SELECT COUNT(*) FILTER (label = 1) AS n_pos,
+           COUNT(*) FILTER (label = 0) AS n_neg,
+           ROUND(
+             (SUM(avg_rank) FILTER (label = 1)
+                - COUNT(*) FILTER (label = 1)
+                  * (COUNT(*) FILTER (label = 1) + 1) / 2.0)
+             / (COUNT(*) FILTER (label = 1) * COUNT(*) FILTER (label = 0)),
+             6
+           ) AS auc
+    FROM ranked
+    """,
+    tags=("I8", "E2"),
+)
+def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I8 — Mann–Whitney AUC of the bias-baseline score against the
+    ``class_cut``-binarized label (macau reports AUC when class_cut is set
+    [api]). Tie-correct: tied scores share their average rank, computed as
+    rank() + (count(same score) − 1)/2 — identical in both engines because
+    the scores are bit-identical derived doubles.
+
+    Scale: two broadcast joins + one global window over score. The single
+    ORDER BY score window is the scale bottleneck (one partition); at
+    100 TB swap in the partition-and-offset rank pattern (per-partition
+    counts → cumulative offsets → local ranks).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    bucket = F.pmod(
+        F.col("event_id") * F.lit(_P1).cast("long")
+        + F.col("user_id") * F.lit(_P2).cast("long"),
+        F.lit(_MOD).cast("long"),
+    )
+    split = ev.withColumn(
+        "split", F.when(bucket < _TRAIN, "train").otherwise("test")
+    )
+    train = split.filter(F.col("split") == "train")
+    dmean = lambda c: (  # noqa: E731
+        F.sum(F.col(c).cast("decimal(38,6)")).cast("double") / F.count(F.lit(1))
+    )
+    gmean = train.agg(dmean("value").alias("g"))
+    ubias = train.groupBy("user_id").agg(dmean("value").alias("ub"))
+    tbias = train.groupBy("event_type").agg(dmean("value").alias("tb"))
+    scored = (
+        split.filter(F.col("split") == "test")
+        .join(F.broadcast(ubias), "user_id", "left")
+        .join(F.broadcast(tbias), "event_type", "left")
+        .crossJoin(F.broadcast(gmean))
+        .select(
+            F.when(F.col("value") > _CUT, 1).otherwise(0).alias("label"),
+            (
+                F.coalesce("ub", "g") + F.coalesce("tb", "g") - F.col("g")
+            ).alias("score"),
+        )
+    )
+    ranked = scored.select(
+        "label",
+        (
+            F.rank().over(Window.orderBy("score"))
+            + (F.count(F.lit(1)).over(Window.partitionBy("score")) - 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    npos = F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+    nneg = F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+    rpos = F.sum(F.when(F.col("label") == 1, F.col("avg_rank")))
+    return ranked.agg(
+        npos.alias("n_pos"),
+        nneg.alias("n_neg"),
+        F.round(
+            (rpos - npos * (npos + 1) / 2.0) / (npos * nneg), 6
+        ).alias("auc"),
+    )
+
+
 @register(
     "q_ml_predict_rmse",
     oracle=f"""

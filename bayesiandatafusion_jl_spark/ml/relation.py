@@ -91,6 +91,9 @@ def split_train_test(
     cut = int(test_frac * mod)
     mix = F.lit(seed).cast("long")
     for k, c in enumerate(id_cols):
-        mix = mix + F.col(c).cast("long") * F.lit(2654435761 * (k + 1)).cast("long")
+        # pre-mod each id so products stay < 2^53: arbitrary int64 ids
+        # (hashes, snowflake ids) would overflow ANSI int64 multiply
+        reduced = F.pmod(F.col(c).cast("long"), F.lit(mod).cast("long"))
+        mix = mix + reduced * F.lit(2654435761 % mod * (k + 1)).cast("long")
     bucket = F.pmod(mix, F.lit(mod).cast("long"))
     return df.withColumn("split", F.when(bucket < cut, "test").otherwise("train"))

@@ -1,0 +1,133 @@
+"""Structured Streaming pipelines (SURVEY §2.J — J7–J11).
+
+The reference is batch-only (MCMC over a static dataset); these are the
+north-star streaming extensions. Design:
+
+- Every pipeline is a *transformation function* over a DataFrame that works
+  identically on a batch frame and a ``readStream`` frame — the batch runs
+  (``streaming.queries``) are the DuckDB-checked correctness reference, and
+  these functions are the single source of the window expressions, so batch
+  and stream cannot drift.
+- Event time comes from the ``ts`` column; late data is governed by
+  ``withWatermark`` (J10): state for windows older than
+  ``max(event_time) − delay`` is evicted and later rows are dropped.
+  Watermark state scales with #open windows × #keys, not with input rows —
+  at 100 TB/day this is what keeps the agg state bounded.
+- ``dropDuplicatesWithinWatermark`` (J11) bounds dedup state the same way:
+  the key store only spans the watermark horizon, not all history.
+
+Scale notes: the shuffle for a streaming groupBy(window, key) is identical
+to the batch one (hash by (window, key)); skewed keys are handled by AQE
+in batch and by state-store partitioning (``spark.sql.shuffle.partitions``
+fixed at first run of a checkpointed query) in streaming — size it BEFORE
+first deploy, it cannot change under the same checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# canonical events schema after catalog's ns→ts normalization
+EVENTS_SCHEMA = (
+    "event_id long, user_id long, event_type string, value double, "
+    "props string, ts timestamp"
+)
+
+
+def parquet_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over a directory of parquet drops. Each new file
+    becomes (at least) one micro-batch; the production equivalent is a
+    Kafka/cloud-files source with the same downstream plan."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 day", watermark: str = "1 hour"
+) -> DataFrame:
+    """J7 + J10 — tumbling event-time window per event_type with late-data
+    eviction. Append-mode emits a window exactly once, when the watermark
+    passes its end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 day",
+    slide: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """J8 — sliding window: each event contributes to window/slide windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """J9 — gap-based session windows per user: a session closes after
+    ``gap`` of inactivity; state merges adjacent windows as rows arrive."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            (F.unix_timestamp("s.end") - F.unix_timestamp("s.start")).alias(
+                "duration_s"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """J11 — stateful streaming dedup bounded by the watermark horizon.
+    Streaming-only: the batch equivalent is plain ``dropDuplicates`` (B4).
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+):
+    """Start a memory-sink query for tests/interactive use. Caller drives it
+    with ``q.processAllAvailable()`` and reads ``SELECT * FROM <name>``."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )

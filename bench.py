@@ -55,6 +55,40 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # ML sweep throughput: one BPMF Gibbs sweep (I3 kernel both entities +
+    # moments + NW) on the events-derived matrix, K=16 (BASELINE.md (c))
+    from pyspark.sql import functions as F  # noqa: E402
+
+    from bayesiandatafusion_jl_spark.catalog import load_table  # noqa: E402
+    from bayesiandatafusion_jl_spark.ml.bpmf import MacauTrainer  # noqa: E402
+    from bayesiandatafusion_jl_spark.ml.nw import sample_normal_wishart  # noqa: E402
+    from bayesiandatafusion_jl_spark.ml.relation import (  # noqa: E402
+        Relation,
+        RelationData,
+        split_train_test,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.col("user_id").alias("u"),
+            F.crc32(F.col("event_type")).cast("long").alias("t"),
+            F.log1p("value").alias("value"),
+        )
+        .groupBy("u", "t")
+        .agg(F.avg("value").alias("value"))
+    )
+    cells = split_train_test(cells, ["u", "t"], test_frac=0.2, seed=11)
+    rd = RelationData().add_relation(Relation(cells, ["u", "t"], alpha=10.0))
+    tr = MacauTrainer(spark, rd, num_latent=16, burnin=1, psamples=0, seed=7)
+    tr._init()
+    t0 = time.time()
+    for name in rd.entities:
+        n, su, suu = tr._moments(name)
+        tr.hyper[name] = sample_normal_wishart(n, su, suu, tr.rng)
+        tr._sample_entity(name, 0)
+    timings["bpmf_sweep"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -1,0 +1,212 @@
+"""Structured Streaming semantics tests (SURVEY §2.J — J7–J11).
+
+No SQL oracle exists for watermark/state semantics (SURVEY §5.2), so these
+are targeted behavioral tests: files dropped into a source dir one at a
+time become separate micro-batches (maxFilesPerTrigger=1 + sequenced
+writes), which lets us place rows before/after the watermark on purpose.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bayesiandatafusion_jl_spark.streaming import pipelines as P
+
+
+@pytest.fixture
+def stream_env(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    chk = tmp_path / "chk"
+    queries = []
+
+    def write_batch(rows):
+        """One parquet file = one future micro-batch."""
+        df = spark.createDataFrame(rows, schema=P.EVENTS_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(str(src))
+
+    def start(tdf_fn, name=None, output_mode="append"):
+        name = name or f"q_{uuid.uuid4().hex[:8]}"
+        stream = P.parquet_stream(spark, str(src))
+        q = (
+            tdf_fn(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", str(chk / name))
+            .start()
+        )
+        queries.append(q)
+        return q, name
+
+    yield write_batch, start, spark
+    for q in queries:
+        q.stop()
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def _ev(eid, uid, etype, value, ts):
+    return (eid, uid, etype, value, "{}", ts)
+
+
+def _t(hhmm):
+    from datetime import datetime
+
+    h, m = divmod(hhmm, 100)
+    return datetime(2026, 1, 15, h, m, 0)
+
+
+def test_tumbling_watermark_drops_late_rows(stream_env):
+    """J7+J10: a row older than the watermark must NOT be added to its
+    (already finalized) window; on-time rows aggregate normally."""
+    write_batch, start, spark = stream_env
+    # batch 1: two rows in [10:00,10:10) + one at 10:30 → wm advances to 10:20
+    write_batch(
+        [
+            _ev(1, 1, "click", 1.0, _t(1000)),
+            _ev(2, 1, "click", 1.0, _t(1005)),
+            _ev(3, 1, "click", 1.0, _t(1030)),
+        ]
+    )
+    q, name = start(
+        lambda s: P.tumbling_counts(s, window="10 minutes", watermark="10 minutes")
+    )
+    q.processAllAvailable()
+    # batch 2: LATE row for the finalized window (10:02 < wm 10:20) + a row
+    # at 10:55 that pushes the watermark past 10:40, finalizing [10:30,10:40)
+    write_batch(
+        [
+            _ev(4, 1, "click", 1.0, _t(1002)),
+            _ev(5, 1, "click", 1.0, _t(1055)),
+        ]
+    )
+    q.processAllAvailable()
+    got = {
+        (r["win_start"].strftime("%H:%M"), r["n"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert ("10:00", 2) in got, got  # late row 4 NOT counted
+    assert ("10:30", 1) in got, got
+    assert not any(w == "10:00" and n == 3 for w, n in got), got
+
+
+def test_sliding_each_event_in_k_windows(stream_env):
+    """J8: with window=20min slide=10min every event lands in 2 windows."""
+    write_batch, start, spark = stream_env
+    write_batch(
+        [
+            _ev(1, 1, "buy", 2.0, _t(1005)),
+            _ev(2, 2, "buy", 3.0, _t(1105)),  # push watermark forward
+        ]
+    )
+    q, name = start(
+        lambda s: P.sliding_counts(
+            s, window="20 minutes", slide="10 minutes", watermark="5 minutes"
+        )
+    )
+    q.processAllAvailable()
+    write_batch([_ev(3, 1, "buy", 1.0, _t(1230))])  # finalize everything older
+    q.processAllAvailable()
+    rows = spark.sql(
+        f"SELECT win_start, n FROM {name} ORDER BY win_start"
+    ).collect()
+    starts_for_event1 = [
+        r["win_start"].strftime("%H:%M") for r in rows if r["win_start"].hour == 9
+    ] + [
+        r["win_start"].strftime("%H:%M")
+        for r in rows
+        if r["win_start"].hour == 10 and r["win_start"].minute == 0
+    ]
+    # event at 10:05 → windows starting 09:50 and 10:00
+    assert "09:50" in starts_for_event1 and "10:00" in starts_for_event1, rows
+
+
+def test_session_window_gap_semantics(stream_env):
+    """J9: rows within the gap merge into one session; a gap closes it."""
+    write_batch, start, spark = stream_env
+    write_batch(
+        [
+            _ev(1, 7, "a", 1.0, _t(1000)),
+            _ev(2, 7, "a", 1.0, _t(1010)),  # within 30-min gap → same session
+            _ev(3, 7, "a", 1.0, _t(1200)),  # >30min later → new session
+        ]
+    )
+    q, name = start(
+        lambda s: P.session_counts(s, gap="30 minutes", watermark="10 minutes")
+    )
+    q.processAllAvailable()
+    write_batch([_ev(4, 8, "a", 1.0, _t(1400))])  # advance wm → close sessions
+    q.processAllAvailable()
+    rows = spark.sql(
+        f"SELECT user_id, n_events, duration_s FROM {name} WHERE user_id = 7"
+        " ORDER BY session_start"
+    ).collect()
+    assert [(r["n_events"], r["duration_s"]) for r in rows] == [
+        (2, 10 * 60 + 30 * 60),  # 10:00→10:10 + 30min gap extension
+        (1, 30 * 60),
+    ], rows
+
+
+def test_dedup_within_watermark(stream_env):
+    """J11: duplicate event_id inside the watermark horizon is dropped;
+    the first occurrence survives."""
+    write_batch, start, spark = stream_env
+    write_batch(
+        [
+            _ev(1, 1, "x", 1.0, _t(1000)),
+            _ev(2, 1, "x", 1.0, _t(1001)),
+        ]
+    )
+    q, name = start(
+        lambda s: P.dedup_within_watermark(s, keys=["event_id"], watermark="1 hour")
+    )
+    q.processAllAvailable()
+    write_batch(
+        [
+            _ev(1, 1, "x", 99.0, _t(1002)),  # duplicate id within horizon
+            _ev(3, 1, "x", 1.0, _t(1010)),
+        ]
+    )
+    q.processAllAvailable()
+    rows = spark.sql(f"SELECT event_id, value FROM {name}").collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 2, 3], rows
+    assert {r["value"] for r in rows if r["event_id"] == 1} == {1.0}, rows
+
+
+def test_stream_tumbling_matches_batch(stream_env):
+    """Batch/stream parity: the same transformation over the same rows gives
+    identical finalized windows (the batch form is the DuckDB-checked one)."""
+    write_batch, start, spark = stream_env
+    rows = [
+        _ev(i, i % 3, "t", float(i), _t(900 + (i % 4) * 100)) for i in range(1, 13)
+    ]
+    write_batch(rows)
+    q, name = start(
+        lambda s: P.tumbling_counts(s, window="1 hour", watermark="0 seconds")
+    )
+    q.processAllAvailable()
+    # flush: advance watermark far past every window
+    write_batch([_ev(99, 9, "t", 0.0, _t(2300))])
+    q.processAllAvailable()
+    stream_rows = {
+        (r["win_start"], r["event_type"], r["n"], r["sum_value"])
+        for r in spark.sql(
+            f"SELECT * FROM {name} WHERE win_start < timestamp'2026-01-15 23:00:00'"
+        ).collect()
+    }
+    batch = P.tumbling_counts(
+        spark.createDataFrame(rows, schema=P.EVENTS_SCHEMA),
+        window="1 hour",
+        watermark="0 seconds",
+    )
+    batch_rows = {
+        (r["win_start"], r["event_type"], r["n"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert stream_rows == batch_rows
