@@ -115,6 +115,9 @@ class MacauTrainer:
         lambda_beta: float = 5.0,
         center: bool = True,
         track_rmse: bool = True,
+        side_driver_max_cells: int = 4_000_000,
+        cg_tol: float = 1e-6,
+        cg_max_iter: int = 50,
     ):
         self.spark = spark
         self.rd = rd
@@ -126,6 +129,11 @@ class MacauTrainer:
         self.lambda_beta = {e: lambda_beta for e in rd.entities}
         self.center = center
         self.track_rmse = track_rmse  # False: skip per-sample RMSE collects
+        # N·D above this → CG path: F stays a distributed COO, never a
+        # driver-side dense matrix [paper:Macau]
+        self.side_driver_max_cells = side_driver_max_cells
+        self.cg_tol = cg_tol
+        self.cg_max_iter = cg_max_iter
         self.rng = np.random.default_rng(seed)
 
         self.factors: dict[str, DataFrame] = {}
@@ -133,6 +141,7 @@ class MacauTrainer:
         self.beta: dict[str, np.ndarray] = {}
         self.offsets: dict[str, DataFrame] = {}
         self.side_np: dict[str, tuple[np.ndarray, np.ndarray]] = {}  # ids, F matrix
+        self.side_cg: dict[str, object] = {}  # entity -> DistributedMatvec (large D)
         self.global_mean = 0.0
         self._entity_counts: dict[str, int] = {}
 
@@ -186,18 +195,44 @@ class MacauTrainer:
             self._entity_counts[name] = self.factors[name].count()
             self.hyper[name] = (np.zeros(k), np.eye(k))
             if ent.side_info is not None:
-                rows = ent.side_info.select("id", "features").orderBy("id").collect()
-                ids = np.array([r["id"] for r in rows], dtype=np.int64)
-                fm = np.stack([np.asarray(r["features"], dtype=np.float64) for r in rows])
-                self.side_np[name] = (ids, fm)
-                self.beta[name] = np.zeros((fm.shape[1], k))
+                n_side = ent.side_info.count()
+                d = len(
+                    ent.side_info.select("features").limit(1).collect()[0][0]
+                )
+                if n_side * d <= self.side_driver_max_cells:
+                    rows = (
+                        ent.side_info.select("id", "features").orderBy("id").collect()
+                    )
+                    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+                    fm = np.stack(
+                        [np.asarray(r["features"], dtype=np.float64) for r in rows]
+                    )
+                    self.side_np[name] = (ids, fm)
+                else:
+                    # Macau's scalability device [paper:Macau]: F never
+                    # densifies; matvecs run as distributed join+agg
+                    from bayesiandatafusion_jl_spark.ml.cg import (
+                        DistributedMatvec,
+                        features_to_coo,
+                    )
+
+                    coo = features_to_coo(ent.side_info)
+                    self.side_cg[name] = DistributedMatvec(
+                        self.spark, coo, n_side, d
+                    )
+                self.beta[name] = np.zeros((d, k))
                 self._refresh_offsets(name)
 
     def _refresh_offsets(self, name: str) -> None:
-        """offset_i = βᵀ f_i as a DataFrame (id, __off). β is D×K driver-side;
-        for huge D the same product runs through cg.DistributedMatvec.fx."""
-        ids, fm = self.side_np[name]
-        off = fm @ self.beta[name]
+        """offset_i = βᵀ f_i as a DataFrame (id, __off). Dense path: driver
+        matmul; CG path: distributed F·β matvec (F never densifies)."""
+        if name in self.side_np:
+            ids, fm = self.side_np[name]
+            off = fm @ self.beta[name]
+        else:
+            mv = self.side_cg[name]
+            ids = mv.row_ids
+            off = mv.fx(self.beta[name])
         pdf_rows = [(int(i), off[n].tolist()) for n, i in enumerate(ids)]
         df = self.spark.createDataFrame(pdf_rows, schema="id long, __off array<double>")
         self.offsets[name] = F.broadcast(df)
@@ -242,23 +277,49 @@ class MacauTrainer:
         which is a *sample* from the β posterior (mean/cov check out by
         direct computation). λ_u = mean diag(Λ) (exact when Λ isotropic —
         the property-tested regime; documented approximation otherwise).
-        D here is small enough for a driver-side solve of the D×D system;
-        the D ≥ 10⁵ path swaps in cg.cg_solve with DistributedMatvec —
-        identical math, matvecs distributed [paper:Macau]."""
-        ids, fm = self.side_np[name]
+        Dense path (N·D small): driver-side solve of the D×D system.
+        CG path (large D): identical math, but rhs = Fᵀ(λ_u ũ + √λ_u e₁)
+        runs as ONE distributed transpose-matvec and the system
+        (FᵀF + (λ_β/λ_u) I) β = rhs/λ_u is solved by batched CG whose
+        matvecs are distributed join+aggs — FᵀF is never formed
+        [paper:Macau]."""
         mu, lam = self.hyper[name]
         lam_u = float(np.mean(np.diag(lam)))
         lam_b = self.lambda_beta[name]
-        # collect this entity's factors aligned to side-info ids
+        dense = name in self.side_np
+        if dense:
+            ids, fm = self.side_np[name]
+            d = fm.shape[1]
+        else:
+            mv = self.side_cg[name]
+            ids = mv.row_ids
+            d = mv.n_feats
+        # collect this entity's factors aligned to side-info ids (N×K — the
+        # factor block; Macau's D is the scale axis, not N)
         rows = {r["id"]: np.array(r["factor"]) for r in self.factors[name].collect()}
         u = np.stack([rows.get(int(i), np.zeros(self.k)) for i in ids])
         ut = u - mu  # residual target
-        d = fm.shape[1]
         e1 = self.rng.standard_normal(u.shape)
         e2 = self.rng.standard_normal((d, self.k))
-        rhs = lam_u * fm.T @ ut + np.sqrt(lam_u) * (fm.T @ e1) + np.sqrt(lam_b) * e2
-        a = lam_u * (fm.T @ fm) + lam_b * np.eye(d)
-        self.beta[name] = np.linalg.solve(a, rhs)
+        if dense:
+            rhs = (
+                lam_u * fm.T @ ut
+                + np.sqrt(lam_u) * (fm.T @ e1)
+                + np.sqrt(lam_b) * e2
+            )
+            a = lam_u * (fm.T @ fm) + lam_b * np.eye(d)
+            self.beta[name] = np.linalg.solve(a, rhs)
+        else:
+            from bayesiandatafusion_jl_spark.ml.cg import cg_solve
+
+            rhs = mv.fty(lam_u * ut + np.sqrt(lam_u) * e1) + np.sqrt(lam_b) * e2
+            self.beta[name] = cg_solve(
+                mv,
+                rhs / lam_u,
+                lam_b / lam_u,
+                tol=self.cg_tol,
+                max_iter=self.cg_max_iter,
+            )
         self.lambda_beta[name] = sample_lambda_beta(self.beta[name], self.rng)
         self._refresh_offsets(name)
 
@@ -377,7 +438,7 @@ class MacauTrainer:
             for name in self.rd.entities:
                 n, su, suu = self._moments(name)
                 self.hyper[name] = sample_normal_wishart(n, su, suu, self.rng)
-                if name in self.side_np:
+                if name in self.side_np or name in self.side_cg:
                     self._sample_beta(name)
                 self._sample_entity(name, sweep)
 

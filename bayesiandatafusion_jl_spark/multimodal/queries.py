@@ -110,3 +110,110 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stubbed decode → feature extraction over binary payloads via
     mapInPandas (rows-only check; deterministic fake features)."""
     return extract_features(media_table(spark, sf_dir))
+
+
+FRAME_LEN, FRAME_STRIDE = 64, 2  # chars per frame; sample every 2nd frame
+
+
+@register(
+    "q_multimodal_framesample",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, text,
+             UNNEST(range(0, length(text) // {FRAME_LEN})) AS frame_idx
+      FROM documents
+    )
+    SELECT doc_id, frame_idx,
+           md5(substr(text, frame_idx * {FRAME_LEN} + 1, {FRAME_LEN})) AS frame_md5
+    FROM f
+    WHERE frame_idx % {FRAME_STRIDE} = 0
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: a video-style payload decomposed into fixed-length
+    frames, keeping every ``FRAME_STRIDE``-th — the one-to-many mapInPandas
+    shape (each input row yields 0..n output rows).
+
+    Frames are *character* slices so the DuckDB oracle can replicate with
+    substr (DuckDB 1.0 has no BLOB substring); a real video pipeline slices
+    bytes at container boundaries with the identical batch shape. md5 of
+    each frame is the cross-engine checksum.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_id, out_idx, out_frame = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n_frames = len(text) // FRAME_LEN
+                for fi in range(0, n_frames, FRAME_STRIDE):
+                    out_id.append(doc_id)
+                    out_idx.append(fi)
+                    out_frame.append(text[fi * FRAME_LEN:(fi + 1) * FRAME_LEN])
+            yield pd.DataFrame(
+                {"doc_id": out_id, "frame_idx": out_idx, "frame": out_frame}
+            )
+
+    frames = docs.mapInPandas(
+        _frames, schema="doc_id bigint, frame_idx bigint, frame string"
+    )
+    return frames.select(
+        "doc_id", "frame_idx", F.md5(F.encode("frame", "utf-8")).alias("frame_md5")
+    )
+
+
+RESIZE_W, RESIZE_FACTOR = 64, 2  # byte-grid width; 2x2 block-mean downsample
+
+
+@register("q_multimodal_resize", oracle=None, tags=("multimodal",))
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-style resize: payload bytes as an H×{RESIZE_W} grid, 2×2
+    block-mean downsampled (numpy, Arrow-batched). Rows-only check — the
+    deterministic output is summarized as (doc_id, in/out dims, checksum).
+
+    Real deployments put PIL/opencv where the numpy block-mean is; the
+    batch shape (binary in → binary out + dims) is the production one.
+    """
+    import numpy as np
+
+    media = media_table(spark, sf_dir)
+
+    def _resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w, f = RESIZE_W, RESIZE_FACTOR
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                h = len(buf) // w
+                if h < f:
+                    rows.append((doc_id, h, w, 0, 0, b""))
+                    continue
+                img = buf[: h * w].reshape(h, w)
+                h2, w2 = (h // f) * f, (w // f) * f
+                small = (
+                    img[:h2, :w2]
+                    .reshape(h2 // f, f, w2 // f, f)
+                    .mean(axis=(1, 3))
+                    .astype(np.uint8)
+                )
+                rows.append(
+                    (doc_id, h, w, small.shape[0], small.shape[1], small.tobytes())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "in_h", "in_w", "out_h", "out_w", "resized"],
+            )
+
+    out = media.mapInPandas(
+        _resize,
+        schema=(
+            "doc_id bigint, in_h int, in_w int, out_h int, out_w int, "
+            "resized binary"
+        ),
+    )
+    return out.select(
+        "doc_id", "in_h", "in_w", "out_h", "out_w",
+        F.md5("resized").alias("resized_md5"),
+        F.octet_length("resized").alias("resized_bytes"),
+    )
