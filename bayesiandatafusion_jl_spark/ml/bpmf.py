@@ -82,6 +82,22 @@ def _prior_fn(k, mu, lam, seed, sweep):
     return f
 
 
+def _partial_fn(k):
+    def f(pdf):
+        return kernels.partial_stats_block(pdf.drop(columns="__b"), k)
+
+    return f
+
+
+def _combine_fn(k, mu, lam, seed, sweep, off_col):
+    def f(pdf):
+        return kernels.combine_sample_block(
+            pdf.drop(columns="__b"), k, mu, lam, seed, sweep, off_col=off_col
+        )
+
+    return f
+
+
 
 @dataclass
 class TrainResult:
@@ -118,6 +134,7 @@ class MacauTrainer:
         side_driver_max_cells: int = 4_000_000,
         cg_tol: float = 1e-6,
         cg_max_iter: int = 50,
+        skew_salt: int | None = None,
     ):
         self.spark = spark
         self.rd = rd
@@ -134,6 +151,10 @@ class MacauTrainer:
         self.side_driver_max_cells = side_driver_max_cells
         self.cg_tol = cg_tol
         self.cg_max_iter = cg_max_iter
+        # >1: two-phase skew-resistant update — per-(instance, salt) partial
+        # sufficient stats, then combine+sample per instance. Bounds the
+        # largest Arrow group for power-law entity degrees.
+        self.skew_salt = skew_salt
         self.rng = np.random.default_rng(seed)
 
         self.factors: dict[str, DataFrame] = {}
@@ -347,12 +368,25 @@ class MacauTrainer:
                     F.col(rel.entities[m]).cast("long") == F.col(f"__oid{m}"),
                 )
                 fac_cols.append(fcol)
-            df = df.select(
+            cols = [
                 F.col(rel.entities[mode]).cast("long").alias("__id"),
                 F.col("__val"),
                 _hadamard(fac_cols).alias("__fac"),
                 F.lit(rel.alpha).alias("__alpha"),
-            )
+            ]
+            if self.skew_salt:
+                other_sum = reduce(
+                    lambda a, b: a + b,
+                    [
+                        F.col(c).cast("long")
+                        for m, c in enumerate(rel.entities)
+                        if m != mode
+                    ],
+                )
+                cols.append(
+                    F.pmod(other_sum, F.lit(self.skew_salt)).alias("__salt")
+                )
+            df = df.select(*cols)
             pieces.append(df)
         return reduce(lambda a, b: a.unionByName(b), pieces)
 
@@ -360,22 +394,51 @@ class MacauTrainer:
         k, seed = self.k, _entity_seed(self.seed, name)
         mu, lam = self.hyper[name]
         cells = self._cell_inputs(name)
-        off_col = None
-        if name in self.offsets:
-            cells = cells.join(
-                self.offsets[name].select(F.col("id").alias("__id"), "__off"),
-                "__id",
-                "left",
+        off_col = "__off" if name in self.offsets else None
+        if self.skew_salt:
+            # two-phase: bounded partials per (id, salt), then a tiny
+            # combine+sample per id — no straggler group for hot instances
+            partials = (
+                cells.withColumn(
+                    "__b",
+                    F.pmod(
+                        F.col("__id") * F.lit(self.skew_salt) + F.col("__salt"),
+                        F.lit(self.n_blocks * 4),
+                    ),
+                )
+                .groupBy("__b")
+                .applyInPandas(
+                    _partial_fn(k),
+                    schema="id long, srv array<double>, svv array<double>",
+                )
             )
-            off_col = "__off"
-        new = (
-            cells.withColumn("__b", F.pmod(F.col("__id"), F.lit(self.n_blocks)))
-            .groupBy("__b")
-            .applyInPandas(
-                _sample_fn(k, mu, lam, seed, sweep, off_col),
-                schema="id long, factor array<double>",
+            if off_col:
+                partials = partials.join(self.offsets[name], "id", "left")
+            new = (
+                partials.withColumn(
+                    "__b", F.pmod(F.col("id"), F.lit(self.n_blocks))
+                )
+                .groupBy("__b")
+                .applyInPandas(
+                    _combine_fn(k, mu, lam, seed, sweep, off_col),
+                    schema="id long, factor array<double>",
+                )
             )
-        )
+        else:
+            if off_col:
+                cells = cells.join(
+                    self.offsets[name].select(F.col("id").alias("__id"), "__off"),
+                    "__id",
+                    "left",
+                )
+            new = (
+                cells.withColumn("__b", F.pmod(F.col("__id"), F.lit(self.n_blocks)))
+                .groupBy("__b")
+                .applyInPandas(
+                    _sample_fn(k, mu, lam, seed, sweep, off_col),
+                    schema="id long, factor array<double>",
+                )
+            )
         # cold-start: instances with no training cells sample from the prior
         missing = self.factors[name].select("id").join(new.select("id"), "id", "left_anti")
         if name in self.offsets:

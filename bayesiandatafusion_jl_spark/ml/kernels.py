@@ -99,6 +99,99 @@ def sample_block(
     return pd.DataFrame({"id": out_ids, "factor": list(out_fac)})
 
 
+def partial_stats_block(
+    pdf: pd.DataFrame,
+    k: int,
+    id_col: str = "__id",
+    val_col: str = "__val",
+    fac_col: str = "__fac",
+    alpha_col: str = "__alpha",
+    salt_col: str = "__salt",
+) -> pd.DataFrame:
+    """Phase 1 of the skew-resistant update: per (instance, salt) partial
+    sufficient statistics (n, Σ α r v, Σ α v vᵀ).
+
+    Sufficient stats are linear in the cells, so a power-law instance
+    (degree 10⁷ — one popular compound/user) splits across salts into
+    bounded-size partials instead of one straggler group [paper:BPMF] —
+    the same map-side-combine idea as Spark's own partial aggregation,
+    applied to the Gibbs kernel.
+    """
+    ids = pdf[id_col].to_numpy()
+    salts = pdf[salt_col].to_numpy()
+    vals = pdf[val_col].to_numpy(dtype=np.float64)
+    vmat = np.stack(pdf[fac_col].to_numpy())
+    alphas = pdf[alpha_col].to_numpy(dtype=np.float64)
+
+    key = ids * 1_000_003 + salts
+    order = np.argsort(key, kind="stable")
+    ids_s, salts_s = ids[order], salts[order]
+    vals_s, vmat_s, alpha_s = vals[order], vmat[order], alphas[order]
+    uniq, starts = np.unique(key[order], return_index=True)
+    bounds = np.append(starts, len(ids_s))
+
+    out = []
+    for n in range(len(uniq)):
+        lo, hi = bounds[n], bounds[n + 1]
+        vi = vmat_s[lo:hi]
+        via = vi * alpha_s[lo:hi, None]
+        srv = via.T @ vals_s[lo:hi]
+        svv = vi.T @ via
+        out.append(
+            (int(ids_s[lo]), srv.tolist(), svv.reshape(-1).tolist())
+        )
+    return pd.DataFrame(out, columns=["id", "srv", "svv"])
+
+
+def combine_sample_block(
+    pdf: pd.DataFrame,
+    k: int,
+    mu: np.ndarray,
+    lam: np.ndarray,
+    seed: int,
+    sweep: int,
+    off_col: str | None = None,
+) -> pd.DataFrame:
+    """Phase 2: combine an instance's partials (few rows per instance) and
+    draw the conditional Gaussian sample — same math and same RNG key as
+    the one-phase ``sample_block``, so the two paths agree to float
+    associativity."""
+    ids = pdf["id"].to_numpy()
+    offsets = None
+    if off_col is not None and off_col in pdf.columns:
+        off_raw = pdf[off_col].to_numpy()
+        offsets = {
+            int(i): np.asarray(o, dtype=np.float64)
+            for i, o in zip(ids, off_raw)
+            if o is not None
+        }
+    order = np.argsort(ids, kind="stable")
+    ids_s = ids[order]
+    srv_s = pdf["srv"].to_numpy()[order]
+    svv_s = pdf["svv"].to_numpy()[order]
+    uniq, starts = np.unique(ids_s, return_index=True)
+    bounds = np.append(starts, len(ids_s))
+    lam_mu = lam @ mu
+    out_fac = np.empty((len(uniq), k), dtype=np.float64)
+    for n, i in enumerate(uniq):
+        lo, hi = bounds[n], bounds[n + 1]
+        srv = np.sum([np.asarray(s) for s in srv_s[lo:hi]], axis=0)
+        svv = np.sum(
+            [np.asarray(s).reshape(k, k) for s in svv_s[lo:hi]], axis=0
+        )
+        prec = lam + svv
+        if offsets is not None and int(i) in offsets:
+            b = lam @ (mu + offsets[int(i)]) + srv
+        else:
+            b = lam_mu + srv
+        chol = np.linalg.cholesky(prec)
+        mean = np.linalg.solve(prec, b)
+        rng = np.random.default_rng(_stable_seed(seed, sweep, int(i)))
+        z = rng.standard_normal(k)
+        out_fac[n] = mean + np.linalg.solve(chol.T, z)
+    return pd.DataFrame({"id": uniq.astype(np.int64), "factor": list(out_fac)})
+
+
 def prior_block(
     pdf: pd.DataFrame,
     k: int,

@@ -177,6 +177,34 @@ def test_sample_beta_cg_path_matches_dense(spark, planted):
     assert diff / scale < 1e-4, (diff, scale)
 
 
+def test_skew_salted_update_matches_plain(spark, planted):
+    """Skew path: the two-phase salted update (partial suff-stats →
+    combine+sample) must reproduce the one-phase update's factors — same
+    RNG keys, statistics equal up to float associativity."""
+    from bayesiandatafusion_jl_spark.ml.bpmf import MacauTrainer
+    from bayesiandatafusion_jl_spark.ml.nw import sample_normal_wishart
+
+    _, _, df = planted
+
+    def one_update(salt):
+        rd = RelationData().add_relation(Relation(df, ["row", "col"], alpha=30.0))
+        t = MacauTrainer(
+            spark, rd, num_latent=4, seed=13, n_blocks=8, skew_salt=salt
+        )
+        t._init()
+        n, su, suu = t._moments("row")
+        t.hyper["row"] = sample_normal_wishart(n, su, suu, t.rng)
+        t._sample_entity("row", 0)
+        return {
+            r["id"]: np.array(r["factor"]) for r in t.factors["row"].collect()
+        }
+
+    plain, salted = one_update(None), one_update(4)
+    assert plain.keys() == salted.keys()
+    diffs = [np.max(np.abs(plain[i] - salted[i])) for i in plain]
+    assert max(diffs) < 1e-8, max(diffs)
+
+
 def test_cg_matches_direct_solve(spark):
     """I5/I6 — distributed CG solution of (FᵀF + λI)x = b matches
     numpy.linalg.solve to 1e-5 (FIXTURES cg_system)."""
