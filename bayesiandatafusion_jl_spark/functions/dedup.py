@@ -132,6 +132,56 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     return sh.filter(F.col("shingle") != "").select("doc_id", "shingle").distinct()
 
 
+@register(
+    "q_llm_shingle_udtf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 3
+    )
+    SELECT doc_id, COUNT(*) AS n_shingles,
+           COUNT(DISTINCT shingle) AS n_distinct
+    FROM sh
+    GROUP BY doc_id
+    """,
+    tags=("J2", "udtf"),
+)
+def q_llm_shingle_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K — shingle expansion as a Python UDTF (Spark 4 table function):
+    each document row yields its 3-token shingles via a lateral join, then
+    per-doc shingle statistics. The UDTF is the row-generating counterpart
+    of the built-in ``shingles()`` (same semantics, checked by the same
+    oracle shape); a production pipeline uses whichever reads better —
+    they compile to the same shuffle.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, shingle: string")
+    class Shingle3:
+        def eval(self, doc_id: int, text: str):
+            toks = [t for t in text.lower().split(" ") if t != ""]
+            for i in range(len(toks) - 2):
+                yield doc_id, " ".join(toks[i : i + 3])
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("doc_id", "text").createOrReplaceTempView("__shingle_docs")
+    spark.udtf.register("shingle3_udtf", Shingle3)
+    return spark.sql(
+        """
+        SELECT s.doc_id, COUNT(*) AS n_shingles,
+               COUNT(DISTINCT s.shingle) AS n_distinct
+        FROM __shingle_docs, LATERAL shingle3_udtf(doc_id, text) s
+        GROUP BY s.doc_id
+        """
+    )
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = 32, k: int = 3) -> DataFrame:
     """MinHash signatures over k-token shingles, fully JVM-side.
 

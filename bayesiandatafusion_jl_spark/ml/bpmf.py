@@ -105,8 +105,31 @@ class TrainResult:
     pred_mean: DataFrame | None
     rmse_trace: list[float] = field(default_factory=list)
     rmse: float | None = None
+    auc: float | None = None  # set when the relation has class_cut [api]
     beta: dict[str, np.ndarray] = field(default_factory=dict)
     hyper: dict[str, tuple[np.ndarray, np.ndarray]] = field(default_factory=dict)
+
+
+def _auc_of(pred_mean: DataFrame, class_cut: float) -> float | None:
+    """Tie-averaged Mann–Whitney AUC of posterior-mean predictions against
+    the class_cut-binarized truth (macau reports AUC when class_cut is set
+    [api]) — the same rank formulation as q_ml_auc/E2."""
+    from pyspark.sql import Window
+
+    ranked = pred_mean.select(
+        F.when(F.col("y") > class_cut, 1).otherwise(0).alias("label"),
+        (
+            F.rank().over(Window.orderBy("pred"))
+            + (F.count(F.lit(1)).over(Window.partitionBy("pred")) - 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    npos = F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).cast("double")
+    nneg = F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).cast("double")
+    rpos = F.sum(F.when(F.col("label") == 1, F.col("avg_rank")))
+    row = ranked.agg(
+        ((rpos - npos * (npos + 1) / 2.0) / (npos * nneg)).alias("auc")
+    ).collect()[0]
+    return None if row["auc"] is None else float(row["auc"])
 
 
 def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
@@ -557,11 +580,15 @@ class MacauTrainer:
                     )
                 ).alias("pred_std"),
             )
+        auc = None
+        if pred_mean is not None and rel0.class_cut is not None:
+            auc = _auc_of(pred_mean, rel0.class_cut)
         return TrainResult(
             factors=self.factors,
             pred_mean=pred_mean,
             rmse_trace=trace,
             rmse=trace[-1] if trace else None,
+            auc=auc,
             beta=self.beta,
             hyper=self.hyper,
         )

@@ -177,6 +177,61 @@ def test_sample_beta_cg_path_matches_dense(spark, planted):
     assert diff / scale < 1e-4, (diff, scale)
 
 
+def test_kernel_posterior_moments_closed_form():
+    """FIXTURES tiny_exact — the I3 kernel's empirical sample moments on a
+    single instance must match the closed-form conditional posterior
+    N(Λ*⁻¹(Λµ + αΣrv), Λ*⁻¹), Λ* = Λ + αΣvvᵀ [paper:BPMF]. Pure pandas —
+    the kernel is engine-independent numpy."""
+    import pandas as pd
+
+    from bayesiandatafusion_jl_spark.ml import kernels
+
+    k, alpha = 2, 4.0
+    mu = np.array([0.5, -0.25])
+    lam = np.array([[2.0, 0.3], [0.3, 1.5]])
+    v = np.array([[1.0, 0.0], [0.5, 1.0], [-0.5, 2.0]])
+    r = np.array([1.0, 0.2, -0.8])
+    prec = lam + alpha * v.T @ v
+    cov = np.linalg.inv(prec)
+    mean = cov @ (lam @ mu + alpha * v.T @ r)
+
+    m = 4000
+    draws = np.empty((m, k))
+    pdf = pd.DataFrame(
+        {
+            "__id": [7, 7, 7],
+            "__val": r,
+            "__fac": [row for row in v],
+            "__alpha": alpha,
+        }
+    )
+    for sweep in range(m):
+        out = kernels.sample_block(pdf, k, alpha, mu, lam, seed=3, sweep=sweep)
+        draws[sweep] = out["factor"].iloc[0]
+    emp_mean = draws.mean(axis=0)
+    emp_cov = np.cov(draws.T)
+    se = np.sqrt(np.diag(cov) / m)
+    assert np.all(np.abs(emp_mean - mean) < 5 * se), (emp_mean, mean)
+    assert np.max(np.abs(emp_cov - cov)) < 0.05 * np.max(np.abs(cov)) + 0.01, (
+        emp_cov,
+        cov,
+    )
+
+
+def test_class_cut_auc_readout(spark, planted):
+    """[api] parity: when the relation carries class_cut, training reports
+    AUC of the posterior-mean predictions — must be far above chance on the
+    planted matrix."""
+    _, _, df = planted
+    rd = RelationData().add_relation(
+        Relation(df, ["row", "col"], alpha=30.0, class_cut=0.0)
+    )
+    res = bpmf(
+        spark, rd, num_latent=8, burnin=4, psamples=3, seed=2, track_rmse=False
+    )
+    assert res.auc is not None and res.auc > 0.85, res.auc
+
+
 def test_skew_salted_update_matches_plain(spark, planted):
     """Skew path: the two-phase salted update (partial suff-stats →
     combine+sample) must reproduce the one-phase update's factors — same
