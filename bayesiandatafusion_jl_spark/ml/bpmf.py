@@ -158,6 +158,7 @@ class MacauTrainer:
         cg_tol: float = 1e-6,
         cg_max_iter: int = 50,
         skew_salt: int | None = None,
+        n_chains: int = 1,
     ):
         self.spark = spark
         self.rd = rd
@@ -178,6 +179,15 @@ class MacauTrainer:
         # sufficient stats, then combine+sample per instance. Bounds the
         # largest Arrow group for power-law entity degrees.
         self.skew_salt = skew_salt
+        # >1: independent restarts through burnin, keep the chain with the
+        # best TRAIN rmse for posterior sampling. CP-tensor posteriors are
+        # multimodal — a single chain lands in a metastable non-fitting mode
+        # with non-trivial probability and stays there for hundreds of
+        # sweeps (verified empirically; 100-sweep chains still stuck), so
+        # restarts are the standard remedy. Chains are sequential here but
+        # independent — on a cluster they parallelize as separate jobs.
+        self.n_chains = n_chains
+        self._lambda_beta0 = lambda_beta
         self.rng = np.random.default_rng(seed)
 
         self.factors: dict[str, DataFrame] = {}
@@ -432,7 +442,7 @@ class MacauTrainer:
                 .groupBy("__b")
                 .applyInPandas(
                     _partial_fn(k),
-                    schema="id long, srv array<double>, svv array<double>",
+                    schema="id long, salt long, srv array<double>, svv array<double>",
                 )
             )
             if off_col:
@@ -507,8 +517,70 @@ class MacauTrainer:
 
     # ---------- main loop ----------
 
+    def _gibbs_sweep(self, sweep: int) -> None:
+        for name in self.rd.entities:
+            n, su, suu = self._moments(name)
+            self.hyper[name] = sample_normal_wishart(n, su, suu, self.rng)
+            if name in self.side_np or name in self.side_cg:
+                self._sample_beta(name)
+            self._sample_entity(name, sweep)
+
+    def _train_rmse(self) -> float:
+        """Chain-selection criterion: rmse of the current single sample on
+        the TRAIN cells (no test leakage)."""
+        rel0 = self.rd.relations[0]
+        df = rel0.df
+        if "split" in df.columns:
+            df = df.filter(F.col("split") == "train")
+        pred = self._predict_sample(rel0, df)
+        return float(
+            pred.agg(
+                F.sqrt(F.avg(F.pow(F.col("y") - F.col("p"), 2))).alias("r")
+            ).collect()[0]["r"]
+        )
+
     def train(self) -> TrainResult:
-        self._init()
+        base_seed = self.seed
+        best: tuple[float, dict] | None = None
+        for c in range(self.n_chains):
+            # chain 0 keeps the raw seed → n_chains=1 is byte-identical to
+            # the single-chain path (same kernel RNG keys, same rng stream)
+            self.seed = (
+                base_seed
+                if c == 0
+                else (base_seed * 2_654_435_761 + c * 40_503) % (2**31)
+            )
+            self.rng = np.random.default_rng(self.seed)
+            self.factors, self.hyper, self.beta, self.offsets = {}, {}, {}, {}
+            self.side_np, self.side_cg = {}, {}
+            self.lambda_beta = {e: self._lambda_beta0 for e in self.rd.entities}
+            self._init()
+            for sweep in range(self.burnin):
+                self._gibbs_sweep(sweep)
+            if self.n_chains == 1:
+                break
+            tr = self._train_rmse()
+            state = dict(
+                factors=self.factors, hyper=self.hyper, beta=self.beta,
+                offsets=self.offsets, lambda_beta=self.lambda_beta,
+                side_np=self.side_np, side_cg=self.side_cg,
+                rng=self.rng, seed=self.seed,
+            )
+            if best is None or tr < best[0]:
+                if best is not None:
+                    for df in best[1]["factors"].values():
+                        df.unpersist()
+                best = (tr, state)
+            else:
+                for df in self.factors.values():
+                    df.unpersist()
+        if best is not None:
+            st = best[1]
+            self.factors, self.hyper, self.beta = st["factors"], st["hyper"], st["beta"]
+            self.offsets, self.lambda_beta = st["offsets"], st["lambda_beta"]
+            self.side_np, self.side_cg = st["side_np"], st["side_cg"]
+            self.rng, self.seed = st["rng"], st["seed"]
+
         rel0 = self.rd.relations[0]
         test_df = (
             rel0.df.filter(F.col("split") == "test")
@@ -520,15 +592,10 @@ class MacauTrainer:
         trace: list[float] = []
 
         total = self.burnin + self.psamples
-        for sweep in range(total):
-            for name in self.rd.entities:
-                n, su, suu = self._moments(name)
-                self.hyper[name] = sample_normal_wishart(n, su, suu, self.rng)
-                if name in self.side_np or name in self.side_cg:
-                    self._sample_beta(name)
-                self._sample_entity(name, sweep)
+        for sweep in range(self.burnin, total):
+            self._gibbs_sweep(sweep)
 
-            if test_df is not None and sweep >= self.burnin:
+            if test_df is not None:
                 pred = self._predict_sample(rel0, test_df)
                 prev_acc = acc
                 if acc is None:

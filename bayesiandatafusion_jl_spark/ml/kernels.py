@@ -31,6 +31,25 @@ def _stable_seed(seed: int, sweep: int, i: int) -> int:
     return abs(hash((seed, sweep, int(i)))) % (2**63)
 
 
+def _canonical_order(
+    ids: np.ndarray, vals: np.ndarray, vmat: np.ndarray, *extra: np.ndarray
+) -> np.ndarray:
+    """Order cells canonically: by id, then value, then factor entries.
+
+    Spark shuffle output order differs between task attempts; float sums
+    depend on association order, so without a canonical sort a retried
+    task would produce a (slightly) different sample — breaking the
+    retry-idempotence promise. Sorting by content makes the kernel a pure
+    function of the cell *set*.
+    """
+    keys = [vmat[:, d] for d in range(vmat.shape[1] - 1, -1, -1)]
+    for e in extra:
+        keys.append(e)
+    keys.append(vals)
+    keys.append(ids)  # primary
+    return np.lexsort(keys)
+
+
 def sample_block(
     pdf: pd.DataFrame,
     k: int,
@@ -70,7 +89,7 @@ def sample_block(
             if o is not None
         }
 
-    order = np.argsort(ids, kind="stable")
+    order = _canonical_order(ids, vals, vmat, alphas)
     ids_s, vals_s, vmat_s, alpha_s = ids[order], vals[order], vmat[order], alphas[order]
     uniq, starts = np.unique(ids_s, return_index=True)
     bounds = np.append(starts, len(ids_s))
@@ -124,7 +143,7 @@ def partial_stats_block(
     alphas = pdf[alpha_col].to_numpy(dtype=np.float64)
 
     key = ids * 1_000_003 + salts
-    order = np.argsort(key, kind="stable")
+    order = _canonical_order(key, vals, vmat, alphas)
     ids_s, salts_s = ids[order], salts[order]
     vals_s, vmat_s, alpha_s = vals[order], vmat[order], alphas[order]
     uniq, starts = np.unique(key[order], return_index=True)
@@ -138,9 +157,14 @@ def partial_stats_block(
         srv = via.T @ vals_s[lo:hi]
         svv = vi.T @ via
         out.append(
-            (int(ids_s[lo]), srv.tolist(), svv.reshape(-1).tolist())
+            (
+                int(ids_s[lo]),
+                int(salts_s[lo]),
+                srv.tolist(),
+                svv.reshape(-1).tolist(),
+            )
         )
-    return pd.DataFrame(out, columns=["id", "srv", "svv"])
+    return pd.DataFrame(out, columns=["id", "salt", "srv", "svv"])
 
 
 def combine_sample_block(
@@ -165,7 +189,14 @@ def combine_sample_block(
             for i, o in zip(ids, off_raw)
             if o is not None
         }
-    order = np.argsort(ids, kind="stable")
+    # canonical partial order: (id, salt) — retries must combine partials
+    # in the same float-association order
+    salts = (
+        pdf["salt"].to_numpy()
+        if "salt" in pdf.columns
+        else np.zeros(len(ids), dtype=np.int64)
+    )
+    order = np.lexsort((salts, ids))
     ids_s = ids[order]
     srv_s = pdf["srv"].to_numpy()[order]
     svv_s = pdf["svv"].to_numpy()[order]

@@ -89,11 +89,21 @@ def split_train_test(
     Adds a ``split`` column ('train'/'test')."""
     mod = 1_000_003  # prime
     cut = int(test_frac * mod)
-    mix = F.lit(seed).cast("long")
+    mix = F.lit(seed * 104_729 % mod).cast("long")
+    # Per-column multipliers are successive modular POWERS of a seed-mixed
+    # base — not multiples of one constant. Multiples (C·1, C·2, C·3 …)
+    # collapse the bucket to C·Σ(k+1)·id_k mod p: for small dense id grids
+    # (a tensor's index cube) that sum takes only ~Σdims distinct values, so
+    # entire diagonal planes land in the same split and the holdout is
+    # pathologically structured. Powers C, C², C³ are linearly independent
+    # multipliers, so the map spreads a small grid across all of [0, p).
+    base = (2_654_435_761 + seed * 40_503) % mod
+    if base < 2:  # degenerate seed (base 0/1 ⇒ constant/affine-sum hash)
+        base = 2_654_435_761 % mod
     for k, c in enumerate(id_cols):
         # pre-mod each id so products stay < 2^53: arbitrary int64 ids
         # (hashes, snowflake ids) would overflow ANSI int64 multiply
         reduced = F.pmod(F.col(c).cast("long"), F.lit(mod).cast("long"))
-        mix = mix + reduced * F.lit(2654435761 % mod * (k + 1)).cast("long")
+        mix = mix + reduced * F.lit(pow(base, k + 1, mod)).cast("long")
     bucket = F.pmod(mix, F.lit(mod).cast("long"))
     return df.withColumn("split", F.when(bucket < cut, "test").otherwise("train"))

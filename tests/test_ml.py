@@ -108,7 +108,11 @@ def test_tensor_arity3_trains(spark):
     df = spark.createDataFrame(cells, schema="i long, j long, l long, value double")
     df = split_train_test(df, ["i", "j", "l"], test_frac=0.2, seed=9)
     rd = RelationData().add_relation(Relation(df, ["i", "j", "l"], alpha=10.0))
-    res = macau(spark, rd, num_latent=4, burnin=6, psamples=8, seed=2)
+    # n_chains=3: CP posteriors are multimodal — single chains land in a
+    # metastable non-fitting mode with ~40% probability on this planted
+    # problem (verified against an independent numpy Gibbs); best-of-3 by
+    # train rmse is the standard restart remedy.
+    res = macau(spark, rd, num_latent=4, burnin=6, psamples=8, seed=2, n_chains=3)
     base = (
         df.filter(F.col("split") == "test")
         .crossJoin(df.filter(F.col("split") == "train").agg(F.avg("value").alias("m")))

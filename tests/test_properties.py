@@ -1,0 +1,105 @@
+"""Property-based tests (SURVEY §5.2) — kernel-level invariants with
+hypothesis (pure numpy/pandas, no Spark session needed) plus split
+determinism on Spark."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from bayesiandatafusion_jl_spark.ml import kernels
+
+
+def _random_cells(rng, n_inst, k, max_deg):
+    rows = []
+    for i in range(n_inst):
+        deg = int(rng.integers(1, max_deg + 1))
+        for _ in range(deg):
+            rows.append(
+                (
+                    i,
+                    float(rng.standard_normal()),
+                    rng.standard_normal(k),
+                    float(rng.uniform(0.5, 4.0)),
+                    int(rng.integers(0, 4)),
+                )
+            )
+    return pd.DataFrame(
+        rows, columns=["__id", "__val", "__fac", "__alpha", "__salt"]
+    )
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(0, 10**6),
+    k=st.integers(2, 8),
+    n_inst=st.integers(1, 12),
+    max_deg=st.integers(1, 20),
+)
+def test_salted_partials_equal_one_phase(seed, k, n_inst, max_deg):
+    """partial_stats → combine_sample ≡ sample_block for any cell layout
+    (same RNG keys; statistics differ only by float associativity)."""
+    rng = np.random.default_rng(seed)
+    pdf = _random_cells(rng, n_inst, k, max_deg)
+    mu = rng.standard_normal(k)
+    a = rng.standard_normal((k, k))
+    lam = a @ a.T + k * np.eye(k)
+
+    one = kernels.sample_block(
+        pdf, k, 1.0, mu, lam, seed=seed, sweep=3, alpha_col="__alpha"
+    ).set_index("id")
+    partials = kernels.partial_stats_block(pdf, k)
+    two = kernels.combine_sample_block(
+        partials, k, mu, lam, seed=seed, sweep=3
+    ).set_index("id")
+    assert set(one.index) == set(two.index)
+    for i in one.index:
+        np.testing.assert_allclose(
+            np.asarray(one.loc[i, "factor"]),
+            np.asarray(two.loc[i, "factor"]),
+            rtol=1e-9,
+            atol=1e-9,
+        )
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(0, 10**6), k=st.integers(2, 6))
+def test_kernel_retry_idempotent(seed, k):
+    """Task-retry determinism: identical inputs → bit-identical samples
+    (RNG keyed by (seed, sweep, instance), nothing ambient)."""
+    rng = np.random.default_rng(seed)
+    pdf = _random_cells(rng, 5, k, 8)
+    mu = np.zeros(k)
+    lam = np.eye(k)
+    a = kernels.sample_block(pdf, k, 2.0, mu, lam, seed=seed, sweep=1)
+    b = kernels.sample_block(
+        pdf.sample(frac=1.0, random_state=0),  # row order must not matter
+        k, 2.0, mu, lam, seed=seed, sweep=1,
+    )
+    a = a.sort_values("id").reset_index(drop=True)
+    b = b.sort_values("id").reset_index(drop=True)
+    for x, y in zip(a["factor"], b["factor"]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.parametrize("frac", [0.1, 0.2, 0.5])
+def test_split_fraction_and_determinism(spark, frac):
+    from pyspark.sql import functions as F
+
+    from bayesiandatafusion_jl_spark.ml.relation import split_train_test
+
+    df = spark.range(20000).select(
+        (F.col("id") % 431).alias("i"), (F.col("id") % 977).alias("j")
+    )
+    s1 = split_train_test(df, ["i", "j"], test_frac=frac, seed=3)
+    s2 = split_train_test(df, ["i", "j"], test_frac=frac, seed=3)
+    n = s1.count()
+    t1 = s1.filter(F.col("split") == "test").count()
+    assert abs(t1 / n - frac) < 0.05, (t1 / n, frac)
+    # deterministic: identical assignment on re-run
+    assert s1.exceptAll(s2).count() == 0
+    # different seed → different assignment
+    s3 = split_train_test(df, ["i", "j"], test_frac=frac, seed=4)
+    assert s1.exceptAll(s3).count() > 0
