@@ -98,9 +98,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_session_window",
-    oracle="""
+_SESSION_ORACLE = """
     WITH gaps AS (
       SELECT user_id, event_id, ts,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -121,9 +119,10 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS session_start, MAX(ts) AS session_end
     FROM sessions
     GROUP BY user_id, session_id
-    """,
-    tags=("J9",),
-)
+    """
+
+
+@register("q_session_window", oracle=_SESSION_ORACLE, tags=("J9",))
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9 — gap-based sessionization (30-min inactivity), batch form.
 
@@ -150,3 +149,8 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+# SURVEY §2.J9 names this query id q_stream_session; register the same
+# implementation under that id so the inventory maps line-by-line.
+register("q_stream_session", oracle=_SESSION_ORACLE, tags=("J9",))(q_session_window)
