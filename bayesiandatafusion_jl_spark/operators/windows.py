@@ -8,6 +8,8 @@ one exchange.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -84,6 +86,95 @@ def q_win_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.agg(
         F.round(
             (sum_rk_pos - (n_pos * (n_pos + 1)) / 2.0) / (n_pos * n_neg), 6
+        ).alias("auc")
+    )
+
+
+@register(
+    "q_win_auc_scalable",
+    oracle="""
+    WITH g AS (
+      SELECT value AS score,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_pos,
+             SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS n_neg
+      FROM events
+      GROUP BY value
+    ),
+    cum AS (
+      SELECT n_pos, n_neg,
+             COALESCE(SUM(n_neg) OVER (
+               ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS n_neg_below
+      FROM g
+    )
+    SELECT ROUND(
+        SUM(CAST(n_pos AS DOUBLE) * (n_neg_below + 0.5 * n_neg))
+        / (SUM(n_pos) * SUM(n_neg)), 6) AS auc
+    FROM cum
+    """,
+    tags=("E2", "I8", "scale"),
+)
+def q_win_auc_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/I8 at 100 TB — tie-averaged Mann–Whitney AUC with NO global
+    single-partition window (the rewrite SCALE_AUDIT promises for
+    q_win_auc).
+
+    AUC = Σ_s n₊(s)·(N₋below(s) + ½·n₋(s)) / (n₊·n₋): every positive beats
+    the negatives strictly below its score and half the negatives tied
+    with it. Execution shape:
+
+    1. groupBy(score) → (n_pos, n_neg) per distinct score — one shuffle,
+       map-side combined.
+    2. approxQuantile boundaries (tiny driver action) split the score
+       domain into range buckets; same score ⇒ same bucket, so ties never
+       straddle buckets and the result stays EXACT — the approximation
+       only affects load balance.
+    3. per-bucket exclusive running Σn_neg (window partitioned BY BUCKET —
+       parallel), plus a driver-computed per-bucket offset (≤32 rows).
+    4. one scalar aggregate; integer-and-half arithmetic < 2^53 keeps the
+       sum exact across engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    g = scored.groupBy("score").agg(
+        F.sum("label").alias("n_pos"),
+        F.sum(1 - F.col("label")).alias("n_neg"),
+    )
+    n_buckets = 32
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(ev.approxQuantile("value", probs, 0.001)))
+    bucket = reduce(
+        lambda a, b: a + b,
+        [F.when(F.col("score") > F.lit(b), 1).otherwise(0) for b in bounds],
+    ) if bounds else F.lit(0)
+    g2 = g.withColumn("bucket", bucket)
+    totals = {
+        r["bucket"]: r["t"]
+        for r in g2.groupBy("bucket").agg(F.sum("n_neg").alias("t")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for b in sorted(totals):
+        offsets[b] = acc
+        acc += totals[b]
+    off_col = F.lit(0)
+    for b, o in offsets.items():
+        off_col = F.when(F.col("bucket") == b, F.lit(o)).otherwise(off_col)
+    w = W.partitionBy("bucket").orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    cum = g2.select(
+        "n_pos",
+        "n_neg",
+        (off_col + F.coalesce(F.sum("n_neg").over(w), F.lit(0))).alias("n_neg_below"),
+    )
+    return cum.agg(
+        F.round(
+            F.sum(F.col("n_pos").cast("double") * (F.col("n_neg_below") + 0.5 * F.col("n_neg")))
+            / (F.sum("n_pos") * F.sum("n_neg")),
+            6,
         ).alias("auc")
     )
 
