@@ -235,6 +235,7 @@ class MacauTrainer:
 
             return _init_fn
 
+        self._cold = {}
         for name, ent in self.rd.entities.items():
             universe = self._entity_universe(name)
             _init_fn = _make_init_fn(_entity_seed(seed, name))
@@ -247,6 +248,23 @@ class MacauTrainer:
             self.factors[name] = init.persist()
             self.factors[name] = self.factors[name].localCheckpoint()
             self._entity_counts[name] = self.factors[name].count()
+            # static cold-start set: train split never changes across
+            # sweeps, so compute the unobserved-instance ids once
+            observed = []
+            for rel, mode in self.rd.relations_of(name):
+                rdf = rel.df
+                if "split" in rdf.columns:
+                    rdf = rdf.filter(F.col("split") == "train")
+                observed.append(
+                    rdf.select(F.col(rel.entities[mode]).cast("long").alias("id"))
+                )
+            obs = reduce(lambda a, b: a.unionByName(b), observed).distinct()
+            missing = universe.join(obs, "id", "left_anti").persist()
+            if missing.count() == 0:
+                missing.unpersist()
+                self._cold[name] = None
+            else:
+                self._cold[name] = missing.localCheckpoint()
             self.hyper[name] = (np.zeros(k), np.eye(k))
             if ent.side_info is not None:
                 n_side = ent.side_info.count()
@@ -472,19 +490,26 @@ class MacauTrainer:
                     schema="id long, factor array<double>",
                 )
             )
-        # cold-start: instances with no training cells sample from the prior
-        missing = self.factors[name].select("id").join(new.select("id"), "id", "left_anti")
-        if name in self.offsets:
-            missing = missing.join(self.offsets[name], "id", "left")
-        prior = (
-            missing.withColumn("__b", F.pmod(F.col("id"), F.lit(self.n_blocks)))
-            .groupBy("__b")
-            .applyInPandas(
-                _prior_fn(k, mu, lam, seed, sweep),
-                schema="id long, factor array<double>",
+        # cold-start: instances with no training cells sample from the
+        # prior. The train split is static, so the missing-id set was
+        # computed ONCE at init (self._cold[name]) — no per-sweep
+        # left_anti join, and entities with full observation coverage
+        # skip the prior branch entirely (the common case).
+        if self._cold.get(name) is None:
+            updated = new.persist()
+        else:
+            missing = self._cold[name]
+            if name in self.offsets:
+                missing = missing.join(self.offsets[name], "id", "left")
+            prior = (
+                missing.withColumn("__b", F.pmod(F.col("id"), F.lit(self.n_blocks)))
+                .groupBy("__b")
+                .applyInPandas(
+                    _prior_fn(k, mu, lam, seed, sweep),
+                    schema="id long, factor array<double>",
+                )
             )
-        )
-        updated = new.unionByName(prior).persist()
+            updated = new.unionByName(prior).persist()
         updated = updated.localCheckpoint()  # truncate lineage (SURVEY §7)
         old = self.factors[name]
         self.factors[name] = updated
