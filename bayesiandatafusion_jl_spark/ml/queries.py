@@ -1,7 +1,7 @@
-"""SQL-expressible ML pipeline queries (SURVEY §2.I — I1, I7, I8).
+"""SQL-expressible ML pipeline queries (SURVEY §2.I — I1, I7, I8, I11).
 
 The randomized Gibbs kernels are rows-only (ml/bpmf.py registers those);
-these three are the *deterministic* ML-pipeline stages, formulated so the
+these are the *deterministic* ML-pipeline stages, formulated so the
 DuckDB oracle can replicate them exactly:
 
 - I1: train/test cell split by index arithmetic (not rand() — the
@@ -11,6 +11,8 @@ DuckDB oracle can replicate them exactly:
   bias-baseline predictor; the relational shape (join + dot + global agg)
   is identical to factor-model prediction.
 - I8: AUC on binarized scores = E2's rank formulation.
+- I11: per-cell posterior mean/std readout with fixed pseudo-samples.
+- C6/I5: cold-start prediction from side info with a fixed link-matrix row.
 """
 
 from __future__ import annotations
@@ -19,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bayesiandatafusion_jl_spark.catalog import load_table
+from bayesiandatafusion_jl_spark.functions.exprs import dot, sql_dot
 from bayesiandatafusion_jl_spark.registry import register
 
 # split arithmetic: cell → pmod(i1*P1 + i2*P2, 10) < 8 ⇒ train.
@@ -301,4 +304,187 @@ def q_ml_predict_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("rmse"),
+    )
+
+
+_N_SAMPLES = 4  # fixed pseudo-sample count for the oracle-checkable I11 readout
+
+
+@register(
+    "q_ml_posterior_stats",
+    oracle=f"""
+    WITH split AS (
+      SELECT *,
+             CASE WHEN ((event_id * {_P1} + user_id * {_P2}) % {_MOD} + {_MOD}) % {_MOD}
+                       < {_TRAIN}
+                  THEN 'train' ELSE 'test' END AS split
+      FROM events
+    ),
+    gmean AS (
+      SELECT CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS g
+      FROM split WHERE split = 'train'
+    ),
+    ubias AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS ub
+      FROM split WHERE split = 'train' GROUP BY user_id
+    ),
+    tbias AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS tb
+      FROM split WHERE split = 'train' GROUP BY event_type
+    ),
+    scored AS (
+      SELECT s.event_id, s.user_id, s.event_type,
+             COALESCE(ub, g) + COALESCE(tb, g) - g AS score
+      FROM split s
+      LEFT JOIN ubias USING (user_id)
+      LEFT JOIN tbias USING (event_type)
+      CROSS JOIN gmean
+      WHERE s.split = 'test'
+    ),
+    samples AS (
+      SELECT event_id, user_id, event_type,
+             score * (0.925 + smp.s * 0.05) AS pred
+      FROM scored
+      CROSS JOIN (SELECT unnest(generate_series(0, {_N_SAMPLES - 1})) AS s) smp
+    )
+    SELECT event_id, user_id, event_type,
+           COUNT(*) AS n_samples,
+           ROUND(CAST(SUM(CAST(pred AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+             AS pred_mean,
+           ROUND(SQRT(GREATEST(
+             (CAST(SUM(CAST(pred * pred AS DECIMAL(38,12))) AS DOUBLE)
+              - CAST(SUM(CAST(pred AS DECIMAL(38,12))) AS DOUBLE)
+                * CAST(SUM(CAST(pred AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*))
+             / (COUNT(*) - 1), 0.0)), 6) AS pred_std
+    FROM samples
+    GROUP BY event_id, user_id, event_type
+    """,
+    tags=("I11",),
+)
+def q_ml_posterior_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I11 — per-cell posterior mean + std across samples (macau returns
+    per-cell mean & std of test predictions [api], SURVEY §2.I11).
+
+    The real posterior samples are randomized (q_ml_bpmf_events returns
+    them, rows-only); this is the *relational readout* made oracle-checkable
+    by substituting deterministic pseudo-samples: the bias-baseline score
+    (I7's model) fanned out to {_N_SAMPLES} fixed perturbations
+    ``score * (0.925 + s*0.05)``. The pipeline shape is exactly the
+    production one: samples table → groupBy(cell) → mean/std (SURVEY I11:
+    ``groupBy(cell).agg(avg, stddev)`` over sample_id).
+
+    Float parity: exact decimal sums for Σx and Σx² (order-independent —
+    safe under Spark's partial-agg merge at any scale), one identical IEEE
+    division/sqrt sequence in both engines, matched round(…, 6). Variance
+    via the sum-of-squares identity (Σx² − (Σx)²/n)/(n−1) instead of
+    engine-native stddev_samp, whose accumulation order differs.
+
+    Scale: biases broadcast; the sample fan-out is a narrow explode (×4);
+    the groupBy(cell) re-aggregates on the same key the explode preserved,
+    so AQE coalesces it to one shuffle of test-cell cardinality.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.pmod(
+        F.col("event_id") * F.lit(_P1).cast("long")
+        + F.col("user_id") * F.lit(_P2).cast("long"),
+        F.lit(_MOD).cast("long"),
+    )
+    split = ev.withColumn(
+        "split", F.when(bucket < _TRAIN, "train").otherwise("test")
+    )
+    train = split.filter(F.col("split") == "train")
+    dec_mean = lambda c: (  # noqa: E731
+        F.sum(F.col(c).cast("decimal(38,6)")).cast("double") / F.count(F.lit(1))
+    )
+    gmean = train.agg(dec_mean("value").alias("g"))
+    ubias = train.groupBy("user_id").agg(dec_mean("value").alias("ub"))
+    tbias = train.groupBy("event_type").agg(dec_mean("value").alias("tb"))
+    scored = (
+        split.filter(F.col("split") == "test")
+        .join(F.broadcast(ubias), "user_id", "left")
+        .join(F.broadcast(tbias), "event_type", "left")
+        .crossJoin(F.broadcast(gmean))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            (
+                F.coalesce("ub", "g") + F.coalesce("tb", "g") - F.col("g")
+            ).alias("score"),
+        )
+    )
+    samples = scored.withColumn(
+        "s", F.explode(F.sequence(F.lit(0), F.lit(_N_SAMPLES - 1)))
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (
+            F.col("score") * (F.lit(0.925) + F.col("s") * F.lit(0.05))
+        ).alias("pred"),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum(F.col("pred").cast("decimal(38,12)")).cast("double")
+    sxx = F.sum((F.col("pred") * F.col("pred")).cast("decimal(38,12)")).cast(
+        "double"
+    )
+    return samples.groupBy("event_id", "user_id", "event_type").agg(
+        n.alias("n_samples"),
+        F.round(sx / n, 6).alias("pred_mean"),
+        F.round(
+            F.sqrt(F.greatest((sxx - sx * sx / n) / (n - 1), F.lit(0.0))), 6
+        ).alias("pred_std"),
+    )
+
+
+# Macau cold-start (SURVEY §7 step 6, §2.C6): a fixed link matrix row —
+# exact eighths so the double literal parses identically in both engines.
+_BETA = [((j * 37) % 15 - 7) / 8.0 for j in range(64)]
+_BETA_SQL = "[" + ", ".join(str(v) for v in _BETA) + "]"
+
+
+@register(
+    "q_ml_coldstart",
+    oracle=f"""
+    WITH observed AS (
+      SELECT vec_id FROM embeddings
+      WHERE ((vec_id * {_P2}) % {_MOD} + {_MOD}) % {_MOD} < {_TRAIN}
+    )
+    SELECT e.vec_id,
+           ROUND({sql_dot('e.embedding', _BETA_SQL)}, 4) AS pred
+    FROM embeddings e
+    WHERE NOT EXISTS (SELECT 1 FROM observed o WHERE o.vec_id = e.vec_id)
+    """,
+    tags=("C6", "I5"),
+)
+def q_ml_coldstart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-start prediction from side information only [paper:Macau]:
+    entities with NO training observations get ``u_i = beta^T f_i`` (the
+    link-matrix mean; mu = 0 here), so they are scorable before a single
+    cell is observed — the reference's distinguishing capability over plain
+    BPMF.
+
+    The observed set is the arithmetic I1 predicate (deterministic, so the
+    oracle replicates it); the cold set is a real left_anti join (C6). beta
+    is a fixed link-matrix row of exact binary fractions; the sampled beta
+    comes from the CG path in ml/bpmf.py (rows-only) — this query is the
+    deterministic readout shape.
+
+    Scale: the observed-id side is a pruned single-column scan broadcast
+    into the anti-join; the dot is a codegen'd fold over the embedding
+    array — no shuffle at all when the observed side broadcasts.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    observed = emb.filter(
+        F.pmod(
+            F.col("vec_id").cast("long") * F.lit(_P2).cast("long"),
+            F.lit(_MOD).cast("long"),
+        )
+        < _TRAIN
+    ).select("vec_id")
+    beta = F.array(*[F.lit(v) for v in _BETA])
+    return emb.join(F.broadcast(observed), "vec_id", "left_anti").select(
+        "vec_id", F.round(dot("embedding", beta), 4).alias("pred")
     )
