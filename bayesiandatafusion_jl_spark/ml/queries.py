@@ -488,3 +488,115 @@ def q_ml_coldstart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.join(F.broadcast(observed), "vec_id", "left_anti").select(
         "vec_id", F.round(dot("embedding", beta), 4).alias("pred")
     )
+
+
+@register("q_ml_tensor_events", oracle=None, tags=("I9",))
+def q_ml_tensor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I9 — arity-3 tensor factorization [paper:Macau] §tensor on the
+    events table: (user × event_type × day-of-week, avg log1p value) CP
+    model; posterior mean + std per held-out cell.
+
+    Rows-only check (randomized Gibbs). Tiny config on purpose — the
+    statistical gate is tests/test_ml.py::test_tensor_arity3_trains (planted
+    CP tensor, multi-chain). The m-way sufficient-stat motion (Hadamard
+    product of the other modes' factors over observed cells) is the same
+    code path at any scale; only n_blocks and K grow.
+    """
+    from bayesiandatafusion_jl_spark.ml.bpmf import macau
+    from bayesiandatafusion_jl_spark.ml.relation import (
+        Relation,
+        RelationData,
+        split_train_test,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    types = ev.select("event_type").distinct().orderBy("event_type")
+    type_ids = {r["event_type"]: i for i, r in enumerate(types.collect())}
+    mapping = F.create_map(
+        *[x for k, v in type_ids.items() for x in (F.lit(k), F.lit(v))]
+    )
+    cells = (
+        ev.select(
+            F.col("user_id").alias("u"),
+            mapping[F.col("event_type")].cast("long").alias("t"),
+            (F.dayofweek("ts") - 1).cast("long").alias("d"),
+            F.log1p("value").alias("value"),
+        )
+        .groupBy("u", "t", "d")
+        .agg(F.avg("value").alias("value"))
+    )
+    cells = split_train_test(cells, ["u", "t", "d"], test_frac=0.2, seed=13)
+    rd = RelationData().add_relation(Relation(cells, ["u", "t", "d"], alpha=10.0))
+    res = macau(
+        spark, rd, num_latent=3, burnin=1, psamples=2, seed=19,
+        n_blocks=8, track_rmse=False,
+    )
+    return res.pred_mean.select(
+        F.col("u").alias("user_id"),
+        F.col("t").alias("type_id"),
+        F.col("d").alias("dow"),
+        F.col("y").alias("actual"),
+        "pred",
+        "pred_std",
+    )
+
+
+@register("q_ml_collective_events", oracle=None, tags=("I10",))
+def q_ml_collective_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I10 — collective factorization [api] [paper:Macau]: two relations
+    share the user entity (user × event_type avg value; user × hour-of-day
+    avg value), so the user factors' sufficient statistics sum across both
+    relations (union of per-relation stats, SURVEY G1+I10). Returns the
+    posterior per-cell readout of the primary relation.
+
+    Rows-only check (randomized Gibbs); the statistical gate is
+    tests/test_ml.py::test_collective_shared_entity.
+    """
+    from bayesiandatafusion_jl_spark.ml.bpmf import macau
+    from bayesiandatafusion_jl_spark.ml.relation import (
+        Relation,
+        RelationData,
+        split_train_test,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    types = ev.select("event_type").distinct().orderBy("event_type")
+    type_ids = {r["event_type"]: i for i, r in enumerate(types.collect())}
+    mapping = F.create_map(
+        *[x for k, v in type_ids.items() for x in (F.lit(k), F.lit(v))]
+    )
+    r1 = (
+        ev.select(
+            F.col("user_id").alias("u"),
+            mapping[F.col("event_type")].cast("long").alias("t"),
+            F.log1p("value").alias("value"),
+        )
+        .groupBy("u", "t")
+        .agg(F.avg("value").alias("value"))
+    )
+    r1 = split_train_test(r1, ["u", "t"], test_frac=0.2, seed=23)
+    r2 = (
+        ev.select(
+            F.col("user_id").alias("u"),
+            F.hour("ts").cast("long").alias("h"),
+            F.log1p("value").alias("value"),
+        )
+        .groupBy("u", "h")
+        .agg(F.avg("value").alias("value"))
+    )
+    rd = (
+        RelationData()
+        .add_relation(Relation(r1, ["u", "t"], alpha=10.0))
+        .add_relation(Relation(r2, ["u", "h"], alpha=5.0))
+    )
+    res = macau(
+        spark, rd, num_latent=3, burnin=1, psamples=2, seed=29,
+        n_blocks=8, track_rmse=False,
+    )
+    return res.pred_mean.select(
+        F.col("u").alias("user_id"),
+        F.col("t").alias("type_id"),
+        F.col("y").alias("actual"),
+        "pred",
+        "pred_std",
+    )
