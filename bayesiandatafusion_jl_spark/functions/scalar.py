@@ -108,8 +108,8 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_case_probit",
     oracle="""
     SELECT event_type,
-           SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS n_pos,
-           SUM(CASE WHEN value > 50.0 THEN 0 ELSE 1 END) AS n_neg,
+           CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN value > 50.0 THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type

@@ -139,8 +139,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, lang,
-           SUM(CASE WHEN token IN ('the','of','and','fast','slow','table','key')
-                    THEN 1 ELSE 0 END) AS en_hits,
+           CAST(SUM(CASE WHEN token IN ('the','of','and','fast','slow','table','key')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
            COUNT(*) AS n_tokens,
            ROUND(CAST(SUM(CASE WHEN token IN ('the','of','and','fast','slow','table','key')
                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS en_score

@@ -109,10 +109,10 @@ _SESSION_ORACLE = """
     ),
     sessions AS (
       SELECT user_id, event_id, ts,
-             SUM(new_session) OVER (
+             CAST(SUM(new_session) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS session_id
+             ) AS BIGINT) AS session_id
       FROM gaps
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,

@@ -59,8 +59,14 @@ def compare(spark_df: DataFrame, con: duckdb.DuckDBPyConnection, sql: str) -> tu
     s_rows, d_rows = _canon(s_pdf), _canon(d_pdf)
     n_bad = 0
     first = ""
+
+    def _typed(row):
+        # The driver's hash distinguishes 742 (bigint) from 742.0 (HUGEINT →
+        # float64), so `==` alone is too lenient: require matching types too.
+        return tuple((type(v).__name__, v) for v in row)
+
     for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
-        if sr != dr:
+        if _typed(sr) != _typed(dr):
             n_bad += 1
             if not first:
                 first = f"first diff at sorted-row {i} (cols={s_cols}):\n  spark={sr}\n  duck ={dr}"
