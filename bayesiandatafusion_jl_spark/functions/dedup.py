@@ -119,7 +119,12 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     rare (random-pair Jaccard ≈ 0). Pure built-ins: transform over a
     sequence of positions, then explode.
     """
-    toks = docs.withColumn("toks", F.split(F.lower("text"), r"\s+"))
+    # Guard: a document with fewer than k tokens yields ZERO shingles
+    # (matching the UDTF semantics) — without this, sequence(0, 0) emits
+    # one truncated "shingle" that skews Jaccard for very short docs.
+    toks = docs.withColumn("toks", F.split(F.lower("text"), r"\s+")).filter(
+        F.size("toks") >= k
+    )
     sh = toks.withColumn(
         "shingle",
         F.explode(
@@ -182,14 +187,21 @@ def q_llm_shingle_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = 32, k: int = 3) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = 32, k: int = 3, sh: DataFrame | None = None
+) -> DataFrame:
     """MinHash signatures over k-token shingles, fully JVM-side.
 
     h_i(shingle) = xxhash64(shingle, seed=i); signature[i] = min over
     shingles. Returns (doc_id, sig: array<long>). One explode + one groupBy
     on doc_id — linear in corpus size, the 100 TB-safe shape.
+
+    Pass a precomputed (persisted) ``sh`` shingle frame when the caller
+    also needs the shingles (e.g. for candidate verification) so the
+    corpus is shingled once, not twice.
     """
-    sh = shingles(docs, k=k)
+    if sh is None:
+        sh = shingles(docs, k=k)
     return sh.groupBy("doc_id").agg(
         F.array(
             *[F.min(F.xxhash64("shingle", F.lit(i))) for i in range(n_hashes)]
@@ -232,7 +244,7 @@ def lsh_candidate_pairs(
     )
 
 
-@register("q_llm_near_dedup_lsh", oracle=None, tags=("J2", "lsh"))
+@register("q_llm_near_dedup_lsh", oracle=None, tags=("J2", "lsh"), demoted=True)
 def q_llm_near_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 (scale path) — MinHash+LSH near-dup candidates, verified by exact
     Jaccard on the candidate set only. Rows-only driver check (hash seeds
@@ -248,10 +260,14 @@ def q_llm_near_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
     )
     corpus = docs.unionByName(twins)
-    sigs = minhash_signatures(corpus)
+    # One shingle pass, persisted: feeds both the signatures and the
+    # exact-verify token sets (was computed twice — the r1 bench's slowest
+    # query halved by this).
+    sh = shingles(corpus).persist()
+    sigs = minhash_signatures(corpus, sh=sh)
     cands = lsh_candidate_pairs(sigs)
     # exact-verify candidates with true shingle-Jaccard
-    toksets = shingles(corpus).groupBy("doc_id").agg(
+    toksets = sh.groupBy("doc_id").agg(
         F.collect_set("shingle").alias("toks")
     )
     ta = toksets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
@@ -267,6 +283,72 @@ def q_llm_near_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
     )
     return verified.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@register(
+    "q_llm_scale_suite",
+    oracle=None,
+    tags=("J2", "J3", "D4", "lsh", "simhash", "ann", "mllib"),
+)
+def q_llm_scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-scale approximate operators in ONE driver row each, with
+    their measured quality against the exact baselines (rows-only check —
+    hash seeds/sketches are engine-specific by design):
+
+    - ``minhash_lsh`` / ``simhash`` / ``mllib_minhash``: near-dup twin
+      recovery. Ground truth: every doc with doc_id % 7 == 0 gets a
+      mutated twin (first token dropped); quality = fraction of twin
+      pairs found (banded/bucketed candidates only — no all-pairs).
+    - ``ivf_knn`` / ``mllib_brp``: ANN top-5 for 10 queries; quality =
+      recall vs the exact brute-force cosine top-5 (q_llm_knn).
+    - ``approx_distinct``: HLL++ distinct users (D4); quality =
+      approx/exact ratio (2% target precision).
+
+    Each leg's plan stays linear (signature computation) + bucketed join
+    (candidates); the only driver data are these scalar summaries."""
+    from bayesiandatafusion_jl_spark.catalog import load_table as _lt
+    from bayesiandatafusion_jl_spark.functions.mllib_lsh import (
+        q_llm_knn_brp_mllib,
+        q_llm_near_dedup_mllib,
+    )
+    from bayesiandatafusion_jl_spark.functions.vector import q_llm_knn, q_llm_knn_ivf
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_twins = docs.filter(F.col("doc_id") % 7 == 0).count()
+
+    def twin_recall(pairs: DataFrame) -> tuple[int, float]:
+        n = pairs.count()
+        found = pairs.filter(
+            (F.col("doc_a") % 7 == 0) & (F.col("doc_b") == F.col("doc_a") + 1_000_000)
+        ).count()
+        return n, (found / n_twins if n_twins else 0.0)
+
+    rows = []
+    for method, fn in (
+        ("minhash_lsh", q_llm_near_dedup_lsh),
+        ("simhash", q_llm_simhash),
+        ("mllib_minhash", q_llm_near_dedup_mllib),
+    ):
+        n, rec = twin_recall(fn(spark, sf_dir))
+        rows.append((method, n, rec))
+
+    brute = q_llm_knn(spark, sf_dir).select("qid", "nb_id").persist()
+    n_brute = brute.count()
+    for method, fn in (("ivf_knn", q_llm_knn_ivf), ("mllib_brp", q_llm_knn_brp_mllib)):
+        ann = fn(spark, sf_dir).select("qid", "nb_id")
+        hit = ann.join(brute, ["qid", "nb_id"], "left_semi").count()
+        rows.append((method, ann.count(), hit / n_brute if n_brute else 0.0))
+
+    ev = _lt(spark, sf_dir, "events")
+    exact_approx = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx"),
+    ).first()
+    rows.append(
+        ("approx_distinct", int(exact_approx["approx"]),
+         float(exact_approx["approx"]) / exact_approx["exact"])
+    )
+    return spark.createDataFrame(rows, "method string, n_results long, quality double")
 
 
 def simhash64(docs: DataFrame) -> DataFrame:
@@ -298,7 +380,7 @@ def simhash64(docs: DataFrame) -> DataFrame:
     return sig
 
 
-@register("q_llm_simhash", oracle=None, tags=("simhash",))
+@register("q_llm_simhash", oracle=None, tags=("simhash",), demoted=True)
 def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: bucket by 16-bit sub-keys (hamming ≤ 3 guarantees
     a shared sub-key), verify candidates by exact hamming distance.

@@ -32,8 +32,11 @@ from bayesiandatafusion_jl_spark.registry import register
 
 
 def _shingle_arrays(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingles: array<string>) — distinct word k-grams per doc."""
-    toks = docs.withColumn("toks", F.split(F.lower("text"), r"\s+"))
+    """(doc_id, shingles: array<string>) — distinct word k-grams per doc.
+    Sub-k-token docs are dropped (zero shingles), matching dedup.shingles."""
+    toks = docs.withColumn("toks", F.split(F.lower("text"), r"\s+")).filter(
+        F.size("toks") >= k
+    )
     return toks.select(
         "doc_id",
         F.array_distinct(
@@ -45,7 +48,7 @@ def _shingle_arrays(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-@register("q_llm_near_dedup_mllib", oracle=None, tags=("J2", "lsh", "mllib"))
+@register("q_llm_near_dedup_mllib", oracle=None, tags=("J2", "lsh", "mllib"), demoted=True)
 def q_llm_near_dedup_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 via MLlib MinHashLSH — same twin-recovery task as
     q_llm_near_dedup_lsh (each doc_id % 7 == 0 gets a first-token-dropped
@@ -83,7 +86,7 @@ def q_llm_near_dedup_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_llm_knn_brp_mllib", oracle=None, tags=("J3", "ann", "mllib"))
+@register("q_llm_knn_brp_mllib", oracle=None, tags=("J3", "ann", "mllib"), demoted=True)
 def q_llm_knn_brp_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 via MLlib BucketedRandomProjectionLSH — euclidean ANN for the
     same 10 query vectors as q_llm_knn; top-5 per query by distance with

@@ -24,16 +24,20 @@ from bayesiandatafusion_jl_spark.registry import register
            CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_price,
            CAST(CEIL(l_extendedprice) AS BIGINT) AS ceil_price,
            POW(l_quantity, 2) AS qty_sq,
-           CAST(l_quantity AS BIGINT) % 7 AS qty_mod
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod,
+           LEAST(GREATEST(l_quantity, 5.0), 45.0) AS qty_clamped
     FROM lineitem
     WHERE l_quantity >= 1
     """,
-    tags=("H1",),
+    tags=("H1", "H6"),
 )
 def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H1 — math functions (the log-IC50 transform family [api]).
-    sqrt/abs/floor/ceil/pow-int are IEEE-exact (no normalization needed);
-    ln is cast to float32 to absorb last-ulp libm differences."""
+    """H1+H6 — math functions (the log-IC50 transform family [api]) plus
+    clamp-to-range (prediction clamping to the rating range [api],
+    ``least(greatest(x, lo), hi)``).
+    sqrt/abs/floor/ceil/pow-int/least/greatest are IEEE-exact (no
+    normalization needed); ln is cast to float32 to absorb last-ulp libm
+    differences."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 1)
     return li.select(
         "l_orderkey",
@@ -45,6 +49,9 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil("l_extendedprice").alias("ceil_price"),
         F.pow("l_quantity", 2).alias("qty_sq"),
         (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod"),
+        F.least(F.greatest(F.col("l_quantity"), F.lit(5.0)), F.lit(45.0)).alias(
+            "qty_clamped"
+        ),
     )
 
 
@@ -136,6 +143,7 @@ def q_fn_case_probit(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     """,
     tags=("H6",),
+    demoted=True,
 )
 def q_fn_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H6 — clamp to range (prediction clamping to the rating range
@@ -161,10 +169,13 @@ def q_fn_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY event_type
     """,
-    tags=("H7",),
+    tags=("H7", "A4"),
 )
 def q_fn_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H7 — JSON payload access + aggregation over extracted fields."""
+    """H7+A4 — semi-structured (JSON payload) access + aggregation over
+    extracted fields; ``from_json`` with a declared schema stays JVM-side
+    (the A4 source-parsing capability, row-level form demoted as
+    q_csv_json_source)."""
     ev = load_table(spark, sf_dir, "events")
     k = F.from_json("props", "k INT").getField("k")
     return ev.withColumn("k", k).groupBy("event_type").agg(

@@ -46,6 +46,7 @@ def tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     GROUP BY token
     """,
     tags=("J5",),
+    demoted=True,
 )
 def q_llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 — corpus term stats: term frequency + document frequency."""
@@ -73,10 +74,12 @@ def q_llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df) AS REAL) AS tfidf
     FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
     """,
-    tags=("J6",),
+    tags=("J5", "J6"),
 )
 def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6 — TF-IDF per (doc, term) on a bounded doc subset.
+    """J5+J6 — TF-IDF per (doc, term) on a bounded doc subset; the tf/df
+    term-statistics aggregates (J5, corpus-wide form demoted as
+    q_llm_wordcount) are the two inner aggregations here.
 
     df is a tiny aggregate → broadcast back against tf; n_docs is a scalar
     cross join (1 row). At corpus scale the same plan holds: the df table
@@ -101,6 +104,65 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_text_analysis",
+    oracle="""
+    SELECT doc_id, lang, source,
+           LENGTH(text) AS n_chars_calc,
+           len(string_split(text, ' ')) AS n_tokens,
+           LENGTH(REPLACE(text, ' ', '')) AS n_nonspace,
+           ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS avg_token_len,
+           CAST(len(list_filter(string_split(LOWER(text), ' '),
+                t -> t IN ('the','of','and','fast','slow','table','key'))) AS BIGINT)
+             AS en_hits,
+           ROUND(CAST(len(list_filter(string_split(LOWER(text), ' '),
+                t -> t IN ('the','of','and','fast','slow','table','key'))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS en_score,
+           sha256(array_to_string(list_sort(list_distinct(string_split(LOWER(text), ' '))), ' '))
+             AS fingerprint
+    FROM documents
+    """,
+    tags=("text-quality", "text-langid", "text-fingerprint"),
+)
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis in ONE pass, no explode/shuffle at all:
+
+    - quality-scoring features: char/token counts, average token length
+      (the length/punct/stopword-ratio family);
+    - language-ID heuristic: marker-token hit-rate (``en_hits`` /
+      ``en_score``; per-language scores are the same expressions per
+      language, here the English marker set);
+    - order-insensitive content fingerprint: sha256 of the sorted
+      distinct token set (the rolling-hash family's canonical-form
+      variant — exactly reproducible in any engine).
+
+    Everything is array built-ins over split() — a narrow map-only plan
+    that scales embarrassingly: at 100 TB this reads text once and writes
+    one row per doc, zero exchanges. (Single-facet variants q_text_stats /
+    q_text_langid / q_text_fingerprint are demoted to the local gate.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    en = list(_LANG_MARKERS["en"])
+    n_tok = F.size(F.split(F.col("text"), " "))
+    n_nonspace = F.length(F.regexp_replace("text", " ", ""))
+    en_hits = F.size(
+        F.filter(F.split(F.lower("text"), " "), lambda t: t.isin(en))
+    ).cast("bigint")
+    canon = F.array_join(F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), " ")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars_calc"),
+        n_tok.alias("n_tokens"),
+        n_nonspace.alias("n_nonspace"),
+        F.round(n_nonspace.cast("double") / n_tok, 4).alias("avg_token_len"),
+        en_hits.alias("en_hits"),
+        F.round(en_hits.cast("double") / n_tok, 4).alias("en_score"),
+        F.sha2(canon, 256).alias("fingerprint"),
+    )
+
+
+@register(
     "q_text_stats",
     oracle="""
     SELECT doc_id, lang, source,
@@ -112,6 +174,7 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     tags=("text-quality",),
+    demoted=True,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring features: char/token counts, average token length
@@ -148,6 +211,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY doc_id, lang
     """,
     tags=("text-langid",),
+    demoted=True,
 )
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: marker-token hit-rate per doc (the stopword
@@ -171,6 +235,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     tags=("text-fingerprint",),
+    demoted=True,
 )
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: order-insensitive content hash — sha256 of the

@@ -166,7 +166,7 @@ def ann_ivf_topk(
     return rescored.withColumn("rk", F.row_number().over(wq)).filter(F.col("rk") <= k)
 
 
-@register("q_llm_knn_ivf", oracle=None, tags=("J3", "ann"))
+@register("q_llm_knn_ivf", oracle=None, tags=("J3", "ann"), demoted=True)
 def q_llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 (scale path) — IVF-bucketed ANN top-k; rows-only driver check,
     recall asserted against brute force in tests."""

@@ -60,7 +60,9 @@ def q_ml_traintest_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_ml_bpmf_events", oracle=None, tags=("I2", "I3", "I4", "I7", "I11"))
+@register(
+    "q_ml_bpmf_events", oracle=None, tags=("I2", "I3", "I4", "I7", "I11"), demoted=True
+)
 def q_ml_bpmf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end BPMF (the reference's flagship ``macau(rd)`` [api]) on the
     driver's events table: factorize the (user_id × event_type, avg value)
@@ -172,13 +174,11 @@ def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank() + (count(same score) − 1)/2 — identical in both engines because
     the scores are bit-identical derived doubles.
 
-    Scale: two broadcast joins + one global window over score. The single
-    ORDER BY score window is the scale bottleneck (one partition); at
-    100 TB swap in the partition-and-offset rank pattern (per-partition
-    counts → cumulative offsets → local ranks).
+    Scale: two broadcast joins, then the bucketed-offset
+    ``auc_components`` formulation (operators/windows.py) — groupBy(score)
+    + per-bucket windows, no single-partition ORDER BY anywhere.
     """
     ev = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window
 
     bucket = F.pmod(
         F.col("event_id") * F.lit(_P1).cast("long")
@@ -207,23 +207,9 @@ def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
-    ranked = scored.select(
-        "label",
-        (
-            F.rank().over(Window.orderBy("score"))
-            + (F.count(F.lit(1)).over(Window.partitionBy("score")) - 1) / 2.0
-        ).alias("avg_rank"),
-    )
-    npos = F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
-    nneg = F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
-    rpos = F.sum(F.when(F.col("label") == 1, F.col("avg_rank")))
-    return ranked.agg(
-        npos.alias("n_pos"),
-        nneg.alias("n_neg"),
-        F.round(
-            (rpos - npos * (npos + 1) / 2.0) / (npos * nneg), 6
-        ).alias("auc"),
-    )
+    from bayesiandatafusion_jl_spark.operators.windows import auc_components
+
+    return auc_components(scored)
 
 
 @register(
@@ -490,7 +476,7 @@ def q_ml_coldstart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_ml_tensor_events", oracle=None, tags=("I9",))
+@register("q_ml_tensor_events", oracle=None, tags=("I9",), demoted=True)
 def q_ml_tensor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I9 — arity-3 tensor factorization [paper:Macau] §tensor on the
     events table: (user × event_type × day-of-week, avg log1p value) CP
@@ -541,7 +527,50 @@ def q_ml_tensor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_ml_collective_events", oracle=None, tags=("I10",))
+@register(
+    "q_ml_factorization_suite",
+    oracle=None,
+    tags=("I2", "I3", "I4", "I5", "I6", "I9", "I10"),
+)
+def q_ml_factorization_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's factorization family end-to-end in ONE driver row
+    (rows-only check — randomized Gibbs has no SQL oracle by design):
+
+    - ``bpmf``: matrix BPMF on (user × event_type) [paper:BPMF] — I2/I3/I4
+      init, conditional-Gaussian kernel, Normal–Wishart hypers; I7/I11
+      posterior mean/std readout.
+    - ``tensor``: arity-3 CP factorization (user × type × day-of-week)
+      [paper:Macau §tensor] — I9 Hadamard sufficient stats.
+    - ``collective``: two relations sharing the user entity — I10 summed
+      sufficient statistics.
+
+    One summary row per model: held-out cell count, mean |error|, mean
+    posterior std — finite values prove the whole Gibbs pipeline ran.
+    Statistical quality is gated by tests/test_ml.py property tests
+    (planted low-rank matrices, RMSE below noise floor, posterior AUC).
+    The per-model full readouts stay available as the demoted
+    q_ml_{bpmf,tensor,collective}_events specs."""
+    legs = []
+    for model, fn in (
+        ("bpmf", q_ml_bpmf_events),
+        ("tensor", q_ml_tensor_events),
+        ("collective", q_ml_collective_events),
+    ):
+        out = fn(spark, sf_dir)
+        legs.append(
+            out.agg(
+                F.count(F.lit(1)).alias("n_cells"),
+                F.avg(F.abs(F.col("actual") - F.col("pred"))).alias("mae"),
+                F.avg("pred_std").alias("mean_std"),
+            ).select(F.lit(model).alias("model"), "n_cells", "mae", "mean_std")
+        )
+    suite = legs[0]
+    for leg in legs[1:]:
+        suite = suite.unionByName(leg)
+    return suite
+
+
+@register("q_ml_collective_events", oracle=None, tags=("I10",), demoted=True)
 def q_ml_collective_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I10 — collective factorization [api] [paper:Macau]: two relations
     share the user entity (user × event_type avg value; user × hour-of-day

@@ -88,6 +88,49 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 @register(
+    "q_multimodal_pipeline",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id, 'text/plain' AS media_type,
+             octet_length(encode(text)) AS n_bytes,
+             lang AS meta_lang, text
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, media_type, n_bytes, meta_lang, text,
+             UNNEST(range(0, length(text) // {64})) AS frame_idx
+      FROM meta
+    )
+    SELECT doc_id, media_type, n_bytes, meta_lang, frame_idx,
+           md5(substr(text, frame_idx * {64} + 1, {64})) AS frame_md5
+    FROM f
+    WHERE frame_idx % {2} = 0
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline, driver-checked end-to-end: binary media table
+    (opaque payload + typed metadata) → frame sampling via mapInPandas
+    (one-to-many Arrow batches; video-style fixed-length frames, every
+    2nd kept) → per-frame checksum joined with the typed metadata.
+
+    Covers the metadata-scan capability (q_multimodal_meta, demoted) and
+    the one-to-many mapInPandas shape (q_multimodal_framesample, demoted)
+    in one oracle row. The decode/resize steps (stubbed codecs —
+    deterministic fakes, no codec libs in this container) remain demoted
+    rows-only specs with pytest coverage. The join is on doc_id against a
+    map-only metadata projection — at scale both sides are co-partitioned
+    reads of the same table, so AQE plans a local join."""
+    frames = q_multimodal_framesample(spark, sf_dir)
+    meta = media_table(spark, sf_dir).select(
+        "doc_id", "media_type", "n_bytes", "meta_lang"
+    )
+    return frames.join(meta, "doc_id").select(
+        "doc_id", "media_type", "n_bytes", "meta_lang", "frame_idx", "frame_md5"
+    )
+
+
+@register(
     "q_multimodal_meta",
     oracle="""
     SELECT doc_id, 'text/plain' AS media_type,
@@ -96,6 +139,7 @@ def extract_features(media: DataFrame) -> DataFrame:
     FROM documents
     """,
     tags=("multimodal",),
+    demoted=True,
 )
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata scan: payload sizes + typed metadata, fully
@@ -105,7 +149,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_multimodal_features", oracle=None, tags=("multimodal",))
+@register("q_multimodal_features", oracle=None, tags=("multimodal",), demoted=True)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stubbed decode → feature extraction over binary payloads via
     mapInPandas (rows-only check; deterministic fake features)."""
@@ -129,6 +173,7 @@ FRAME_LEN, FRAME_STRIDE = 64, 2  # chars per frame; sample every 2nd frame
     WHERE frame_idx % {FRAME_STRIDE} = 0
     """,
     tags=("multimodal",),
+    demoted=True,
 )
 def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: a video-style payload decomposed into fixed-length
@@ -166,7 +211,7 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 RESIZE_W, RESIZE_FACTOR = 64, 2  # byte-grid width; 2x2 block-mean downsample
 
 
-@register("q_multimodal_resize", oracle=None, tags=("multimodal",))
+@register("q_multimodal_resize", oracle=None, tags=("multimodal",), demoted=True)
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-style resize: payload bytes as an H×{RESIZE_W} grid, 2×2
     block-mean downsampled (numpy, Arrow-batched). Rows-only check — the

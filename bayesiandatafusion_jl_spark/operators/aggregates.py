@@ -66,6 +66,7 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     """,
     tags=("D2",),
+    demoted=True,
 )
 def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 — global aggregate, no grouping (the RMSE-readout shape [api])."""
@@ -101,6 +102,7 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_approx_distinct",
     oracle=None,  # HLL sketch values are engine-specific → rows-only check
     tags=("D4",),
+    demoted=True,
 )
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 — approximate count-distinct (HLL++). At 100 TB this replaces the

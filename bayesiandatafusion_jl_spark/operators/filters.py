@@ -17,21 +17,37 @@ from bayesiandatafusion_jl_spark.registry import register
 @register(
     "q_filter_range",
     oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           (l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS charge,
+           CAST(LN(1 + l_quantity) AS REAL) AS log_qty
     FROM lineitem
     WHERE l_quantity >= 10 AND l_quantity < 20
       AND l_discount BETWEEN 0.01 AND 0.05
     """,
-    tags=("B1",),
+    tags=("B1", "B3"),
 )
 def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B1 — range predicates (train/test cell selection shape)."""
+    """B1+B3 — range predicates (train/test cell selection shape) plus
+    computed projection (the log-transform applied to IC50 values before
+    factorization [api]).
+
+    Determinism: parenthesization of ``charge`` matches the oracle exactly
+    → the pure double arithmetic is bit-identical, unrounded. ln() is cast
+    to float32 to absorb last-ulp libm vs java.lang.Math differences."""
     li = load_table(spark, sf_dir, "lineitem")
+    charge = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * (1 + F.col("l_tax"))
     return li.filter(
         (F.col("l_quantity") >= 10)
         & (F.col("l_quantity") < 20)
         & F.col("l_discount").between(0.01, 0.05)
-    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        charge.alias("charge"),
+        F.log(1 + F.col("l_quantity")).cast("float").alias("log_qty"),
+    )
 
 
 @register(
@@ -67,6 +83,7 @@ def q_filter_in_like_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     """,
     tags=("B3",),
+    demoted=True,
 )
 def q_project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B3 — computed projection (the log-transform shape used on IC50
@@ -95,6 +112,7 @@ def q_project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     """,
     tags=("B4",),
+    demoted=True,
 )
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B4 — exact duplicate elimination (duplicate-cell cleanup before

@@ -196,11 +196,17 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer) segs
     """,
     tags=("C9",),
+    demoted=True,
 )
 def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9 — cross join: the dense candidate grid (all entity combos) used
     for tensor-mode prediction [paper:Macau §tensor]. Only ever small×small
-    or broadcast-nested-loop."""
+    or broadcast-nested-loop.
+
+    Demoted from the driver surface: the same crossJoin physical op is
+    exercised driver-side inside q_llm_tfidf (scalar crossJoin) and the
+    tensor candidate grid of the ML suite; this narrow form stays under
+    the local parity gate."""
     r = load_table(spark, sf_dir, "region").select("r_name")
     segs = load_table(spark, sf_dir, "customer").select(
         F.col("c_mktsegment").alias("seg")

@@ -22,13 +22,18 @@ from bayesiandatafusion_jl_spark.registry import register
     oracle="""
     SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
     FROM lineitem
+    WHERE l_discount > 0.02 AND l_quantity < 45
     """,
-    tags=("A1",),
+    tags=("A1", "A2"),
 )
 def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 — parquet scan + column projection (column pruning reaches the
-    reader: ReadSchema lists exactly these four columns)."""
-    return load_table(spark, sf_dir, "lineitem").select(
+    """A1+A2 — parquet scan + column projection + pushed predicates.
+
+    Column pruning reaches the reader (ReadSchema lists exactly the six
+    referenced columns) and both filters land in PushedFilters; the
+    driver's row-count check is the A2 filtered-count assertion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_discount") > 0.02) & (F.col("l_quantity") < 45)).select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
     )
 
@@ -41,6 +46,7 @@ def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l_discount > 0.02 AND l_quantity < 45
     """,
     tags=("A2",),
+    demoted=True,
 )
 def q_scan_filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 — scan + filtered count; both predicates push down to parquet."""
@@ -60,6 +66,7 @@ def q_scan_filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
     """,
     tags=("A4",),
+    demoted=True,
 )
 def q_csv_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 — semi-structured source: parse the JSON ``props`` payload with a

@@ -23,11 +23,12 @@ from bayesiandatafusion_jl_spark.registry import register
     ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
     LIMIT 100
     """,
-    tags=("F1",),
+    tags=("F1", "F2"),
 )
 def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1 — global top-k with full tiebreak keys (deterministic row
-    *selection*, which is what the order-insensitive hash checks)."""
+    """F1+F2 — global top-k over a multi-column mixed-direction sort with
+    full tiebreak keys (deterministic row *selection*, which is what the
+    order-insensitive hash checks)."""
     return (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
@@ -47,6 +48,7 @@ def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 50
     """,
     tags=("F2",),
+    demoted=True,
 )
 def q_sort_multicol(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 — multi-column mixed-direction sort (deterministic via PK)."""

@@ -122,7 +122,7 @@ _SESSION_ORACLE = """
     """
 
 
-@register("q_session_window", oracle=_SESSION_ORACLE, tags=("J9",))
+@register("q_stream_session", oracle=_SESSION_ORACLE, tags=("J9",))
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9 — gap-based sessionization (30-min inactivity), batch form.
 
@@ -150,7 +150,3 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
     )
 
-
-# SURVEY §2.J9 names this query id q_stream_session; register the same
-# implementation under that id so the inventory maps line-by-line.
-register("q_stream_session", oracle=_SESSION_ORACLE, tags=("J9",))(q_session_window)

@@ -49,49 +49,72 @@ def q_win_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def auc_components(scored: DataFrame, n_buckets: int = 32) -> DataFrame:
+    """Tie-averaged Mann–Whitney AUC with NO single-partition window —
+    the one scalable AUC used everywhere (q_win_auc, q_ml_auc, the BPMF
+    trainer's class_cut readout).
+
+    Input: ``scored (score: double, label: 0/1)``. Output: one row
+    ``(n_pos, n_neg, auc)``.
+
+    AUC = Σ_s n₊(s)·(N₋below(s) + ½·n₋(s)) / (n₊·n₋): every positive beats
+    the negatives strictly below its score and half the negatives tied
+    with it. Execution shape:
+
+    1. groupBy(score) → (n_pos, n_neg) per distinct score — one shuffle,
+       map-side combined.
+    2. approxQuantile boundaries (tiny driver action) split the score
+       domain into range buckets; same score ⇒ same bucket, so ties never
+       straddle buckets and the result stays EXACT — the approximation
+       only affects load balance.
+    3. per-bucket exclusive running Σn_neg (window partitioned BY BUCKET —
+       parallel), plus a driver-computed per-bucket offset (≤n_buckets rows).
+    4. one scalar aggregate; integer-and-half arithmetic < 2^53 keeps the
+       sum exact across engines.
+    """
+    scored = scored.persist()
+    g = scored.groupBy("score").agg(
+        F.sum("label").alias("n_pos"),
+        F.sum(1 - F.col("label")).alias("n_neg"),
+    )
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(scored.approxQuantile("score", probs, 0.001)))
+    bucket = reduce(
+        lambda a, b: a + b,
+        [F.when(F.col("score") > F.lit(b), 1).otherwise(0) for b in bounds],
+    ) if bounds else F.lit(0)
+    g2 = g.withColumn("bucket", bucket).persist()
+    totals = {
+        r["bucket"]: r["t"]
+        for r in g2.groupBy("bucket").agg(F.sum("n_neg").alias("t")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for b in sorted(totals):
+        offsets[b] = acc
+        acc += totals[b]
+    off_col = F.lit(0)
+    for b, o in offsets.items():
+        off_col = F.when(F.col("bucket") == b, F.lit(o)).otherwise(off_col)
+    w = W.partitionBy("bucket").orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    cum = g2.select(
+        "n_pos",
+        "n_neg",
+        (off_col + F.coalesce(F.sum("n_neg").over(w), F.lit(0))).alias("n_neg_below"),
+    )
+    return cum.agg(
+        F.sum("n_pos").alias("n_pos"),
+        F.sum("n_neg").alias("n_neg"),
+        F.round(
+            F.sum(F.col("n_pos").cast("double") * (F.col("n_neg_below") + 0.5 * F.col("n_neg")))
+            / (F.sum("n_pos") * F.sum("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
 @register(
     "q_win_auc",
-    oracle="""
-    WITH scored AS (
-      SELECT value AS score,
-             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
-             ROW_NUMBER() OVER (ORDER BY value ASC, event_id ASC) AS rk
-      FROM events
-    )
-    SELECT ROUND(
-        (SUM(CASE WHEN label = 1 THEN CAST(rk AS DOUBLE) END)
-          - (SUM(label) * (SUM(label) + 1)) / 2.0)
-        / (SUM(label) * (COUNT(*) - SUM(label))), 6) AS auc
-    FROM scored
-    """,
-    tags=("E2", "I8"),
-)
-def q_win_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2/I8 — Mann–Whitney AUC via ranks (macau reports AUC when
-    ``class_cut`` is set [api] [upstream:src/macau.jl — UNVERIFIED]).
-
-    AUC = (Σ ranks₊ − n₊(n₊+1)/2) / (n₊ n₋). Rank by (score, event_id) —
-    unique tiebreak keeps the rank assignment deterministic. One global
-    sort (range-partitioned at scale), one scalar aggregate.
-    """
-    ev = load_table(spark, sf_dir, "events")
-    scored = ev.select(
-        F.col("value").alias("score"),
-        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
-        F.row_number().over(W.orderBy(F.asc("value"), F.asc("event_id"))).alias("rk"),
-    )
-    n_pos = F.sum("label")
-    n_neg = F.count(F.lit(1)) - n_pos
-    sum_rk_pos = F.sum(F.when(F.col("label") == 1, F.col("rk").cast("double")))
-    return scored.agg(
-        F.round(
-            (sum_rk_pos - (n_pos * (n_pos + 1)) / 2.0) / (n_pos * n_neg), 6
-        ).alias("auc")
-    )
-
-
-@register(
-    "q_win_auc_scalable",
     oracle="""
     WITH g AS (
       SELECT value AS score,
@@ -115,68 +138,18 @@ def q_win_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("E2", "I8", "scale"),
 )
-def q_win_auc_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2/I8 at 100 TB — tie-averaged Mann–Whitney AUC with NO global
-    single-partition window (the rewrite SCALE_AUDIT promises for
-    q_win_auc).
-
-    AUC = Σ_s n₊(s)·(N₋below(s) + ½·n₋(s)) / (n₊·n₋): every positive beats
-    the negatives strictly below its score and half the negatives tied
-    with it. Execution shape:
-
-    1. groupBy(score) → (n_pos, n_neg) per distinct score — one shuffle,
-       map-side combined.
-    2. approxQuantile boundaries (tiny driver action) split the score
-       domain into range buckets; same score ⇒ same bucket, so ties never
-       straddle buckets and the result stays EXACT — the approximation
-       only affects load balance.
-    3. per-bucket exclusive running Σn_neg (window partitioned BY BUCKET —
-       parallel), plus a driver-computed per-bucket offset (≤32 rows).
-    4. one scalar aggregate; integer-and-half arithmetic < 2^53 keeps the
-       sum exact across engines.
-    """
+def q_win_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/I8 — tie-averaged Mann–Whitney AUC (macau reports AUC when
+    ``class_cut`` is set [api] [upstream:src/macau.jl — UNVERIFIED]) with
+    NO global single-partition window — the scalable ``auc_components``
+    formulation IS the default (the naive rank()-over-global-window form
+    was retired in r2)."""
     ev = load_table(spark, sf_dir, "events")
     scored = ev.select(
         F.col("value").alias("score"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
     )
-    g = scored.groupBy("score").agg(
-        F.sum("label").alias("n_pos"),
-        F.sum(1 - F.col("label")).alias("n_neg"),
-    )
-    n_buckets = 32
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(set(ev.approxQuantile("value", probs, 0.001)))
-    bucket = reduce(
-        lambda a, b: a + b,
-        [F.when(F.col("score") > F.lit(b), 1).otherwise(0) for b in bounds],
-    ) if bounds else F.lit(0)
-    g2 = g.withColumn("bucket", bucket)
-    totals = {
-        r["bucket"]: r["t"]
-        for r in g2.groupBy("bucket").agg(F.sum("n_neg").alias("t")).collect()
-    }
-    offsets = {}
-    acc = 0
-    for b in sorted(totals):
-        offsets[b] = acc
-        acc += totals[b]
-    off_col = F.lit(0)
-    for b, o in offsets.items():
-        off_col = F.when(F.col("bucket") == b, F.lit(o)).otherwise(off_col)
-    w = W.partitionBy("bucket").orderBy("score").rowsBetween(W.unboundedPreceding, -1)
-    cum = g2.select(
-        "n_pos",
-        "n_neg",
-        (off_col + F.coalesce(F.sum("n_neg").over(w), F.lit(0))).alias("n_neg_below"),
-    )
-    return cum.agg(
-        F.round(
-            F.sum(F.col("n_pos").cast("double") * (F.col("n_neg_below") + 0.5 * F.col("n_neg")))
-            / (F.sum("n_pos") * F.sum("n_neg")),
-            6,
-        ).alias("auc")
-    )
+    return auc_components(scored).select("auc")
 
 
 @register(

@@ -27,10 +27,10 @@ HEADLINE = [
     "q_join_asof",
     "q_win_rank_topk_per_group",
     "q_win_cumsum",
-    "q_session_window",
+    "q_stream_session",
     "q_stream_sliding",
     "q_llm_knn",
-    "q_llm_wordcount",
+    "q_llm_wordcount",  # demoted from the driver surface; still a headline op
     "q_llm_exact_dedup",
     "q_llm_near_dedup_lsh",
     "q_ml_predict_rmse",
@@ -44,7 +44,7 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("bdf-bench")
 
-    all_specs = specs()
+    all_specs = specs(include_demoted=True)
     timings: dict[str, float] = {}
     # warm the JVM + parquet footer caches with one throwaway action
     all_specs["q_scan_filter_count"].fn(spark, sf_dir).count()
