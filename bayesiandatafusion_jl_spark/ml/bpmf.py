@@ -66,18 +66,21 @@ def _moments_fn(k):
     return f
 
 
-def _sample_fn(k, mu, lam, seed, sweep, off_col):
+def _sample_fn(k, mu, lam, seed, sweep, off_col, det=False, wr=0.0):
     def f(pdf):
         return kernels.sample_block(
-            pdf, k, 1.0, mu, lam, seed, sweep, off_col=off_col, alpha_col="__alpha"
+            pdf, k, 1.0, mu, lam, seed, sweep, off_col=off_col,
+            alpha_col="__alpha", deterministic=det, wr=wr,
         )
 
     return f
 
 
-def _prior_fn(k, mu, lam, seed, sweep):
+def _prior_fn(k, mu, lam, seed, sweep, det=False):
     def f(pdf):
-        return kernels.prior_block(pdf.drop(columns="__b"), k, mu, lam, seed, sweep)
+        return kernels.prior_block(
+            pdf.drop(columns="__b"), k, mu, lam, seed, sweep, deterministic=det
+        )
 
     return f
 
@@ -89,13 +92,39 @@ def _partial_fn(k):
     return f
 
 
-def _combine_fn(k, mu, lam, seed, sweep, off_col):
+def _combine_fn(k, mu, lam, seed, sweep, off_col, det=False, wr=0.0):
     def f(pdf):
         return kernels.combine_sample_block(
-            pdf.drop(columns="__b"), k, mu, lam, seed, sweep, off_col=off_col
+            pdf.drop(columns="__b"), k, mu, lam, seed, sweep, off_col=off_col,
+            deterministic=det, wr=wr,
         )
 
     return f
+
+
+def _beta_target_fn(k, mu, lam_u, seed, sweep):
+    def f(pdf):
+        return kernels.beta_target_block(
+            pdf.drop(columns="__b"), k, mu, lam_u, seed, sweep
+        )
+
+    return f
+
+
+def _truncnorm_udf():
+    """Arrow-vectorized (pred, uniform, y01) → truncated-normal z draw —
+    the only Python step of the probit augmentation (O(cells))."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _tn(pred, u, y):
+        from bayesiandatafusion_jl_spark.ml.probit import truncnorm_z
+
+        return pd.Series(
+            truncnorm_z(pred.to_numpy(), u.to_numpy(), y.to_numpy())
+        )
+
+    return pandas_udf(_tn, "double")
 
 
 
@@ -113,22 +142,15 @@ class TrainResult:
 def _auc_of(pred_mean: DataFrame, class_cut: float) -> float | None:
     """Tie-averaged Mann–Whitney AUC of posterior-mean predictions against
     the class_cut-binarized truth (macau reports AUC when class_cut is set
-    [api]) — the same rank formulation as q_ml_auc/E2."""
-    from pyspark.sql import Window
+    [api]) — the bucketed-offset ``auc_components`` formulation (E2/I8),
+    so the trainer's readout has NO single-partition global window."""
+    from bayesiandatafusion_jl_spark.operators.windows import auc_components
 
-    ranked = pred_mean.select(
+    scored = pred_mean.select(
+        F.col("pred").alias("score"),
         F.when(F.col("y") > class_cut, 1).otherwise(0).alias("label"),
-        (
-            F.rank().over(Window.orderBy("pred"))
-            + (F.count(F.lit(1)).over(Window.partitionBy("pred")) - 1) / 2.0
-        ).alias("avg_rank"),
     )
-    npos = F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).cast("double")
-    nneg = F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).cast("double")
-    rpos = F.sum(F.when(F.col("label") == 1, F.col("avg_rank")))
-    row = ranked.agg(
-        ((rpos - npos * (npos + 1) / 2.0) / (npos * nneg)).alias("auc")
-    ).collect()[0]
+    row = auc_components(scored).collect()[0]
     return None if row["auc"] is None else float(row["auc"])
 
 
@@ -154,11 +176,15 @@ class MacauTrainer:
         lambda_beta: float = 5.0,
         center: bool = True,
         track_rmse: bool = True,
-        side_driver_max_cells: int = 4_000_000,
+        direct_max_d: int = 1024,
         cg_tol: float = 1e-6,
         cg_max_iter: int = 50,
         skew_salt: int | None = None,
         n_chains: int = 1,
+        warmup: int = 20,
+        warmup_lambda: float = 2.0,
+        warmup_tol: float = 0.03,
+        warmup_wr: float = 0.05,
     ):
         self.spark = spark
         self.rd = rd
@@ -170,9 +196,11 @@ class MacauTrainer:
         self.lambda_beta = {e: lambda_beta for e in rd.entities}
         self.center = center
         self.track_rmse = track_rmse  # False: skip per-sample RMSE collects
-        # N·D above this → CG path: F stays a distributed COO, never a
-        # driver-side dense matrix [paper:Macau]
-        self.side_driver_max_cells = side_driver_max_cells
+        # F ALWAYS stays a distributed COO (no N-scaled driver object).
+        # D ≤ direct_max_d → FᵀF computed distributed once at init (F is
+        # static) and each sweep's β solve is a driver D×D Cholesky;
+        # larger D → batched CG with distributed matvecs [paper:Macau].
+        self.direct_max_d = direct_max_d
         self.cg_tol = cg_tol
         self.cg_max_iter = cg_max_iter
         # >1: two-phase skew-resistant update — per-(instance, salt) partial
@@ -187,17 +215,35 @@ class MacauTrainer:
         # restarts are the standard remedy. Chains are sequential here but
         # independent — on a cluster they parallelize as separate jobs.
         self.n_chains = n_chains
+        # ALS warm-start before Gibbs: deterministic ridge updates (same
+        # kernels, conditional MEAN, fixed Λ = warmup_λ·I, renormalized
+        # each half-sweep) run until the train RMSE improvement per sweep
+        # drops below warmup_tol (or `warmup` sweeps) — the original BPMF
+        # recipe of initializing Gibbs from the (P)MF MAP [paper:BPMF].
+        # Starting Gibbs from an unconverged state is the failure mode:
+        # the chain crawls through a transient where a strong-residual
+        # instance's factor overshoots along a prior-suppressed latent
+        # dimension (test error blows up while train error descends),
+        # taking tens of sweeps to settle — observed on ~1/3 of seeds on
+        # the planted-matrix suite with a cold or half-warmed start.
+        self.warmup = warmup
+        self.warmup_lambda = warmup_lambda
+        self.warmup_tol = warmup_tol
+        self.warmup_wr = warmup_wr
         self._lambda_beta0 = lambda_beta
         self.rng = np.random.default_rng(seed)
 
         self.factors: dict[str, DataFrame] = {}
         self.hyper: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self.beta: dict[str, np.ndarray] = {}
-        self.offsets: dict[str, DataFrame] = {}
-        self.side_np: dict[str, tuple[np.ndarray, np.ndarray]] = {}  # ids, F matrix
-        self.side_cg: dict[str, object] = {}  # entity -> DistributedMatvec (large D)
+        self.offsets: dict[str, DataFrame] = {}  # entity -> (id, __off) distributed
+        self.side_mv: dict[str, object] = {}  # entity -> DistributedMatvec (COO F)
+        self.side_gram: dict[str, np.ndarray] = {}  # entity -> FᵀF (D ≤ direct_max_d)
         self.global_mean = 0.0
         self._entity_counts: dict[str, int] = {}
+        self._side_counts: dict[str, int] = {}
+        # probit relations: id(rel) -> current augmented-z cell frame
+        self._aug: dict[int, DataFrame] = {}
 
     # ---------- setup ----------
 
@@ -214,18 +260,38 @@ class MacauTrainer:
 
     def _init(self) -> None:
         k, seed = self.k, self.seed
+        tot, sq, cnt = 0.0, 0.0, 0
+        for rel in self.rd.relations:
+            if rel.probit:
+                # binary/augmented relations train on z with natural scale
+                # 1 and latent-mean 0 — they contribute nothing to the
+                # continuous centering/scale stats
+                continue
+            df = rel.df
+            if "split" in df.columns:
+                df = df.filter(F.col("split") == "train")
+            row = df.agg(
+                F.sum(rel.value_col).alias("s"),
+                F.sum(F.col(rel.value_col) * F.col(rel.value_col)).alias("sq"),
+                F.count(F.lit(1)).alias("c"),
+            ).collect()[0]
+            tot += row["s"] or 0.0
+            sq += row["sq"] or 0.0
+            cnt += row["c"]
+        mean = tot / max(cnt, 1)
         if self.center:
-            tot, cnt = 0.0, 0
-            for rel in self.rd.relations:
-                df = rel.df
-                if "split" in df.columns:
-                    df = df.filter(F.col("split") == "train")
-                row = df.agg(
-                    F.sum(rel.value_col).alias("s"), F.count(F.lit(1)).alias("c")
-                ).collect()[0]
-                tot += row["s"] or 0.0
-                cnt += row["c"]
-            self.global_mean = tot / max(cnt, 1)
+            self.global_mean = mean
+        # pooled std of (centered) train values — sets the warmup's
+        # balanced factor scale: r ≈ Σ_k Π_m u^m_k has per-entry variance
+        # ≈ K·Π_m var_m, so each of the m sides targets per-entry rms
+        # (std_r²/K)^(1/2m). All-probit data has no continuous values;
+        # its ±1 warmup targets have unit scale.
+        if cnt == 0:
+            self._value_std = 1.0
+        else:
+            self._value_std = max(
+                float(np.sqrt(max(sq / max(cnt, 1) - mean * mean, 0.0))), 1e-6
+            )
 
         def _make_init_fn(eseed):
             # factory, not default-arg: applyInPandas dispatches on arg count,
@@ -267,47 +333,83 @@ class MacauTrainer:
                 self._cold[name] = missing.localCheckpoint()
             self.hyper[name] = (np.zeros(k), np.eye(k))
             if ent.side_info is not None:
+                # Macau's scalability device [paper:Macau]: F NEVER
+                # densifies on the driver at any N — it lives as a
+                # distributed COO; β/offsets move as D×K broadcasts and
+                # distributed matvecs.
+                from bayesiandatafusion_jl_spark.ml.cg import (
+                    DistributedMatvec,
+                    features_to_coo,
+                )
+
                 n_side = ent.side_info.count()
                 d = len(
                     ent.side_info.select("features").limit(1).collect()[0][0]
                 )
-                if n_side * d <= self.side_driver_max_cells:
-                    rows = (
-                        ent.side_info.select("id", "features").orderBy("id").collect()
-                    )
-                    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-                    fm = np.stack(
-                        [np.asarray(r["features"], dtype=np.float64) for r in rows]
-                    )
-                    self.side_np[name] = (ids, fm)
-                else:
-                    # Macau's scalability device [paper:Macau]: F never
-                    # densifies; matvecs run as distributed join+agg
-                    from bayesiandatafusion_jl_spark.ml.cg import (
-                        DistributedMatvec,
-                        features_to_coo,
-                    )
-
-                    coo = features_to_coo(ent.side_info)
-                    self.side_cg[name] = DistributedMatvec(
-                        self.spark, coo, n_side, d
-                    )
+                coo = features_to_coo(ent.side_info)
+                self.side_mv[name] = DistributedMatvec(
+                    self.spark, coo, n_side, d, n_parts=self.n_blocks
+                )
+                self._side_counts[name] = n_side
+                if d <= self.direct_max_d:
+                    # F is static across sweeps → one distributed Gram
+                    # pass; every sweep's β solve is then a driver-side
+                    # D×D Cholesky with a distributed rhs.
+                    self.side_gram[name] = self.side_mv[name].gram()
                 self.beta[name] = np.zeros((d, k))
                 self._refresh_offsets(name)
 
     def _refresh_offsets(self, name: str) -> None:
-        """offset_i = βᵀ f_i as a DataFrame (id, __off). Dense path: driver
-        matmul; CG path: distributed F·β matvec (F never densifies)."""
-        if name in self.side_np:
-            ids, fm = self.side_np[name]
-            off = fm @ self.beta[name]
-        else:
-            mv = self.side_cg[name]
-            ids = mv.row_ids
-            off = mv.fx(self.beta[name])
-        pdf_rows = [(int(i), off[n].tolist()) for n, i in enumerate(ids)]
-        df = self.spark.createDataFrame(pdf_rows, schema="id long, __off array<double>")
-        self.offsets[name] = F.broadcast(df)
+        """offset_i = βᵀ f_i as a DISTRIBUTED DataFrame (id, __off) — the
+        F·β matvec runs as a broadcast join + groupBy(id) on the COO; the
+        N×K offsets never exist on the driver. Persisted + checkpointed
+        per refresh (it feeds several joins per sweep); the previous
+        sweep's frame is unpersisted."""
+        mv = self.side_mv[name]
+        new = (
+            mv.fx_df(self.beta[name])
+            .select("id", F.col("y").alias("__off"))
+            .persist()
+        )
+        new = new.localCheckpoint()
+        old = self.offsets.get(name)
+        self.offsets[name] = new
+        if old is not None:
+            old.unpersist()
+
+    def _offsets_join(self, name: str) -> DataFrame:
+        """Offsets side for joins — broadcast when the entity is small."""
+        return _maybe_broadcast(self.offsets[name], self._side_counts.get(name, 0))
+
+    def _renorm_factors(self, name: str) -> None:
+        """Rescale an entity's factors to the balanced data-implied
+        per-entry rms after an ALS warmup half-sweep. Unregularized-ish
+        ridge updates from a tiny random init overshoot by α/λ-sized
+        gains and oscillate; renormalizing turns the warmup into an
+        orthogonal-iteration-style subspace sweep that cannot blow up —
+        the absolute scale is then re-fit by the first Gibbs sweeps."""
+        arity = min(
+            len(rel.entities) for rel, _ in self.rd.relations_of(name)
+        )
+        target = (self._value_std**2 / self.k) ** (1.0 / (2 * arity))
+        ms = self.factors[name].agg(
+            F.avg(
+                F.aggregate(
+                    F.transform("factor", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+            ).alias("ms")
+        ).collect()[0]["ms"]
+        rms = float(np.sqrt(max(ms or 0.0, 1e-18) / self.k))
+        s = target / max(rms, 1e-12)
+        scaled = self.factors[name].select(
+            "id", F.transform("factor", lambda x: x * F.lit(s)).alias("factor")
+        ).persist()
+        scaled = scaled.localCheckpoint()
+        old = self.factors[name]
+        self.factors[name] = scaled
+        old.unpersist()
 
     # ---------- per-sweep steps ----------
 
@@ -317,7 +419,7 @@ class MacauTrainer:
         u − βᵀf (the NW prior governs the residual [paper:Macau])."""
         fac = self.factors[name]
         if name in self.offsets:
-            fac = fac.join(self.offsets[name], "id", "left").select(
+            fac = fac.join(self._offsets_join(name), "id", "left").select(
                 "id",
                 F.when(
                     F.col("__off").isNotNull(),
@@ -341,7 +443,7 @@ class MacauTrainer:
         suu = np.sum([np.array(r["sum_uut"]).reshape(k, k) for r in parts], axis=0)
         return n, su, suu
 
-    def _sample_beta(self, name: str) -> None:
+    def _sample_beta(self, name: str, sweep: int) -> None:
         """I5 — link matrix via the exact Bhattacharya–Mallick sampler:
 
             β_k = (λ_u FᵀF + λ_β I)⁻¹ (λ_u Fᵀũ_k + √λ_u Fᵀe₁ + √λ_β e₂)
@@ -349,42 +451,40 @@ class MacauTrainer:
         which is a *sample* from the β posterior (mean/cov check out by
         direct computation). λ_u = mean diag(Λ) (exact when Λ isotropic —
         the property-tested regime; documented approximation otherwise).
-        Dense path (N·D small): driver-side solve of the D×D system.
-        CG path (large D): identical math, but rhs = Fᵀ(λ_u ũ + √λ_u e₁)
-        runs as ONE distributed transpose-matvec and the system
-        (FᵀF + (λ_β/λ_u) I) β = rhs/λ_u is solved by batched CG whose
-        matvecs are distributed join+aggs — FᵀF is never formed
-        [paper:Macau]."""
+
+        NOTHING N-scaled touches the driver: the stochastic target
+        t = λ_u ũ + √λ_u e₁ is computed per instance by a seeded kernel
+        over the factor DataFrame (e₁ keyed by ("beta_e1", seed, sweep,
+        id) — retry-idempotent), and rhs = Fᵀt is ONE distributed
+        transpose-matvec collecting only D×K. The system is then solved
+        either driver-side from the precomputed D×D Gram (D ≤
+        direct_max_d) or by batched CG whose matvecs are distributed
+        join+aggs — FᵀF is never formed [paper:Macau]."""
         mu, lam = self.hyper[name]
         lam_u = float(np.mean(np.diag(lam)))
         lam_b = self.lambda_beta[name]
-        dense = name in self.side_np
-        if dense:
-            ids, fm = self.side_np[name]
-            d = fm.shape[1]
-        else:
-            mv = self.side_cg[name]
-            ids = mv.row_ids
-            d = mv.n_feats
-        # collect this entity's factors aligned to side-info ids (N×K — the
-        # factor block; Macau's D is the scale axis, not N)
-        rows = {r["id"]: np.array(r["factor"]) for r in self.factors[name].collect()}
-        u = np.stack([rows.get(int(i), np.zeros(self.k)) for i in ids])
-        ut = u - mu  # residual target
-        e1 = self.rng.standard_normal(u.shape)
-        e2 = self.rng.standard_normal((d, self.k))
-        if dense:
-            rhs = (
-                lam_u * fm.T @ ut
-                + np.sqrt(lam_u) * (fm.T @ e1)
-                + np.sqrt(lam_b) * e2
+        mv = self.side_mv[name]
+        d, k = mv.n_feats, self.k
+        # β-specific sub-seed: distinct stream from the factor kernel's
+        # (_entity_seed(seed, name), sweep, id) keys
+        eseed = _entity_seed(self.seed, name + "/beta_e1")
+        target = (
+            self.factors[name]
+            .withColumn("__b", F.pmod(F.col("id"), F.lit(self.n_blocks)))
+            .groupBy("__b")
+            .applyInPandas(
+                _beta_target_fn(k, mu, lam_u, eseed, sweep),
+                schema="id long, t array<double>",
             )
-            a = lam_u * (fm.T @ fm) + lam_b * np.eye(d)
+        )
+        rhs = mv.fty_df(target, k, y_col="t")
+        rhs = rhs + np.sqrt(lam_b) * self.rng.standard_normal((d, k))
+        if name in self.side_gram:
+            a = lam_u * self.side_gram[name] + lam_b * np.eye(d)
             self.beta[name] = np.linalg.solve(a, rhs)
         else:
             from bayesiandatafusion_jl_spark.ml.cg import cg_solve
 
-            rhs = mv.fty(lam_u * ut + np.sqrt(lam_u) * e1) + np.sqrt(lam_b) * e2
             self.beta[name] = cg_solve(
                 mv,
                 rhs / lam_u,
@@ -402,10 +502,33 @@ class MacauTrainer:
         plain factor). Collective = unionByName across relations (I10)."""
         pieces = []
         for rel, mode in self.rd.relations_of(name):
-            df = rel.df
-            if "split" in df.columns:
-                df = df.filter(F.col("split") == "train")
-            df = df.withColumn("__val", F.col(rel.value_col) - F.lit(self.global_mean))
+            if rel.probit:
+                aug = self._aug.get(id(rel))
+                if aug is not None:
+                    # Albert–Chib latents refreshed this sweep: train on z
+                    # with unit noise precision, no centering (the latent
+                    # mean lives in u·v)
+                    df = aug.withColumn("__val", F.col("__zval"))
+                else:
+                    # warmup (pre-augmentation): ALS on the ±1 binarized
+                    # labels — sign structure is what matters for the
+                    # subspace warm start
+                    df = rel.df
+                    if "split" in df.columns:
+                        df = df.filter(F.col("split") == "train")
+                    df = df.withColumn(
+                        "__val",
+                        F.when(
+                            F.col(rel.value_col) > F.lit(rel.class_cut), 1.0
+                        ).otherwise(-1.0),
+                    )
+            else:
+                df = rel.df
+                if "split" in df.columns:
+                    df = df.filter(F.col("split") == "train")
+                df = df.withColumn(
+                    "__val", F.col(rel.value_col) - F.lit(self.global_mean)
+                )
             fac_cols = []
             for m, other in enumerate(rel.entities):
                 if m == mode:
@@ -423,7 +546,8 @@ class MacauTrainer:
                 F.col(rel.entities[mode]).cast("long").alias("__id"),
                 F.col("__val"),
                 _hadamard(fac_cols).alias("__fac"),
-                F.lit(rel.alpha).alias("__alpha"),
+                # probit augmentation fixes the latent noise precision at 1
+                F.lit(1.0 if rel.probit else rel.alpha).alias("__alpha"),
             ]
             if self.skew_salt:
                 other_sum = reduce(
@@ -441,9 +565,65 @@ class MacauTrainer:
             pieces.append(df)
         return reduce(lambda a, b: a.unionByName(b), pieces)
 
-    def _sample_entity(self, name: str, sweep: int) -> None:
+    def _refresh_probit_z(self, rel, sweep: int) -> None:
+        """Albert–Chib augmentation step (runs once per sweep per probit
+        relation, BEFORE the entity updates): z_c ~ N(u·v, 1) truncated by
+        the binarized label. Everything is O(cells) and stays distributed:
+        JVM joins for u·v, an xxhash64-derived uniform per cell
+        (retry-idempotent: keyed by cell ids, seed and sweep), and one
+        Arrow-vectorized UDF for the inverse-CDF truncation."""
+        df = rel.df
+        if "split" in df.columns:
+            df = df.filter(F.col("split") == "train")
+        df = df.select(
+            *[F.col(c).cast("long").alias(c) for c in rel.entities],
+            F.when(F.col(rel.value_col) > F.lit(rel.class_cut), 1.0)
+            .otherwise(0.0)
+            .alias("__y"),
+        )
+        fac_cols = []
+        for m, ent in enumerate(rel.entities):
+            fcol = f"__f{m}"
+            fdf = self.factors[ent].select(
+                F.col("id").alias(f"__oid{m}"), F.col("factor").alias(fcol)
+            )
+            df = df.join(
+                _maybe_broadcast(fdf, self._entity_counts[ent]),
+                F.col(rel.entities[m]) == F.col(f"__oid{m}"),
+            )
+            fac_cols.append(fcol)
+        prod = _hadamard(fac_cols)
+        pred = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+        zseed = _entity_seed(self.seed, "/probit/" + "/".join(rel.entities))
+        unif = (
+            F.pmod(
+                F.xxhash64(*rel.entities, F.lit(zseed), F.lit(sweep)),
+                F.lit(2**53),
+            ).cast("double")
+            / F.lit(float(2**53))
+        )
+        tn = _truncnorm_udf()
+        new = df.select(
+            *rel.entities,
+            tn(pred, unif, F.col("__y")).alias("__zval"),
+        ).persist()
+        new = new.localCheckpoint()
+        old = self._aug.get(id(rel))
+        self._aug[id(rel)] = new
+        if old is not None:
+            old.unpersist()
+
+    def _sample_entity(
+        self, name: str, sweep: int, deterministic: bool = False
+    ) -> None:
         k, seed = self.k, _entity_seed(self.seed, name)
-        mu, lam = self.hyper[name]
+        wr = 0.0
+        if deterministic:
+            # ALS-WR warm-start half-sweep: weighted ridge, conditional mean
+            mu, lam = np.zeros(k), self.warmup_lambda * np.eye(k)
+            wr = self.warmup_wr
+        else:
+            mu, lam = self.hyper[name]
         cells = self._cell_inputs(name)
         off_col = "__off" if name in self.offsets else None
         if self.skew_salt:
@@ -460,25 +640,30 @@ class MacauTrainer:
                 .groupBy("__b")
                 .applyInPandas(
                     _partial_fn(k),
-                    schema="id long, salt long, srv array<double>, svv array<double>",
+                    schema=(
+                        "id long, salt long, srv array<double>, "
+                        "svv array<double>, sa double"
+                    ),
                 )
             )
             if off_col:
-                partials = partials.join(self.offsets[name], "id", "left")
+                partials = partials.join(self._offsets_join(name), "id", "left")
             new = (
                 partials.withColumn(
                     "__b", F.pmod(F.col("id"), F.lit(self.n_blocks))
                 )
                 .groupBy("__b")
                 .applyInPandas(
-                    _combine_fn(k, mu, lam, seed, sweep, off_col),
+                    _combine_fn(k, mu, lam, seed, sweep, off_col, deterministic, wr),
                     schema="id long, factor array<double>",
                 )
             )
         else:
             if off_col:
                 cells = cells.join(
-                    self.offsets[name].select(F.col("id").alias("__id"), "__off"),
+                    self._offsets_join(name).select(
+                        F.col("id").alias("__id"), "__off"
+                    ),
                     "__id",
                     "left",
                 )
@@ -486,7 +671,7 @@ class MacauTrainer:
                 cells.withColumn("__b", F.pmod(F.col("__id"), F.lit(self.n_blocks)))
                 .groupBy("__b")
                 .applyInPandas(
-                    _sample_fn(k, mu, lam, seed, sweep, off_col),
+                    _sample_fn(k, mu, lam, seed, sweep, off_col, deterministic, wr),
                     schema="id long, factor array<double>",
                 )
             )
@@ -500,12 +685,12 @@ class MacauTrainer:
         else:
             missing = self._cold[name]
             if name in self.offsets:
-                missing = missing.join(self.offsets[name], "id", "left")
+                missing = missing.join(self._offsets_join(name), "id", "left")
             prior = (
                 missing.withColumn("__b", F.pmod(F.col("id"), F.lit(self.n_blocks)))
                 .groupBy("__b")
                 .applyInPandas(
-                    _prior_fn(k, mu, lam, seed, sweep),
+                    _prior_fn(k, mu, lam, seed, sweep, deterministic),
                     schema="id long, factor array<double>",
                 )
             )
@@ -543,11 +728,14 @@ class MacauTrainer:
     # ---------- main loop ----------
 
     def _gibbs_sweep(self, sweep: int) -> None:
+        for rel in self.rd.relations:
+            if rel.probit:
+                self._refresh_probit_z(rel, sweep)
         for name in self.rd.entities:
             n, su, suu = self._moments(name)
             self.hyper[name] = sample_normal_wishart(n, su, suu, self.rng)
-            if name in self.side_np or name in self.side_cg:
-                self._sample_beta(name)
+            if name in self.side_mv:
+                self._sample_beta(name, sweep)
             self._sample_entity(name, sweep)
 
     def _train_rmse(self) -> float:
@@ -558,6 +746,13 @@ class MacauTrainer:
         if "split" in df.columns:
             df = df.filter(F.col("split") == "train")
         pred = self._predict_sample(rel0, df)
+        if rel0.probit:
+            # latent scores vs ±1 labels — tracks the binary fit for the
+            # warmup plateau detector and chain selection
+            pred = pred.withColumn(
+                "y",
+                F.when(F.col("y") > F.lit(rel0.class_cut), 1.0).otherwise(-1.0),
+            )
         return float(
             pred.agg(
                 F.sqrt(F.avg(F.pow(F.col("y") - F.col("p"), 2))).alias("r")
@@ -577,9 +772,21 @@ class MacauTrainer:
             )
             self.rng = np.random.default_rng(self.seed)
             self.factors, self.hyper, self.beta, self.offsets = {}, {}, {}, {}
-            self.side_np, self.side_cg = {}, {}
+            self.side_mv, self.side_gram, self._aug = {}, {}, {}
             self.lambda_beta = {e: self._lambda_beta0 for e in self.rd.entities}
             self._init()
+            # ALS warm-start: deterministic mean half-sweeps (negative
+            # sweep ids — never collide with the Gibbs RNG keys), until
+            # the per-sweep train-RMSE improvement stalls
+            prev_tr = None
+            for w in range(self.warmup):
+                for name in self.rd.entities:
+                    self._sample_entity(name, -(w + 2), deterministic=True)
+                    self._renorm_factors(name)
+                tr = self._train_rmse()
+                if prev_tr is not None and tr > prev_tr * (1 - self.warmup_tol):
+                    break
+                prev_tr = tr
             for sweep in range(self.burnin):
                 self._gibbs_sweep(sweep)
             if self.n_chains == 1:
@@ -588,7 +795,7 @@ class MacauTrainer:
             state = dict(
                 factors=self.factors, hyper=self.hyper, beta=self.beta,
                 offsets=self.offsets, lambda_beta=self.lambda_beta,
-                side_np=self.side_np, side_cg=self.side_cg,
+                side_mv=self.side_mv, side_gram=self.side_gram,
                 rng=self.rng, seed=self.seed,
             )
             if best is None or tr < best[0]:
@@ -603,7 +810,7 @@ class MacauTrainer:
             st = best[1]
             self.factors, self.hyper, self.beta = st["factors"], st["hyper"], st["beta"]
             self.offsets, self.lambda_beta = st["offsets"], st["lambda_beta"]
-            self.side_np, self.side_cg = st["side_np"], st["side_cg"]
+            self.side_mv, self.side_gram = st["side_mv"], st["side_gram"]
             self.rng, self.seed = st["rng"], st["seed"]
 
         rel0 = self.rd.relations[0]

@@ -8,25 +8,33 @@ the matvec FᵀF·x = Fᵀ(F·x) is two sparse products.
 Engine mapping (the reference's ParallelSBM multi-process matvec
 [upstream:src/ParallelSBM.jl — UNVERIFIED] is *free* in Spark):
 
-    F stored COO: (id: long, feat: long, v: double), co-partitioned by id.
-    y = F·x  : broadcast x (D-dim) → map-side v * x[feat] → groupBy(id)
-    z = Fᵀ·y : broadcast y join on id → groupBy(feat) sum(v * y[id])
+    F stored COO: (id: long, feat: long, v: double), partitioned by id.
+    y = F·x  : x (D×K, driver) ships as a BROADCAST (feat, x) table →
+               map-side join on feat → zip-multiply → groupBy(id).
+               y stays a DISTRIBUTED DataFrame — N×K never touches the
+               driver.
+    z = Fᵀ·y : join COO ⋈ y on id (COO already partitioned by id) →
+               zip-multiply → groupBy(feat) → D×K Arrow collect.
 
-Each CG iteration is therefore 2 shuffles (by id, by feat) of the COO —
-at 1000 executors this is a bulk-synchronous sparse matvec, the same
-communication pattern as the paper's blocked implementation.
+Per CG iteration: one D×K broadcast up, one D×K collect down, two
+shuffles — the driver only ever holds D×K/K×K objects, matching the
+paper's bulk-synchronous blocked matvec at any N. All per-row arithmetic
+is JVM higher-order functions (``transform``) — no Python worker in the
+loop.
 
 The K RHS are batched into one matvec per iteration (x is D×K), so the
 sweep costs O(cg_iters) Spark jobs regardless of K.
 
-For moderate D (≲ 10⁴) the driver solves directly from the Gram matrix —
-computed distributed in one pass — because CG's per-iteration job overhead
-only pays off when D×D no longer fits (the ``direct`` flag).
+For moderate D (D ≤ direct threshold) the Gram matrix FᵀF is computed
+distributed ONCE (F is static across sweeps) and every per-sweep β solve
+is a driver-side D×D Cholesky — CG's per-iteration job overhead only pays
+off when D×D no longer fits.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,96 +42,108 @@ from pyspark.sql import functions as F
 
 def features_to_coo(side_info: DataFrame) -> DataFrame:
     """(id, features: array<float>) → COO (id, feat, v), the sparse layout
-    CG operates on. Dense arrays explode to dim·N rows; genuinely sparse
-    features should be stored COO at rest."""
-    return side_info.select(
-        F.col("id"),
-        F.posexplode("features").alias("feat", "v"),
-    ).select("id", "feat", F.col("v").cast("double").alias("v"))
+    the matvecs operate on. Dense arrays explode to dim·N rows; genuinely
+    sparse features should be stored COO at rest. Zero entries are dropped
+    (they contribute nothing to either matvec)."""
+    return (
+        side_info.select(
+            F.col("id"),
+            F.posexplode("features").alias("feat", "v"),
+        )
+        .select("id", "feat", F.col("v").cast("double").alias("v"))
+        .filter(F.col("v") != 0.0)
+    )
+
+
+def _elementwise_sum(col: str, k: int) -> F.Column:
+    """array<double> aggregate: element-wise sum of K-dim arrays — K plain
+    SUM aggregates (partial-aggregated map-side) reassembled into an array."""
+    return F.array(*[F.sum(F.element_at(col, i + 1)) for i in range(k)])
 
 
 class DistributedMatvec:
-    """y = F·X and z = Fᵀ·Y for a COO feature matrix, X/Y driver-side
-    numpy (D×K / N×K), F distributed."""
+    """y = F·X (distributed result) and z = Fᵀ·Y (D×K driver result) for a
+    COO feature matrix. The driver never holds anything larger than D×K;
+    feature ids must lie in [0, n_feats)."""
 
-    def __init__(self, spark: SparkSession, coo: DataFrame, n_rows: int, n_feats: int):
+    def __init__(
+        self,
+        spark: SparkSession,
+        coo: DataFrame,
+        n_rows: int,
+        n_feats: int,
+        n_parts: int | None = None,
+    ):
         self.spark = spark
-        self.coo = coo.persist()
+        n_parts = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # partition by id once: Fᵀ·y joins on id every CG iteration without
+        # re-shuffling the (large) COO side
+        self.coo = coo.repartition(n_parts, "id").persist()
         self.n_rows = n_rows
         self.n_feats = n_feats
-        # row-id ordering maps between DataFrame ids and numpy offsets
-        self.row_ids = np.array(
-            [r[0] for r in coo.select("id").distinct().orderBy("id").collect()]
-        )
-        self.feat_ids = np.array(
-            [r[0] for r in coo.select("feat").distinct().orderBy("feat").collect()]
-        )
 
-    def fx(self, x: np.ndarray) -> np.ndarray:
-        """F·x for x (D, K) → (N, K), one distributed pass."""
+    def _x_table(self, x: np.ndarray) -> DataFrame:
+        """Ship a D×K driver matrix as a broadcastable (feat, x) table via
+        one Arrow upload."""
+        pdf = pd.DataFrame(
+            {"feat": np.arange(x.shape[0], dtype=np.int64), "x": list(x)}
+        )
+        return F.broadcast(self.spark.createDataFrame(pdf))
+
+    def fx_df(self, x: np.ndarray) -> DataFrame:
+        """F·x for x (D, K) → DISTRIBUTED (id, y: array<double>) — the N×K
+        result never leaves the executors. Map-side broadcast join + one
+        groupBy(id) shuffle; all arithmetic JVM-side."""
         k = x.shape[1]
-        xb = self.spark.sparkContext.broadcast({int(f): x[d] for d, f in enumerate(self.feat_ids)})
-
-        @F.pandas_udf("array<double>")
-        def _contrib(feat, v):
-            import pandas as pd  # local: executor side
-
-            lut = xb.value
-            return pd.Series(
-                [(lut[int(f)] * float(vv)).tolist() for f, vv in zip(feat, v)]
-            )
-
-        rows = (
-            self.coo.withColumn("c", _contrib("feat", "v"))
-            .groupBy("id")
-            .agg(
-                F.array(
-                    *[F.sum(F.element_at("c", i + 1)).alias(f"s{i}") for i in range(k)]
-                ).alias("y")
-            )
-            .orderBy("id")
-            .collect()
+        scaled = self.coo.join(self._x_table(x), "feat").select(
+            "id", F.transform("x", lambda e: e * F.col("v")).alias("c")
         )
-        out = np.zeros((len(self.row_ids), k))
-        pos = {int(i): n for n, i in enumerate(self.row_ids)}
-        for r in rows:
-            out[pos[int(r["id"])]] = r["y"]
-        return out
+        return scaled.groupBy("id").agg(_elementwise_sum("c", k).alias("y"))
 
-    def fty(self, y: np.ndarray) -> np.ndarray:
-        """Fᵀ·y for y (N, K) → (D, K), one distributed pass."""
-        k = y.shape[1]
-        yb = self.spark.sparkContext.broadcast({int(i): y[n] for n, i in enumerate(self.row_ids)})
-
-        @F.pandas_udf("array<double>")
-        def _contrib(idc, v):
-            import pandas as pd
-
-            lut = yb.value
-            return pd.Series(
-                [(lut[int(i)] * float(vv)).tolist() for i, vv in zip(idc, v)]
-            )
-
-        rows = (
-            self.coo.withColumn("c", _contrib("id", "v"))
-            .groupBy("feat")
-            .agg(
-                F.array(
-                    *[F.sum(F.element_at("c", i + 1)).alias(f"s{i}") for i in range(k)]
-                ).alias("z")
-            )
-            .orderBy("feat")
-            .collect()
+    def fty_df(self, y: DataFrame, k: int, y_col: str = "y") -> np.ndarray:
+        """Fᵀ·y for a distributed y (id, <y_col>: array<double>) → (D, K)
+        driver numpy. COO is pre-partitioned by id, so only the (smaller)
+        y side shuffles into the join; groupBy(feat) partial-aggregates
+        map-side down to ≤ D×K per partition."""
+        joined = self.coo.join(y.select("id", y_col), "id").select(
+            "feat", F.transform(y_col, lambda e: e * F.col("v")).alias("c")
         )
-        out = np.zeros((len(self.feat_ids), k))
-        pos = {int(f): d for d, f in enumerate(self.feat_ids)}
-        for r in rows:
-            out[pos[int(r["feat"])]] = r["z"]
+        rows = (
+            joined.groupBy("feat").agg(_elementwise_sum("c", k).alias("z")).toPandas()
+        )
+        out = np.zeros((self.n_feats, k))
+        if len(rows):
+            out[rows["feat"].to_numpy(dtype=np.int64)] = np.stack(
+                rows["z"].to_numpy()
+            )
         return out
 
     def normal_matvec(self, x: np.ndarray, lam: float) -> np.ndarray:
-        """(FᵀF + λI)·x in two distributed passes."""
-        return self.fty(self.fx(x)) + lam * x
+        """(FᵀF + λI)·x: F·x stays distributed between the two passes —
+        one broadcast up (D×K), one collect down (D×K)."""
+        return self.fty_df(self.fx_df(x), x.shape[1]) + lam * x
+
+    def gram(self) -> np.ndarray:
+        """FᵀF (D×D) computed distributed in one self-join pass — run ONCE
+        at init for the direct path (F is static across sweeps). Only call
+        when D×D comfortably fits on the driver."""
+        a = self.coo.alias("a")
+        b = self.coo.alias("b")
+        rows = (
+            a.join(b, F.col("a.id") == F.col("b.id"))
+            .groupBy(F.col("a.feat").alias("fi"), F.col("b.feat").alias("fj"))
+            .agg(F.sum(F.col("a.v") * F.col("b.v")).alias("g"))
+            .toPandas()
+        )
+        d = self.n_feats
+        gram = np.zeros((d, d))
+        gram[rows["fi"].to_numpy(dtype=np.int64), rows["fj"].to_numpy(dtype=np.int64)] = (
+            rows["g"].to_numpy(dtype=np.float64)
+        )
+        return gram
+
+    def unpersist(self) -> None:
+        self.coo.unpersist()
 
 
 def cg_solve(
@@ -136,7 +156,8 @@ def cg_solve(
     """Batched CG on the normal equations; all K RHS share each matvec.
 
     Plain CG per column but with the matvec applied to the whole block —
-    per-column α/β scalars, joint convergence on the max residual.
+    per-column α/β scalars, joint convergence on the max residual. Driver
+    state: x, r, p — each D×K.
     """
     x = np.zeros_like(b)
     r = b - mv.normal_matvec(x, lam)
@@ -156,24 +177,3 @@ def cg_solve(
         p = r + p * beta
         rs = rs_new
     return x
-
-
-def gram_direct_solve(
-    spark: SparkSession, coo: DataFrame, b: np.ndarray, lam: float
-) -> np.ndarray:
-    """Direct path for moderate D: Gram = FᵀF computed distributed in one
-    self-join pass, Cholesky solve on the driver. Used when D² fits
-    comfortably in driver memory (D ≲ 10⁴)."""
-    a = coo.alias("a")
-    bb = coo.alias("b")
-    gram_rows = (
-        a.join(bb, F.col("a.id") == F.col("b.id"))
-        .groupBy(F.col("a.feat").alias("fi"), F.col("b.feat").alias("fj"))
-        .agg(F.sum(F.col("a.v") * F.col("b.v")).alias("g"))
-        .collect()
-    )
-    d = b.shape[0]
-    gram = np.zeros((d, d))
-    for r in gram_rows:
-        gram[int(r["fi"]), int(r["fj"])] = r["g"]
-    return np.linalg.solve(gram + lam * np.eye(d), b)

@@ -63,6 +63,8 @@ def sample_block(
     fac_col: str = "__fac",
     off_col: str | None = None,
     alpha_col: str | None = None,
+    deterministic: bool = False,
+    wr: float = 0.0,
 ) -> pd.DataFrame:
     """Sample new factors for every instance present in one block.
 
@@ -71,6 +73,16 @@ def sample_block(
     Per-cell α carries collective factorization (I10): cells from different
     relations keep their relation's noise precision in one fused update.
     Returns (id, factor array) per instance.
+
+    deterministic=True skips the Gaussian innovation and returns the
+    conditional MEAN — one half-sweep of ridge ALS with the same
+    sufficient statistics, used to warm-start the Gibbs chain near the
+    MAP mode [paper:BPMF §init — Gibbs is initialized from the PMF MAP].
+    wr adds ALS-WR weighted regularization [paper:ALS-WR]: per-instance
+    ridge wr·(Σ_cells α)·I, which suppresses data-unsupported (degenerate)
+    directions an unregularized LS fit would inflate — without it a
+    strong-residual instance overfits a prior-free runaway direction
+    (train RMSE descends while test RMSE explodes).
     """
     ids = pdf[id_col].to_numpy()
     vals = pdf[val_col].to_numpy(dtype=np.float64)
@@ -104,17 +116,22 @@ def sample_block(
         ai = alpha_s[lo:hi]
         via = vi * ai[:, None]
         prec = lam + vi.T @ via
+        if wr > 0.0:
+            prec = prec + (wr * ai.sum()) * np.eye(k)
         if offsets is not None and int(i) in offsets:
             b = lam @ (mu + offsets[int(i)]) + via.T @ ri
         else:
             b = lam_mu + via.T @ ri
-        chol = np.linalg.cholesky(prec)
         mean = np.linalg.solve(prec, b)  # K×K, tiny
-        rng = np.random.default_rng(_stable_seed(seed, sweep, int(i)))
-        z = rng.standard_normal(k)
-        # u ~ N(mean, prec^-1): mean + L^-T z with L = chol(prec)
         out_ids[n] = i
-        out_fac[n] = mean + np.linalg.solve(chol.T, z)
+        if deterministic:
+            out_fac[n] = mean
+        else:
+            chol = np.linalg.cholesky(prec)
+            rng = np.random.default_rng(_stable_seed(seed, sweep, int(i)))
+            z = rng.standard_normal(k)
+            # u ~ N(mean, prec^-1): mean + L^-T z with L = chol(prec)
+            out_fac[n] = mean + np.linalg.solve(chol.T, z)
     return pd.DataFrame({"id": out_ids, "factor": list(out_fac)})
 
 
@@ -162,9 +179,10 @@ def partial_stats_block(
                 int(salts_s[lo]),
                 srv.tolist(),
                 svv.reshape(-1).tolist(),
+                float(alpha_s[lo:hi].sum()),
             )
         )
-    return pd.DataFrame(out, columns=["id", "salt", "srv", "svv"])
+    return pd.DataFrame(out, columns=["id", "salt", "srv", "svv", "sa"])
 
 
 def combine_sample_block(
@@ -175,11 +193,15 @@ def combine_sample_block(
     seed: int,
     sweep: int,
     off_col: str | None = None,
+    deterministic: bool = False,
+    wr: float = 0.0,
 ) -> pd.DataFrame:
     """Phase 2: combine an instance's partials (few rows per instance) and
     draw the conditional Gaussian sample — same math and same RNG key as
     the one-phase ``sample_block``, so the two paths agree to float
-    associativity."""
+    associativity. deterministic=True returns the conditional mean (ALS
+    warm-start half-sweep); wr is the ALS-WR weighted ridge (see
+    ``sample_block``), applied against the summed per-partial ``sa``."""
     ids = pdf["id"].to_numpy()
     offsets = None
     if off_col is not None and off_col in pdf.columns:
@@ -200,6 +222,11 @@ def combine_sample_block(
     ids_s = ids[order]
     srv_s = pdf["srv"].to_numpy()[order]
     svv_s = pdf["svv"].to_numpy()[order]
+    sa_s = (
+        pdf["sa"].to_numpy(dtype=np.float64)[order]
+        if "sa" in pdf.columns
+        else np.zeros(len(ids_s))
+    )
     uniq, starts = np.unique(ids_s, return_index=True)
     bounds = np.append(starts, len(ids_s))
     lam_mu = lam @ mu
@@ -211,15 +238,20 @@ def combine_sample_block(
             [np.asarray(s).reshape(k, k) for s in svv_s[lo:hi]], axis=0
         )
         prec = lam + svv
+        if wr > 0.0:
+            prec = prec + (wr * sa_s[lo:hi].sum()) * np.eye(k)
         if offsets is not None and int(i) in offsets:
             b = lam @ (mu + offsets[int(i)]) + srv
         else:
             b = lam_mu + srv
-        chol = np.linalg.cholesky(prec)
         mean = np.linalg.solve(prec, b)
-        rng = np.random.default_rng(_stable_seed(seed, sweep, int(i)))
-        z = rng.standard_normal(k)
-        out_fac[n] = mean + np.linalg.solve(chol.T, z)
+        if deterministic:
+            out_fac[n] = mean
+        else:
+            chol = np.linalg.cholesky(prec)
+            rng = np.random.default_rng(_stable_seed(seed, sweep, int(i)))
+            z = rng.standard_normal(k)
+            out_fac[n] = mean + np.linalg.solve(chol.T, z)
     return pd.DataFrame({"id": uniq.astype(np.int64), "factor": list(out_fac)})
 
 
@@ -230,10 +262,11 @@ def prior_block(
     lam: np.ndarray,
     seed: int,
     sweep: int,
+    deterministic: bool = False,
 ) -> pd.DataFrame:
     """Cold-start instances (no training cells this sweep): sample from the
     prior u_i ~ N(μ + βᵀf_i, Λ⁻¹) [paper:Macau cold start]. pdf rows:
-    (id[, __off])."""
+    (id[, __off]). deterministic=True returns the prior mean."""
     ids = pdf["id"].to_numpy()
     offs = None
     if "__off" in pdf.columns:
@@ -242,23 +275,59 @@ def prior_block(
     chol = np.linalg.cholesky((cov + cov.T) / 2)
     out = np.empty((len(ids), k), dtype=np.float64)
     for n, i in enumerate(ids):
-        rng = np.random.default_rng(_stable_seed(seed, sweep, int(i)))
         m = mu.copy()
         if offs is not None and offs[n] is not None:
             m = m + np.asarray(offs[n], dtype=np.float64)
-        out[n] = m + chol @ rng.standard_normal(k)
+        if deterministic:
+            out[n] = m
+        else:
+            rng = np.random.default_rng(_stable_seed(seed, sweep, int(i)))
+            out[n] = m + chol @ rng.standard_normal(k)
     return pd.DataFrame({"id": ids, "factor": list(out)})
 
 
 def init_factors_pdf(pdf: pd.DataFrame, k: int, seed: int, scale: float = 0.3) -> pd.DataFrame:
     """I2 — seeded random init per instance: u_i ~ N(0, scale²) with RNG
-    keyed by (seed, id) → reproducible under retries."""
+    keyed by (seed, -1, id) → reproducible under retries. sweep=-1 gives
+    initialization its own stream: a bare (seed, 0, id) key would collide
+    with sweep 0's kernel key and correlate the init noise with the first
+    Gibbs innovation. All-int key — str components would make the hash
+    PYTHONHASHSEED-dependent and differ across executor processes."""
     ids = pdf["id"].to_numpy()
     out = np.empty((len(ids), k), dtype=np.float64)
     for n, i in enumerate(ids):
-        rng = np.random.default_rng(abs(hash((seed, 0, int(i)))) % (2**63))
+        rng = np.random.default_rng(_stable_seed(seed, -1, int(i)))
         out[n] = scale * rng.standard_normal(k)
     return pd.DataFrame({"id": ids, "factor": list(out)})
+
+
+def beta_target_block(
+    pdf: pd.DataFrame,
+    k: int,
+    mu: np.ndarray,
+    lam_u: float,
+    seed: int,
+    sweep: int,
+) -> pd.DataFrame:
+    """Distributed β-sampling target (I5): per instance,
+
+        t_i = λ_u (u_i − μ) + √λ_u ε_i,   ε_i ~ N(0, I_K)
+
+    so that Fᵀ·t is the stochastic right-hand side of the
+    Bhattacharya–Mallick exact β sampler — computed WITHOUT collecting the
+    N×K factor matrix to the driver. ε is keyed by (seed, sweep, id)
+    where the caller passes a β-specific sub-seed (crc32-salted, distinct
+    from the kernel streams): retry-idempotent, all-int key
+    (PYTHONHASHSEED-safe).
+    """
+    ids = pdf["id"].to_numpy()
+    fac = np.stack(pdf["factor"].to_numpy())
+    out = np.empty((len(ids), k), dtype=np.float64)
+    sq = np.sqrt(lam_u)
+    for n, i in enumerate(ids):
+        rng = np.random.default_rng(_stable_seed(seed, sweep, int(i)))
+        out[n] = lam_u * (fac[n] - mu) + sq * rng.standard_normal(k)
+    return pd.DataFrame({"id": ids, "t": list(out)})
 
 
 def moments_block(pdf: pd.DataFrame, k: int) -> pd.DataFrame:

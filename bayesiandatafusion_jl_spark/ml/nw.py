@@ -19,9 +19,22 @@ def sample_normal_wishart(
     df0: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sample (μ, Λ) from the NW posterior with prior μ0=0, κ0=b0, W0=I,
-    ν0=K (the BPMF defaults [paper:BPMF §3.2])."""
+    ν0=K+2 (paper [paper:BPMF §3.2] uses ν0=K; we add 2 for stability).
+
+    Why ν0=K+2, not the paper's K: with ν0=K the Wishart prior density
+    ∝|Λ|^{(ν0−K−1)/2} DIVERGES at singular Λ, and a latent dimension d
+    that decouples from the likelihood enters a variance random walk with
+    per-sweep gain E[σ²_{t+1}/σ²_t] ≈ (n/(ν0+n)) · ((ν0+n)/(ν0+n−K−1))
+    = n/(ν0+n−K−1): the shrink factor n/(ν0+n) times the Jensen factor
+    from drawing σ² = 1/Λ_d of an inverse-Wishart marginal. At ν0=K the
+    gain is n/(n−1) > 1 — a slow exponential blow-up of one factor
+    column, observed empirically on planted matrices (a single entity's
+    factor drifts to norm ≫ posterior scale over tens of sweeps). ν0=K+2
+    makes the gain n/(n+1) < 1 and the prior density vanish at singular
+    Λ, eliminating the runaway while staying a legitimate, proper NW
+    prior."""
     k = len(sum_u)
-    nu0 = df0 if df0 is not None else k
+    nu0 = df0 if df0 is not None else k + 2
     if n == 0:
         lam = wishart_sample(nu0, np.eye(k), rng)
         mu = rng.standard_normal(k) / np.sqrt(b0)

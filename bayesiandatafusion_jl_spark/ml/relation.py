@@ -34,7 +34,11 @@ class Relation:
     ``df`` columns: one id column per entity (named by the entity), plus
     ``value_col``. Arity 2 = matrix, ≥3 = tensor. ``alpha`` is the noise
     precision [paper:Macau]; ``class_cut`` enables the binary/AUC readout
-    [api].
+    [api]. ``probit=True`` additionally switches TRAINING to the binary
+    likelihood: observations are binarized at class_cut and the Gibbs
+    kernel runs on Albert–Chib truncated-normal latents z ~ TN(u·v, 1)
+    (noise precision fixed at 1 — ``alpha`` is ignored), matching the
+    reference's binary-relation training [api class_cut].
     """
 
     df: DataFrame
@@ -42,6 +46,7 @@ class Relation:
     value_col: str = "value"
     alpha: float = 2.0
     class_cut: float | None = None
+    probit: bool = False
 
     @property
     def arity(self) -> int:

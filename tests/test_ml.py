@@ -144,10 +144,12 @@ def test_collective_shared_entity(spark, planted):
     assert res.rmse < 0.6
 
 
-def test_sample_beta_cg_path_matches_dense(spark, planted):
-    """I5 — the large-D CG path (F kept as distributed COO, batched-CG
-    solve, distributed matvecs) must produce the same β sample as the
-    dense driver-side solve, given identical RNG state and factors."""
+def test_sample_beta_cg_path_matches_direct(spark, planted):
+    """I5 — the large-D CG path (batched-CG solve, distributed matvecs)
+    must produce the same β sample as the direct path (distributed Gram
+    once + driver D×D Cholesky), given identical RNG state and factors.
+    The stochastic target e₁ is seeded per (entity, sweep, id), so both
+    paths solve the exact same system."""
     from bayesiandatafusion_jl_spark.ml.bpmf import MacauTrainer
     from bayesiandatafusion_jl_spark.ml.nw import sample_normal_wishart
 
@@ -158,26 +160,26 @@ def test_sample_beta_cg_path_matches_dense(spark, planted):
     side_rows = [(int(i), feats[i].astype(float).tolist()) for i in range(u.shape[0])]
     side = spark.createDataFrame(side_rows, schema="id long, features array<float>")
 
-    def make(threshold):
+    def make(direct_max_d):
         rd = RelationData()
         rd.add_entity(Entity("row", side_info=side))
         rd.add_relation(Relation(df, ["row", "col"], alpha=30.0))
         t = MacauTrainer(
             spark, rd, num_latent=4, seed=5, n_blocks=8,
-            side_driver_max_cells=threshold, cg_tol=1e-10, cg_max_iter=100,
+            direct_max_d=direct_max_d, cg_tol=1e-10, cg_max_iter=100,
         )
         t._init()
         n, su, suu = t._moments("row")
         t.hyper["row"] = sample_normal_wishart(n, su, suu, t.rng)
-        t._sample_beta("row")
+        t._sample_beta("row", 0)
         return t
 
-    t_dense = make(10**9)
+    t_direct = make(10**9)
     t_cg = make(0)
-    assert "row" in t_dense.side_np and "row" in t_cg.side_cg
+    assert "row" in t_direct.side_gram and "row" not in t_cg.side_gram
     # same seed → same NW + noise draws; CG solves the same system
-    diff = np.max(np.abs(t_dense.beta["row"] - t_cg.beta["row"]))
-    scale = np.max(np.abs(t_dense.beta["row"])) + 1e-12
+    diff = np.max(np.abs(t_direct.beta["row"] - t_cg.beta["row"]))
+    scale = np.max(np.abs(t_direct.beta["row"])) + 1e-12
     assert diff / scale < 1e-4, (diff, scale)
 
 
