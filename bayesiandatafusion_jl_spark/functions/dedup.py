@@ -109,7 +109,7 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
 
 
-def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+def shingles(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
     """k-token shingles (sliding word k-grams), one row per distinct shingle.
 
     Shingling, not unigrams, is what makes MinHash work on real corpora:
@@ -118,6 +118,11 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     278 s at sf0.1), while exact k-gram matches between unrelated docs are
     rare (random-pair Jaccard ≈ 0). Pure built-ins: transform over a
     sequence of positions, then explode.
+
+    ``distinct=False`` skips the global (doc_id, shingle) dedup shuffle —
+    pass it when every downstream consumer is duplicate-insensitive
+    (MinHash ``min``, ``collect_set``): the explode then pipelines straight
+    into the consumer's aggregation with zero extra exchanges.
     """
     # Guard: a document with fewer than k tokens yields ZERO shingles
     # (matching the UDTF semantics) — without this, sequence(0, 0) emits
@@ -134,7 +139,8 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
             )
         ),
     )
-    return sh.filter(F.col("shingle") != "").select("doc_id", "shingle").distinct()
+    out = sh.filter(F.col("shingle") != "").select("doc_id", "shingle")
+    return out.distinct() if distinct else out
 
 
 @register(
@@ -253,6 +259,16 @@ def q_llm_near_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Self-duplicates are constructed (testdata texts are unique): each doc
     with doc_id % 7 == 0 gets a mutated twin (first token dropped), and the
     operator must find twin pairs.
+
+    Execution shape (the r2 regression's fix): ONE groupBy(doc_id) over a
+    non-distinct shingle explode produces BOTH the MinHash signature
+    (``min`` is duplicate-insensitive) and the exact-verify token set
+    (``collect_set`` dedups itself) — the r1/r2 plans paid an extra global
+    (doc_id, shingle) distinct shuffle over the full exploded corpus, and
+    r2 additionally cached that multi-GB-at-scale frame (never released).
+    Only the per-doc frame (one row per doc) is persisted, and the final
+    near-dup pair set — bounded by the true duplicate count, not corpus
+    size — is materialized eagerly so the cache is released on return.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     twins = docs.filter(F.col("doc_id") % 7 == 0).select(
@@ -260,18 +276,18 @@ def q_llm_near_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
     )
     corpus = docs.unionByName(twins)
-    # One shingle pass, persisted: feeds both the signatures and the
-    # exact-verify token sets (was computed twice — the r1 bench's slowest
-    # query halved by this).
-    sh = shingles(corpus).persist()
-    sigs = minhash_signatures(corpus, sh=sh)
-    cands = lsh_candidate_pairs(sigs)
+    sh = shingles(corpus, distinct=False)
+    n_hashes = 32
+    per_doc = sh.groupBy("doc_id").agg(
+        F.array(
+            *[F.min(F.xxhash64("shingle", F.lit(i))) for i in range(n_hashes)]
+        ).alias("sig"),
+        F.collect_set("shingle").alias("toks"),
+    ).persist()
+    cands = lsh_candidate_pairs(per_doc.select("doc_id", "sig"))
     # exact-verify candidates with true shingle-Jaccard
-    toksets = sh.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("toks")
-    )
-    ta = toksets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    ta = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     verified = (
         cands.join(ta, "doc_a")
         .join(tb, "doc_b")
@@ -282,7 +298,10 @@ def q_llm_near_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.5)
     )
-    return verified.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    out = verified.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    rows = out.collect()
+    per_doc.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 @register(
@@ -338,6 +357,7 @@ def q_llm_scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann = fn(spark, sf_dir).select("qid", "nb_id")
         hit = ann.join(brute, ["qid", "nb_id"], "left_semi").count()
         rows.append((method, ann.count(), hit / n_brute if n_brute else 0.0))
+    brute.unpersist()
 
     ev = _lt(spark, sf_dir, "events")
     exact_approx = ev.agg(

@@ -130,6 +130,15 @@ def _truncnorm_udf():
 
 @dataclass
 class TrainResult:
+    """Trained model state + readouts.
+
+    ``factors`` hold the FINAL posterior sample per entity (the state the
+    reference's sweep loop ends in); ``pred_mean`` is the
+    Rao-Blackwellized posterior-mean prediction accumulated over the
+    ``psamples`` phase. ``predict`` / ``save`` / ``load`` make the model
+    reusable after the session ends — the reference's workflow ends in
+    reusable predictions [api], so does this one."""
+
     factors: dict[str, DataFrame]
     pred_mean: DataFrame | None
     rmse_trace: list[float] = field(default_factory=list)
@@ -137,6 +146,104 @@ class TrainResult:
     auc: float | None = None  # set when the relation has class_cut [api]
     beta: dict[str, np.ndarray] = field(default_factory=dict)
     hyper: dict[str, tuple[np.ndarray, np.ndarray]] = field(default_factory=dict)
+    # prediction metadata: entity order of the primary relation, centering
+    # mean, and per-entity instance counts (broadcast decisions)
+    rel_entities: list[str] = field(default_factory=list)
+    global_mean: float = 0.0
+    entity_counts: dict[str, int] = field(default_factory=dict)
+
+    def predict(self, cells_df: DataFrame, entities: list[str] | None = None) -> DataFrame:
+        """Score arbitrary (possibly unseen) cells: r̂ = global_mean +
+        Σ_k Π_modes u^{(m)}_k from the stored factors. ``cells_df`` needs
+        one id column per entity (named by the entity); ``entities``
+        defaults to the primary relation's mode order. Cells whose ids
+        were never trained (no factor row) are dropped — the factor join
+        is inner, same as training. All-JVM: broadcast factor joins +
+        a zip_with Hadamard, no Python in the scoring path."""
+        entities = entities or self.rel_entities
+        if not entities:
+            raise ValueError("no entity order: pass entities=[...]")
+        df = cells_df
+        fac_cols = []
+        for m, ent in enumerate(entities):
+            fcol = f"__f{m}"
+            fdf = self.factors[ent].select(
+                F.col("id").alias(f"__oid{m}"), F.col("factor").alias(fcol)
+            )
+            fdf = _maybe_broadcast(fdf, self.entity_counts.get(ent, 0))
+            df = df.join(fdf, F.col(ent).cast("long") == F.col(f"__oid{m}"))
+            fac_cols.append(fcol)
+        prod = _hadamard(fac_cols)
+        pred = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x) + F.lit(
+            self.global_mean
+        )
+        return df.select(*[F.col(c) for c in cells_df.columns], pred.alias("pred"))
+
+    def save(self, path: str) -> None:
+        """Persist the model: one parquet factor table per entity under
+        ``{path}/factors/{entity}/`` (repartitioned by id — the join key
+        every consumer uses) plus β / Normal-Wishart hyper / metadata as a
+        single-row JSON dataset at ``{path}/meta/``. Written through
+        Spark, so the path may be any supported filesystem (local, HDFS,
+        S3); nothing N-scaled crosses the driver."""
+        import json
+
+        spark = None
+        for fac in self.factors.values():
+            spark = fac.sparkSession
+            fac.repartition("id").write.mode("overwrite").parquet(
+                f"{path}/factors/{_safe_name(next(n for n, d in self.factors.items() if d is fac))}"
+            )
+        meta = {
+            "entities": list(self.factors),
+            "rel_entities": self.rel_entities,
+            "global_mean": self.global_mean,
+            "entity_counts": self.entity_counts,
+            "rmse": self.rmse,
+            "auc": self.auc,
+            "rmse_trace": self.rmse_trace,
+            "beta": {k: v.tolist() for k, v in self.beta.items()},
+            "hyper": {
+                k: [mu.tolist(), lam.tolist()] for k, (mu, lam) in self.hyper.items()
+            },
+        }
+        assert spark is not None, "cannot save a model with no factor tables"
+        spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
+            1
+        ).write.mode("overwrite").text(f"{path}/meta")
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "TrainResult":
+        """Rebuild a saved model. Factor tables come back as lazy parquet
+        scans (no materialization until a prediction runs); β/hyper are
+        restored to numpy."""
+        import json
+
+        meta = json.loads(spark.read.text(f"{path}/meta").collect()[0][0])
+        factors = {
+            name: spark.read.parquet(f"{path}/factors/{_safe_name(name)}")
+            for name in meta["entities"]
+        }
+        return TrainResult(
+            factors=factors,
+            pred_mean=None,
+            rmse_trace=meta.get("rmse_trace", []),
+            rmse=meta.get("rmse"),
+            auc=meta.get("auc"),
+            beta={k: np.array(v) for k, v in meta.get("beta", {}).items()},
+            hyper={
+                k: (np.array(mu), np.array(lam))
+                for k, (mu, lam) in meta.get("hyper", {}).items()
+            },
+            rel_entities=meta.get("rel_entities", []),
+            global_mean=meta.get("global_mean", 0.0),
+            entity_counts={k: int(v) for k, v in meta.get("entity_counts", {}).items()},
+        )
+
+
+def _safe_name(name: str) -> str:
+    """Entity names become path components — keep them filesystem-safe."""
+    return "".join(c if c.isalnum() or c in "-_" else "_" for c in name)
 
 
 def _auc_of(pred_mean: DataFrame, class_cut: float) -> float | None:

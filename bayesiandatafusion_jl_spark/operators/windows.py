@@ -62,28 +62,28 @@ def auc_components(scored: DataFrame, n_buckets: int = 32) -> DataFrame:
     with it. Execution shape:
 
     1. groupBy(score) → (n_pos, n_neg) per distinct score — one shuffle,
-       map-side combined.
-    2. approxQuantile boundaries (tiny driver action) split the score
-       domain into range buckets; same score ⇒ same bucket, so ties never
-       straddle buckets and the result stays EXACT — the approximation
-       only affects load balance.
+       map-side combined; this is the ONLY pass over the full input.
+    2. approxQuantile boundaries over the (already tiny, cached) distinct
+       scores split the score domain into range buckets; same score ⇒ same
+       bucket, so ties never straddle buckets and the result stays EXACT —
+       the approximation only affects load balance.
     3. per-bucket exclusive running Σn_neg (window partitioned BY BUCKET —
        parallel), plus a driver-computed per-bucket offset (≤n_buckets rows).
     4. one scalar aggregate; integer-and-half arithmetic < 2^53 keeps the
-       sum exact across engines.
+       sum exact across engines. The 1-row result is materialized eagerly
+       so the cache can be released before returning (no persist leak).
     """
-    scored = scored.persist()
     g = scored.groupBy("score").agg(
         F.sum("label").alias("n_pos"),
         F.sum(1 - F.col("label")).alias("n_neg"),
-    )
+    ).persist()
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(set(scored.approxQuantile("score", probs, 0.001)))
+    bounds = sorted(set(g.approxQuantile("score", probs, 0.001)))
     bucket = reduce(
         lambda a, b: a + b,
         [F.when(F.col("score") > F.lit(b), 1).otherwise(0) for b in bounds],
     ) if bounds else F.lit(0)
-    g2 = g.withColumn("bucket", bucket).persist()
+    g2 = g.withColumn("bucket", bucket)
     totals = {
         r["bucket"]: r["t"]
         for r in g2.groupBy("bucket").agg(F.sum("n_neg").alias("t")).collect()
@@ -102,7 +102,7 @@ def auc_components(scored: DataFrame, n_buckets: int = 32) -> DataFrame:
         "n_neg",
         (off_col + F.coalesce(F.sum("n_neg").over(w), F.lit(0))).alias("n_neg_below"),
     )
-    return cum.agg(
+    out = cum.agg(
         F.sum("n_pos").alias("n_pos"),
         F.sum("n_neg").alias("n_neg"),
         F.round(
@@ -111,6 +111,9 @@ def auc_components(scored: DataFrame, n_buckets: int = 32) -> DataFrame:
             6,
         ).alias("auc"),
     )
+    rows = out.collect()
+    g.unpersist()
+    return scored.sparkSession.createDataFrame(rows, out.schema)
 
 
 @register(
