@@ -250,8 +250,22 @@ def lsh_candidate_pairs(
     )
 
 
+def _twin_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a mutated twin (first token dropped) for every doc with
+    doc_id % 7 == 0 — the shared planted ground truth all three near-dup
+    methods are measured against (twin ids are original + 1_000_000)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return docs.unionByName(twins)
+
+
 @register("q_llm_near_dedup_lsh", oracle=None, tags=("J2", "lsh"), demoted=True)
-def q_llm_near_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_llm_near_dedup_lsh(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
+) -> DataFrame:
     """J2 (scale path) — MinHash+LSH near-dup candidates, verified by exact
     Jaccard on the candidate set only. Rows-only driver check (hash seeds
     are engine-specific); recall vs exact J2 asserted in tests.
@@ -270,12 +284,8 @@ def q_llm_near_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pair set — bounded by the true duplicate count, not corpus
     size — is materialized eagerly so the cache is released on return.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    twins = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
-    )
-    corpus = docs.unionByName(twins)
+    if corpus is None:
+        corpus = _twin_corpus(spark, sf_dir)
     sh = shingles(corpus, distinct=False)
     n_hashes = 32
     per_doc = sh.groupBy("doc_id").agg(
@@ -299,9 +309,12 @@ def q_llm_near_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
     )
     out = verified.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
-    rows = out.collect()
+    # materialize on the EXECUTORS (localCheckpoint is eager by default) so
+    # the per_doc cache can be released without pulling the pair set — which
+    # grows with corpus size — through the driver
+    out = out.localCheckpoint()
     per_doc.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return out
 
 
 @register(
@@ -343,13 +356,17 @@ def q_llm_scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         return n, (found / n_twins if n_twins else 0.0)
 
     rows = []
+    # one shared, pinned twin corpus across the three near-dup legs (the
+    # corpus union + text projection would otherwise be recomputed per leg)
+    corpus = _twin_corpus(spark, sf_dir).persist()
     for method, fn in (
         ("minhash_lsh", q_llm_near_dedup_lsh),
         ("simhash", q_llm_simhash),
         ("mllib_minhash", q_llm_near_dedup_mllib),
     ):
-        n, rec = twin_recall(fn(spark, sf_dir))
+        n, rec = twin_recall(fn(spark, sf_dir, corpus=corpus))
         rows.append((method, n, rec))
+    corpus.unpersist()
 
     brute = q_llm_knn(spark, sf_dir).select("qid", "nb_id").persist()
     n_brute = brute.count()
@@ -401,16 +418,14 @@ def simhash64(docs: DataFrame) -> DataFrame:
 
 
 @register("q_llm_simhash", oracle=None, tags=("simhash",), demoted=True)
-def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_llm_simhash(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
+) -> DataFrame:
     """SimHash near-dup: bucket by 16-bit sub-keys (hamming ≤ 3 guarantees
     a shared sub-key), verify candidates by exact hamming distance.
     Rows-only check; twin-pair recall asserted in tests."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    twins = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
-    )
-    corpus = docs.unionByName(twins)
+    if corpus is None:
+        corpus = _twin_corpus(spark, sf_dir)
     sigs = simhash64(corpus)
     # 4 × 16-bit sub-keys
     subkeys = sigs.select(

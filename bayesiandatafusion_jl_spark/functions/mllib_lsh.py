@@ -49,7 +49,9 @@ def _shingle_arrays(docs: DataFrame, k: int = 3) -> DataFrame:
 
 
 @register("q_llm_near_dedup_mllib", oracle=None, tags=("J2", "lsh", "mllib"), demoted=True)
-def q_llm_near_dedup_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_llm_near_dedup_mllib(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
+) -> DataFrame:
     """J2 via MLlib MinHashLSH — same twin-recovery task as
     q_llm_near_dedup_lsh (each doc_id % 7 == 0 gets a first-token-dropped
     twin), candidates from ``approxSimilarityJoin`` at Jaccard distance
@@ -61,14 +63,11 @@ def q_llm_near_dedup_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    twins = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
-    )
-    corpus = _shingle_arrays(docs.unionByName(twins)).filter(
-        F.size("shingles") > 0
-    )
+    from bayesiandatafusion_jl_spark.functions.dedup import _twin_corpus
+
+    if corpus is None:
+        corpus = _twin_corpus(spark, sf_dir)
+    corpus = _shingle_arrays(corpus).filter(F.size("shingles") > 0)
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )

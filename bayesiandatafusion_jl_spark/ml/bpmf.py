@@ -189,10 +189,10 @@ class TrainResult:
         import json
 
         spark = None
-        for fac in self.factors.values():
+        for name, fac in self.factors.items():
             spark = fac.sparkSession
             fac.repartition("id").write.mode("overwrite").parquet(
-                f"{path}/factors/{_safe_name(next(n for n, d in self.factors.items() if d is fac))}"
+                f"{path}/factors/{_safe_name(name)}"
             )
         meta = {
             "entities": list(self.factors),
@@ -242,8 +242,16 @@ class TrainResult:
 
 
 def _safe_name(name: str) -> str:
-    """Entity names become path components — keep them filesystem-safe."""
-    return "".join(c if c.isalnum() or c in "-_" else "_" for c in name)
+    """Entity names become path components — keep them filesystem-safe.
+    Sanitized names get a short content hash appended so distinct raw
+    names (e.g. ``"user b"`` vs ``"user_b"``) can never collide on the
+    same parquet directory."""
+    safe = "".join(c if c.isalnum() or c in "-_" else "_" for c in name)
+    if safe == name:
+        return safe
+    import hashlib
+
+    return f"{safe}-{hashlib.sha256(name.encode()).hexdigest()[:8]}"
 
 
 def _auc_of(pred_mean: DataFrame, class_cut: float) -> float | None:
@@ -449,11 +457,30 @@ class MacauTrainer:
                     features_to_coo,
                 )
 
-                n_side = ent.side_info.count()
-                d = len(
-                    ent.side_info.select("features").limit(1).collect()[0][0]
-                )
-                coo = features_to_coo(ent.side_info)
+                if "features" in ent.side_info.columns:
+                    # dense (id, features: array<float>) — explode to COO
+                    n_side = ent.side_info.count()
+                    d = len(
+                        ent.side_info.select("features").limit(1).collect()[0][0]
+                    )
+                    coo = features_to_coo(ent.side_info)
+                else:
+                    # already-sparse COO (id, feat, v) at rest — the
+                    # Macau 10⁵–10⁶-dim sparse-binary regime [paper:Macau]
+                    # must never take a dense detour. One stats pass gives
+                    # the dims (Entity.side_dim overrides the feature-space
+                    # width when trailing all-zero columns exist).
+                    coo = ent.side_info.select(
+                        F.col("id").cast("long"),
+                        F.col("feat").cast("long"),
+                        F.col("v").cast("double"),
+                    ).filter(F.col("v") != 0.0)
+                    stats = coo.agg(
+                        F.countDistinct("id").alias("n"),
+                        F.max("feat").alias("dmax"),
+                    ).collect()[0]
+                    n_side = stats["n"]
+                    d = ent.side_dim or int(stats["dmax"]) + 1
                 self.side_mv[name] = DistributedMatvec(
                     self.spark, coo, n_side, d, n_parts=self.n_blocks
                 )
@@ -997,6 +1024,9 @@ class MacauTrainer:
             auc=auc,
             beta=self.beta,
             hyper=self.hyper,
+            rel_entities=list(rel0.entities),
+            global_mean=self.global_mean,
+            entity_counts=dict(self._entity_counts),
         )
 
 

@@ -20,11 +20,19 @@ from pyspark.sql import functions as F
 
 @dataclass
 class Entity:
-    """A named dimension. ``side_info``: optional (id, features:array<float>)
-    DataFrame — the Macau F matrix [paper:Macau]."""
+    """A named dimension. ``side_info`` is the Macau F matrix
+    [paper:Macau], in either layout:
+
+    - dense: ``(id, features: array<float>)`` — exploded to COO on load;
+    - sparse COO at rest: ``(id, feat: long, v: double)`` — ingested
+      directly, no dense detour (the 10⁵–10⁶-dim sparse-binary regime).
+      ``side_dim`` pins the feature-space width when trailing feature ids
+      are unobserved (defaults to max(feat)+1).
+    """
 
     name: str
     side_info: DataFrame | None = None
+    side_dim: int | None = None
 
 
 @dataclass
@@ -112,3 +120,31 @@ def split_train_test(
         mix = mix + reduced * F.lit(pow(base, k + 1, mod)).cast("long")
     bucket = F.pmod(mix, F.lit(mod).cast("long"))
     return df.withColumn("split", F.when(bucket < cut, "test").otherwise("train"))
+
+
+def assign_to_test(
+    df: DataFrame, id_cols: list[str], n: int, seed: int = 42
+) -> DataFrame:
+    """Hold out EXACTLY ``n`` cells — the reference's ``assignToTest!(rel,
+    n)`` count form [api], next to the fraction form above.
+
+    The ``n`` cells with the smallest seeded xxhash64 over the id columns
+    become the test set: deterministic (same seed ⇒ same cells, any
+    partitioning), uniform (hash order is independent of data order), and
+    scale-safe — ``orderBy(...).limit(n)`` compiles to a per-partition
+    top-n (TakeOrderedAndProject), never a full sort, and the n-row winner
+    set broadcasts back onto the input. Id columns join the sort key so
+    the selection stays total even under hash collisions.
+    """
+    h = F.xxhash64(*[F.col(c) for c in id_cols], F.lit(seed))
+    winners = (
+        df.select(*id_cols)
+        .withColumn("__h", h)
+        .orderBy("__h", *id_cols)
+        .limit(n)
+        .select(*id_cols, F.lit(1).alias("__is_test"))
+    )
+    out = df.join(F.broadcast(winners), on=id_cols, how="left")
+    return out.withColumn(
+        "split", F.when(F.col("__is_test").isNotNull(), "test").otherwise("train")
+    ).drop("__is_test")

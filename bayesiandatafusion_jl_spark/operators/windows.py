@@ -59,16 +59,25 @@ def auc_components(scored: DataFrame, n_buckets: int = 32) -> DataFrame:
 
     AUC = Σ_s n₊(s)·(N₋below(s) + ½·n₋(s)) / (n₊·n₋): every positive beats
     the negatives strictly below its score and half the negatives tied
-    with it. Execution shape:
+    with it. Execution shape — deliberately ONE Spark job (the r4 form
+    paid three sequential job launches: approxQuantile, a totals collect,
+    then the final agg — pure fixed overhead at any scale):
 
     1. groupBy(score) → (n_pos, n_neg) per distinct score — one shuffle,
        map-side combined; this is the ONLY pass over the full input.
-    2. approxQuantile boundaries over the (already tiny, cached) distinct
-       scores split the score domain into range buckets; same score ⇒ same
-       bucket, so ties never straddle buckets and the result stays EXACT —
-       the approximation only affects load balance.
-    3. per-bucket exclusive running Σn_neg (window partitioned BY BUCKET —
-       parallel), plus a driver-computed per-bucket offset (≤n_buckets rows).
+    2. min/max of the distinct scores (broadcast 1-row cross-join, not a
+       separate driver action) split the score DOMAIN into equal range
+       buckets; floor() of a monotone map ⇒ same score ⇒ same bucket, so
+       ties never straddle buckets and the result stays EXACT — bucketing
+       only affects load balance (quantile split balanced better under
+       extreme score skew, but cost a full extra pass; ties are already
+       collapsed per-score here so the skew exposure is bounded by
+       distinct-value clustering, not row counts).
+    3. per-bucket Σn_neg → exclusive running offset via a window over the
+       ≤n_buckets bucket-total rows (bounded, NOT data-scaled — the only
+       single-partition window, over ≤32 rows by construction), broadcast
+       back onto the buckets; per-bucket exclusive running Σn_neg windows
+       stay partitioned BY BUCKET — parallel.
     4. one scalar aggregate; integer-and-half arithmetic < 2^53 keeps the
        sum exact across engines. The 1-row result is materialized eagerly
        so the cache can be released before returning (no persist leak).
@@ -77,30 +86,31 @@ def auc_components(scored: DataFrame, n_buckets: int = 32) -> DataFrame:
         F.sum("label").alias("n_pos"),
         F.sum(1 - F.col("label")).alias("n_neg"),
     ).persist()
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(set(g.approxQuantile("score", probs, 0.001)))
-    bucket = reduce(
-        lambda a, b: a + b,
-        [F.when(F.col("score") > F.lit(b), 1).otherwise(0) for b in bounds],
-    ) if bounds else F.lit(0)
-    g2 = g.withColumn("bucket", bucket)
-    totals = {
-        r["bucket"]: r["t"]
-        for r in g2.groupBy("bucket").agg(F.sum("n_neg").alias("t")).collect()
-    }
-    offsets = {}
-    acc = 0
-    for b in sorted(totals):
-        offsets[b] = acc
-        acc += totals[b]
-    off_col = F.lit(0)
-    for b, o in offsets.items():
-        off_col = F.when(F.col("bucket") == b, F.lit(o)).otherwise(off_col)
+    mm = g.agg(F.min("score").alias("__lo"), F.max("score").alias("__hi"))
+    span = F.col("__hi") - F.col("__lo")
+    bucket = F.when(
+        span > 0,
+        F.least(
+            F.floor((F.col("score") - F.col("__lo")) / span * n_buckets),
+            F.lit(n_buckets - 1),
+        ),
+    ).otherwise(F.lit(0))
+    g2 = g.crossJoin(F.broadcast(mm)).withColumn("bucket", bucket)
+    # exclusive prefix over the ≤n_buckets totals — bounded single-partition
+    # window (32 rows), never data-scaled
+    wb = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offs = (
+        g2.groupBy("bucket")
+        .agg(F.sum("n_neg").alias("__t"))
+        .select("bucket", F.coalesce(F.sum("__t").over(wb), F.lit(0)).alias("__off"))
+    )
     w = W.partitionBy("bucket").orderBy("score").rowsBetween(W.unboundedPreceding, -1)
-    cum = g2.select(
+    cum = g2.join(F.broadcast(offs), "bucket").select(
         "n_pos",
         "n_neg",
-        (off_col + F.coalesce(F.sum("n_neg").over(w), F.lit(0))).alias("n_neg_below"),
+        (F.col("__off") + F.coalesce(F.sum("n_neg").over(w), F.lit(0))).alias(
+            "n_neg_below"
+        ),
     )
     out = cum.agg(
         F.sum("n_pos").alias("n_pos"),

@@ -4,6 +4,14 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
 Each query is forced end-to-end with the noop sink (full materialization,
 no driver-side collect overhead).
+
+Measurement protocol (r2 verdict item #8): every query runs ITERATIONS
+times (default 2) and reports the per-query MIN — the min is the
+load-independent estimate, so round-over-round comparisons are not
+polluted by sandbox noise (the r2→r4 "regressions" on unchanged queries
+were exactly that). ``queries`` holds the mins; ``queries_max`` the maxes
+(a large max/min spread flags a noisy run), and the active Spark conf is
+embedded so runs are apples-to-apples.
 """
 
 from __future__ import annotations
@@ -44,16 +52,22 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("bdf-bench")
 
+    iterations = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
     all_specs = specs(include_demoted=True)
     timings: dict[str, float] = {}
+    timings_max: dict[str, float] = {}
     # warm the JVM + parquet footer caches with one throwaway action
     all_specs["q_scan_filter_count"].fn(spark, sf_dir).count()
 
     for name in HEADLINE:
         fn = all_specs[name].fn
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(iterations):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
+        timings_max[name] = round(max(runs), 3)
 
     # ML sweep throughput: one BPMF Gibbs sweep (I3 kernel both entities +
     # moments + NW) on the events-derived matrix, K=16 (BASELINE.md (c))
@@ -82,12 +96,16 @@ def main() -> None:
     rd = RelationData().add_relation(Relation(cells, ["u", "t"], alpha=10.0))
     tr = MacauTrainer(spark, rd, num_latent=16, burnin=1, psamples=0, seed=7)
     tr._init()
-    t0 = time.time()
-    for name in rd.entities:
-        n, su, suu = tr._moments(name)
-        tr.hyper[name] = sample_normal_wishart(n, su, suu, tr.rng)
-        tr._sample_entity(name, 0)
-    timings["bpmf_sweep"] = round(time.time() - t0, 3)
+    sweep_runs = []
+    for it in range(iterations):
+        t0 = time.time()
+        for name in rd.entities:
+            n, su, suu = tr._moments(name)
+            tr.hyper[name] = sample_normal_wishart(n, su, suu, tr.rng)
+            tr._sample_entity(name, it)
+        sweep_runs.append(time.time() - t0)
+    timings["bpmf_sweep"] = round(min(sweep_runs), 3)
+    timings_max["bpmf_sweep"] = round(max(sweep_runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -98,6 +116,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "iterations": iterations,
+                "queries_max": timings_max,
+                "conf": {
+                    "master": spark.sparkContext.master,
+                    "shuffle_partitions": spark.conf.get(
+                        "spark.sql.shuffle.partitions"
+                    ),
+                    "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+                },
             }
         )
     )

@@ -288,3 +288,133 @@ def test_cg_matches_direct_solve(spark):
     fm64 = np.stack([np.asarray(r, dtype=np.float64) for r in [np.float32(fm[i]) for i in range(n)]])
     expect = np.linalg.solve(fm64.T @ fm64 + lam * np.eye(d), b)
     assert np.max(np.abs(x - expect)) < 1e-5, np.max(np.abs(x - expect))
+
+
+def test_save_load_predict_roundtrip(spark, planted, tmp_path):
+    """train → save → load → predict round-trip: the loaded model scores
+    identically to the in-memory one, the centering mean survives, and
+    prediction works without passing entities= (the trained entity order
+    is part of the model) [api: macau workflow ends in reusable
+    predictions]."""
+    _, _, df = planted
+    rd = RelationData().add_relation(Relation(df, ["row", "col"], alpha=30.0))
+    res = bpmf(spark, rd, num_latent=4, burnin=4, psamples=2, seed=7)
+
+    # train() must populate the prediction metadata
+    assert res.rel_entities == ["row", "col"]
+    assert res.global_mean != 0.0  # planted data is centered by default
+    assert set(res.entity_counts) == {"row", "col"}
+
+    cells = df.filter(F.col("split") == "test").select("row", "col").limit(50)
+    direct = {(r["row"], r["col"]): r["pred"] for r in res.predict(cells).collect()}
+    assert len(direct) == 50
+
+    path = str(tmp_path / "model")
+    res.save(path)
+    loaded = res.load(spark, path)
+    assert loaded.global_mean == pytest.approx(res.global_mean)
+    assert loaded.rel_entities == res.rel_entities
+    again = {(r["row"], r["col"]): r["pred"] for r in loaded.predict(cells).collect()}
+    assert set(again) == set(direct)
+    for k in direct:
+        assert again[k] == pytest.approx(direct[k], rel=1e-6), k
+
+
+def test_safe_name_no_collision(tmp_path):
+    """Distinct raw entity names must never map to the same path component."""
+    from bayesiandatafusion_jl_spark.ml.bpmf import _safe_name
+
+    assert _safe_name("user b") != _safe_name("user_b")
+    assert _safe_name("user_b") == "user_b"  # already-safe names unchanged
+
+
+def test_assign_to_test_exact_count(spark):
+    """assignToTest!(rel, n) form: exactly n cells land in test, the
+    choice is seed-stable and independent of input partitioning."""
+    from bayesiandatafusion_jl_spark.ml.relation import assign_to_test
+
+    df = spark.range(0, 500).select(
+        (F.col("id") % 50).alias("row"), (F.col("id") / 50).cast("long").alias("col"),
+        F.rand(3).alias("value"),
+    )
+    out = assign_to_test(df, ["row", "col"], n=37, seed=5)
+    assert out.filter(F.col("split") == "test").count() == 37
+    assert out.count() == 500
+
+    picked = {
+        (r["row"], r["col"])
+        for r in out.filter(F.col("split") == "test").select("row", "col").collect()
+    }
+    # same seed, different partitioning → same cells
+    out2 = assign_to_test(df.repartition(7), ["row", "col"], n=37, seed=5)
+    picked2 = {
+        (r["row"], r["col"])
+        for r in out2.filter(F.col("split") == "test").select("row", "col").collect()
+    }
+    assert picked == picked2
+    # different seed → (almost surely) different cells
+    out3 = assign_to_test(df, ["row", "col"], n=37, seed=6)
+    picked3 = {
+        (r["row"], r["col"])
+        for r in out3.filter(F.col("split") == "test").select("row", "col").collect()
+    }
+    assert picked != picked3
+
+
+def test_sparse_coo_side_info_matches_dense(spark, planted):
+    """Entity.side_info given as a pre-sparse COO (id, feat, v) table must
+    train identically to the same features in dense array layout — same
+    seed ⇒ same RMSE trace (the ingestion paths converge on the same COO,
+    so the Gibbs streams are byte-identical)."""
+    from bayesiandatafusion_jl_spark.ml.cg import features_to_coo
+
+    u, _, df = planted
+    rng = np.random.default_rng(9)
+    w = rng.standard_normal((u.shape[1], 24))
+    feats = u @ w
+    feats[np.abs(feats) < 1.0] = 0.0  # genuinely sparse
+    side_rows = [(int(i), feats[i].astype(float).tolist()) for i in range(u.shape[0])]
+    dense = spark.createDataFrame(side_rows, schema="id long, features array<float>")
+    coo = features_to_coo(dense)  # same float32 rounding as the dense path
+
+    rd_dense = RelationData()
+    rd_dense.add_entity(Entity("row", side_info=dense))
+    rd_dense.add_relation(Relation(df, ["row", "col"], alpha=30.0))
+    rd_coo = RelationData()
+    rd_coo.add_entity(Entity("row", side_info=coo, side_dim=24))
+    rd_coo.add_relation(Relation(df, ["row", "col"], alpha=30.0))
+
+    res_dense = macau(spark, rd_dense, num_latent=4, burnin=3, psamples=2, seed=2)
+    res_coo = macau(spark, rd_coo, num_latent=4, burnin=3, psamples=2, seed=2)
+    assert res_coo.rmse == pytest.approx(res_dense.rmse, abs=1e-9), (
+        res_coo.rmse_trace,
+        res_dense.rmse_trace,
+    )
+
+
+def test_probit_planted_binary_auc(spark):
+    """End-to-end Albert–Chib binary training (probit=True) on a planted
+    low-rank sign matrix: held-out AUC must be far above chance — the
+    statistical gate for the whole probit path (z refresh → unit-precision
+    kernel → posterior readout)."""
+    rng = np.random.default_rng(42)
+    n, m, k = 150, 60, 4
+    u = rng.standard_normal((n, k))
+    v = rng.standard_normal((m, k))
+    r = u @ v.T
+    mask = rng.random((n, m)) < 0.35
+    test_mask = rng.random((n, m)) < 0.2
+    cells = [
+        (i, j, 1.0 if r[i, j] > 0 else 0.0, "test" if test_mask[i, j] else "train")
+        for i in range(n)
+        for j in range(m)
+        if mask[i, j]
+    ]
+    df = spark.createDataFrame(
+        cells, schema="row long, col long, value double, split string"
+    )
+    rd = RelationData().add_relation(
+        Relation(df, ["row", "col"], class_cut=0.5, probit=True)
+    )
+    res = bpmf(spark, rd, num_latent=4, burnin=4, psamples=2, seed=7, track_rmse=False)
+    assert res.auc is not None and res.auc > 0.85, res.auc
