@@ -111,6 +111,25 @@ def _beta_target_fn(k, mu, lam_u, seed, sweep):
     return f
 
 
+def _checkpoint(df: DataFrame) -> DataFrame:
+    """persist → eager localCheckpoint → release the pre-checkpoint cache.
+
+    BOTH halves are load-bearing. The persist grounds the checkpointed
+    plan's origin statistics in the real materialized size: without it the
+    LogicalRDD inherits the default sizeInBytes (2⁶³) and every chained
+    sweep's join-stats MULTIPLY the previous checkpoint's origin stats, so
+    the size estimate's BigInt doubles in bit length per sweep —
+    observed as a driver heap OOM inside stats estimation around sweep
+    ~60 of the arity-3 test. The immediate unpersist releases the
+    CacheManager entry (safe: the eager checkpoint has already copied the
+    partitions and truncated lineage), so long sessions don't accumulate
+    dead cached plans."""
+    cached = df.persist()
+    out = cached.localCheckpoint()
+    cached.unpersist()
+    return out
+
+
 def _truncnorm_udf():
     """Arrow-vectorized (pred, uniform, y01) → truncated-normal z draw —
     the only Python step of the probit augmentation (O(cells))."""
@@ -426,8 +445,7 @@ class MacauTrainer:
             ).groupBy("__b").applyInPandas(
                 _init_fn, schema="id long, factor array<double>"
             )
-            self.factors[name] = init.persist()
-            self.factors[name] = self.factors[name].localCheckpoint()
+            self.factors[name] = _checkpoint(init)
             self._entity_counts[name] = self.factors[name].count()
             # static cold-start set: train split never changes across
             # sweeps, so compute the unobserved-instance ids once
@@ -440,12 +458,12 @@ class MacauTrainer:
                     rdf.select(F.col(rel.entities[mode]).cast("long").alias("id"))
                 )
             obs = reduce(lambda a, b: a.unionByName(b), observed).distinct()
-            missing = universe.join(obs, "id", "left_anti").persist()
+            missing = _checkpoint(universe.join(obs, "id", "left_anti"))
             if missing.count() == 0:
                 missing.unpersist()
                 self._cold[name] = None
             else:
-                self._cold[name] = missing.localCheckpoint()
+                self._cold[name] = missing
             self.hyper[name] = (np.zeros(k), np.eye(k))
             if ent.side_info is not None:
                 # Macau's scalability device [paper:Macau]: F NEVER
@@ -500,12 +518,9 @@ class MacauTrainer:
         per refresh (it feeds several joins per sweep); the previous
         sweep's frame is unpersisted."""
         mv = self.side_mv[name]
-        new = (
-            mv.fx_df(self.beta[name])
-            .select("id", F.col("y").alias("__off"))
-            .persist()
+        new = _checkpoint(
+            mv.fx_df(self.beta[name]).select("id", F.col("y").alias("__off"))
         )
-        new = new.localCheckpoint()
         old = self.offsets.get(name)
         self.offsets[name] = new
         if old is not None:
@@ -537,10 +552,11 @@ class MacauTrainer:
         ).collect()[0]["ms"]
         rms = float(np.sqrt(max(ms or 0.0, 1e-18) / self.k))
         s = target / max(rms, 1e-12)
-        scaled = self.factors[name].select(
-            "id", F.transform("factor", lambda x: x * F.lit(s)).alias("factor")
-        ).persist()
-        scaled = scaled.localCheckpoint()
+        scaled = _checkpoint(
+            self.factors[name].select(
+                "id", F.transform("factor", lambda x: x * F.lit(s)).alias("factor")
+            )
+        )
         old = self.factors[name]
         self.factors[name] = scaled
         old.unpersist()
@@ -737,11 +753,9 @@ class MacauTrainer:
             / F.lit(float(2**53))
         )
         tn = _truncnorm_udf()
-        new = df.select(
-            *rel.entities,
-            tn(pred, unif, F.col("__y")).alias("__zval"),
-        ).persist()
-        new = new.localCheckpoint()
+        new = _checkpoint(
+            df.select(*rel.entities, tn(pred, unif, F.col("__y")).alias("__zval"))
+        )
         old = self._aug.get(id(rel))
         self._aug[id(rel)] = new
         if old is not None:
@@ -815,7 +829,7 @@ class MacauTrainer:
         # left_anti join, and entities with full observation coverage
         # skip the prior branch entirely (the common case).
         if self._cold.get(name) is None:
-            updated = new.persist()
+            updated = new
         else:
             missing = self._cold[name]
             if name in self.offsets:
@@ -828,8 +842,8 @@ class MacauTrainer:
                     schema="id long, factor array<double>",
                 )
             )
-            updated = new.unionByName(prior).persist()
-        updated = updated.localCheckpoint()  # truncate lineage (SURVEY §7)
+            updated = new.unionByName(prior)
+        updated = _checkpoint(updated)  # truncate lineage (SURVEY §7)
         old = self.factors[name]
         self.factors[name] = updated
         old.unpersist()
@@ -860,6 +874,26 @@ class MacauTrainer:
         )
 
     # ---------- main loop ----------
+
+    def _release_working_caches(self) -> None:
+        """Unpersist every working frame that is NOT part of the returned
+        model (factors and the prediction accumulator stay live): final
+        per-entity offsets, probit z augmentations, cold-start id sets and
+        the side-info COO. Without this each training pins its scratch
+        caches until session end — across a 50-query driver session the
+        block manager fills with dead partitions."""
+        for df in self.offsets.values():
+            df.unpersist()
+        self.offsets = {}
+        for df in self._aug.values():
+            df.unpersist()
+        self._aug = {}
+        for df in self._cold.values():
+            if df is not None:
+                df.unpersist()
+        self._cold = {}
+        for mv in self.side_mv.values():
+            mv.coo.unpersist()
 
     def _gibbs_sweep(self, sweep: int) -> None:
         for rel in self.rd.relations:
@@ -980,7 +1014,7 @@ class MacauTrainer:
                             (F.col("p_sq") + F.col("p") * F.col("p")).alias("p_sq"),
                         )
                     )
-                acc = acc.persist().localCheckpoint()
+                acc = _checkpoint(acc)
                 if prev_acc is not None:
                     prev_acc.unpersist()
                 n_acc += 1
@@ -1016,6 +1050,7 @@ class MacauTrainer:
         auc = None
         if pred_mean is not None and rel0.class_cut is not None:
             auc = _auc_of(pred_mean, rel0.class_cut)
+        self._release_working_caches()
         return TrainResult(
             factors=self.factors,
             pred_mean=pred_mean,

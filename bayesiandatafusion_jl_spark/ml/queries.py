@@ -112,6 +112,65 @@ def q_ml_bpmf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_ml_als_mllib", oracle=None, tags=("I3", "mllib", "als"), demoted=True)
+def q_ml_als_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib interop for the factorization family (the north-star's
+    "MLlib + custom tensor factorization UDFs" framing): stock
+    ``pyspark.ml.recommendation.ALS`` on the SAME (user × event_type)
+    matrix and split as q_ml_bpmf_events, returning held-out predictions.
+
+    ALS is the MAP/frequentist counterpart of the Gibbs engine — no
+    posterior std and no side-information path, but the same
+    join/agg/block scale shape — so a deployment can cross-check the
+    custom sampler against the stock optimizer on identical data.
+    Rows-only check (iterative optimizer, engine-specific)."""
+    from pyspark.ml.recommendation import ALS
+
+    from bayesiandatafusion_jl_spark.ml.relation import split_train_test
+
+    ev = load_table(spark, sf_dir, "events")
+    types = ev.select("event_type").distinct().orderBy("event_type")
+    type_ids = {r["event_type"]: i for i, r in enumerate(types.collect())}
+    mapping = F.create_map(
+        *[x for k, v in type_ids.items() for x in (F.lit(k), F.lit(v))]
+    )
+    cells = (
+        ev.select(
+            F.col("user_id").alias("u"),
+            mapping[F.col("event_type")].cast("long").alias("t"),
+            F.log1p("value").alias("value"),
+        )
+        .groupBy("u", "t")
+        .agg(F.avg("value").alias("value"))
+    )
+    cells = split_train_test(cells, ["u", "t"], test_frac=0.2, seed=11)
+    train = cells.filter(F.col("split") == "train").select(
+        F.col("u").cast("int").alias("user"),
+        F.col("t").cast("int").alias("item"),
+        F.col("value").cast("float").alias("rating"),
+    )
+    test = cells.filter(F.col("split") == "test")
+    als = ALS(
+        rank=8, maxIter=10, regParam=0.1, seed=7,
+        userCol="user", itemCol="item", ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(train)
+    scored = model.transform(
+        test.select(
+            F.col("u").cast("int").alias("user"),
+            F.col("t").cast("int").alias("item"),
+            F.col("value").alias("actual"),
+        )
+    )
+    return scored.select(
+        F.col("user").cast("long").alias("user_id"),
+        F.col("item").cast("long").alias("type_id"),
+        "actual",
+        F.col("prediction").cast("double").alias("pred"),
+    )
+
+
 @register("q_ml_probit_events", oracle=None, tags=("I3", "probit"), demoted=True)
 def q_ml_probit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-relation training end-to-end (``probit=True`` — the

