@@ -170,32 +170,103 @@ class TrainResult:
     rel_entities: list[str] = field(default_factory=list)
     global_mean: float = 0.0
     entity_counts: dict[str, int] = field(default_factory=dict)
+    probit: bool = False
 
-    def predict(self, cells_df: DataFrame, entities: list[str] | None = None) -> DataFrame:
+    def cold_start_factors(self, entity: str, side_info: DataFrame) -> DataFrame:
+        """Macau cold-start [paper:Macau]: factors for instances that were
+        NEVER seen at training time, from side features alone —
+        ``u_i = μ + βᵀ f_i`` (the conditional prior mean given features).
+        ``side_info`` is dense ``(id, features: array<float>)`` or sparse
+        COO ``(id, feat, v)``; returns ``(id, factor)`` shaped like a
+        stored factor table. Scale shape: β ships as a broadcast (feat →
+        β-row) table; the dot is a join + groupBy(id) — the same
+        distributed matvec the trainer uses, no driver N×K."""
+        beta = self.beta.get(entity)
+        if beta is None:
+            raise ValueError(f"entity {entity!r} has no trained link matrix β")
+        k = beta.shape[1]
+        if "features" in side_info.columns:
+            from bayesiandatafusion_jl_spark.ml.cg import features_to_coo
+
+            coo = features_to_coo(side_info)
+        else:
+            coo = side_info.select(
+                F.col("id").cast("long"),
+                F.col("feat").cast("long"),
+                F.col("v").cast("double"),
+            ).filter(F.col("v") != 0.0)
+        spark = side_info.sparkSession
+        import pandas as pd
+
+        brows = pd.DataFrame(
+            {"feat": np.arange(beta.shape[0], dtype=np.int64), "b": list(beta)}
+        )
+        btab = F.broadcast(spark.createDataFrame(brows))
+        mu = self.hyper.get(entity, (np.zeros(k), None))[0]
+        scaled = coo.join(btab, "feat").select(
+            "id", F.transform("b", lambda e: e * F.col("v")).alias("c")
+        )
+        from bayesiandatafusion_jl_spark.ml.cg import _elementwise_sum
+
+        mu_arr = F.array(*[F.lit(float(x)) for x in mu])
+        return scaled.groupBy("id").agg(
+            F.zip_with(
+                _elementwise_sum("c", k), mu_arr, lambda a, b: a + b
+            ).alias("factor")
+        )
+
+    def predict(
+        self,
+        cells_df: DataFrame,
+        entities: list[str] | None = None,
+        side_info: dict[str, DataFrame] | None = None,
+        probability: bool = False,
+    ) -> DataFrame:
         """Score arbitrary (possibly unseen) cells: r̂ = global_mean +
         Σ_k Π_modes u^{(m)}_k from the stored factors. ``cells_df`` needs
         one id column per entity (named by the entity); ``entities``
-        defaults to the primary relation's mode order. Cells whose ids
-        were never trained (no factor row) are dropped — the factor join
-        is inner, same as training. All-JVM: broadcast factor joins +
-        a zip_with Hadamard, no Python in the scoring path."""
+        defaults to the primary relation's mode order.
+
+        ``side_info={entity: features_df}`` extends coverage to ids with
+        no stored factor row via ``cold_start_factors`` (stored factors
+        win where both exist); cells still unmatched after that are
+        dropped — the factor join is inner, same as training.
+
+        ``probability=True`` (probit-trained models only) maps the latent
+        score through Φ to P(label = 1) — the Albert–Chib link, evaluated
+        as a pure JVM expression. All-JVM scoring path: broadcast factor
+        joins + a zip_with Hadamard."""
         entities = entities or self.rel_entities
         if not entities:
             raise ValueError("no entity order: pass entities=[...]")
+        if probability and not self.probit:
+            raise ValueError("probability=True requires a probit-trained model")
         df = cells_df
         fac_cols = []
         for m, ent in enumerate(entities):
             fcol = f"__f{m}"
-            fdf = self.factors[ent].select(
+            fdf = self.factors[ent]
+            n_rows = self.entity_counts.get(ent, 0)
+            if side_info and ent in side_info:
+                cold = self.cold_start_factors(ent, side_info[ent]).join(
+                    fdf.select("id"), "id", "left_anti"
+                )
+                fdf = fdf.unionByName(cold)
+                n_rows = BROADCAST_MAX_ROWS + 1  # unknown size: don't force
+            fdf = fdf.select(
                 F.col("id").alias(f"__oid{m}"), F.col("factor").alias(fcol)
             )
-            fdf = _maybe_broadcast(fdf, self.entity_counts.get(ent, 0))
+            fdf = _maybe_broadcast(fdf, n_rows)
             df = df.join(fdf, F.col(ent).cast("long") == F.col(f"__oid{m}"))
             fac_cols.append(fcol)
         prod = _hadamard(fac_cols)
         pred = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x) + F.lit(
             self.global_mean
         )
+        if probability:
+            from bayesiandatafusion_jl_spark.ml.probit import phi_col
+
+            pred = phi_col(pred)
         return df.select(*[F.col(c) for c in cells_df.columns], pred.alias("pred"))
 
     def save(self, path: str) -> None:
@@ -220,6 +291,7 @@ class TrainResult:
             "entity_counts": self.entity_counts,
             "rmse": self.rmse,
             "auc": self.auc,
+            "probit": self.probit,
             "rmse_trace": self.rmse_trace,
             "beta": {k: v.tolist() for k, v in self.beta.items()},
             "hyper": {
@@ -257,6 +329,7 @@ class TrainResult:
             rel_entities=meta.get("rel_entities", []),
             global_mean=meta.get("global_mean", 0.0),
             entity_counts={k: int(v) for k, v in meta.get("entity_counts", {}).items()},
+            probit=bool(meta.get("probit", False)),
         )
 
 
@@ -1062,6 +1135,7 @@ class MacauTrainer:
             rel_entities=list(rel0.entities),
             global_mean=self.global_mean,
             entity_counts=dict(self._entity_counts),
+            probit=rel0.probit,
         )
 
 

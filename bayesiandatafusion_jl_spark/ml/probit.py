@@ -90,6 +90,28 @@ def norm_ppf(p: np.ndarray) -> np.ndarray:
     return out
 
 
+def phi_col(x):
+    """Φ(x) as a pure JVM Column expression (same Abramowitz–Stegun 7.1.26
+    erf approximation as ``norm_cdf``, |err| < 1.5e-7) — keeps probit
+    probability scoring inside whole-stage codegen, no Python in the path."""
+    from pyspark.sql import functions as F
+
+    z = x / F.lit(float(np.sqrt(2.0)))
+    sign = F.when(z < 0, -1.0).otherwise(1.0)
+    az = F.abs(z)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_ERF_P) * az)
+    poly = t * (
+        F.lit(_ERF_A[0])
+        + t
+        * (
+            F.lit(_ERF_A[1])
+            + t * (F.lit(_ERF_A[2]) + t * (F.lit(_ERF_A[3]) + t * F.lit(_ERF_A[4])))
+        )
+    )
+    erf = sign * (F.lit(1.0) - poly * F.exp(-az * az))
+    return F.lit(0.5) * (F.lit(1.0) + erf)
+
+
 def truncnorm_z(pred: np.ndarray, u: np.ndarray, y: np.ndarray) -> np.ndarray:
     """Albert–Chib latent draw: z ~ N(pred, 1) truncated to z > 0 when
     y = 1, z ≤ 0 when y = 0, using the inverse-CDF transform of the given

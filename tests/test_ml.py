@@ -437,3 +437,91 @@ def test_als_mllib_cross_check(spark):
     assert row["rmse"] is not None and np.isfinite(row["rmse"])
     # weak-signal matrix: just require better-than-baseline, not a margin
     assert row["rmse"] < 1.5 * row["sd"], row
+
+
+def test_phi_col_matches_numpy(spark):
+    """The JVM-side Φ expression matches the vectorized numpy norm_cdf."""
+    from bayesiandatafusion_jl_spark.ml.probit import norm_cdf, phi_col
+
+    xs = np.linspace(-6, 6, 201)
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    got = {r["x"]: r["p"] for r in df.select("x", phi_col(F.col("x")).alias("p")).collect()}
+    want = norm_cdf(xs)
+    # 2e-7 budget: the A&S 7.1.26 approximation itself is 1.5e-7, and the
+    # Column expression's sign(0) convention differs from numpy's at x=0
+    for x, w in zip(xs, want):
+        assert got[float(x)] == pytest.approx(float(w), abs=2e-7)
+
+
+def test_cold_start_factors_and_predict(spark, planted):
+    """Macau cold-start from a LOADED model: ids absent from training get
+    u = mu + beta^T f from side features alone, and predict(side_info=...)
+    scores them; factor values match the numpy formula."""
+    u, _, df = planted
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((u.shape[1], 16))
+    feats = u @ w
+    n_rows = u.shape[0]
+    side_rows = [(int(i), feats[i].astype(float).tolist()) for i in range(n_rows)]
+    # train WITHOUT the last 10 row-entities anywhere (no cells, no side info)
+    side = spark.createDataFrame(
+        side_rows[: n_rows - 10], schema="id long, features array<float>"
+    )
+    df_tr = df.filter(F.col("row") < n_rows - 10)
+    rd = RelationData()
+    rd.add_entity(Entity("row", side_info=side))
+    rd.add_relation(Relation(df_tr, ["row", "col"], alpha=30.0))
+    res = macau(spark, rd, num_latent=4, burnin=3, psamples=2, seed=4)
+
+    # unseen ids with features → factors from beta
+    unseen = spark.createDataFrame(
+        side_rows[n_rows - 10 :], schema="id long, features array<float>"
+    )
+    cf = {r["id"]: np.array(r["factor"]) for r in
+          res.cold_start_factors("row", unseen).collect()}
+    assert len(cf) == 10
+    beta = res.beta["row"]
+    mu = res.hyper["row"][0]
+    for i in range(n_rows - 10, n_rows):
+        f32 = np.float64(np.float32(feats[i]))  # the ingestion float cast
+        want = mu + beta.T @ f32
+        assert np.allclose(cf[i], want, atol=1e-6), (i, cf[i], want)
+
+    # end-to-end: predict cells of unseen rows via side_info=
+    cells = unseen.select(F.col("id").alias("row")).crossJoin(
+        spark.range(0, 5).select(F.col("id").alias("col"))
+    )
+    preds = res.predict(cells, side_info={"row": unseen})
+    assert preds.count() == 50
+    assert preds.filter(F.isnan("pred") | F.col("pred").isNull()).count() == 0
+
+
+def test_probit_probability_predict(spark):
+    """probability=True maps probit latent scores through Φ — bounded in
+    (0,1), monotone in the latent score, and refused on non-probit models."""
+    rng = np.random.default_rng(11)
+    n, m, k = 60, 30, 3
+    r = rng.standard_normal((n, k)) @ rng.standard_normal((m, k)).T
+    cells = [
+        (i, j, 1.0 if r[i, j] > 0 else 0.0)
+        for i in range(n) for j in range(m) if rng.random() < 0.5
+    ]
+    df = spark.createDataFrame(cells, schema="row long, col long, value double")
+    rd = RelationData().add_relation(
+        Relation(df, ["row", "col"], class_cut=0.5, probit=True)
+    )
+    res = bpmf(spark, rd, num_latent=3, burnin=3, psamples=1, seed=3, track_rmse=False)
+    assert res.probit is True
+    some = df.select("row", "col").limit(40)
+    scored = res.predict(some).withColumnRenamed("pred", "score")
+    proba = res.predict(some, probability=True)
+    j = scored.join(proba, ["row", "col"]).collect()
+    from bayesiandatafusion_jl_spark.ml.probit import norm_cdf
+    for rr in j:
+        assert 0.0 < rr["pred"] < 1.0
+        assert rr["pred"] == pytest.approx(float(norm_cdf(np.array([rr["score"]]))[0]), abs=1e-9)
+
+    rd2 = RelationData().add_relation(Relation(df, ["row", "col"], alpha=5.0))
+    res2 = bpmf(spark, rd2, num_latent=3, burnin=2, psamples=1, seed=3, track_rmse=False)
+    with pytest.raises(ValueError):
+        res2.predict(some, probability=True)
