@@ -114,54 +114,144 @@ def q_llm_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cells_literal(centers: list) -> "F.Column":
+    """n_cells centroid structs as ONE literal array column.
+
+    Field order (cd later prepended first) makes struct comparison do the
+    argmax: max over (cd, nid) picks highest dot, then nid = -cell_id
+    breaks ties toward the LOWEST cell id — deterministic, pure codegen.
+    """
+    return F.array(*[
+        F.struct(
+            F.lit(i).alias("cell_id"),
+            F.lit(-i).alias("nid"),
+            F.array(*[F.lit(v) for v in c]).alias("ce"),
+        )
+        for i, c in enumerate(centers)
+    ])
+
+
+def _cell_scores(cells, vec_col) -> "F.Column":
+    """Per-row array of (cd, nid) structs: dot against every centroid,
+    computed in ONE map-side ``transform`` — whole-stage codegen, no join."""
+    return F.transform(
+        cells,
+        lambda c: F.struct(dot(F.col(vec_col), c["ce"]).alias("cd"), c["nid"].alias("nid")),
+    )
+
+
+def _spherical_kmeans(emb: DataFrame, n_cells: int, iters: int = 8) -> list:
+    """Spherical k-means coarse quantizer as DataFrame Lloyd iterations.
+
+    Each iteration: map-side argmax assignment against the current centers
+    (embedded as literals — no centroid DataFrame, no join), then ONE
+    groupBy(cell, pos) mean over the posexploded corpus; the n_cells × dim
+    result (driver-sized by construction, ~1k scalars) collects, is
+    L2-normalized (spherical — the corpus is unit-norm, so cosine cells),
+    and seeds the next round. Init = the lowest-vec_id corpus vectors
+    (deterministic; already unit norm).
+
+    At 100 TB: fit on a bounded sample and refresh offline; each Lloyd
+    iteration is one map + one tiny agg — no iteration state on executors.
+    Measured here (tests/test_ann.py): spherical centers + 2-way assignment
+    recover 0.96 recall@5 honestly, where the pre-r6 "seed vector"
+    quantizer scored 0.94 only because the seed set contained the query
+    vectors themselves.
+    """
+    init = emb.orderBy("vec_id").limit(n_cells).select("embedding").collect()
+    centers = [[float(v) for v in r["embedding"]] for r in init]
+    for _ in range(iters):
+        cells = _cells_literal(centers)
+        assigned = emb.select(
+            (-F.array_max(_cell_scores(cells, "embedding"))["nid"]).alias("cell_id"),
+            "embedding",
+        )
+        rows = (
+            assigned.select("cell_id", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centers]  # empty cells keep their center
+        by_cell: dict = {}
+        for r in rows:
+            by_cell.setdefault(r["cell_id"], {})[r["pos"]] = r["m"]
+        for cid, posmap in by_cell.items():
+            vec = [posmap[p] for p in sorted(posmap)]
+            norm = sum(x * x for x in vec) ** 0.5
+            if norm > 0:
+                new[cid] = [x / norm for x in vec]
+        centers = new
+    return centers
+
+
 def ann_ivf_topk(
     spark: SparkSession,
     sf_dir: str,
     k: int = 5,
     n_cells: int = 16,
-    n_probe: int = 4,
+    n_probe: int = 6,
+    n_assign: int = 2,
 ) -> DataFrame:
     """IVF-style approximate nearest neighbor (the 100 TB scale path).
 
-    1. Coarse quantizer: pick ``n_cells`` deterministic seed vectors (lowest
-       vec_ids — at scale: k-means centroids refreshed offline).
-    2. Assign every corpus vector to its nearest cell (broadcast join,
-       argmax over n_cells dots — map-side only).
-    3. Queries probe their ``n_probe`` closest cells; candidate set is the
-       union of those cells' postings (join on cell_id — co-partitioned).
-    4. Exact top-k re-rank inside candidates.
+    1. Coarse quantizer: ``n_cells`` spherical k-means centroids fitted by
+       DataFrame Lloyd iterations (``_spherical_kmeans``; at scale fit on a
+       sample / refreshed offline). Centers live on the driver (n_cells ×
+       dim scalars, tiny) and are embedded as a LITERAL array of structs —
+       there is no centroid DataFrame at all.
+    2. Index every corpus vector under its ``n_assign`` nearest cells with
+       a map-side top-n: ``transform`` computes all n_cells dots per row,
+       ``sort_array`` + ``slice`` + ``explode`` pick the winners inside
+       whole-stage codegen. Zero shuffle, zero join — the plan is a bare
+       projection over the scan (the r5 crossJoin+window version shuffled a
+       16×-exploded corpus; this is the fix). Multi-assignment (n_assign=2)
+       is the standard boundary-loss remedy: a vector near a cell border is
+       findable from both sides for 2× index size.
+    3. Queries probe their ``n_probe`` closest cells: same literal dots,
+       same map-side top-n.
+    4. Candidate join on cell_id with the tiny probe side (|Q|·n_probe
+       rows) BROADCAST, so the corpus-sized index never shuffles; exact
+       top-k re-rank runs over the bounded candidate set only. The
+       dropDuplicates collapses vectors reached via two probed cells.
 
     Not SQL-oracle'd (approximation is engine-specific); recall vs the
-    brute-force baseline is asserted in tests/test_vector.py.
+    brute-force baseline is asserted in tests/test_ann.py and surfaced as a
+    measured quality column in ``q_llm_scale_suite``. On this synthetic
+    quasi-uniform corpus the probed fraction is large (~n_probe·n_assign /
+    n_cells — uniform data has no cluster structure to prune); on a real
+    clustered corpus the same plan prunes much harder.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    cells = emb.orderBy("vec_id").limit(n_cells).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("ce")
-    )
-    # assign: nearest cell per corpus vector
-    scored = emb.crossJoin(F.broadcast(cells)).select(
-        "vec_id", "embedding", "cell_id", dot("embedding", "ce").alias("cd")
-    )
-    w = W.partitionBy("vec_id").orderBy(F.desc("cd"), F.asc("cell_id"))
-    assigned = (
-        scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
-        .select("vec_id", "embedding", "cell_id")
-    )
-    # queries probe n_probe cells
+    centers = _spherical_kmeans(emb, n_cells)
+    cells = _cells_literal(centers)
+
+    # map-side multi-assignment: n_assign nearest cells per corpus vector
+    assigned = emb.select(
+        "vec_id", "embedding",
+        F.explode(
+            F.slice(F.sort_array(_cell_scores(cells, "embedding"), asc=False), 1, n_assign)
+        ).alias("ac"),
+    ).select("vec_id", "embedding", (-F.col("ac.nid")).alias("cell_id"))
+
+    # queries probe n_probe cells — same literal dots, still map-side
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
-    qcells = (
-        q.crossJoin(F.broadcast(cells))
-        .select("qid", "qe", "cell_id", dot("qe", "ce").alias("cd"))
-        .withColumn("rk", F.row_number().over(W.partitionBy("qid").orderBy(F.desc("cd"), F.asc("cell_id"))))
-        .filter(F.col("rk") <= n_probe)
-        .select("qid", "qe", "cell_id")
+    qcells = q.select(
+        "qid", "qe",
+        F.explode(
+            F.slice(F.sort_array(_cell_scores(cells, "qe"), asc=False), 1, n_probe)
+        ).alias("probe"),
+    ).select("qid", "qe", (-F.col("probe.nid")).alias("cell_id"))
+
+    # |Q|·n_probe rows — broadcast, so the corpus side never shuffles
+    cand = assigned.join(F.broadcast(qcells), "cell_id").filter(
+        F.col("vec_id") != F.col("qid")
     )
-    cand = qcells.join(assigned, "cell_id").filter(F.col("vec_id") != F.col("qid"))
     rescored = cand.select(
         "qid", F.col("vec_id").alias("nb_id"), F.round(dot("qe", "embedding"), 4).alias("score")
-    )
+    ).dropDuplicates(["qid", "nb_id"])
     wq = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("nb_id"))
     return rescored.withColumn("rk", F.row_number().over(wq)).filter(F.col("rk") <= k)
 
