@@ -171,6 +171,13 @@ class TrainResult:
     global_mean: float = 0.0
     entity_counts: dict[str, int] = field(default_factory=dict)
     probit: bool = False
+    # S retained posterior factor snapshots per entity, schema
+    # (sample_id, id, factor) — the reference predicts with the posterior
+    # MEAN over stored samples [paper:BPMF], so ``predict`` averages the
+    # per-sample scores whenever these are present; ``factors`` (the final
+    # sample) remains the single-sample fallback and the cold-start base.
+    factor_samples: dict[str, DataFrame] | None = None
+    n_samples: int = 0
 
     def cold_start_factors(self, entity: str, side_info: DataFrame) -> DataFrame:
         """Macau cold-start [paper:Macau]: factors for instances that were
@@ -221,6 +228,7 @@ class TrainResult:
         entities: list[str] | None = None,
         side_info: dict[str, DataFrame] | None = None,
         probability: bool = False,
+        use_samples: bool = True,
     ) -> DataFrame:
         """Score arbitrary (possibly unseen) cells: r̂ = global_mean +
         Σ_k Π_modes u^{(m)}_k from the stored factors. ``cells_df`` needs
@@ -235,29 +243,59 @@ class TrainResult:
         ``probability=True`` (probit-trained models only) maps the latent
         score through Φ to P(label = 1) — the Albert–Chib link, evaluated
         as a pure JVM expression. All-JVM scoring path: broadcast factor
-        joins + a zip_with Hadamard."""
+        joins + a zip_with Hadamard.
+
+        When the model carries posterior factor SAMPLES (``factor_samples``,
+        the default for a trained/loaded r6+ model), the score is the
+        Rao-Blackwellized mean over the S per-sample scores — the
+        reference's prediction semantics [paper:BPMF]; ``use_samples=False``
+        forces the cheaper single-final-sample path. With samples,
+        ``probability=True`` averages Φ(score_s) — the exact posterior
+        predictive P(label=1), not Φ of the mean score. Plan shape: the
+        per-entity sample tables join on (id, sample_id) so every cell
+        expands to exactly S rows, then ONE groupBy over the cell columns
+        collapses them — S× the single-sample join traffic, same join
+        strategy (broadcast when the factor side is dimension-sized)."""
         entities = entities or self.rel_entities
         if not entities:
             raise ValueError("no entity order: pass entities=[...]")
         if probability and not self.probit:
             raise ValueError("probability=True requires a probit-trained model")
+        use_samples = (
+            use_samples and self.factor_samples is not None and self.n_samples > 0
+        )
         df = cells_df
         fac_cols = []
         for m, ent in enumerate(entities):
             fcol = f"__f{m}"
-            fdf = self.factors[ent]
-            n_rows = self.entity_counts.get(ent, 0)
+            if use_samples:
+                fdf = self.factor_samples[ent]
+                n_rows = self.entity_counts.get(ent, 0) * self.n_samples
+            else:
+                fdf = self.factors[ent]
+                n_rows = self.entity_counts.get(ent, 0)
             if side_info and ent in side_info:
                 cold = self.cold_start_factors(ent, side_info[ent]).join(
-                    fdf.select("id"), "id", "left_anti"
+                    fdf.select("id").distinct(), "id", "left_anti"
                 )
+                if use_samples:
+                    # conditional-prior-mean factors are sample-independent:
+                    # replicate across sample_ids so the (id, sample_id)
+                    # joins below stay exact
+                    sids = fdf.sparkSession.range(self.n_samples).select(
+                        F.col("id").cast("int").alias("sample_id")
+                    )
+                    cold = cold.crossJoin(F.broadcast(sids))
                 fdf = fdf.unionByName(cold)
                 n_rows = BROADCAST_MAX_ROWS + 1  # unknown size: don't force
-            fdf = fdf.select(
-                F.col("id").alias(f"__oid{m}"), F.col("factor").alias(fcol)
-            )
-            fdf = _maybe_broadcast(fdf, n_rows)
-            df = df.join(fdf, F.col(ent).cast("long") == F.col(f"__oid{m}"))
+            sel = [F.col("id").alias(f"__oid{m}"), F.col("factor").alias(fcol)]
+            if use_samples:
+                sel.append(F.col("sample_id").alias(f"__sid{m}"))
+            fdf = _maybe_broadcast(fdf.select(*sel), n_rows)
+            cond = F.col(ent).cast("long") == F.col(f"__oid{m}")
+            if use_samples and m > 0:
+                cond = cond & (F.col("__sid0") == F.col(f"__sid{m}"))
+            df = df.join(fdf, cond)
             fac_cols.append(fcol)
         prod = _hadamard(fac_cols)
         pred = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x) + F.lit(
@@ -267,7 +305,15 @@ class TrainResult:
             from bayesiandatafusion_jl_spark.ml.probit import phi_col
 
             pred = phi_col(pred)
-        return df.select(*[F.col(c) for c in cells_df.columns], pred.alias("pred"))
+        if not use_samples:
+            return df.select(
+                *[F.col(c) for c in cells_df.columns], pred.alias("pred")
+            )
+        return (
+            df.select(*[F.col(c) for c in cells_df.columns], pred.alias("__ps"))
+            .groupBy(*[F.col(c) for c in cells_df.columns])
+            .agg(F.avg("__ps").alias("pred"))
+        )
 
     def save(self, path: str) -> None:
         """Persist the model: one parquet factor table per entity under
@@ -284,6 +330,11 @@ class TrainResult:
             fac.repartition("id").write.mode("overwrite").parquet(
                 f"{path}/factors/{_safe_name(name)}"
             )
+        if self.factor_samples is not None and self.n_samples > 0:
+            for name, fs in self.factor_samples.items():
+                fs.repartition("id").write.mode("overwrite").parquet(
+                    f"{path}/samples/{_safe_name(name)}"
+                )
         meta = {
             "entities": list(self.factors),
             "rel_entities": self.rel_entities,
@@ -293,6 +344,7 @@ class TrainResult:
             "auc": self.auc,
             "probit": self.probit,
             "rmse_trace": self.rmse_trace,
+            "n_samples": self.n_samples if self.factor_samples is not None else 0,
             "beta": {k: v.tolist() for k, v in self.beta.items()},
             "hyper": {
                 k: [mu.tolist(), lam.tolist()] for k, (mu, lam) in self.hyper.items()
@@ -315,9 +367,20 @@ class TrainResult:
             name: spark.read.parquet(f"{path}/factors/{_safe_name(name)}")
             for name in meta["entities"]
         }
+        n_samples = int(meta.get("n_samples", 0))
+        factor_samples = (
+            {
+                name: spark.read.parquet(f"{path}/samples/{_safe_name(name)}")
+                for name in meta["entities"]
+            }
+            if n_samples > 0
+            else None
+        )
         return TrainResult(
             factors=factors,
             pred_mean=None,
+            factor_samples=factor_samples,
+            n_samples=n_samples,
             rmse_trace=meta.get("rmse_trace", []),
             rmse=meta.get("rmse"),
             auc=meta.get("auc"),
@@ -392,6 +455,7 @@ class MacauTrainer:
         warmup_lambda: float = 2.0,
         warmup_tol: float = 0.03,
         warmup_wr: float = 0.05,
+        keep_samples: int | None = None,
     ):
         self.spark = spark
         self.rd = rd
@@ -437,6 +501,12 @@ class MacauTrainer:
         self.warmup_lambda = warmup_lambda
         self.warmup_tol = warmup_tol
         self.warmup_wr = warmup_wr
+        # posterior factor snapshots retained for multi-sample prediction:
+        # None → keep every psample sweep's factors (S = psamples, so
+        # TrainResult.predict reproduces pred_mean exactly); an int keeps
+        # that many THINNED snapshots (every psamples//keep-th sweep) to
+        # bound the S× factor storage at large psamples. 0 disables.
+        self.keep_samples = keep_samples
         self._lambda_beta0 = lambda_beta
         self.rng = np.random.default_rng(seed)
 
@@ -1064,9 +1134,36 @@ class MacauTrainer:
         n_acc = 0
         trace: list[float] = []
 
+        # which psample sweeps to retain as posterior factor snapshots:
+        # evenly thinned from the END so the final sample is always kept
+        keep = (
+            self.psamples if self.keep_samples is None
+            else min(self.keep_samples, self.psamples)
+        )
+        kept_js: set[int] = set()
+        if keep > 0 and self.psamples > 0:
+            thin = -(-self.psamples // keep)  # ceil
+            kept_js = {
+                self.psamples - 1 - i * thin
+                for i in range(keep)
+                if self.psamples - 1 - i * thin >= 0
+            }
+        snap: dict[str, list[DataFrame]] = {e: [] for e in self.rd.entities}
+
         total = self.burnin + self.psamples
         for sweep in range(self.burnin, total):
             self._gibbs_sweep(sweep)
+
+            if (sweep - self.burnin) in kept_js:
+                # factors are localCheckpoint-ed per sweep, so each snapshot
+                # is a stable executor-resident frame; holding the reference
+                # keeps its blocks alive (S × N×K rows total)
+                for nm in self.rd.entities:
+                    snap[nm].append(
+                        self.factors[nm].withColumn(
+                            "sample_id", F.lit(len(snap[nm]))
+                        )
+                    )
 
             if test_df is not None:
                 pred = self._predict_sample(rel0, test_df)
@@ -1123,6 +1220,14 @@ class MacauTrainer:
         auc = None
         if pred_mean is not None and rel0.class_cut is not None:
             auc = _auc_of(pred_mean, rel0.class_cut)
+        factor_samples = None
+        n_samples = 0
+        if kept_js and all(snap[nm] for nm in snap):
+            n_samples = len(next(iter(snap.values())))
+            factor_samples = {
+                nm: reduce(lambda a, b: a.unionByName(b), frames)
+                for nm, frames in snap.items()
+            }
         self._release_working_caches()
         return TrainResult(
             factors=self.factors,
@@ -1136,6 +1241,8 @@ class MacauTrainer:
             global_mean=self.global_mean,
             entity_counts=dict(self._entity_counts),
             probit=rel0.probit,
+            factor_samples=factor_samples,
+            n_samples=n_samples,
         )
 
 

@@ -320,6 +320,68 @@ def test_save_load_predict_roundtrip(spark, planted, tmp_path):
         assert again[k] == pytest.approx(direct[k], rel=1e-6), k
 
 
+def test_multisample_predict_matches_pred_mean(spark, planted, tmp_path):
+    """Rao-Blackwellized prediction from stored posterior samples: with all
+    psample snapshots retained (the default), predict() on the test cells
+    must reproduce pred_mean's posterior-mean column; the samples survive
+    save/load; and the sample-averaged RMSE beats the final-single-sample
+    RMSE (variance reduction) on the planted fixture [paper:BPMF —
+    prediction is the mean over stored posterior samples]."""
+    _, _, df = planted
+    rd = RelationData().add_relation(Relation(df, ["row", "col"], alpha=30.0))
+    res = bpmf(spark, rd, num_latent=8, burnin=8, psamples=6, seed=5)
+    assert res.n_samples == 6
+    assert set(res.factor_samples) == {"row", "col"}
+
+    test_cells = df.filter(F.col("split") == "test").select("row", "col")
+    diff = (
+        res.predict(test_cells).alias("p")
+        .join(res.pred_mean.alias("m"), ["row", "col"])
+        .agg(F.max(F.abs(F.col("p.pred") - F.col("m.pred"))).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert diff < 1e-8, f"multi-sample predict diverges from pred_mean by {diff}"
+
+    path = str(tmp_path / "msmodel")
+    res.save(path)
+    loaded = res.load(spark, path)
+    assert loaded.n_samples == 6
+
+    y = df.filter(F.col("split") == "test").select("row", "col", "value")
+
+    def rmse_of(pred_df):
+        return (
+            pred_df.join(y, ["row", "col"])
+            .agg(F.sqrt(F.avg(F.pow(F.col("value") - F.col("pred"), 2))).alias("r"))
+            .collect()[0]["r"]
+        )
+
+    r_samples = rmse_of(loaded.predict(test_cells))
+    r_single = rmse_of(loaded.predict(test_cells, use_samples=False))
+    assert r_samples == pytest.approx(res.rmse, rel=1e-6)
+    assert r_samples < r_single, f"sample-mean {r_samples} !< single {r_single}"
+
+
+def test_keep_samples_thinning(spark, planted):
+    """keep_samples=N retains exactly N evenly thinned snapshots (final
+    sweep always included) and predict still runs on the thinned set."""
+    from bayesiandatafusion_jl_spark.ml.bpmf import MacauTrainer
+
+    _, _, df = planted
+    rd = RelationData().add_relation(Relation(df, ["row", "col"], alpha=30.0))
+    res = MacauTrainer(
+        spark, rd, num_latent=4, burnin=3, psamples=5, seed=9, keep_samples=2
+    ).train()
+    assert res.n_samples == 2
+    sids = {
+        r["sample_id"]
+        for r in res.factor_samples["row"].select("sample_id").distinct().collect()
+    }
+    assert sids == {0, 1}
+    cells = df.filter(F.col("split") == "test").select("row", "col").limit(20)
+    assert res.predict(cells).count() == 20
+
+
 def test_safe_name_no_collision(tmp_path):
     """Distinct raw entity names must never map to the same path component."""
     from bayesiandatafusion_jl_spark.ml.bpmf import _safe_name
