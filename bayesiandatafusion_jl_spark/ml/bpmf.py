@@ -178,6 +178,9 @@ class TrainResult:
     # sample) remains the single-sample fallback and the cold-start base.
     factor_samples: dict[str, DataFrame] | None = None
     n_samples: int = 0
+    # final per-relation noise precision, in rd.relations order — equals
+    # the fixed Relation.alpha unless alpha_sample drew it adaptively
+    alphas: list[float] = field(default_factory=list)
 
     def cold_start_factors(self, entity: str, side_info: DataFrame) -> DataFrame:
         """Macau cold-start [paper:Macau]: factors for instances that were
@@ -216,10 +219,18 @@ class TrainResult:
         from bayesiandatafusion_jl_spark.ml.cg import _elementwise_sum
 
         mu_arr = F.array(*[F.lit(float(x)) for x in mu])
-        return scaled.groupBy("id").agg(
+        dots = scaled.groupBy("id").agg(
             F.zip_with(
                 _elementwise_sum("c", k), mu_arr, lambda a, b: a + b
             ).alias("factor")
+        )
+        # ids whose features are ALL zero vanish from the COO (v != 0) and
+        # would silently drop out of prediction — Macau's conditional mean
+        # for f = 0 is u = μ, so left-join every distinct side-info id and
+        # fill the missing dot-products with the prior mean
+        all_ids = side_info.select(F.col("id").cast("long")).distinct()
+        return all_ids.join(dots, "id", "left").select(
+            "id", F.coalesce(F.col("factor"), mu_arr).alias("factor")
         )
 
     def predict(
@@ -345,6 +356,7 @@ class TrainResult:
             "probit": self.probit,
             "rmse_trace": self.rmse_trace,
             "n_samples": self.n_samples if self.factor_samples is not None else 0,
+            "alphas": self.alphas,
             "beta": {k: v.tolist() for k, v in self.beta.items()},
             "hyper": {
                 k: [mu.tolist(), lam.tolist()] for k, (mu, lam) in self.hyper.items()
@@ -381,6 +393,7 @@ class TrainResult:
             pred_mean=None,
             factor_samples=factor_samples,
             n_samples=n_samples,
+            alphas=[float(a) for a in meta.get("alphas", [])],
             rmse_trace=meta.get("rmse_trace", []),
             rmse=meta.get("rmse"),
             auc=meta.get("auc"),
@@ -521,6 +534,9 @@ class MacauTrainer:
         self._side_counts: dict[str, int] = {}
         # probit relations: id(rel) -> current augmented-z cell frame
         self._aug: dict[int, DataFrame] = {}
+        # per-relation CURRENT noise precision — mutated by the adaptive-α
+        # Gamma draw when rel.alpha_sample; the user's Relation stays as-is
+        self._alpha: dict[int, float] = {id(r): r.alpha for r in rd.relations}
 
     # ---------- setup ----------
 
@@ -840,7 +856,7 @@ class MacauTrainer:
                 F.col("__val"),
                 _hadamard(fac_cols).alias("__fac"),
                 # probit augmentation fixes the latent noise precision at 1
-                F.lit(1.0 if rel.probit else rel.alpha).alias("__alpha"),
+                F.lit(1.0 if rel.probit else self._alpha[id(rel)]).alias("__alpha"),
             ]
             if self.skew_salt:
                 other_sum = reduce(
@@ -1038,10 +1054,29 @@ class MacauTrainer:
         for mv in self.side_mv.values():
             mv.coo.unpersist()
 
+    def _sample_alpha(self, rel) -> None:
+        """Adaptive noise precision [api]: conjugate Gamma posterior draw
+        α ~ Gamma(a0 + n/2, b0 + SSE/2) from the TRAIN residuals under the
+        current factors. One join + one agg per relation per sweep (only
+        when ``rel.alpha_sample``); the draw itself is a driver scalar."""
+        df = rel.df
+        if "split" in df.columns:
+            df = df.filter(F.col("split") == "train")
+        pred = self._predict_sample(rel, df)
+        row = pred.agg(
+            F.sum(F.pow(F.col("y") - F.col("p"), 2)).alias("sse"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        shape = rel.alpha_a0 + row["n"] / 2.0
+        rate = rel.alpha_b0 + (row["sse"] or 0.0) / 2.0
+        self._alpha[id(rel)] = float(self.rng.gamma(shape, 1.0 / rate))
+
     def _gibbs_sweep(self, sweep: int) -> None:
         for rel in self.rd.relations:
             if rel.probit:
                 self._refresh_probit_z(rel, sweep)
+            elif rel.alpha_sample:
+                self._sample_alpha(rel)
         for name in self.rd.entities:
             n, su, suu = self._moments(name)
             self.hyper[name] = sample_normal_wishart(n, su, suu, self.rng)
@@ -1084,6 +1119,7 @@ class MacauTrainer:
             self.rng = np.random.default_rng(self.seed)
             self.factors, self.hyper, self.beta, self.offsets = {}, {}, {}, {}
             self.side_mv, self.side_gram, self._aug = {}, {}, {}
+            self._alpha = {id(r): r.alpha for r in self.rd.relations}
             self.lambda_beta = {e: self._lambda_beta0 for e in self.rd.entities}
             self._init()
             # ALS warm-start: deterministic mean half-sweeps (negative
@@ -1243,6 +1279,7 @@ class MacauTrainer:
             probit=rel0.probit,
             factor_samples=factor_samples,
             n_samples=n_samples,
+            alphas=[self._alpha[id(r)] for r in self.rd.relations],
         )
 
 

@@ -144,6 +144,15 @@ def q_ml_als_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.avg("value").alias("value"))
     )
     cells = split_train_test(cells, ["u", "t"], test_frac=0.2, seed=11)
+    # MLlib ALS indexes users/items as int32 — ids at or beyond 2^31 would
+    # silently wrap on the cast and corrupt the user dimension; fail loudly
+    # instead (dense re-indexing is the remedy at that scale)
+    umax = cells.agg(F.max("u").alias("m")).collect()[0]["m"]
+    if umax is not None and umax >= 2**31:
+        raise ValueError(
+            f"user_id max {umax} exceeds MLlib ALS's int32 index range; "
+            "re-index users densely before fitting"
+        )
     train = cells.filter(F.col("split") == "train").select(
         F.col("u").cast("int").alias("user"),
         F.col("t").cast("int").alias("item"),

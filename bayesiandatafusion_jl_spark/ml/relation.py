@@ -47,6 +47,13 @@ class Relation:
     kernel runs on Albert–Chib truncated-normal latents z ~ TN(u·v, 1)
     (noise precision fixed at 1 — ``alpha`` is ignored), matching the
     reference's binary-relation training [api class_cut].
+
+    ``alpha_sample=True`` samples the noise precision from its conjugate
+    Gamma posterior each sweep instead of pinning it: α ~ Gamma(a0 + n/2,
+    b0 + SSE/2) given the current factors' train residuals (the upstream
+    API's adaptive-precision mode [api]; removes the main hand-tuned
+    knob). ``alpha`` then only seeds the first sweep. Ignored for probit
+    relations (their latent precision is 1 by construction).
     """
 
     df: DataFrame
@@ -55,6 +62,9 @@ class Relation:
     alpha: float = 2.0
     class_cut: float | None = None
     probit: bool = False
+    alpha_sample: bool = False
+    alpha_a0: float = 2.0  # Gamma prior shape
+    alpha_b0: float = 1.0  # Gamma prior rate
 
     @property
     def arity(self) -> int:
@@ -138,7 +148,12 @@ def assign_to_test(
     """
     h = F.xxhash64(*[F.col(c) for c in id_cols], F.lit(seed))
     winners = (
+        # distinct: duplicate id tuples must not occupy several of the n
+        # winner slots (and the broadcast join below would fan them out) —
+        # exactly n DISTINCT cells are held out; duplicates of a held-out
+        # cell all land in test together
         df.select(*id_cols)
+        .distinct()
         .withColumn("__h", h)
         .orderBy("__h", *id_cols)
         .limit(n)

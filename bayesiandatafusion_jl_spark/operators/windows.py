@@ -82,7 +82,10 @@ def auc_components(scored: DataFrame, n_buckets: int = 32) -> DataFrame:
        sum exact across engines. The 1-row result is materialized eagerly
        so the cache can be released before returning (no persist leak).
     """
-    g = scored.groupBy("score").agg(
+    # NULL scores are unrankable — exclude them DELIBERATELY (and from the
+    # n_pos/n_neg denominators) rather than letting a NULL bucket silently
+    # drop them from some joins but not others
+    g = scored.filter(F.col("score").isNotNull()).groupBy("score").agg(
         F.sum("label").alias("n_pos"),
         F.sum(1 - F.col("label")).alias("n_neg"),
     ).persist()
