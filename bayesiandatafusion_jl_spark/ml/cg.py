@@ -124,18 +124,41 @@ class DistributedMatvec:
         return self.fty_df(self.fx_df(x), x.shape[1]) + lam * x
 
     def gram(self) -> np.ndarray:
-        """FᵀF (D×D) computed distributed in one self-join pass — run ONCE
-        at init for the direct path (F is static across sweeps). Only call
-        when D×D comfortably fits on the driver."""
-        a = self.coo.alias("a")
-        b = self.coo.alias("b")
+        """FᵀF (D×D) computed distributed — run ONCE at init for the
+        direct path (F is static across sweeps). Only call when D×D
+        comfortably fits on the driver.
+
+        Shape: each id-block computes its partial Gram with numpy OUTER
+        PRODUCTS (BLAS) inside one Arrow batch and emits it as sparse
+        (fi, fj, g) rows — at most D² per block, pre-aggregated before the
+        shuffle. The r5 version self-joined the COO on id, generating
+        nnz_i² join rows per instance in-task and summing them as a Spark
+        agg; the per-block outer product does the same arithmetic several
+        times cheaper and bounds the shuffle at n_blocks·D² rows
+        regardless of instance degree."""
+        d = self.n_feats
+
+        def _partial(pdf):
+            g = np.zeros((d, d))
+            for _, grp in pdf.groupby("id"):
+                f = grp["feat"].to_numpy(np.int64)
+                v = grp["v"].to_numpy(np.float64)
+                g[np.ix_(f, f)] += np.outer(v, v)
+            fi, fj = np.nonzero(g)
+            return pd.DataFrame({"fi": fi, "fj": fj, "g": g[fi, fj]})
+
+        n_parts = self.coo.rdd.getNumPartitions()
         rows = (
-            a.join(b, F.col("a.id") == F.col("b.id"))
-            .groupBy(F.col("a.feat").alias("fi"), F.col("b.feat").alias("fj"))
-            .agg(F.sum(F.col("a.v") * F.col("b.v")).alias("g"))
+            self.coo.withColumn("__b", F.pmod(F.col("id"), F.lit(n_parts)))
+            .groupBy("__b")
+            .applyInPandas(
+                lambda pdf: _partial(pdf.drop(columns="__b")),
+                schema="fi long, fj long, g double",
+            )
+            .groupBy("fi", "fj")
+            .agg(F.sum("g").alias("g"))
             .toPandas()
         )
-        d = self.n_feats
         gram = np.zeros((d, d))
         gram[rows["fi"].to_numpy(dtype=np.int64), rows["fj"].to_numpy(dtype=np.int64)] = (
             rows["g"].to_numpy(dtype=np.float64)

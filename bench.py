@@ -75,7 +75,6 @@ def main() -> None:
 
     from bayesiandatafusion_jl_spark.catalog import load_table  # noqa: E402
     from bayesiandatafusion_jl_spark.ml.bpmf import MacauTrainer  # noqa: E402
-    from bayesiandatafusion_jl_spark.ml.nw import sample_normal_wishart  # noqa: E402
     from bayesiandatafusion_jl_spark.ml.relation import (  # noqa: E402
         Relation,
         RelationData,
@@ -93,19 +92,48 @@ def main() -> None:
         .agg(F.avg("value").alias("value"))
     )
     cells = split_train_test(cells, ["u", "t"], test_frac=0.2, seed=11)
+
+    def time_sweeps(label: str, rd: RelationData, num_latent: int) -> None:
+        """One full Gibbs sweep per iteration (moments + NW + kernel per
+        entity; probit relations additionally pay the truncated-normal
+        augmentation refresh) — min/max like the headline queries."""
+        tr = MacauTrainer(spark, rd, num_latent=num_latent, burnin=1, psamples=0, seed=7)
+        tr._init()
+        runs = []
+        for it in range(iterations):
+            t0 = time.time()
+            tr._gibbs_sweep(it)
+            runs.append(time.time() - t0)
+        tr._release_working_caches()
+        timings[label] = round(min(runs), 3)
+        timings_max[label] = round(max(runs), 3)
+
     rd = RelationData().add_relation(Relation(cells, ["u", "t"], alpha=10.0))
-    tr = MacauTrainer(spark, rd, num_latent=16, burnin=1, psamples=0, seed=7)
-    tr._init()
-    sweep_runs = []
-    for it in range(iterations):
-        t0 = time.time()
-        for name in rd.entities:
-            n, su, suu = tr._moments(name)
-            tr.hyper[name] = sample_normal_wishart(n, su, suu, tr.rng)
-            tr._sample_entity(name, it)
-        sweep_runs.append(time.time() - t0)
-    timings["bpmf_sweep"] = round(min(sweep_runs), 3)
-    timings_max["bpmf_sweep"] = round(max(sweep_runs), 3)
+    time_sweeps("bpmf_sweep", rd, num_latent=16)
+
+    # arity-3 tensor sweep: (user × type × day-of-week) CP model — the
+    # Hadamard sufficient-stat motion per mode
+    cells3 = (
+        ev.select(
+            F.col("user_id").alias("u"),
+            F.crc32(F.col("event_type")).cast("long").alias("t"),
+            F.dayofweek("ts").cast("long").alias("d"),
+            F.log1p("value").alias("value"),
+        )
+        .groupBy("u", "t", "d")
+        .agg(F.avg("value").alias("value"))
+    )
+    cells3 = split_train_test(cells3, ["u", "t", "d"], test_frac=0.2, seed=11)
+    rd3 = RelationData().add_relation(Relation(cells3, ["u", "t", "d"], alpha=10.0))
+    time_sweeps("tensor_sweep", rd3, num_latent=8)
+
+    # probit sweep: binary likelihood — adds the Albert–Chib z refresh
+    # (Arrow truncnorm UDF) to every sweep
+    cut = cells.agg(F.expr("percentile_approx(value, 0.5)").alias("c")).first()["c"]
+    rdp = RelationData().add_relation(
+        Relation(cells, ["u", "t"], class_cut=float(cut), probit=True)
+    )
+    time_sweeps("probit_sweep", rdp, num_latent=8)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -403,6 +403,29 @@ def test_adaptive_alpha_recovers_planted_noise(spark):
     assert res.rmse is not None and res.rmse < 0.5
 
 
+def test_gram_matches_dense(spark):
+    """The per-block outer-product Gram equals the dense FᵀF exactly on a
+    random sparse COO (including empty rows/columns)."""
+    from bayesiandatafusion_jl_spark.ml.cg import DistributedMatvec
+
+    rng = np.random.default_rng(17)
+    n, d = 60, 24
+    dense = rng.standard_normal((n, d)) * (rng.random((n, d)) < 0.3)
+    dense[5] = 0.0  # an all-zero instance
+    dense[:, 7] = 0.0  # an unobserved feature column
+    coo_rows = [
+        (int(i), int(j), float(dense[i, j]))
+        for i in range(n)
+        for j in range(d)
+        if dense[i, j] != 0.0
+    ]
+    coo = spark.createDataFrame(coo_rows, "id long, feat long, v double")
+    mv = DistributedMatvec(spark, coo, n, d, n_parts=8)
+    got = mv.gram()
+    mv.unpersist()
+    np.testing.assert_allclose(got, dense.T @ dense, rtol=1e-12, atol=1e-12)
+
+
 def test_safe_name_no_collision(tmp_path):
     """Distinct raw entity names must never map to the same path component."""
     from bayesiandatafusion_jl_spark.ml.bpmf import _safe_name
