@@ -240,6 +240,7 @@ class TrainResult:
         side_info: dict[str, DataFrame] | None = None,
         probability: bool = False,
         use_samples: bool = True,
+        with_std: bool = False,
     ) -> DataFrame:
         """Score arbitrary (possibly unseen) cells: r̂ = global_mean +
         Σ_k Π_modes u^{(m)}_k from the stored factors. ``cells_df`` needs
@@ -266,7 +267,10 @@ class TrainResult:
         per-entity sample tables join on (id, sample_id) so every cell
         expands to exactly S rows, then ONE groupBy over the cell columns
         collapses them — S× the single-sample join traffic, same join
-        strategy (broadcast when the factor side is dimension-sized)."""
+        strategy (broadcast when the factor side is dimension-sized).
+        ``with_std=True`` adds the posterior std over the S scores as a
+        ``pred_std`` column — pred_mean's I11 uncertainty readout for
+        arbitrary cells."""
         entities = entities or self.rel_entities
         if not entities:
             raise ValueError("no entity order: pass entities=[...]")
@@ -317,13 +321,32 @@ class TrainResult:
 
             pred = phi_col(pred)
         if not use_samples:
+            if with_std:
+                raise ValueError(
+                    "with_std=True needs posterior samples (use_samples=True "
+                    "on a model trained with keep_samples != 0)"
+                )
             return df.select(
                 *[F.col(c) for c in cells_df.columns], pred.alias("pred")
+            )
+        aggs = [F.avg("__ps").alias("pred")]
+        if with_std:
+            # population std over the S per-sample scores — the same
+            # posterior-uncertainty readout pred_mean carries for the
+            # training test split (I11), now for arbitrary cells
+            aggs.append(
+                F.sqrt(
+                    F.greatest(
+                        F.avg(F.col("__ps") * F.col("__ps"))
+                        - F.pow(F.avg("__ps"), 2),
+                        F.lit(0.0),
+                    )
+                ).alias("pred_std")
             )
         return (
             df.select(*[F.col(c) for c in cells_df.columns], pred.alias("__ps"))
             .groupBy(*[F.col(c) for c in cells_df.columns])
-            .agg(F.avg("__ps").alias("pred"))
+            .agg(*aggs)
         )
 
     def save(self, path: str) -> None:

@@ -72,6 +72,21 @@ def q_ml_bpmf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     §2.I). Deliberately small config so the driver's per-query budget holds;
     the property tests in tests/test_ml.py are the statistical gate.
     """
+    res = _bpmf_events_train(spark, sf_dir)
+    return res.pred_mean.select(
+        F.col("u").alias("user_id"),
+        F.col("t").alias("type_id"),
+        F.col("y").alias("actual"),
+        "pred",
+        "pred_std",
+    )
+
+
+def _bpmf_events_train(spark: SparkSession, sf_dir: str):
+    """Shared trainer for q_ml_bpmf_events and the factorization suite —
+    returns the full TrainResult (incl. posterior factor samples) so the
+    suite can also measure the multi-sample prediction gain without a
+    second training."""
     from bayesiandatafusion_jl_spark.ml.bpmf import bpmf
     from bayesiandatafusion_jl_spark.ml.relation import (
         Relation,
@@ -99,16 +114,9 @@ def q_ml_bpmf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = split_train_test(cells, ["u", "t"], test_frac=0.2, seed=11)
     rd = RelationData().add_relation(Relation(cells, ["u", "t"], alpha=10.0))
-    res = bpmf(
+    return bpmf(
         spark, rd, num_latent=4, burnin=3, psamples=2, seed=7,
         n_blocks=8, track_rmse=False,
-    )
-    return res.pred_mean.select(
-        F.col("u").alias("user_id"),
-        F.col("t").alias("type_id"),
-        F.col("y").alias("actual"),
-        "pred",
-        "pred_std",
     )
 
 
@@ -667,7 +675,10 @@ def q_ml_factorization_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       (finite and > 0.5 = the binary pipeline learned signal).
 
     One summary row per model: held-out cell count, mean |error|, mean
-    posterior std — finite values prove the whole Gibbs pipeline ran.
+    posterior std — finite values prove the whole Gibbs pipeline ran. The
+    bpmf row additionally reports ``sample_gain`` = single-final-sample
+    RMSE / posterior-sample-mean RMSE on the held-out cells (the measured
+    benefit of the Rao-Blackwellized multi-sample predictor, r6).
     Statistical quality is gated by tests/test_ml.py property tests
     (planted low-rank matrices, RMSE below noise floor, posterior AUC).
     The per-model full readouts stay available as the demoted
@@ -675,8 +686,41 @@ def q_ml_factorization_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bayesiandatafusion_jl_spark.operators.windows import auc_components
 
     legs = []
+    # bpmf leg: ONE training serves both the standard stats and the
+    # multi-sample prediction gain — sample_gain = (final-single-sample
+    # RMSE) / (posterior-sample-mean RMSE); ≥ 1 shows the
+    # Rao-Blackwellized predictor's variance reduction, measured on the
+    # driver's own data, no second training
+    res = _bpmf_events_train(spark, sf_dir)
+    pm = res.pred_mean
+    single = res.predict(pm.select("u", "t"), use_samples=False).select(
+        "u", "t", F.col("pred").alias("p1")
+    )
+    gains = (
+        pm.join(single, ["u", "t"])
+        .agg(
+            F.sqrt(F.avg(F.pow(F.col("y") - F.col("pred"), 2))).alias("rm"),
+            F.sqrt(F.avg(F.pow(F.col("y") - F.col("p1"), 2))).alias("r1"),
+        )
+        .select((F.col("r1") / F.col("rm")).alias("sample_gain"))
+    )
+    legs.append(
+        pm.agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.avg(F.abs(F.col("y") - F.col("pred"))).alias("mae"),
+            F.avg("pred_std").alias("mean_std"),
+        )
+        .crossJoin(gains)
+        .select(
+            F.lit("bpmf").alias("model"),
+            "n_cells",
+            "mae",
+            "mean_std",
+            F.lit(None).cast("double").alias("auc"),
+            "sample_gain",
+        )
+    )
     for model, fn in (
-        ("bpmf", q_ml_bpmf_events),
         ("tensor", q_ml_tensor_events),
         ("collective", q_ml_collective_events),
     ):
@@ -692,6 +736,7 @@ def q_ml_factorization_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mae",
                 "mean_std",
                 F.lit(None).cast("double").alias("auc"),
+                F.lit(None).cast("double").alias("sample_gain"),
             )
         )
     pb = q_ml_probit_events(spark, sf_dir)
@@ -706,7 +751,12 @@ def q_ml_factorization_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(pb_auc)
         .select(
-            F.lit("probit").alias("model"), "n_cells", "mae", "mean_std", "auc"
+            F.lit("probit").alias("model"),
+            "n_cells",
+            "mae",
+            "mean_std",
+            "auc",
+            F.lit(None).cast("double").alias("sample_gain"),
         )
     )
     suite = legs[0]

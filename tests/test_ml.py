@@ -334,13 +334,17 @@ def test_multisample_predict_matches_pred_mean(spark, planted, tmp_path):
     assert set(res.factor_samples) == {"row", "col"}
 
     test_cells = df.filter(F.col("split") == "test").select("row", "col")
-    diff = (
-        res.predict(test_cells).alias("p")
+    row = (
+        res.predict(test_cells, with_std=True).alias("p")
         .join(res.pred_mean.alias("m"), ["row", "col"])
-        .agg(F.max(F.abs(F.col("p.pred") - F.col("m.pred"))).alias("d"))
-        .collect()[0]["d"]
+        .agg(
+            F.max(F.abs(F.col("p.pred") - F.col("m.pred"))).alias("d"),
+            F.max(F.abs(F.col("p.pred_std") - F.col("m.pred_std"))).alias("ds"),
+        )
+        .collect()[0]
     )
-    assert diff < 1e-8, f"multi-sample predict diverges from pred_mean by {diff}"
+    assert row["d"] < 1e-8, f"multi-sample predict diverges from pred_mean by {row['d']}"
+    assert row["ds"] < 1e-8, f"with_std diverges from pred_mean.pred_std by {row['ds']}"
 
     path = str(tmp_path / "msmodel")
     res.save(path)
