@@ -1,0 +1,242 @@
+"""Connected components over a pair graph (dedup clustering / co-occurrence
+grouping).
+
+A dedup pipeline does not stop at near-dup PAIRS: to drop duplicates it
+needs the transitive closure — if a~b and b~c then {a, b, c} is one
+duplicate group even when (a, c) was never emitted as a pair (chains are
+common under banded LSH: each band catches a different overlap). The
+operator here labels every node with the minimum node id of its component;
+``keep = (node = cluster_id)`` is then the canonical
+one-representative-per-group rule, matching ``q_llm_exact_dedup``'s
+``MIN(doc_id) AS keep_doc_id`` convention.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SOCC'14) — the standard
+shuffle-based CC formulation:
+
+- **large-star**: every node points its larger neighbors at the smallest
+  member of its neighborhood (incl. itself);
+- **small-star**: every node rewires its smaller-or-equal neighbors (and
+  itself) to their minimum.
+
+Both steps are ONE groupBy(node) + ONE join per round, edge count never
+grows beyond the input edge count (after distinct), and the edge set
+converges to disjoint stars rooted at each component's min in
+O(log² n) rounds (in practice 2–4 on dedup-shaped graphs). That is the
+100 TB story: no driver-side graph state at all — the driver holds only a
+(count, checksum) pair per round for the convergence test; labels,
+frontier, and edges all stay distributed. Compare GraphFrames'
+implementation of the same paper; re-derived here from the published
+algorithm over plain DataFrame ops.
+
+Per-round ``localCheckpoint`` truncates the loop-carried lineage (the
+iterative-plan discipline shared with ml/bpmf.py's ``_checkpoint``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bayesiandatafusion_jl_spark.catalog import load_table
+from bayesiandatafusion_jl_spark.registry import register
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_rounds: int = 30
+) -> DataFrame:
+    """Label each node with the min node id of its connected component.
+
+    Input: undirected edges as (src, dst) pairs, any orientation,
+    duplicates allowed. Output: ``(node, cluster_id)``, one row per
+    distinct node that appears in at least one edge (singletons never
+    enter a pair frame; callers wanting them add a left join + coalesce
+    to self). Deterministic — no randomness anywhere.
+    """
+    edges = (
+        pairs.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        # large-star: m(u) = min over N(u) ∪ {u}; larger neighbors v > u
+        # re-point to m(u)
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient (max, min); every smaller neighbor and u
+        # itself re-point to the minimum of the down-neighborhood
+        down = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        dmins = down.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            down.join(dmins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(dmins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        edges = small
+        # convergence: edge set unchanged (count + order-independent
+        # checksum) — two scalars on the driver, nothing graph-sized
+        # bit_xor, not sum: order-independent AND overflow-free under ANSI
+        # (a sum of 64-bit hashes overflows long)
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged: disjoint stars (child → component-min root)
+    return (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+        .union(edges.select(F.col("v").alias("node"), F.col("v").alias("cluster_id")))
+        .distinct()
+    )
+
+
+@register(
+    "q_graph_components",
+    oracle="""
+    WITH RECURSIVE co AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_orders
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= 3
+    ),
+    edges AS (
+      SELECT pa AS u, pb AS v FROM co
+      UNION
+      SELECT pb AS u, pa AS v FROM co
+    ),
+    reach(node, lbl) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    lab AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab
+           GROUP BY cluster_id)
+    SELECT l.node, l.cluster_id, s.cluster_size
+    FROM lab l JOIN sz s USING (cluster_id)
+    """,
+    tags=("graph-cc",),
+)
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components, driver-checked against a DuckDB RECURSIVE-CTE
+    transitive closure. Graph: parts co-ordered in ≥ 3 distinct orders
+    (the lineitem self-join on l_orderkey) — at sf0.01 that is ~60
+    components with genuine chain structure (sizes 2–5, NOT cliques), so
+    multi-hop label propagation is actually exercised; the dedup-flavored
+    instantiation over the near-dup pair graph is ``q_llm_dedup_clusters``
+    below (demoted: its graph degenerates to one dense blob on this
+    corpus, which checks closure but not chains).
+
+    The co-occurrence build is one shuffle (self-join on l_orderkey) + one
+    agg; the HAVING keeps the graph sparse, which is exactly how a real
+    item-item graph is thresholded at scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.alias("a")
+    b = li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
+    lab = connected_components(co, src="pa", dst="pb")
+    sz = lab.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return lab.join(F.broadcast(sz), "cluster_id").select(
+        "node", "cluster_id", "cluster_size"
+    )
+
+
+@register(
+    "q_llm_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS token
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach
+            GROUP BY node),
+    sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab
+           GROUP BY cluster_id)
+    SELECT l.doc_id, l.cluster_id, s.cluster_size,
+           l.doc_id = l.cluster_id AS keep
+    FROM lab l JOIN sz s USING (cluster_id)
+    """,
+    tags=("J2", "graph-cc"),
+    demoted=True,
+)
+def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: transitive closure of ``q_llm_near_dedup``'s
+    pair graph, labeled by component-min, plus the keep/drop flag a dedup
+    pipeline acts on (keep = the component's min doc_id — the same
+    representative rule as exact dedup's MIN(doc_id)).
+
+    Demoted: on this corpus the jaccard ≥ 0.5 pair graph is one dense
+    97-doc component, so it verifies closure-on-a-blob only; the
+    driver-facing CC query is ``q_graph_components`` (real multi-component
+    chain graph). Both run the same ``connected_components``.
+    """
+    from bayesiandatafusion_jl_spark.functions.dedup import q_llm_near_dedup
+
+    pairs = q_llm_near_dedup(spark, sf_dir)
+    lab = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    sz = lab.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return lab.join(F.broadcast(sz), "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )

@@ -293,6 +293,7 @@ _CUT = 35.0  # class_cut near the events.value median → balanced classes
     FROM ranked
     """,
     tags=("I8", "E2"),
+    demoted=True,
 )
 def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I8 — Mann–Whitney AUC of the bias-baseline score against the
@@ -300,6 +301,13 @@ def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     [api]). Tie-correct: tied scores share their average rank, computed as
     rank() + (count(same score) − 1)/2 — identical in both engines because
     the scores are bit-identical derived doubles.
+
+    Demoted (r6): the AUC kernel itself — the SAME ``auc_components``
+    bucketed formulation — is already driver-hash-checked by ``q_win_auc``
+    (E2), and the trained-model AUC leg is asserted in the factorization
+    suite; this bias-baseline instantiation stays under the local parity
+    gate. Its driver slot went to ``q_graph_components`` (connected
+    components — an operator class the surface previously lacked).
 
     Scale: two broadcast joins, then the bucketed-offset
     ``auc_components`` formulation (operators/windows.py) — groupBy(score)

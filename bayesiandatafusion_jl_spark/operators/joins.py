@@ -174,15 +174,25 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name, c_nationkey
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     """,
     tags=("C6",),
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6 — left anti join: cold-start entities with zero observations,
-    predicted from side info only [paper:Macau]."""
+    predicted from side info only [paper:Macau].
+
+    The right side is restricted to urgent-priority orders so the result
+    is NON-EMPTY at every test SF (every customer has *some* order in the
+    synthetic data, so the unrestricted anti-join hash-matched on an empty
+    frame — zero-row evidence). The filter lands below the join on the
+    orders scan (PushedFilters), the anti-join shape is unchanged."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_nationkey"
     )

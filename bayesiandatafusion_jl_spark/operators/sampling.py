@@ -1,0 +1,134 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB corpus is rarely consumed whole: experiments run on reproducible
+subsets ("the same 1% every time, on any cluster, at any partitioning"),
+and dataset mixes are built by stratified quotas ("exactly N documents per
+source/language"). Spark's built-in ``df.sample`` / ``sampleBy`` are
+seeded per-partition, so their output changes with the physical split —
+useless as a contract. These operators hash the ROW IDENTITY instead,
+with pure int64 arithmetic that any engine reproduces (same convention as
+ml/relation.py's ``split_train_test`` — sampling and train/test splitting
+are the same primitive with a different quota rule):
+
+- ``hash_sample`` — Bernoulli(p) by hash bucket: map-only, zero shuffle,
+  zero state; composes with any downstream plan and prunes at the scan
+  when the id columns are all that's read.
+- ``stratified_fixed_n`` — EXACTLY n rows per stratum, smallest hash
+  first: one shuffle on the strata key; the per-stratum sort is a top-n
+  (rank ≤ n never materializes a full sort at the executor — Spark's
+  window TopN pushdown keeps a bounded heap per stratum). For pathological
+  mega-strata, pre-filter with ``hash_sample`` at a safe over-sampling
+  rate first, then take the exact n — the two-phase trick keeps the heap
+  bounds tight.
+
+Both are driver-oracle-checkable (registered below): the hash is plain
+``(Σ id_k · P^k) mod M`` so DuckDB computes bit-identical buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from bayesiandatafusion_jl_spark.catalog import load_table
+from bayesiandatafusion_jl_spark.registry import register
+
+# Knuth multiplicative constant / small odd prime, same family as the
+# split hash in ml/queries.py; MOD 10_000 gives basis-point granularity
+# while keeping every intermediate < 2^63 under ANSI arithmetic.
+_P1, _P2, _MOD = 2_654_435_761, 40_503, 10_000
+
+
+def _bucket(id_cols: list[str]) -> F.Column:
+    """Deterministic bucket in [0, _MOD): partition-independent, engine-
+    independent. Ids are pre-mod'ed so the products never overflow int64
+    even for arbitrary 63-bit ids."""
+    mix = F.lit(0).cast("long")
+    for k, c in enumerate(id_cols):
+        p = pow(_P1, k + 1, _MOD) * _P2 % _MOD
+        mix = mix + F.pmod(F.col(c).cast("long"), F.lit(_MOD)) * F.lit(p)
+    return F.pmod(mix, F.lit(_MOD).cast("long"))
+
+
+def _sql_bucket(id_cols: list[str]) -> str:
+    terms = " + ".join(
+        f"(({c} % {_MOD}) * {pow(_P1, k + 1, _MOD) * _P2 % _MOD})"
+        for k, c in enumerate(id_cols)
+    )
+    return f"((({terms}) % {_MOD}) + {_MOD}) % {_MOD}"
+
+
+def hash_sample(df: DataFrame, id_cols: list[str], frac: float) -> DataFrame:
+    """Deterministic Bernoulli(frac) sample keyed on row identity.
+
+    Map-only (one filter expression, no shuffle, no RNG state); the same
+    rows are selected on any cluster at any partitioning, and samples at
+    different rates NEST (frac 0.01 ⊂ frac 0.1), which is what experiment
+    ladders need."""
+    return df.filter(_bucket(id_cols) < int(frac * _MOD))
+
+
+def stratified_fixed_n(
+    df: DataFrame, strata_cols: list[str], id_cols: list[str], n: int
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, smallest hash first.
+
+    One shuffle on the strata key; ``row_number ≤ n`` compiles to a
+    bounded per-stratum top-n. Deterministic total order: the id columns
+    break hash ties."""
+    w = W.partitionBy(*strata_cols).orderBy(
+        _bucket(id_cols).asc(), *[F.col(c).asc() for c in id_cols]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+@register(
+    "q_sample_bernoulli",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+    FROM lineitem
+    WHERE {_sql_bucket(['l_orderkey', 'l_linenumber'])} < 2000
+    """,
+    tags=("sampling",),
+    demoted=True,
+)
+def q_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% Bernoulli sample of lineitem keyed on
+    (l_orderkey, l_linenumber) — partition-independent, oracle-identical.
+    Demoted: the driver surface is capped at 50; the same hash arithmetic
+    is driver-checked via q_ml_traintest_split (I1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return hash_sample(li, ["l_orderkey", "l_linenumber"], 0.2).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT c_custkey, c_nationkey, c_mktsegment
+    FROM (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY {_sql_bucket(['c_custkey'])}, c_custkey
+             ) AS rn
+      FROM customer
+    )
+    WHERE rn <= 20
+    """,
+    tags=("sampling",),
+    demoted=True,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 customers per nation, smallest identity-hash first —
+    the quota-per-stratum dataset-mix primitive. Demoted: see
+    q_sample_bernoulli."""
+    c = load_table(spark, sf_dir, "customer")
+    return stratified_fixed_n(c, ["c_nationkey"], ["c_custkey"], 20).select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )

@@ -118,6 +118,26 @@ def dedup_within_watermark(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def score_stream(cells: DataFrame, model) -> DataFrame:
+    """Online model serving: score an unbounded stream of (entity-id …)
+    cells against a trained ``TrainResult``'s factor tables — the
+    streaming face of I7's prediction kernel.
+
+    Plan shape: a STATELESS stream-static join per entity mode (the factor
+    side is static and dimension-sized, so it broadcasts into every
+    micro-batch), then the same zip_with Hadamard-dot as batch
+    ``predict``. No watermark, no state store: predictions append as cells
+    arrive, and a model refresh is a blue/green restart with new factor
+    tables (static sides are pinned at query start).
+
+    Single-sample scoring (``use_samples=False``) by design: the S-sample
+    Rao-Blackwellized average needs a per-cell groupBy — a stateful agg in
+    streaming — so the posterior-mean path stays batch (``model.predict``)
+    and the stream pays one join per mode, nothing more.
+    """
+    return model.predict(cells, use_samples=False)
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,

@@ -41,6 +41,8 @@ HEADLINE = [
     "q_llm_wordcount",  # demoted from the driver surface; still a headline op
     "q_llm_exact_dedup",
     "q_llm_near_dedup_lsh",
+    "q_llm_knn_ivf",       # r6: map-side assignment + k-means centers — timed to pin the fix
+    "q_graph_components",  # r6: connected components (co-occurrence graph + CC rounds)
     "q_ml_predict_rmse",
     "q_win_auc",
 ]

@@ -210,3 +210,57 @@ def test_stream_tumbling_matches_batch(stream_env):
         for r in batch.collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_score_stream_matches_batch_predict(spark, tmp_path):
+    """Online serving (score_stream): a stream of cells scored against the
+    trained factor tables matches batch predict() row-for-row."""
+    import numpy as np
+
+    from bayesiandatafusion_jl_spark.ml.bpmf import bpmf
+    from bayesiandatafusion_jl_spark.ml.relation import Relation, RelationData
+
+    rng = np.random.default_rng(3)
+    n, m, k = 25, 15, 3
+    u, v = rng.standard_normal((n, k)), rng.standard_normal((m, k))
+    r = u @ v.T
+    cells = [
+        (i, j, float(r[i, j]), "test" if rng.random() < 0.1 else "train")
+        for i in range(n)
+        for j in range(m)
+        if rng.random() < 0.6
+    ]
+    df = spark.createDataFrame(
+        cells, schema="row long, col long, value double, split string"
+    )
+    rd = RelationData().add_relation(Relation(df, ["row", "col"]))
+    res = bpmf(spark, rd, num_latent=3, burnin=2, psamples=2, seed=5,
+               track_rmse=False)
+
+    score_cells = [(i, j) for i in range(0, n, 5) for j in range(0, m, 4)]
+    src = tmp_path / "cells"
+    src.mkdir()
+    spark.createDataFrame(score_cells, "row long, col long").coalesce(
+        1
+    ).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema("row long, col long").parquet(str(src))
+    q = P.run_to_memory(P.score_stream(stream, res), "scored_cells")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["row"], r["col"]): r["pred"]
+            for r in spark.sql("SELECT * FROM scored_cells").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["row"], r["col"]): r["pred"]
+        for r in res.predict(
+            spark.createDataFrame(score_cells, "row long, col long"),
+            use_samples=False,
+        ).collect()
+    }
+    assert got.keys() == want.keys() and len(got) == len(score_cells)
+    for key in want:
+        assert abs(got[key] - want[key]) < 1e-9
