@@ -62,6 +62,7 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sig = None
+    converged = False
     for _ in range(max_rounds):
         # large-star: m(u) = min over N(u) ∪ {u}; larger neighbors v > u
         # re-point to m(u)
@@ -103,8 +104,17 @@ def connected_components(
         ).collect()[0]
         sig = (row["n"], row["h"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # alternating stars converge in O(log² n) rounds — hitting this
+        # bound means the caller's graph is astronomically deep or the
+        # bound was lowered; returning unconverged labels would be WRONG
+        # labels, so fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
     # converged: disjoint stars (child → component-min root)
     return (
         edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
@@ -117,10 +127,13 @@ def connected_components(
     "q_graph_components",
     oracle="""
     WITH RECURSIVE co AS (
-      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_orders
-      FROM lineitem a JOIN lineitem b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY a.l_partkey, b.l_partkey
+      SELECT pa, pb, COUNT(*) AS n_orders
+      FROM (
+        SELECT DISTINCT a.l_orderkey AS o, a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      )
+      GROUP BY pa, pb
       HAVING COUNT(*) >= 3
     ),
     edges AS (
@@ -151,20 +164,30 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     below (demoted: its graph degenerates to one dense blob on this
     corpus, which checks closure but not chains).
 
-    The co-occurrence build is one shuffle (self-join on l_orderkey) + one
-    agg; the HAVING keeps the graph sparse, which is exactly how a real
-    item-item graph is thresholded at scale.
+    The co-occurrence build: groupBy(order) gathers each order's DISTINCT
+    part set (bounded by order width), the ordered pairs expand in-task
+    from the sorted list — the same posting-list pattern as
+    ``lsh_candidate_pairs`` — and one more agg counts distinct co-orders
+    per pair; a lineitem self-join on l_orderkey would shuffle the fact
+    table twice for the identical pair set. HAVING keeps the graph
+    sparse, which is exactly how a real item-item graph is thresholded
+    at scale.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.alias("a")
-    b = li.alias("b")
     co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (a, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " b -> struct(a AS pa, b AS pb))))"
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 3)
     )
