@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bayesiandatafusion_jl_spark.catalog import load_table
-from bayesiandatafusion_jl_spark.functions.exprs import dot, sql_dot
+from bayesiandatafusion_jl_spark.functions.exprs import dot, ordered_pairs, sql_dot
 from bayesiandatafusion_jl_spark.registry import register
 
 
@@ -198,8 +198,8 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures over k-token shingles, fully JVM-side.
 
-    h_i(shingle) = xxhash64(shingle, seed=i); signature[i] = min over
-    shingles. Returns (doc_id, sig: array<long>). One explode + one groupBy
+    h_i(shingle) = xxhash64(xxhash64(shingle), seed=i); signature[i] = min
+    over shingles. Returns (doc_id, sig: array<long>). One explode + one groupBy
     on doc_id — linear in corpus size, the 100 TB-safe shape.
 
     Pass a precomputed (persisted) ``sh`` shingle frame when the caller
@@ -260,13 +260,7 @@ def lsh_candidate_pairs(
     )
     return (
         buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ds, (a, i) ->"
-                    " transform(slice(ds, i + 2, size(ds)),"
-                    " b -> struct(a AS doc_a, b AS doc_b))))"
-                )
-            ).alias("p")
+            F.explode(F.expr(ordered_pairs("ds", "doc_a", "doc_b"))).alias("p")
         )
         .select("p.doc_a", "p.doc_b")
         .distinct()
@@ -322,24 +316,36 @@ def q_llm_near_dedup_lsh(
     # corpus-sized signature cache releases before the verify pass
     cands = lsh_candidate_pairs(sigs).localCheckpoint()
     sigs.unpersist()
+    # the candidate count gates every broadcast decision below: the pair
+    # set is bounded by the corpus's true-dup structure, NOT by corpus
+    # size, but "bounded" is an empirical fact, not a guarantee — a 20%
+    # dup rate at 100 TB makes cand_docs millions of rows carrying full
+    # token sets, and an unconditional F.broadcast() hint would override
+    # autoBroadcastJoinThreshold and OOM the driver. Count the (already
+    # checkpointed) pairs and fall back to shuffle joins when large.
+    n_pairs = cands.count()
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .union(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    if 2 * n_pairs <= 5_000_000:  # ids only — cheap rows
+        cand_docs = F.broadcast(cand_docs)
     # token sets ONLY for docs that appear in a candidate pair — bounded,
     # checkpointed so ta/tb below read it instead of re-shingling twice
     toks = (
-        shingles(corpus.join(F.broadcast(cand_docs), "doc_id", "left_semi"), distinct=False)
+        shingles(corpus.join(cand_docs, "doc_id", "left_semi"), distinct=False)
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("toks"))
         .localCheckpoint()
     )
     ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    if 2 * n_pairs <= 200_000:  # each row carries a full token set
+        ta, tb = F.broadcast(ta), F.broadcast(tb)
     verified = (
-        cands.join(F.broadcast(ta), "doc_a")
-        .join(F.broadcast(tb), "doc_b")
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("toks_a", "toks_b")).cast("double")

@@ -87,3 +87,18 @@ def sql_dot(a: str, b: str) -> str:
     first so DuckDB also folds in double.
     """
     return f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+def ordered_pairs(list_col: str, a_name: str, b_name: str) -> str:
+    """SQL expr: every ordered pair (earlier element, later element) from a
+    SORTED array column, generated in-task — the posting-list pattern that
+    turns a self-join-for-pairs (two shuffle sides + a join) into a single
+    groupBy + flat expansion. Shared by ``lsh_candidate_pairs`` (bucket
+    members → candidate pairs) and ``q_graph_components`` (order's part
+    set → co-occurrence edges). The caller must sort the array first so
+    pair orientation (a < b) is by value, not arrival order."""
+    return (
+        f"flatten(transform({list_col}, (a, i) ->"
+        f" transform(slice({list_col}, i + 2, size({list_col})),"
+        f" b -> struct(a AS {a_name}, b AS {b_name}))))"
+    )

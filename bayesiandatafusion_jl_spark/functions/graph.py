@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bayesiandatafusion_jl_spark.catalog import load_table
+from bayesiandatafusion_jl_spark.functions.exprs import ordered_pairs
 from bayesiandatafusion_jl_spark.registry import register
 
 
@@ -178,15 +179,7 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
         .filter(F.size("ps") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (a, i) ->"
-                    " transform(slice(ps, i + 2, size(ps)),"
-                    " b -> struct(a AS pa, b AS pb))))"
-                )
-            ).alias("p")
-        )
+        .select(F.explode(F.expr(ordered_pairs("ps", "pa", "pb"))).alias("p"))
         .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 3)

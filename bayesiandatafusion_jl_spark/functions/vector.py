@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from bayesiandatafusion_jl_spark.catalog import load_table
-from bayesiandatafusion_jl_spark.functions.exprs import dot, sql_dot
+from bayesiandatafusion_jl_spark.functions.exprs import dmean, dot, sql_dot
 from bayesiandatafusion_jl_spark.registry import register
 
 
@@ -169,7 +169,10 @@ def _spherical_kmeans(emb: DataFrame, n_cells: int, iters: int = 4) -> list:
         rows = (
             assigned.select("cell_id", F.posexplode("embedding").alias("pos", "v"))
             .groupBy("cell_id", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            # dmean, not avg: decimal-exact sum makes the fit independent
+            # of partial-agg merge order, so a refit reproduces the cached
+            # centers bit-for-bit (the premise of _KMEANS_CACHE)
+            .agg(dmean(F.col("v").cast("double")).alias("m"))
             .collect()
         )
         new = [list(c) for c in centers]  # empty cells keep their center
@@ -188,8 +191,12 @@ def _spherical_kmeans(emb: DataFrame, n_cells: int, iters: int = 4) -> list:
 # Fitted coarse-quantizer centers per (corpus dir, n_cells): index BUILD
 # and index QUERY are separate phases in any real IVF deployment (the
 # quantizer is fitted once, offline, and served to every query); this
-# cache is that separation in-process. Deterministic fit ⇒ caching is
-# purely a time save, never a result change.
+# cache is that separation in-process. The fit is deterministic (decimal-
+# exact means, deterministic init), so caching never changes results —
+# PROVIDED the corpus at sf_dir is immutable, which the testdata contract
+# guarantees; a pipeline that rewrites data in place under a stable path
+# must clear this cache (or key it on a snapshot/version id) or it will
+# quantize new data against stale centers.
 _KMEANS_CACHE: dict = {}
 
 

@@ -280,6 +280,15 @@ class TrainResult:
             use_samples and self.factor_samples is not None and self.n_samples > 0
         )
         df = cells_df
+        if use_samples:
+            # per-input-row tag so the S-sample collapse below returns one
+            # row PER INPUT ROW, not per distinct cell — without it, a
+            # cells frame containing duplicate (id …) tuples would come
+            # back shorter from the sampled path than from the
+            # use_samples=False path (which never aggregates). Assigned at
+            # the base of the plan, before any join, so every one of the S
+            # expanded rows of an input row carries the same tag.
+            df = df.withColumn("__rid", F.monotonically_increasing_id())
         fac_cols = []
         for m, ent in enumerate(entities):
             fcol = f"__f{m}"
@@ -344,9 +353,12 @@ class TrainResult:
                 ).alias("pred_std")
             )
         return (
-            df.select(*[F.col(c) for c in cells_df.columns], pred.alias("__ps"))
-            .groupBy(*[F.col(c) for c in cells_df.columns])
+            df.select(
+                *[F.col(c) for c in cells_df.columns], "__rid", pred.alias("__ps")
+            )
+            .groupBy(*[F.col(c) for c in cells_df.columns], F.col("__rid"))
             .agg(*aggs)
+            .drop("__rid")
         )
 
     def save(self, path: str) -> None:
@@ -1201,12 +1213,12 @@ class MacauTrainer:
         )
         kept_js: set[int] = set()
         if keep > 0 and self.psamples > 0:
-            thin = -(-self.psamples // keep)  # ceil
-            kept_js = {
-                self.psamples - 1 - i * thin
-                for i in range(keep)
-                if self.psamples - 1 - i * thin >= 0
-            }
+            # floor stride, NOT ceil: with ceil, keep=3 of psamples=4 gave
+            # stride 2 and only {3, 1} — one fewer snapshot than requested.
+            # floor always yields exactly `keep` distinct non-negative
+            # indices: (keep-1) * (psamples // keep) <= psamples - 1.
+            thin = max(1, self.psamples // keep)
+            kept_js = {self.psamples - 1 - i * thin for i in range(keep)}
         snap: dict[str, list[DataFrame]] = {e: [] for e in self.rd.entities}
 
         total = self.burnin + self.psamples

@@ -33,29 +33,35 @@ from pyspark.sql import functions as F
 from bayesiandatafusion_jl_spark.catalog import load_table
 from bayesiandatafusion_jl_spark.registry import register
 
-# Knuth multiplicative constant / small odd prime, same family as the
-# split hash in ml/queries.py; MOD 10_000 gives basis-point granularity
-# while keeping every intermediate < 2^63 under ANSI arithmetic.
-_P1, _P2, _MOD = 2_654_435_761, 40_503, 10_000
+# Mixing runs mod a ~1e6 PRIME, and only the final reduction lands in
+# [0, MOD): pre-mod'ing ids by MOD itself (the split-hash shortcut in
+# ml/queries.py, which only needs 10 coarse buckets) would make the bucket
+# a function of the id's LAST FOUR DECIMAL DIGITS — sharded/type-coded ids
+# whose low digits are constant would then co-sample all-or-nothing. With
+# the prime stage, ids agreeing mod 10⁴ spread over ~5k distinct buckets
+# (measured), and every intermediate stays < 1e12 ≪ 2⁶³ under ANSI
+# arithmetic for arbitrary 63-bit ids. Deliberately NOT unified with
+# split_train_test's hash: that one is seeded (needs a degenerate-base
+# guard) and coarse; this one is fixed-constant and fine-grained.
+_PRIME, _MULT, _MOD = 999_983, 736_787, 10_000
 
 
 def _bucket(id_cols: list[str]) -> F.Column:
     """Deterministic bucket in [0, _MOD): partition-independent, engine-
-    independent. Ids are pre-mod'ed so the products never overflow int64
-    even for arbitrary 63-bit ids."""
+    independent (plain int64 arithmetic any engine reproduces)."""
     mix = F.lit(0).cast("long")
     for k, c in enumerate(id_cols):
-        p = pow(_P1, k + 1, _MOD) * _P2 % _MOD
-        mix = mix + F.pmod(F.col(c).cast("long"), F.lit(_MOD)) * F.lit(p)
-    return F.pmod(mix, F.lit(_MOD).cast("long"))
+        p = pow(_MULT, k + 1, _PRIME)
+        mix = mix + F.pmod(F.col(c).cast("long"), F.lit(_PRIME)) * F.lit(p)
+    return F.pmod(F.pmod(mix, F.lit(_PRIME).cast("long")), F.lit(_MOD).cast("long"))
 
 
 def _sql_bucket(id_cols: list[str]) -> str:
     terms = " + ".join(
-        f"(({c} % {_MOD}) * {pow(_P1, k + 1, _MOD) * _P2 % _MOD})"
+        f"((({c} % {_PRIME}) + {_PRIME}) % {_PRIME} * {pow(_MULT, k + 1, _PRIME)})"
         for k, c in enumerate(id_cols)
     )
-    return f"((({terms}) % {_MOD}) + {_MOD}) % {_MOD}"
+    return f"(((({terms}) % {_PRIME}) + {_PRIME}) % {_PRIME}) % {_MOD}"
 
 
 def hash_sample(df: DataFrame, id_cols: list[str], frac: float) -> DataFrame:

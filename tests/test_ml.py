@@ -365,6 +365,13 @@ def test_multisample_predict_matches_pred_mean(spark, planted, tmp_path):
     assert r_samples == pytest.approx(res.rmse, rel=1e-6)
     assert r_samples < r_single, f"sample-mean {r_samples} !< single {r_single}"
 
+    # row-count contract: duplicate input cells must come back one-per-row
+    # from BOTH paths (the S-sample collapse groups on a per-row tag, not
+    # on the cell columns)
+    dup = test_cells.limit(5).union(test_cells.limit(5))
+    assert res.predict(dup).count() == 10
+    assert res.predict(dup, use_samples=False).count() == 10
+
 
 def test_keep_samples_thinning(spark, planted):
     """keep_samples=N retains exactly N evenly thinned snapshots (final
@@ -374,14 +381,16 @@ def test_keep_samples_thinning(spark, planted):
     _, _, df = planted
     rd = RelationData().add_relation(Relation(df, ["row", "col"], alpha=30.0))
     res = MacauTrainer(
-        spark, rd, num_latent=4, burnin=3, psamples=5, seed=9, keep_samples=2
+        # psamples=4, keep=3 is the non-divisible case where a ceil stride
+        # silently kept only 2 snapshots — exactly `keep` must survive
+        spark, rd, num_latent=4, burnin=3, psamples=4, seed=9, keep_samples=3
     ).train()
-    assert res.n_samples == 2
+    assert res.n_samples == 3
     sids = {
         r["sample_id"]
         for r in res.factor_samples["row"].select("sample_id").distinct().collect()
     }
-    assert sids == {0, 1}
+    assert sids == {0, 1, 2}
     cells = df.filter(F.col("split") == "test").select("row", "col").limit(20)
     assert res.predict(cells).count() == 20
 
