@@ -184,3 +184,54 @@ def q_fn_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
     )
+
+
+@register(
+    "q_udaf_group_median",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 4) AS med_qty,
+           ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4)
+             AS med_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("K", "udaf"),
+    demoted=True,
+)
+def q_udaf_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K — custom aggregate via a GROUPED_AGG pandas UDF (Arrow-batched
+    series → scalar), the one UDF class the surface didn't yet exercise
+    (scalar pandas_udf: probit; applyInPandas: Gibbs kernels; mapInPandas:
+    multimodal; UDTF: shingles). Exact per-group median with pandas'
+    linear interpolation — the same definition as DuckDB's quantile_cont,
+    so the oracle hash-matches.
+
+    Scale honesty: a grouped-agg pandas UDF has NO partial aggregation —
+    every raw row shuffles to its group's reducer, and one group must fit
+    one Arrow batch. That is acceptable for bounded groups (here: 3 return
+    flags × bounded quantities), and the built-in exact ``percentile`` /
+    ``approx_percentile`` (map-side combining sketches) is the production
+    path for data-scaled groups; this query exists to pin the UDAF API
+    surface, not to replace them. Demoted: the driver surface is capped at
+    50; parity-gated locally like every demoted spec.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _median(v):
+        return float(v.median())
+
+    # annotations set as OBJECTS, not strings: this module's postponed
+    # annotations (`from __future__ import annotations`) would otherwise
+    # leave pandas_udf's eval-type inference with unresolvable strings
+    _median.__annotations__ = {"v": pd.Series, "return": float}
+    median_udaf = pandas_udf(_median, "double")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(median_udaf(F.col("l_quantity").cast("double")), 4).alias("med_qty"),
+        F.round(
+            median_udaf(F.col("l_extendedprice").cast("double")), 4
+        ).alias("med_price"),
+    )

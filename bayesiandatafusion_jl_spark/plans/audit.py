@@ -1,0 +1,132 @@
+"""SCALE_AUDIT.md table generator.
+
+The audit table is plan EVIDENCE, not prose: every row is counted from the
+query's actual ``explain("formatted")`` output at the benchmark SF. This
+script regenerates the table in place so the numbers can never drift from
+the code (the pre-r6 table was produced by an ad-hoc session and then
+hand-patched per change — this replaces that). Run from the repo root:
+
+    python -m bayesiandatafusion_jl_spark.plans.audit [sf_dir]
+
+Only the table block between the ``| query |`` header and the first
+non-table line is replaced; the prose above/below survives. Per-query
+analyst notes live in ``NOTES`` here, so they also survive regeneration.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+from bayesiandatafusion_jl_spark.plans.inspect import formatted_plan, n_exchanges
+
+# Queries whose .fn() runs a training loop / eager metric computation —
+# their "returned plan" is a driver-built summary frame, so a static plan
+# audit is meaningless; the iterative harness is audited in prose above
+# the table and in ml/bpmf.py's docstrings.
+SKIP = {
+    "q_ml_bpmf_events": "iterative (see ml/bpmf.py)",
+    "q_ml_collective_events": "iterative (see ml/bpmf.py)",
+    "q_ml_tensor_events": "iterative (see ml/bpmf.py)",
+    "q_ml_factorization_suite": "iterative suite — trains 4 models (see ml/bpmf.py)",
+    "q_ml_als_mllib": "iterative (MLlib ALS interop cross-check)",
+    "q_ml_probit_events": "iterative (probit training on a planted matrix)",
+    "q_llm_scale_suite": "eager quality-metric suite (5 pipelines + per-leg counts)",
+}
+
+NOTES = {
+    "q_graph_components": (
+        "r6: single-shuffle posting-list pair build; CC rounds are 1 groupBy"
+        " + 1 join each over localCheckpoint'ed edges; returned plan reads"
+        " the converged star edges (0 scans)"
+    ),
+    "q_llm_dedup_clusters": "r6: same CC over the near-dup pair graph + keep/drop flag",
+    "q_join_anti": (
+        "r6: right side restricted to urgent orders (pushed to the scan) so"
+        " the result is non-empty at every SF"
+    ),
+    "q_ml_auc": (
+        "r6 demoted (slot → q_graph_components); same auc_components kernel"
+        " as q_win_auc"
+    ),
+    "q_ml_coldstart": "anti-join side broadcast; dot is codegen'd fold",
+    "q_sample_bernoulli": "r6: identity-hash Bernoulli — map-only, zero shuffle",
+    "q_sample_stratified": (
+        "r6: exact-N per stratum — one shuffle on the strata key, bounded"
+        " per-stratum top-n"
+    ),
+    "q_llm_knn_ivf": (
+        "r6: map-side argmax assignment vs literal k-means centers; probe"
+        " side broadcast; quantizer fit cached per corpus"
+    ),
+    "q_llm_near_dedup_lsh": (
+        "r6: both inputs executor-resident checkpoints (0 scans here);"
+        " upstream passes: 1 shingle-sig shuffle + 1 bucket groupBy + 1"
+        " candidate-pruned collect_set"
+    ),
+    "q_udaf_group_median": (
+        "r6: GROUPED_AGG pandas UDF — no partial agg BY DESIGN (API-surface"
+        " pin; built-in percentile is the data-scaled path)"
+    ),
+    "q_win_auc": (
+        "single-job auc_components materializes its 1-row result eagerly"
+        " (persist→collect→unpersist), so the returned plan is a local"
+        " relation; the pass itself is 1 groupBy(score) + bounded windows"
+    ),
+}
+
+
+def audit_row(spark, name: str, fn, sf_dir: str) -> str:
+    if name in SKIP:
+        return f"| {name} | - | - | - | - | - | {SKIP[name]} |"
+    df = fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    ex = n_exchanges(df)
+    bhj = plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
+    smj = plan.count("SortMergeJoin")
+    arrow = (
+        plan.count("ArrowEvalPython")
+        + plan.count("ArrowAggregatePython")
+        + plan.count("FlatMapGroupsInPandas")
+        + plan.count("MapInPandas")
+        + plan.count("BatchEvalPython")
+        + len(re.findall(r"PythonUDTF", plan))
+    )
+    scans = plan.count("Scan parquet")
+    note = NOTES.get(name, "")
+    return f"| {name} | {ex} | {bhj} | {smj} | {arrow} | {scans} | {note} |"
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from pyspark.sql import SparkSession
+
+    from bayesiandatafusion_jl_spark.registry import specs
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .appName("scale-audit")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+    for name, spec in sorted(specs(include_demoted=True).items()):
+        rows.append(audit_row(spark, name, spec.fn, sf_dir))
+        print(rows[-1], flush=True)
+    spark.stop()
+
+    path = "SCALE_AUDIT.md"
+    text = open(path).read()
+    lines = text.splitlines()
+    start = next(i for i, l in enumerate(lines) if l.startswith("| query |"))
+    end = start + 1
+    while end < len(lines) and lines[end].startswith("|"):
+        end += 1
+    out = lines[: start + 2] + rows + lines[end:]
+    open(path, "w").write("\n".join(out) + "\n")
+    print(f"rewrote {path}: {len(rows)} rows")
+
+
+if __name__ == "__main__":
+    main()
