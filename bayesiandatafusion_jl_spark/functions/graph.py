@@ -256,3 +256,26 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
     )
+
+
+def dedup_keep_representatives(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The end of the dedup pipeline: drop every document that belongs to a
+    duplicate cluster but is not its representative (= component-min id).
+
+    ``docs`` is any frame carrying ``id_col``; ``pairs`` is a near-dup pair
+    frame (doc_a, doc_b) from ANY of the pair generators (exact Jaccard,
+    MinHash-LSH, SimHash, embedding-cosine). Composition:
+    ``connected_components`` labels the pair graph, and a left anti join
+    removes the non-representative members — documents in no pair are
+    untouched (singleton components never enter the pair frame). The drop
+    list is bounded by the duplicate count, so the anti join broadcasts in
+    the common case and degrades to a shuffle join gracefully when it
+    cannot (no forced hint — Spark sizes it).
+    """
+    labels = connected_components(pairs)
+    drop = labels.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")

@@ -106,3 +106,21 @@ def test_stratified_fixed_n_exact_quota(spark):
         )
     )
     assert a == b
+
+
+def test_dedup_keep_representatives(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+    )
+    # clusters {0,1,2} (chain) and {5,6}; 3,4,7,8,9 untouched singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "doc_a long, doc_b long"
+    )
+    from bayesiandatafusion_jl_spark.functions.graph import (
+        dedup_keep_representatives,
+    )
+
+    kept = sorted(
+        r["doc_id"] for r in dedup_keep_representatives(docs, pairs).collect()
+    )
+    assert kept == [0, 3, 4, 5, 7, 8, 9]
