@@ -329,7 +329,7 @@ def q_llm_near_dedup_lsh(
         .union(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    if 2 * n_pairs <= 5_000_000:  # ids only — cheap rows
+    if 2 * n_pairs <= 1_000_000:  # ids only — cheap fixed-width rows
         cand_docs = F.broadcast(cand_docs)
     # token sets ONLY for docs that appear in a candidate pair — bounded,
     # checkpointed so ta/tb below read it instead of re-shingling twice
@@ -341,7 +341,20 @@ def q_llm_near_dedup_lsh(
     )
     ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    if 2 * n_pairs <= 200_000:  # each row carries a full token set
+    # gate the token-set broadcast on measured BYTES, not row count: a row
+    # here carries a whole shingle set, so 100k rows of 10k-shingle docs
+    # would be tens of GB. toks is checkpointed, so the size agg is cheap.
+    tok_bytes = toks.agg(
+        F.coalesce(
+            F.sum(
+                F.aggregate(
+                    "toks", F.lit(0).cast("long"), lambda a, s: a + F.length(s)
+                )
+            ),
+            F.lit(0),
+        ).alias("b")
+    ).collect()[0]["b"]
+    if tok_bytes <= 64 * 1024 * 1024:
         ta, tb = F.broadcast(ta), F.broadcast(tb)
     verified = (
         cands.join(ta, "doc_a")

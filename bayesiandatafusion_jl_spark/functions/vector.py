@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from bayesiandatafusion_jl_spark.catalog import load_table
-from bayesiandatafusion_jl_spark.functions.exprs import dmean, dot, sql_dot
+from bayesiandatafusion_jl_spark.functions.exprs import DEC_HI, dmean, dot, sql_dot
 from bayesiandatafusion_jl_spark.registry import register
 
 
@@ -171,8 +171,10 @@ def _spherical_kmeans(emb: DataFrame, n_cells: int, iters: int = 4) -> list:
             .groupBy("cell_id", "pos")
             # dmean, not avg: decimal-exact sum makes the fit independent
             # of partial-agg merge order, so a refit reproduces the cached
-            # centers bit-for-bit (the premise of _KMEANS_CACHE)
-            .agg(dmean(F.col("v").cast("double")).alias("m"))
+            # centers bit-for-bit (the premise of _KMEANS_CACHE); DEC_HI
+            # because unit-norm components are small-magnitude (the
+            # decimal(38,6) default would quantize them to ~1e-5 relative)
+            .agg(dmean(F.col("v").cast("double"), scale=DEC_HI).alias("m"))
             .collect()
         )
         new = [list(c) for c in centers]  # empty cells keep their center

@@ -285,10 +285,21 @@ class TrainResult:
             # row PER INPUT ROW, not per distinct cell — without it, a
             # cells frame containing duplicate (id …) tuples would come
             # back shorter from the sampled path than from the
-            # use_samples=False path (which never aggregates). Assigned at
-            # the base of the plan, before any join, so every one of the S
-            # expanded rows of an input row carries the same tag.
-            df = df.withColumn("__rid", F.monotonically_increasing_id())
+            # use_samples=False path (which never aggregates). row_number
+            # WITHIN each duplicate group (not monotonically_increasing_id,
+            # whose values depend on physical row order and can split a
+            # group under task retry): whichever physical duplicate gets
+            # rank 1 vs 2, the rows are identical, so the output multiset
+            # is retry-stable. One extra shuffle of the (query-sized)
+            # cells frame.
+            from pyspark.sql import Window as _W
+
+            df = df.withColumn(
+                "__rid",
+                F.row_number().over(
+                    _W.partitionBy(*cells_df.columns).orderBy(F.lit(1))
+                ),
+            )
         fac_cols = []
         for m, ent in enumerate(entities):
             fcol = f"__f{m}"

@@ -18,7 +18,7 @@ from __future__ import annotations
 import re
 import sys
 
-from bayesiandatafusion_jl_spark.plans.inspect import formatted_plan, n_exchanges
+from bayesiandatafusion_jl_spark.plans.inspect import formatted_plan
 
 # Queries whose .fn() runs a training loop / eager metric computation —
 # their "returned plan" is a driver-built summary frame, so a static plan
@@ -76,23 +76,27 @@ NOTES = {
 }
 
 
+def _n(plan: str, node: str) -> int:
+    """Count a node's DETAIL-section headers ("(4) Exchange"): formatted
+    explain renders every operator twice (once in the tree, once in the
+    details), so a raw substring count overstates everything 2×."""
+    return len(re.findall(rf"^\(\d+\) {node}", plan, re.M))
+
+
 def audit_row(spark, name: str, fn, sf_dir: str) -> str:
     if name in SKIP:
         return f"| {name} | - | - | - | - | - | {SKIP[name]} |"
     df = fn(spark, sf_dir)
     plan = formatted_plan(df)
-    ex = n_exchanges(df)
-    bhj = plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
-    smj = plan.count("SortMergeJoin")
-    arrow = (
-        plan.count("ArrowEvalPython")
-        + plan.count("ArrowAggregatePython")
-        + plan.count("FlatMapGroupsInPandas")
-        + plan.count("MapInPandas")
-        + plan.count("BatchEvalPython")
-        + len(re.findall(r"PythonUDTF", plan))
-    )
-    scans = plan.count("Scan parquet")
+    # single-partition exchanges (Arguments: SinglePartition under an
+    # Exchange block) are 1-row scalar motions, not data shuffles
+    ex = _n(plan, "Exchange") - plan.count("Arguments: SinglePartition")
+    bhj = _n(plan, "BroadcastHashJoin") + _n(plan, "BroadcastNestedLoopJoin")
+    smj = _n(plan, "SortMergeJoin")
+    # every Python-executing node class (pandas_udf scalar/agg, apply/map
+    # InPandas, UDTF eval) carries Python/Pandas/Arrow in its node name
+    arrow = _n(plan, r"\S*(?:Python|Pandas)\S*")
+    scans = _n(plan, "Scan parquet")
     note = NOTES.get(name, "")
     return f"| {name} | {ex} | {bhj} | {smj} | {arrow} | {scans} | {note} |"
 

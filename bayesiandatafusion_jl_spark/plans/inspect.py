@@ -21,8 +21,17 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def n_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the physical plan."""
-    return len(re.findall(r"\bExchange\b(?! SinglePartition)", formatted_plan(df)))
+    """Number of shuffle exchanges in the physical plan.
+
+    Counts DETAIL-section headers only — formatted explain prints every
+    operator twice (tree + details), so a raw substring count doubles —
+    and subtracts single-partition (1-row scalar) exchanges, which carry
+    "SinglePartition" on the detail block's Arguments line, not inline.
+    """
+    plan = formatted_plan(df)
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) - plan.count(
+        "Arguments: SinglePartition"
+    )
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
