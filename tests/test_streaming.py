@@ -238,15 +238,27 @@ def test_score_stream_matches_batch_predict(spark, tmp_path):
                track_rmse=False)
 
     score_cells = [(i, j) for i in range(0, n, 5) for j in range(0, m, 4)]
+    # two separate file drops = (at least) two micro-batches: scoring must
+    # be purely incremental — batch 2's arrival appends its predictions
+    # without touching batch 1's
+    batch1, batch2 = score_cells[: len(score_cells) // 2], score_cells[
+        len(score_cells) // 2 :
+    ]
     src = tmp_path / "cells"
     src.mkdir()
-    spark.createDataFrame(score_cells, "row long, col long").coalesce(
-        1
-    ).write.mode("append").parquet(str(src))
+    spark.createDataFrame(batch1, "row long, col long").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
 
     stream = spark.readStream.schema("row long, col long").parquet(str(src))
     q = P.run_to_memory(P.score_stream(stream, res), "scored_cells")
     try:
+        q.processAllAvailable()
+        n_after_b1 = spark.sql("SELECT COUNT(*) c FROM scored_cells").collect()[0]["c"]
+        assert n_after_b1 == len(batch1)
+        spark.createDataFrame(batch2, "row long, col long").coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
         q.processAllAvailable()
         got = {
             (r["row"], r["col"]): r["pred"]
