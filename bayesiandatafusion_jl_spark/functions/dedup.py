@@ -479,10 +479,14 @@ def q_llm_simhash(
     if corpus is None:
         corpus = _twin_corpus(spark, sf_dir)
     sigs = simhash64(corpus)
-    # 4 × 16-bit sub-keys
+    # 4 × 16-bit sub-keys; ONE shuffle on (band, sub): each bucket's
+    # posting list carries (doc_id, simhash) structs so candidate pairs —
+    # signatures included — expand in-task via ordered_pairs (the same
+    # pattern as lsh_candidate_pairs and q_graph_components). The r6
+    # version self-joined the exploded sub-key frame: two shuffle sides +
+    # a join for the same pair set, ~2× the exchange volume.
     subkeys = sigs.select(
-        "doc_id",
-        "simhash",
+        F.struct("doc_id", "simhash").alias("ds_entry"),
         F.posexplode(
             F.array(
                 *[
@@ -492,20 +496,21 @@ def q_llm_simhash(
             )
         ).alias("band", "sub"),
     )
-    a = subkeys.alias("a")
-    b = subkeys.alias("b")
+    buckets = (
+        subkeys.groupBy("band", "sub")
+        # struct sort orders by the leading field → pairs oriented by doc_id
+        .agg(F.sort_array(F.collect_list("ds_entry")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
     cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sub") == F.col("b.sub"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(F.expr(ordered_pairs("ds", "pa", "pb"))).alias("p")
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            F.col("p.pa.doc_id").alias("doc_a"),
+            F.col("p.pb.doc_id").alias("doc_b"),
+            F.col("p.pa.simhash").alias("sig_a"),
+            F.col("p.pb.simhash").alias("sig_b"),
         )
         .distinct()
     )

@@ -63,6 +63,7 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sig = None
+    prev_edges = None
     converged = False
     for _ in range(max_rounds):
         # large-star: m(u) = min over N(u) ∪ {u}; larger neighbors v > u
@@ -105,9 +106,18 @@ def connected_components(
         ).collect()[0]
         sig = (row["n"], row["h"])
         if sig == prev_sig:
-            converged = True
-            break
+            # a signature match is necessary but not sufficient: an xor of
+            # 64-bit hashes canceling across equal-size DIFFERING edge sets
+            # would silently return wrong labels. Counts already match, so
+            # a one-sided exceptAll proves set equality (both frames are
+            # distinct by construction) — paid only once, on the candidate
+            # fixed point, never per round.
+            if edges.exceptAll(prev_edges).isEmpty():
+                converged = True
+                break
+            # checksum collision: not actually a fixed point — keep going
         prev_sig = sig
+        prev_edges = edges
     if not converged:
         # alternating stars converge in O(log² n) rounds — hitting this
         # bound means the caller's graph is astronomically deep or the

@@ -140,11 +140,41 @@ def _cell_scores(cells, vec_col) -> "F.Column":
     )
 
 
+# Above this many cells the literal struct array is swapped for a broadcast
+# single-row centroid frame: a codegen'd expression tree grows with
+# n_cells × dim literals, and a production 4k–65k-cell index would blow the
+# generated-code size limit; the data path carries the SAME array as data.
+_CELLS_LITERAL_MAX = 128
+
+
+def _with_cells(df: DataFrame, centers: list) -> tuple[DataFrame, "F.Column"]:
+    """Attach the centroid struct array to every row of ``df``.
+
+    ≤ _CELLS_LITERAL_MAX cells → the pure-literal expression (zero join,
+    zero shuffle, the whole argmax inside whole-stage codegen). Above that
+    → ONE single-row broadcast crossJoin whose only column is the same
+    array as DATA: still zero corpus shuffles for assignment (a broadcast
+    nested-loop join against one row is a map-side operation), but the
+    plan size is independent of n_cells, so 4k–65k-cell production indexes
+    stay plannable. Downstream argmax/top-n code is identical either way.
+    """
+    if len(centers) <= _CELLS_LITERAL_MAX:
+        return df, _cells_literal(centers)
+    spark = df.sparkSession
+    arr = [(i, -i, [float(v) for v in c]) for i, c in enumerate(centers)]
+    cframe = spark.createDataFrame(
+        [(arr,)],
+        "__cells array<struct<cell_id:int,nid:int,ce:array<double>>>",
+    )
+    return df.crossJoin(F.broadcast(cframe)), F.col("__cells")
+
+
 def _spherical_kmeans(emb: DataFrame, n_cells: int, iters: int = 4) -> list:
     """Spherical k-means coarse quantizer as DataFrame Lloyd iterations.
 
     Each iteration: map-side argmax assignment against the current centers
-    (embedded as literals — no centroid DataFrame, no join), then ONE
+    (literal expression, or a single-row broadcast frame above
+    _CELLS_LITERAL_MAX cells — see ``_with_cells``), then ONE
     groupBy(cell, pos) mean over the posexploded corpus; the n_cells × dim
     result (driver-sized by construction, ~1k scalars) collects, is
     L2-normalized (spherical — the corpus is unit-norm, so cosine cells),
@@ -161,8 +191,8 @@ def _spherical_kmeans(emb: DataFrame, n_cells: int, iters: int = 4) -> list:
     init = emb.orderBy("vec_id").limit(n_cells).select("embedding").collect()
     centers = [[float(v) for v in r["embedding"]] for r in init]
     for _ in range(iters):
-        cells = _cells_literal(centers)
-        assigned = emb.select(
+        src, cells = _with_cells(emb, centers)
+        assigned = src.select(
             (-F.array_max(_cell_scores(cells, "embedding"))["nid"]).alias("cell_id"),
             "embedding",
         )
@@ -190,16 +220,45 @@ def _spherical_kmeans(emb: DataFrame, n_cells: int, iters: int = 4) -> list:
     return centers
 
 
-# Fitted coarse-quantizer centers per (corpus dir, n_cells): index BUILD
-# and index QUERY are separate phases in any real IVF deployment (the
-# quantizer is fitted once, offline, and served to every query); this
+# Fitted coarse-quantizer centers per (corpus snapshot, n_cells): index
+# BUILD and index QUERY are separate phases in any real IVF deployment
+# (the quantizer is fitted once, offline, and served to every query); this
 # cache is that separation in-process. The fit is deterministic (decimal-
-# exact means, deterministic init), so caching never changes results —
-# PROVIDED the corpus at sf_dir is immutable, which the testdata contract
-# guarantees; a pipeline that rewrites data in place under a stable path
-# must clear this cache (or key it on a snapshot/version id) or it will
-# quantize new data against stale centers.
+# exact means, deterministic init), so caching never changes results. The
+# key includes a FILE-LISTING FINGERPRINT of the embeddings dataset
+# (path, mtime, size per file), so data rewritten in place under a stable
+# path refits instead of serving stale centers; ``clear_quantizer_cache``
+# is the explicit hook for pipelines on non-stat-able filesystems.
 _KMEANS_CACHE: dict = {}
+
+
+def clear_quantizer_cache() -> None:
+    """Drop all cached coarse-quantizer centers (forces a refit)."""
+    _KMEANS_CACHE.clear()
+
+
+def _corpus_fingerprint(sf_dir: str) -> tuple:
+    """(relpath, mtime_ns, size) per file of the embeddings dataset.
+
+    Local-filesystem stat walk; on object stores (no os.stat) it degrades
+    to the bare path — callers there must version the path or call
+    ``clear_quantizer_cache`` on rewrite (documented on _KMEANS_CACHE)."""
+    import os
+
+    root = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        if os.path.isfile(root):
+            st = os.stat(root)
+            return ((root, st.st_mtime_ns, st.st_size),)
+        out = []
+        for dirpath, _, files in os.walk(root):
+            for fn in sorted(files):
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                out.append((os.path.relpath(p, root), st.st_mtime_ns, st.st_size))
+        return tuple(out)
+    except OSError:
+        return ("unstatable", root)
 
 
 def ann_ivf_topk(
@@ -215,8 +274,9 @@ def ann_ivf_topk(
     1. Coarse quantizer: ``n_cells`` spherical k-means centroids fitted by
        DataFrame Lloyd iterations (``_spherical_kmeans``; at scale fit on a
        sample / refreshed offline). Centers live on the driver (n_cells ×
-       dim scalars, tiny) and are embedded as a LITERAL array of structs —
-       there is no centroid DataFrame at all.
+       dim scalars) and reach the executors as a LITERAL struct array up
+       to _CELLS_LITERAL_MAX cells, else as a single-row broadcast frame
+       (``_with_cells``) — production 4k–65k-cell indexes stay plannable.
     2. Index every corpus vector under its ``n_assign`` nearest cells with
        a map-side top-n: ``transform`` computes all n_cells dots per row,
        ``sort_array`` + ``slice`` + ``explode`` pick the winners inside
@@ -240,29 +300,32 @@ def ann_ivf_topk(
     clustered corpus the same plan prunes much harder.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    cache_key = (sf_dir, n_cells)
+    cache_key = (_corpus_fingerprint(sf_dir), n_cells)
     centers = _KMEANS_CACHE.get(cache_key)
     if centers is None:
         centers = _spherical_kmeans(emb, n_cells)
         _KMEANS_CACHE[cache_key] = centers
-    cells = _cells_literal(centers)
 
     # map-side multi-assignment: n_assign nearest cells per corpus vector
-    assigned = emb.select(
+    # (literal centroids, or the broadcast single-row frame above
+    # _CELLS_LITERAL_MAX cells — still zero corpus shuffles either way)
+    src, cells = _with_cells(emb, centers)
+    assigned = src.select(
         "vec_id", "embedding",
         F.explode(
             F.slice(F.sort_array(_cell_scores(cells, "embedding"), asc=False), 1, n_assign)
         ).alias("ac"),
     ).select("vec_id", "embedding", (-F.col("ac.nid")).alias("cell_id"))
 
-    # queries probe n_probe cells — same literal dots, still map-side
+    # queries probe n_probe cells — same dots, still map-side
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
-    qcells = q.select(
+    qsrc, qcellcol = _with_cells(q, centers)
+    qcells = qsrc.select(
         "qid", "qe",
         F.explode(
-            F.slice(F.sort_array(_cell_scores(cells, "qe"), asc=False), 1, n_probe)
+            F.slice(F.sort_array(_cell_scores(qcellcol, "qe"), asc=False), 1, n_probe)
         ).alias("probe"),
     ).select("qid", "qe", (-F.col("probe.nid")).alias("cell_id"))
 

@@ -47,7 +47,12 @@ from bayesiandatafusion_jl_spark.ml.nw import (
 )
 from bayesiandatafusion_jl_spark.ml.relation import RelationData
 
-BROADCAST_MAX_ROWS = 1_000_000  # factor tables up to ~K·8·1e6 B comfortably broadcast
+# Broadcast budget for factor-table joins, in BYTES — a factor row is one
+# long id plus a K-dim double array, so the estimate is rows × (K+1) × 8.
+# A row-count gate alone is K-blind: at K=512 a "small" 1e6-row table is
+# ~4 GB per broadcast (executor-memory hostile at 100×); the byte gate
+# matches the convention functions/dedup.py uses for token-set broadcasts.
+BROADCAST_MAX_BYTES = 64 << 20
 
 
 def _entity_seed(seed: int, name: str) -> int:
@@ -169,6 +174,12 @@ class TrainResult:
     # mean, and per-entity instance counts (broadcast decisions)
     rel_entities: list[str] = field(default_factory=list)
     global_mean: float = 0.0
+    # per-relation centering: entity order + train mean of EVERY relation
+    # (rd.relations order) so predict() can add back the right offset when
+    # scoring a secondary relation's cells — global_mean is the primary
+    # relation's entry
+    rel_entities_all: list[list[str]] = field(default_factory=list)
+    rel_means: list[float] = field(default_factory=list)
     entity_counts: dict[str, int] = field(default_factory=dict)
     probit: bool = False
     # S retained posterior factor snapshots per entity, schema
@@ -181,6 +192,17 @@ class TrainResult:
     # final per-relation noise precision, in rd.relations order — equals
     # the fixed Relation.alpha unless alpha_sample drew it adaptively
     alphas: list[float] = field(default_factory=list)
+
+    def _k(self) -> int:
+        """Latent dimension, recovered from stored hyper/β (needed for the
+        byte-based broadcast estimate). Falls back to 16 if neither is
+        present — only affects the broadcast-or-not heuristic, never
+        results."""
+        for mu, _ in self.hyper.values():
+            return int(np.asarray(mu).shape[0])
+        for b in self.beta.values():
+            return int(b.shape[1])
+        return 16
 
     def cold_start_factors(self, entity: str, side_info: DataFrame) -> DataFrame:
         """Macau cold-start [paper:Macau]: factors for instances that were
@@ -242,8 +264,11 @@ class TrainResult:
         use_samples: bool = True,
         with_std: bool = False,
     ) -> DataFrame:
-        """Score arbitrary (possibly unseen) cells: r̂ = global_mean +
-        Σ_k Π_modes u^{(m)}_k from the stored factors. ``cells_df`` needs
+        """Score arbitrary (possibly unseen) cells: r̂ = mean_rel +
+        Σ_k Π_modes u^{(m)}_k from the stored factors, where mean_rel is
+        the per-relation centering offset of the trained relation whose
+        entity order matches ``entities`` (primary relation's mean — the
+        stored ``global_mean`` — when nothing matches). ``cells_df`` needs
         one id column per entity (named by the entity); ``entities``
         defaults to the primary relation's mode order.
 
@@ -322,19 +347,29 @@ class TrainResult:
                     )
                     cold = cold.crossJoin(F.broadcast(sids))
                 fdf = fdf.unionByName(cold)
-                n_rows = BROADCAST_MAX_ROWS + 1  # unknown size: don't force
+                n_rows = None  # unknown size: don't force a broadcast
             sel = [F.col("id").alias(f"__oid{m}"), F.col("factor").alias(fcol)]
             if use_samples:
                 sel.append(F.col("sample_id").alias(f"__sid{m}"))
-            fdf = _maybe_broadcast(fdf.select(*sel), n_rows)
+            fdf = _maybe_broadcast(fdf.select(*sel), n_rows, self._k())
             cond = F.col(ent).cast("long") == F.col(f"__oid{m}")
             if use_samples and m > 0:
                 cond = cond & (F.col("__sid0") == F.col(f"__sid{m}"))
             df = df.join(fdf, cond)
             fac_cols.append(fcol)
         prod = _hadamard(fac_cols)
+        # add back the centering offset of the relation whose cells these
+        # are: matched by entity order against the trained relations
+        # (per-relation centering); unmatched entity lists — ad-hoc cell
+        # frames over arbitrary entity combinations — get the primary
+        # relation's mean, the pre-r7 behavior
+        offset = self.global_mean
+        for ents, m in zip(self.rel_entities_all, self.rel_means):
+            if list(entities) == list(ents):
+                offset = m
+                break
         pred = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x) + F.lit(
-            self.global_mean
+            offset
         )
         if probability:
             from bayesiandatafusion_jl_spark.ml.probit import phi_col
@@ -396,6 +431,8 @@ class TrainResult:
             "entities": list(self.factors),
             "rel_entities": self.rel_entities,
             "global_mean": self.global_mean,
+            "rel_entities_all": self.rel_entities_all,
+            "rel_means": self.rel_means,
             "entity_counts": self.entity_counts,
             "rmse": self.rmse,
             "auc": self.auc,
@@ -450,6 +487,8 @@ class TrainResult:
             },
             rel_entities=meta.get("rel_entities", []),
             global_mean=meta.get("global_mean", 0.0),
+            rel_entities_all=[list(e) for e in meta.get("rel_entities_all", [])],
+            rel_means=[float(m) for m in meta.get("rel_means", [])],
             entity_counts={k: int(v) for k, v in meta.get("entity_counts", {}).items()},
             probit=bool(meta.get("probit", False)),
         )
@@ -483,8 +522,13 @@ def _auc_of(pred_mean: DataFrame, class_cut: float) -> float | None:
     return None if row["auc"] is None else float(row["auc"])
 
 
-def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
-    return F.broadcast(df) if n_rows <= BROADCAST_MAX_ROWS else df
+def _maybe_broadcast(df: DataFrame, n_rows: int | None, k: int) -> DataFrame:
+    """Broadcast iff the estimated factor-table size (rows × (K+1) × 8 B)
+    fits the byte budget; ``n_rows=None`` means size-unknown → never force
+    a broadcast (leave the choice to AQE)."""
+    if n_rows is None:
+        return df
+    return df if n_rows * (k + 1) * 8 > BROADCAST_MAX_BYTES else F.broadcast(df)
 
 
 def _hadamard(cols: list[str]) -> F.Column:
@@ -515,6 +559,7 @@ class MacauTrainer:
         warmup_tol: float = 0.03,
         warmup_wr: float = 0.05,
         keep_samples: int | None = None,
+        spill_dir: str | None = None,
     ):
         self.spark = spark
         self.rd = rd
@@ -566,6 +611,13 @@ class MacauTrainer:
         # that many THINNED snapshots (every psamples//keep-th sweep) to
         # bound the S× factor storage at large psamples. 0 disables.
         self.keep_samples = keep_samples
+        # opt-in snapshot spill: with a spill_dir, each retained posterior
+        # snapshot is WRITTEN to parquet during training and held as a lazy
+        # reader, so the executor-resident factor blocks are bounded at one
+        # sweep's tables instead of S× (memory hygiene for long-lived
+        # sessions / large N). Without it, snapshots stay as
+        # localCheckpoint'ed in-memory frames (fastest for small N).
+        self.spill_dir = spill_dir
         self._lambda_beta0 = lambda_beta
         self.rng = np.random.default_rng(seed)
 
@@ -576,6 +628,7 @@ class MacauTrainer:
         self.side_mv: dict[str, object] = {}  # entity -> DistributedMatvec (COO F)
         self.side_gram: dict[str, np.ndarray] = {}  # entity -> FᵀF (D ≤ direct_max_d)
         self.global_mean = 0.0
+        self._rel_mean: dict[int, float] = {}  # id(rel) -> per-relation train mean
         self._entity_counts: dict[str, int] = {}
         self._side_counts: dict[str, int] = {}
         # probit relations: id(rel) -> current augmented-z cell frame
@@ -599,12 +652,18 @@ class MacauTrainer:
 
     def _init(self) -> None:
         k, seed = self.k, self.seed
-        tot, sq, cnt = 0.0, 0.0, 0
+        # PER-RELATION centering (the reference models each relation's mean
+        # structure per relation): two fused relations on different value
+        # scales (e.g. ratings 1–5 with log-IC50) must each be centered by
+        # their OWN train mean — a pooled mean offsets both and biases the
+        # shared factors. Probit relations train on augmented z with latent
+        # mean 0, so their offset is 0 and they contribute nothing to the
+        # continuous scale stats.
+        self._rel_mean = {}
+        var_num, cnt_all = 0.0, 0
         for rel in self.rd.relations:
             if rel.probit:
-                # binary/augmented relations train on z with natural scale
-                # 1 and latent-mean 0 — they contribute nothing to the
-                # continuous centering/scale stats
+                self._rel_mean[id(rel)] = 0.0
                 continue
             df = rel.df
             if "split" in df.columns:
@@ -614,22 +673,26 @@ class MacauTrainer:
                 F.sum(F.col(rel.value_col) * F.col(rel.value_col)).alias("sq"),
                 F.count(F.lit(1)).alias("c"),
             ).collect()[0]
-            tot += row["s"] or 0.0
-            sq += row["sq"] or 0.0
-            cnt += row["c"]
-        mean = tot / max(cnt, 1)
-        if self.center:
-            self.global_mean = mean
-        # pooled std of (centered) train values — sets the warmup's
-        # balanced factor scale: r ≈ Σ_k Π_m u^m_k has per-entry variance
-        # ≈ K·Π_m var_m, so each of the m sides targets per-entry rms
-        # (std_r²/K)^(1/2m). All-probit data has no continuous values;
+            s, sq, c = row["s"] or 0.0, row["sq"] or 0.0, row["c"]
+            m = s / max(c, 1)
+            self._rel_mean[id(rel)] = m if self.center else 0.0
+            # numerator of the pooled variance of per-relation-centered
+            # values: Σ_rel Σ_cells (v − m_rel)² = Σ_rel (sq − c·m²)
+            var_num += sq - c * m * m
+            cnt_all += c
+        # the PRIMARY relation's offset — what TrainResult.predict adds
+        # back by default (its cells are the default prediction target)
+        self.global_mean = self._rel_mean[id(self.rd.relations[0])]
+        # pooled std of per-relation-centered train values — sets the
+        # warmup's balanced factor scale: r ≈ Σ_k Π_m u^m_k has per-entry
+        # variance ≈ K·Π_m var_m, so each of the m sides targets per-entry
+        # rms (std_r²/K)^(1/2m). All-probit data has no continuous values;
         # its ±1 warmup targets have unit scale.
-        if cnt == 0:
+        if cnt_all == 0:
             self._value_std = 1.0
         else:
             self._value_std = max(
-                float(np.sqrt(max(sq / max(cnt, 1) - mean * mean, 0.0))), 1e-6
+                float(np.sqrt(max(var_num / cnt_all, 0.0))), 1e-6
             )
 
         def _make_init_fn(eseed):
@@ -732,8 +795,9 @@ class MacauTrainer:
             old.unpersist()
 
     def _offsets_join(self, name: str) -> DataFrame:
-        """Offsets side for joins — broadcast when the entity is small."""
-        return _maybe_broadcast(self.offsets[name], self._side_counts.get(name, 0))
+        """Offsets side for joins — broadcast when the entity is small.
+        The offsets frame is (id, scalar), so the byte estimate uses k=1."""
+        return _maybe_broadcast(self.offsets[name], self._side_counts.get(name, 0), 1)
 
     def _renorm_factors(self, name: str) -> None:
         """Rescale an entity's factors to the balanced data-implied
@@ -882,7 +946,8 @@ class MacauTrainer:
                 if "split" in df.columns:
                     df = df.filter(F.col("split") == "train")
                 df = df.withColumn(
-                    "__val", F.col(rel.value_col) - F.lit(self.global_mean)
+                    "__val",
+                    F.col(rel.value_col) - F.lit(self._rel_mean[id(rel)]),
                 )
             fac_cols = []
             for m, other in enumerate(rel.entities):
@@ -893,7 +958,7 @@ class MacauTrainer:
                     F.col("id").alias(f"__oid{m}"), F.col("factor").alias(fcol)
                 )
                 df = df.join(
-                    _maybe_broadcast(other_fac, self._entity_counts[other]),
+                    _maybe_broadcast(other_fac, self._entity_counts[other], self.k),
                     F.col(rel.entities[m]).cast("long") == F.col(f"__oid{m}"),
                 )
                 fac_cols.append(fcol)
@@ -943,7 +1008,7 @@ class MacauTrainer:
                 F.col("id").alias(f"__oid{m}"), F.col("factor").alias(fcol)
             )
             df = df.join(
-                _maybe_broadcast(fdf, self._entity_counts[ent]),
+                _maybe_broadcast(fdf, self._entity_counts[ent], self.k),
                 F.col(rel.entities[m]) == F.col(f"__oid{m}"),
             )
             fac_cols.append(fcol)
@@ -1056,8 +1121,10 @@ class MacauTrainer:
     # ---------- prediction ----------
 
     def _predict_sample(self, rel, test_df: DataFrame) -> DataFrame:
-        """r̂ = global_mean + Σ_k Π_modes u^{(m)}_k — for arity 2 this is
-        the dot product u·v [paper:BPMF]; tensors use the Hadamard sum."""
+        """r̂ = mean_rel + Σ_k Π_modes u^{(m)}_k — for arity 2 this is the
+        dot product u·v [paper:BPMF]; tensors use the Hadamard sum. The
+        added-back offset is the relation's OWN train mean (per-relation
+        centering), which for the primary relation equals global_mean."""
         df = test_df
         fac_cols = []
         for m, ent in enumerate(rel.entities):
@@ -1066,12 +1133,14 @@ class MacauTrainer:
                 F.col("id").alias(f"__oid{m}"), F.col("factor").alias(fcol)
             )
             df = df.join(
-                _maybe_broadcast(fdf, self._entity_counts[ent]),
+                _maybe_broadcast(fdf, self._entity_counts[ent], self.k),
                 F.col(rel.entities[m]).cast("long") == F.col(f"__oid{m}"),
             )
             fac_cols.append(fcol)
         prod = _hadamard(fac_cols)
-        pred = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x) + F.lit(self.global_mean)
+        pred = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x) + F.lit(
+            self._rel_mean[id(rel)]
+        )
         return df.select(
             *[F.col(c) for c in rel.entities],
             F.col(rel.value_col).alias("y"),
@@ -1239,13 +1308,18 @@ class MacauTrainer:
             if (sweep - self.burnin) in kept_js:
                 # factors are localCheckpoint-ed per sweep, so each snapshot
                 # is a stable executor-resident frame; holding the reference
-                # keeps its blocks alive (S × N×K rows total)
+                # keeps its blocks alive (S × N×K rows total). With
+                # spill_dir the snapshot is flushed to parquet instead and
+                # held as a lazy reader — its checkpoint blocks free as
+                # soon as the next sweep unpersists the old factors.
                 for nm in self.rd.entities:
-                    snap[nm].append(
-                        self.factors[nm].withColumn(
-                            "sample_id", F.lit(len(snap[nm]))
-                        )
-                    )
+                    sid = len(snap[nm])
+                    fr = self.factors[nm].withColumn("sample_id", F.lit(sid))
+                    if self.spill_dir:
+                        p = f"{self.spill_dir}/samples/{_safe_name(nm)}/{sid}"
+                        fr.write.mode("overwrite").parquet(p)
+                        fr = self.spark.read.parquet(p)
+                    snap[nm].append(fr)
 
             if test_df is not None:
                 pred = self._predict_sample(rel0, test_df)
@@ -1321,6 +1395,8 @@ class MacauTrainer:
             hyper=self.hyper,
             rel_entities=list(rel0.entities),
             global_mean=self.global_mean,
+            rel_entities_all=[list(r.entities) for r in self.rd.relations],
+            rel_means=[self._rel_mean[id(r)] for r in self.rd.relations],
             entity_counts=dict(self._entity_counts),
             probit=rel0.probit,
             factor_samples=factor_samples,

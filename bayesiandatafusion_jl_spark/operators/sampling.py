@@ -85,10 +85,15 @@ def stratified_fixed_n(
     w = W.partitionBy(*strata_cols).orderBy(
         _bucket(id_cols).asc(), *[F.col(c).asc() for c in id_cols]
     )
+    # uniquified temp name: a caller frame already carrying __rn must not
+    # have its column silently overwritten and dropped
+    rn = "__rn"
+    while rn in df.columns:
+        rn += "_"
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n)
-        .drop("__rn")
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) <= n)
+        .drop(rn)
     )
 
 

@@ -49,7 +49,7 @@ def q_win_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def auc_components(scored: DataFrame, n_buckets: int = 32) -> DataFrame:
+def auc_components(scored: DataFrame, n_buckets: int | None = None) -> DataFrame:
     """Tie-averaged Mann–Whitney AUC with NO single-partition window —
     the one scalable AUC used everywhere (q_win_auc, q_ml_auc, the BPMF
     trainer's class_cut readout).
@@ -75,13 +75,32 @@ def auc_components(scored: DataFrame, n_buckets: int = 32) -> DataFrame:
        distinct-value clustering, not row counts).
     3. per-bucket Σn_neg → exclusive running offset via a window over the
        ≤n_buckets bucket-total rows (bounded, NOT data-scaled — the only
-       single-partition window, over ≤32 rows by construction), broadcast
+       single-partition window, ≤1024 rows by construction; n_buckets
+       defaults to the session's shuffle partitions so the per-bucket
+       parallelism tracks the cluster instead of a pinned 32), broadcast
        back onto the buckets; per-bucket exclusive running Σn_neg windows
        stay partitioned BY BUCKET — parallel.
     4. one scalar aggregate; integer-and-half arithmetic < 2^53 keeps the
        sum exact across engines. The 1-row result is materialized eagerly
        so the cache can be released before returning (no persist leak).
     """
+    # default bucket count follows the session's shuffle parallelism (the
+    # per-bucket windows in step 3 are the parallel part, so parallelism
+    # caps at n_buckets — a pinned 32 throttled large clusters), bounded
+    # at 1024 to keep the step-3 offset window's single partition tiny.
+    # Bucketing NEVER affects the exact result, only load balance.
+    if n_buckets is None:
+        n_buckets = min(
+            1024,
+            max(
+                1,
+                int(
+                    scored.sparkSession.conf.get(
+                        "spark.sql.shuffle.partitions", "32"
+                    )
+                ),
+            ),
+        )
     # NULL scores are unrankable — exclude them DELIBERATELY (and from the
     # n_pos/n_neg denominators) rather than letting a NULL bucket silently
     # drop them from some joins but not others
@@ -100,7 +119,7 @@ def auc_components(scored: DataFrame, n_buckets: int = 32) -> DataFrame:
     ).otherwise(F.lit(0))
     g2 = g.crossJoin(F.broadcast(mm)).withColumn("bucket", bucket)
     # exclusive prefix over the ≤n_buckets totals — bounded single-partition
-    # window (32 rows), never data-scaled
+    # window (≤1024 rows), never data-scaled
     wb = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
     offs = (
         g2.groupBy("bucket")

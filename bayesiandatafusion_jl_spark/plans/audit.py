@@ -107,6 +107,19 @@ def main() -> None:
 
     from bayesiandatafusion_jl_spark.registry import specs
 
+    # fail fast BEFORE the expensive Spark audit run: the rewrite below
+    # needs the '| query |' header row to splice the table in place
+    path = "SCALE_AUDIT.md"
+    text = open(path).read()
+    lines = text.splitlines()
+    try:
+        start = next(i for i, l in enumerate(lines) if l.startswith("| query |"))
+    except StopIteration:
+        sys.exit(
+            f"{path} has no '| query |' table header — restore the table "
+            "block (header + separator row) before running the audit"
+        )
+
     spark = (
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", "16")
@@ -120,10 +133,6 @@ def main() -> None:
         print(rows[-1], flush=True)
     spark.stop()
 
-    path = "SCALE_AUDIT.md"
-    text = open(path).read()
-    lines = text.splitlines()
-    start = next(i for i, l in enumerate(lines) if l.startswith("| query |"))
     end = start + 1
     while end < len(lines) and lines[end].startswith("|"):
         end += 1

@@ -50,3 +50,55 @@ def test_near_dedup_twin_recovery(spark):
     assert n_twins > 0
     assert len(_twin_recovery(q_llm_near_dedup_lsh(spark, SF_DIR_TINY))) == n_twins
     assert len(_twin_recovery(q_llm_near_dedup_mllib(spark, SF_DIR_TINY))) == n_twins
+
+
+def test_ivf_broadcast_centroid_fallback(spark, monkeypatch):
+    """Above _CELLS_LITERAL_MAX cells the centroid array ships as a
+    single-row broadcast frame instead of a literal expression. Same
+    centers → the fallback path must return the IDENTICAL top-k result,
+    its plan must carry the broadcast join, and the corpus-side assignment
+    must still not shuffle (no Exchange feeding the index side)."""
+    import bayesiandatafusion_jl_spark.functions.vector as vec
+
+    n_cells, n_probe = 32, 12
+    lit_df = vec.ann_ivf_topk(spark, SF_DIR_TINY, n_cells=n_cells, n_probe=n_probe)
+    lit = {(r["qid"], r["nb_id"], r["score"]) for r in lit_df.collect()}
+
+    # force the data-path fallback; the quantizer cache key is unchanged so
+    # both runs use the same fitted centers
+    monkeypatch.setattr(vec, "_CELLS_LITERAL_MAX", 8)
+    fb_df = vec.ann_ivf_topk(spark, SF_DIR_TINY, n_cells=n_cells, n_probe=n_probe)
+    fb = {(r["qid"], r["nb_id"], r["score"]) for r in fb_df.collect()}
+    assert fb == lit and len(fb) > 0
+
+    plan = fb_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_quantizer_cache_fingerprint(tmp_path, spark):
+    """The k-means cache keys on the embeddings file listing (mtime/size),
+    so rewriting the corpus in place refits instead of serving stale
+    centers; clear_quantizer_cache() empties it."""
+    import os
+    import shutil
+    import time
+
+    import bayesiandatafusion_jl_spark.functions.vector as vec
+
+    src = os.path.join(SF_DIR_TINY, "embeddings.parquet")
+    dst_dir = str(tmp_path / "sf")
+    os.makedirs(dst_dir)
+    dst = os.path.join(dst_dir, "embeddings.parquet")
+    shutil.copy(src, dst)
+
+    fp1 = vec._corpus_fingerprint(dst_dir)
+    # rewrite in place (touch content → mtime/size change)
+    time.sleep(0.01)
+    shutil.copy(src, dst)
+    os.utime(dst)
+    fp2 = vec._corpus_fingerprint(dst_dir)
+    assert fp1 != fp2, "in-place rewrite must change the cache key"
+
+    vec._KMEANS_CACHE[(fp1, 16)] = [[0.0]]
+    vec.clear_quantizer_cache()
+    assert vec._KMEANS_CACHE == {}

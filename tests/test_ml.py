@@ -647,3 +647,100 @@ def test_probit_probability_predict(spark):
     res2 = bpmf(spark, rd2, num_latent=3, burnin=2, psamples=1, seed=3, track_rmse=False)
     with pytest.raises(ValueError):
         res2.predict(some, probability=True)
+
+
+def test_per_relation_centering_heterogeneous_scales(spark, planted):
+    """Collective factorization with a secondary relation on a wildly
+    different value scale (×10 + 500): per-relation centering keeps the
+    primary relation's fit intact (the r6 pooled global_mean dragged both
+    relations toward a blended offset). Done-criterion: primary RMSE in
+    the collective run stays close to the single-relation run, and each
+    relation's stored mean matches its own train mean."""
+    u, _, df = planted
+    rng = np.random.default_rng(21)
+    v2 = rng.standard_normal((40, u.shape[1]))
+    cells2 = []
+    for i in range(u.shape[0]):
+        for j in range(40):
+            if (i * 13 + j * 17) % 10 < 3:
+                raw = float(u[i] @ v2[j] + 0.05 * rng.standard_normal())
+                cells2.append((i, j, raw * 10.0 + 500.0))
+    df2 = spark.createDataFrame(cells2, schema="row long, attr long, value double")
+
+    rd_single = RelationData().add_relation(Relation(df, ["row", "col"], alpha=30.0))
+    res_single = bpmf(spark, rd_single, num_latent=8, burnin=8, psamples=4, seed=4)
+
+    rd = RelationData()
+    rd.add_relation(Relation(df, ["row", "col"], alpha=30.0))
+    rd.add_relation(Relation(df2, ["row", "attr"], alpha=30.0 / 10.0**2))
+    res = macau(spark, rd, num_latent=8, burnin=8, psamples=4, seed=4)
+
+    # each relation is centered by its OWN train mean
+    m1 = (
+        df.filter(F.col("split") == "train")
+        .agg(F.avg("value").alias("m")).collect()[0]["m"]
+    )
+    m2 = df2.agg(F.avg("value").alias("m")).collect()[0]["m"]
+    assert res.rel_means[0] == pytest.approx(m1, abs=1e-9)
+    assert res.rel_means[1] == pytest.approx(m2, abs=1e-9)
+    assert res.global_mean == pytest.approx(m1, abs=1e-9)
+    assert abs(res.rel_means[1] - 500.0) < 50.0  # secondary's big offset isolated
+
+    # primary fit survives the heterogeneous-scale fusion — under the r6
+    # pooled global_mean the +500-offset secondary dragged the shared
+    # offset to ~+125, putting the primary RMSE at ~10² of this bound
+    assert np.isfinite(res.rmse)
+    assert res.rmse < max(1.0, res_single.rmse * 2.0), (
+        f"collective rmse {res.rmse} vs single {res_single.rmse}"
+    )
+
+    # predict() adds back the SECONDARY relation's offset when scoring its
+    # cells (entity-order match), so scores land on the secondary's scale
+    sec_cells = df2.select("row", "attr").limit(50)
+    preds = res.predict(sec_cells, entities=["row", "attr"], use_samples=False)
+    avg_pred = preds.agg(F.avg("pred").alias("a")).collect()[0]["a"]
+    assert abs(avg_pred - 500.0) < 200.0, f"secondary preds off-scale: {avg_pred}"
+
+
+def test_byte_based_broadcast_gate(spark):
+    """_maybe_broadcast gates on estimated BYTES (rows × (K+1) × 8), not
+    rows: a 100k-row K=512 factor table (~410 MB) must NOT be broadcast
+    while the same row count at K=16 (~14 MB) is; unknown size never
+    forces a broadcast."""
+    from bayesiandatafusion_jl_spark.ml.bpmf import _maybe_broadcast
+
+    df = spark.range(10)
+    assert _maybe_broadcast(df, 100_000, 512) is df
+    assert _maybe_broadcast(df, None, 16) is df
+    hinted = _maybe_broadcast(df, 100_000, 16)
+    assert hinted is not df
+    assert "broadcast" in hinted._jdf.queryExecution().logical().toString().lower()
+
+
+def test_spill_dir_bounds_resident_snapshots(spark, planted, tmp_path):
+    """keep_samples + spill_dir: retained posterior snapshots live as lazy
+    parquet readers, not executor-resident checkpoint blocks, and
+    multi-sample predict still reproduces pred_mean exactly."""
+    from bayesiandatafusion_jl_spark.ml.bpmf import MacauTrainer
+
+    _, _, df = planted
+    rd = RelationData().add_relation(Relation(df, ["row", "col"], alpha=30.0))
+    res = MacauTrainer(
+        spark, rd, num_latent=4, burnin=4, psamples=4, seed=5,
+        spill_dir=str(tmp_path / "spill"),
+    ).train()
+    assert res.n_samples == 4
+
+    # every snapshot frame is a plain file scan — no in-memory blocks held
+    for fr in res.factor_samples.values():
+        plan = fr._jdf.queryExecution().optimizedPlan().toString()
+        assert "Relation" in plan and "LogicalRDD" not in plan, plan
+
+    test_cells = df.filter(F.col("split") == "test").select("row", "col")
+    d = (
+        res.predict(test_cells).alias("p")
+        .join(res.pred_mean.alias("m"), ["row", "col"])
+        .agg(F.max(F.abs(F.col("p.pred") - F.col("m.pred"))).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert d < 1e-8, f"spilled multi-sample predict diverges by {d}"
