@@ -35,6 +35,12 @@ SKIP = {
 }
 
 NOTES = {
+    "q_llm_simhash": (
+        "r7: posting-list pair expansion — 3 LINEAR shuffles (sig agg,"
+        " (band,sub) buckets, pair distinct), no join; the r6 2-exchange"
+        " count hid a corpus-derived BROADCAST join side (non-scalable)"
+        " and a duplicated signature subplan (4 scans → 2)"
+    ),
     "q_graph_components": (
         "r6: single-shuffle posting-list pair build; CC rounds are 1 groupBy"
         " + 1 join each over localCheckpoint'ed edges; returned plan reads"
