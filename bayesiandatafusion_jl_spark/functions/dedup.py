@@ -440,6 +440,13 @@ def q_llm_scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "method string, n_results long, quality double")
 
 
+# In-task pair expansion is quadratic in bucket size (B members → a
+# B(B-1)/2-element array built in executor memory before explode); buckets
+# beyond this take the streamed self-join leg instead. 1024 members ≈ 524k
+# pairs ≈ ~15 MB of structs per task — comfortably bounded.
+_PAIR_EXPAND_MAX = 1024
+
+
 def simhash64(docs: DataFrame) -> DataFrame:
     """64-bit SimHash of the token multiset, via bit-vote aggregation.
 
@@ -502,18 +509,46 @@ def q_llm_simhash(
         .agg(F.sort_array(F.collect_list("ds_entry")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
-    cands = (
-        buckets.select(
-            F.explode(F.expr(ordered_pairs("ds", "pa", "pb"))).alias("p")
-        )
-        .select(
-            F.col("p.pa.doc_id").alias("doc_a"),
-            F.col("p.pb.doc_id").alias("doc_b"),
-            F.col("p.pa.simhash").alias("sig_a"),
-            F.col("p.pb.simhash").alias("sig_b"),
-        )
-        .distinct()
+    # hybrid pair expansion: ordered_pairs materializes a bucket's FULL
+    # B(B-1)/2 pair array in one task before exploding — fine for the
+    # near-dup-group-sized buckets banding produces, an OOM for the
+    # random-collision buckets a 16-bit sub-keyspace grows at corpus
+    # scale (N/65536 per band) or for boilerplate-heavy corpora. Buckets
+    # over the cap take a streamed exploded self-join instead: same pair
+    # set, no per-task array. The groupBy exchange is canonically
+    # identical under all three references, so Spark's exchange reuse
+    # shuffles it once; the big leg is empty on healthy corpora.
+    small = buckets.filter(F.size("ds") <= _PAIR_EXPAND_MAX)
+    big = buckets.filter(F.size("ds") > _PAIR_EXPAND_MAX)
+    pair_cols = ["doc_a", "doc_b", "sig_a", "sig_b"]
+    pairs_small = small.select(
+        F.explode(F.expr(ordered_pairs("ds", "pa", "pb"))).alias("p")
+    ).select(
+        F.col("p.pa.doc_id").alias("doc_a"),
+        F.col("p.pb.doc_id").alias("doc_b"),
+        F.col("p.pa.simhash").alias("sig_a"),
+        F.col("p.pb.simhash").alias("sig_b"),
     )
+    members = big.select(
+        "band", "sub", F.explode("ds").alias("m")
+    ).select(
+        "band", "sub",
+        F.col("m.doc_id").alias("doc_id"),
+        F.col("m.simhash").alias("simhash"),
+    )
+    ma, mb = members.alias("ma"), members.alias("mb")
+    pairs_big = ma.join(
+        mb,
+        (F.col("ma.band") == F.col("mb.band"))
+        & (F.col("ma.sub") == F.col("mb.sub"))
+        & (F.col("ma.doc_id") < F.col("mb.doc_id")),
+    ).select(
+        F.col("ma.doc_id").alias("doc_a"),
+        F.col("mb.doc_id").alias("doc_b"),
+        F.col("ma.simhash").alias("sig_a"),
+        F.col("mb.simhash").alias("sig_b"),
+    )
+    cands = pairs_small.unionByName(pairs_big).select(*pair_cols).distinct()
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
         cands.withColumn("hamming", hamming)

@@ -246,19 +246,26 @@ def _corpus_fingerprint(sf_dir: str) -> tuple:
     import os
 
     root = os.path.join(sf_dir, "embeddings.parquet")
+    # the path itself is ALWAYS part of the key: on object stores / HDFS
+    # nothing below is stat-able (os.walk silently yields nothing for a
+    # non-local path), and without the path two distinct remote corpora
+    # would collapse onto one cache entry and serve each other's centers
+    out: list = [root]
     try:
         if os.path.isfile(root):
             st = os.stat(root)
-            return ((root, st.st_mtime_ns, st.st_size),)
-        out = []
-        for dirpath, _, files in os.walk(root):
-            for fn in sorted(files):
-                p = os.path.join(dirpath, fn)
-                st = os.stat(p)
-                out.append((os.path.relpath(p, root), st.st_mtime_ns, st.st_size))
-        return tuple(out)
+            out.append((st.st_mtime_ns, st.st_size))
+        else:
+            for dirpath, _, files in os.walk(root):
+                for fn in sorted(files):
+                    p = os.path.join(dirpath, fn)
+                    st = os.stat(p)
+                    out.append(
+                        (os.path.relpath(p, root), st.st_mtime_ns, st.st_size)
+                    )
     except OSError:
-        return ("unstatable", root)
+        pass  # degrade to path-only (the pre-r7 key)
+    return tuple(out)
 
 
 def ann_ivf_topk(

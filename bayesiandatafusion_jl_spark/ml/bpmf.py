@@ -359,15 +359,27 @@ class TrainResult:
             fac_cols.append(fcol)
         prod = _hadamard(fac_cols)
         # add back the centering offset of the relation whose cells these
-        # are: matched by entity order against the trained relations
-        # (per-relation centering); unmatched entity lists — ad-hoc cell
-        # frames over arbitrary entity combinations — get the primary
-        # relation's mean, the pre-r7 behavior
-        offset = self.global_mean
+        # are: matched by entity order against the trained relations, then
+        # order-insensitively (the factor joins are by entity NAME, so a
+        # permuted `entities` still scores the same relation and must get
+        # the same offset). First match wins — two relations over the
+        # IDENTICAL entity set are inherently ambiguous here; score those
+        # via pred_mean / _predict_sample, which know the relation.
+        # Unmatched entity lists — ad-hoc cell frames over arbitrary
+        # entity combinations — get the primary relation's mean, the
+        # pre-r7 behavior.
+        offset = None
         for ents, m in zip(self.rel_entities_all, self.rel_means):
             if list(entities) == list(ents):
                 offset = m
                 break
+        if offset is None:
+            for ents, m in zip(self.rel_entities_all, self.rel_means):
+                if set(entities) == set(ents):
+                    offset = m
+                    break
+        if offset is None:
+            offset = self.global_mean
         pred = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x) + F.lit(
             offset
         )
@@ -1291,6 +1303,14 @@ class MacauTrainer:
             self.psamples if self.keep_samples is None
             else min(self.keep_samples, self.psamples)
         )
+        # per-training spill token: two trainings sharing a spill_dir must
+        # not overwrite each other's snapshot files while an earlier
+        # TrainResult's lazy readers still point at them
+        spill_token = None
+        if self.spill_dir:
+            import uuid
+
+            spill_token = uuid.uuid4().hex[:12]
         kept_js: set[int] = set()
         if keep > 0 and self.psamples > 0:
             # floor stride, NOT ceil: with ceil, keep=3 of psamples=4 gave
@@ -1316,7 +1336,10 @@ class MacauTrainer:
                     sid = len(snap[nm])
                     fr = self.factors[nm].withColumn("sample_id", F.lit(sid))
                     if self.spill_dir:
-                        p = f"{self.spill_dir}/samples/{_safe_name(nm)}/{sid}"
+                        p = (
+                            f"{self.spill_dir}/samples-{spill_token}/"
+                            f"{_safe_name(nm)}/{sid}"
+                        )
                         fr.write.mode("overwrite").parquet(p)
                         fr = self.spark.read.parquet(p)
                     snap[nm].append(fr)

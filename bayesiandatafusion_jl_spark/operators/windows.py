@@ -90,17 +90,15 @@ def auc_components(scored: DataFrame, n_buckets: int | None = None) -> DataFrame
     # at 1024 to keep the step-3 offset window's single partition tiny.
     # Bucketing NEVER affects the exact result, only load balance.
     if n_buckets is None:
-        n_buckets = min(
-            1024,
-            max(
-                1,
-                int(
-                    scored.sparkSession.conf.get(
-                        "spark.sql.shuffle.partitions", "32"
-                    )
-                ),
-            ),
-        )
+        try:
+            parts = int(
+                scored.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+        except ValueError:
+            # e.g. "auto" (AQE auto-optimized shuffle) — fall back to the
+            # pre-r7 pinned default rather than crash every AUC caller
+            parts = 32
+        n_buckets = min(1024, max(1, parts))
     # NULL scores are unrankable — exclude them DELIBERATELY (and from the
     # n_pos/n_neg denominators) rather than letting a NULL bucket silently
     # drop them from some joins but not others

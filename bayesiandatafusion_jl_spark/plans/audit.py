@@ -125,6 +125,14 @@ def main() -> None:
             f"{path} has no '| query |' table header — restore the table "
             "block (header + separator row) before running the audit"
         )
+    # the splice below keeps lines[:start+2] (header + separator) — a
+    # header without its |---| separator row would survive the header
+    # check and then duplicate the following prose line into the table
+    if start + 1 >= len(lines) or not lines[start + 1].startswith("|"):
+        sys.exit(
+            f"{path} table header has no '|---|' separator row beneath it — "
+            "restore the separator before running the audit"
+        )
 
     spark = (
         SparkSession.builder.master("local[16]")

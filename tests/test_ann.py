@@ -74,6 +74,38 @@ def test_ivf_broadcast_centroid_fallback(spark, monkeypatch):
     plan = fb_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan, plan
 
+    # the fallback must add ONLY the broadcast join — the corpus-side
+    # assignment still must not shuffle, so the shuffle-exchange count
+    # stays identical to the literal path's
+    from bayesiandatafusion_jl_spark.plans.inspect import n_exchanges
+
+    assert n_exchanges(fb_df) == n_exchanges(lit_df)
+
+
+def test_simhash_big_bucket_streamed_leg(spark, monkeypatch):
+    """SimHash buckets above _PAIR_EXPAND_MAX take the streamed self-join
+    leg (in-task pair expansion is quadratic in bucket size); the hybrid
+    must return the identical pair set either way."""
+    import bayesiandatafusion_jl_spark.functions.dedup as dd
+
+    rows = [(i, f"unique text number {i} with several distinct words here")
+            for i in range(30)]
+    # planted boilerplate group → one bucket with 20 members (identical
+    # simhash ⇒ identical sub-keys ⇒ C(20,2)=190 hamming-0 pairs)
+    rows += [(100 + i, "same boilerplate text repeated everywhere verbatim")
+             for i in range(20)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(df):
+        return {(r["doc_a"], r["doc_b"], r["hamming"]) for r in df.collect()}
+
+    base = pairs(dd.q_llm_simhash(spark, SF_DIR_TINY, corpus=corpus))
+    monkeypatch.setattr(dd, "_PAIR_EXPAND_MAX", 4)
+    hybrid = pairs(dd.q_llm_simhash(spark, SF_DIR_TINY, corpus=corpus))
+    assert hybrid == base
+    boiler = {p for p in base if p[0] >= 100 and p[1] >= 100}
+    assert len(boiler) == 190  # the oversized bucket's full pair set survives
+
 
 def test_quantizer_cache_fingerprint(tmp_path, spark):
     """The k-means cache keys on the embeddings file listing (mtime/size),
