@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bayesiandatafusion_jl_spark.catalog import load_table
-from bayesiandatafusion_jl_spark.functions.exprs import dot, ordered_pairs, sql_dot
+from bayesiandatafusion_jl_spark.functions.exprs import dot, sql_dot
 from bayesiandatafusion_jl_spark.registry import register
 
 
@@ -236,9 +236,16 @@ def lsh_candidate_pairs(
     list — the r5 version self-joined the exploded band frame (two shuffle
     sides + a join) for the same result. The final distinct runs on the
     pair set, which is bounded by the true-duplicate count, not corpus
-    size. Buckets are near-dup groups by construction, so posting lists
-    stay small; a pathological giant bucket means the banding parameters
-    are wrong for the corpus, not that the plan needs a different shape.
+    size.
+
+    Pair generation is a TWO-LEVEL explode (posexplode the sorted list,
+    then explode each element's tail slice): the pairs stream out of the
+    generators with only O(bucket) memory per row, so even the giant
+    bucket a boilerplate-heavy corpus grows (thousands of identical docs)
+    cannot OOM a task — unlike a ``flatten(transform(...))``-style
+    expansion, which materializes the whole B(B-1)/2 pair array in one
+    task before exploding. The quadratic pair OUTPUT for such a bucket is
+    inherent to pair listing; this shape just never holds it in memory.
     """
     bands = sigs.select(
         "doc_id",
@@ -259,10 +266,11 @@ def lsh_candidate_pairs(
         .filter(F.size("ds") > 1)
     )
     return (
-        buckets.select(
-            F.explode(F.expr(ordered_pairs("ds", "doc_a", "doc_b"))).alias("p")
+        buckets.select(F.posexplode("ds").alias("__i", "doc_a"), "ds")
+        .select(
+            "doc_a",
+            F.explode(F.expr("slice(ds, __i + 2, size(ds))")).alias("doc_b"),
         )
-        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -440,13 +448,6 @@ def q_llm_scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "method string, n_results long, quality double")
 
 
-# In-task pair expansion is quadratic in bucket size (B members → a
-# B(B-1)/2-element array built in executor memory before explode); buckets
-# beyond this take the streamed self-join leg instead. 1024 members ≈ 524k
-# pairs ≈ ~15 MB of structs per task — comfortably bounded.
-_PAIR_EXPAND_MAX = 1024
-
-
 def simhash64(docs: DataFrame) -> DataFrame:
     """64-bit SimHash of the token multiset, via bit-vote aggregation.
 
@@ -488,8 +489,8 @@ def q_llm_simhash(
     sigs = simhash64(corpus)
     # 4 × 16-bit sub-keys; ONE shuffle on (band, sub): each bucket's
     # posting list carries (doc_id, simhash) structs so candidate pairs —
-    # signatures included — expand in-task via ordered_pairs (the same
-    # pattern as lsh_candidate_pairs and q_graph_components). The r6
+    # signatures included — expand in-task (the posting-list pattern
+    # lsh_candidate_pairs and q_graph_components also use). The r6
     # version self-joined the exploded sub-key frame: two shuffle sides +
     # a join for the same pair set, ~2× the exchange volume.
     subkeys = sigs.select(
@@ -509,46 +510,25 @@ def q_llm_simhash(
         .agg(F.sort_array(F.collect_list("ds_entry")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
-    # hybrid pair expansion: ordered_pairs materializes a bucket's FULL
-    # B(B-1)/2 pair array in one task before exploding — fine for the
-    # near-dup-group-sized buckets banding produces, an OOM for the
-    # random-collision buckets a 16-bit sub-keyspace grows at corpus
-    # scale (N/65536 per band) or for boilerplate-heavy corpora. Buckets
-    # over the cap take a streamed exploded self-join instead: same pair
-    # set, no per-task array. The groupBy exchange is canonically
-    # identical under all three references, so Spark's exchange reuse
-    # shuffles it once; the big leg is empty on healthy corpora.
-    small = buckets.filter(F.size("ds") <= _PAIR_EXPAND_MAX)
-    big = buckets.filter(F.size("ds") > _PAIR_EXPAND_MAX)
-    pair_cols = ["doc_a", "doc_b", "sig_a", "sig_b"]
-    pairs_small = small.select(
-        F.explode(F.expr(ordered_pairs("ds", "pa", "pb"))).alias("p")
-    ).select(
-        F.col("p.pa.doc_id").alias("doc_a"),
-        F.col("p.pb.doc_id").alias("doc_b"),
-        F.col("p.pa.simhash").alias("sig_a"),
-        F.col("p.pb.simhash").alias("sig_b"),
+    # two-level explode (see lsh_candidate_pairs): pairs — signatures
+    # included — stream out of the generators with O(bucket) memory per
+    # row, so the random-collision buckets a 16-bit sub-keyspace grows at
+    # corpus scale (N/65536 per band) or a boilerplate-heavy corpus
+    # cannot OOM a task, with no join and no second upstream evaluation
+    cands = (
+        buckets.select(F.posexplode("ds").alias("__i", "pa"), "ds")
+        .select(
+            "pa",
+            F.explode(F.expr("slice(ds, __i + 2, size(ds))")).alias("pb"),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+            F.col("pa.simhash").alias("sig_a"),
+            F.col("pb.simhash").alias("sig_b"),
+        )
+        .distinct()
     )
-    members = big.select(
-        "band", "sub", F.explode("ds").alias("m")
-    ).select(
-        "band", "sub",
-        F.col("m.doc_id").alias("doc_id"),
-        F.col("m.simhash").alias("simhash"),
-    )
-    ma, mb = members.alias("ma"), members.alias("mb")
-    pairs_big = ma.join(
-        mb,
-        (F.col("ma.band") == F.col("mb.band"))
-        & (F.col("ma.sub") == F.col("mb.sub"))
-        & (F.col("ma.doc_id") < F.col("mb.doc_id")),
-    ).select(
-        F.col("ma.doc_id").alias("doc_a"),
-        F.col("mb.doc_id").alias("doc_b"),
-        F.col("ma.simhash").alias("sig_a"),
-        F.col("mb.simhash").alias("sig_b"),
-    )
-    cands = pairs_small.unionByName(pairs_big).select(*pair_cols).distinct()
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
         cands.withColumn("hamming", hamming)

@@ -37,9 +37,11 @@ SKIP = {
 NOTES = {
     "q_llm_simhash": (
         "r7: posting-list pair expansion — 3 LINEAR shuffles (sig agg,"
-        " (band,sub) buckets, pair distinct), no join; the r6 2-exchange"
-        " count hid a corpus-derived BROADCAST join side (non-scalable)"
-        " and a duplicated signature subplan (4 scans → 2)"
+        " (band,sub) buckets, pair distinct), no join; pairs stream from"
+        " a two-level explode with O(bucket) per-row memory, so giant"
+        " collision buckets cannot OOM a task. The r6 2-exchange count"
+        " hid a corpus-derived BROADCAST join side and a duplicated"
+        " signature subplan (4 scans → 2)"
     ),
     "q_graph_components": (
         "r6: single-shuffle posting-list pair build; CC rounds are 1 groupBy"
@@ -68,7 +70,9 @@ NOTES = {
     "q_llm_near_dedup_lsh": (
         "r6: both inputs executor-resident checkpoints (0 scans here);"
         " upstream passes: 1 shingle-sig shuffle + 1 bucket groupBy + 1"
-        " candidate-pruned collect_set"
+        " candidate-pruned collect_set. r7: pair expansion streams from a"
+        " two-level explode, O(bucket) per-row memory (giant-bucket OOM"
+        " guard)"
     ),
     "q_udaf_group_median": (
         "r6: GROUPED_AGG pandas UDF — no partial agg BY DESIGN (API-surface"

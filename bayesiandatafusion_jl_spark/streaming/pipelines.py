@@ -118,6 +118,104 @@ def dedup_within_watermark(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def _ewma_fold(values, alpha: float, m: float | None = None):
+    """Recursive EWMA fold — the SINGLE source of the semantics for both
+    the batch reference and the stateful stream, so they cannot drift.
+    Returns (per-row ewma list, final state)."""
+    out = []
+    for v in values:
+        v = float(v)
+        m = v if m is None else alpha * v + (1.0 - alpha) * m
+        out.append(m)
+    return out, m
+
+
+EWMA_SCHEMA = "user_id long, event_id long, ts timestamp, value double, ewma double"
+
+
+def ewma_scores(events: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Per-user recursive EWMA over event values — the BATCH reference for
+    ``ewma_stream``. An EWMA is an order-dependent fold (each output
+    depends on the previous one), which no windowed aggregate expresses;
+    per-user ``applyInPandas`` over the full sorted history is the batch
+    shape: one shuffle on user_id, Arrow-vectorized group batches."""
+
+    def fold(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        out, _ = _ewma_fold(pdf["value"], alpha)
+        return pdf.assign(ewma=out)[["user_id", "event_id", "ts", "value", "ewma"]]
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(fold, EWMA_SCHEMA)
+    )
+
+
+def ewma_stream(
+    events: DataFrame,
+    alpha: float = 0.2,
+    watermark: str = "1 hour",
+    state_ttl_ms: int = 7_200_000,
+) -> DataFrame:
+    """CUSTOM stateful streaming operator via ``applyInPandasWithState``
+    (§2.K surface): per-user recursive EWMA carried across micro-batches.
+
+    State per user is ONE scalar (the current mean) — state size scales
+    with ACTIVE users, never with history. A user whose last event is
+    older than ``state_ttl_ms`` behind the watermark is evicted by an
+    event-time timeout (the timed-out branch removes the state and emits
+    nothing); a later event for an evicted user restarts its fold from
+    scratch — the documented TTL semantics, same state-boundedness
+    contract as J10/J11.
+
+    Exactness contract: within a micro-batch rows fold in (ts, event_id)
+    order; ACROSS batches the fold follows arrival order, so the stream
+    matches the batch reference exactly when files/offsets arrive in
+    event-time order (the replay/Kafka-per-key-ordered case). Out-of-order
+    arrival across batches is a semantic limit of any online recursive
+    statistic, not of this plan.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdf = (
+            pd.concat(list(pdfs))
+            .sort_values(["ts", "event_id"])
+            .reset_index(drop=True)
+        )
+        m = state.get[0] if state.exists else None
+        out, m = _ewma_fold(pdf["value"], alpha, m)
+        state.update((m,))
+        # arm the TTL off the user's LAST EVENT TIME (floored at the
+        # current watermark): a timestamp computed from the watermark alone
+        # lands in the past on the first batches (wm starts at 0) and a
+        # past-dated timeout silently evicts the state at the next batch
+        # even for groups WITH data (verified empirically)
+        last_ms = int(pdf["ts"].max().timestamp() * 1000)
+        state.setTimeoutTimestamp(
+            max(last_ms, state.getCurrentWatermarkMs()) + state_ttl_ms
+        )
+        yield pdf.assign(ewma=out)[["user_id", "event_id", "ts", "value", "ewma"]]
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            EWMA_SCHEMA,
+            "ewma double",
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def score_stream(cells: DataFrame, model) -> DataFrame:
     """Online model serving: score an unbounded stream of (entity-id …)
     cells against a trained ``TrainResult``'s factor tables — the

@@ -43,6 +43,21 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_stream_ewma", oracle=None, tags=("K", "stateful"), demoted=True)
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K — per-user recursive EWMA: the batch form of
+    ``streaming.pipelines.ewma_stream``, the ``applyInPandasWithState``
+    custom stateful operator. Rows-only by design: an order-dependent
+    recursive fold has no tractable SQL oracle (a per-group recursive CTE
+    whose closed form is numerically explosive); batch/stream parity —
+    including cross-micro-batch state carry and timeout eviction — is
+    pytest-gated (tests/test_streaming.py)."""
+    from bayesiandatafusion_jl_spark.streaming.pipelines import ewma_scores
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_scores(ev, alpha=0.2)
+
+
 @register(
     "q_stream_sliding",
     oracle=f"""

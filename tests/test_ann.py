@@ -82,29 +82,26 @@ def test_ivf_broadcast_centroid_fallback(spark, monkeypatch):
     assert n_exchanges(fb_df) == n_exchanges(lit_df)
 
 
-def test_simhash_big_bucket_streamed_leg(spark, monkeypatch):
-    """SimHash buckets above _PAIR_EXPAND_MAX take the streamed self-join
-    leg (in-task pair expansion is quadratic in bucket size); the hybrid
-    must return the identical pair set either way."""
+def test_simhash_giant_bucket_pairs_complete(spark):
+    """A boilerplate group (identical simhash ⇒ identical sub-keys ⇒ one
+    oversized bucket) must yield its COMPLETE pair set: the two-level
+    explode streams pairs with O(bucket) per-row memory, so giant buckets
+    neither OOM nor drop pairs."""
     import bayesiandatafusion_jl_spark.functions.dedup as dd
 
     rows = [(i, f"unique text number {i} with several distinct words here")
             for i in range(30)]
-    # planted boilerplate group → one bucket with 20 members (identical
-    # simhash ⇒ identical sub-keys ⇒ C(20,2)=190 hamming-0 pairs)
     rows += [(100 + i, "same boilerplate text repeated everywhere verbatim")
              for i in range(20)]
     corpus = spark.createDataFrame(rows, "doc_id long, text string")
 
-    def pairs(df):
-        return {(r["doc_a"], r["doc_b"], r["hamming"]) for r in df.collect()}
-
-    base = pairs(dd.q_llm_simhash(spark, SF_DIR_TINY, corpus=corpus))
-    monkeypatch.setattr(dd, "_PAIR_EXPAND_MAX", 4)
-    hybrid = pairs(dd.q_llm_simhash(spark, SF_DIR_TINY, corpus=corpus))
-    assert hybrid == base
-    boiler = {p for p in base if p[0] >= 100 and p[1] >= 100}
-    assert len(boiler) == 190  # the oversized bucket's full pair set survives
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dd.q_llm_simhash(spark, SF_DIR_TINY, corpus=corpus).collect()
+    }
+    boiler = {p for p in got if p[0] >= 100 and p[1] >= 100}
+    assert len(boiler) == 190  # C(20,2), all at hamming 0
+    assert all(p[2] == 0 for p in boiler)
 
 
 def test_quantizer_cache_fingerprint(tmp_path, spark):
@@ -134,3 +131,24 @@ def test_quantizer_cache_fingerprint(tmp_path, spark):
     vec._KMEANS_CACHE[(fp1, 16)] = [[0.0]]
     vec.clear_quantizer_cache()
     assert vec._KMEANS_CACHE == {}
+
+
+def test_lsh_giant_bucket_pairs_complete(spark):
+    """Same guarantee for MinHash-LSH: an oversized band bucket (identical
+    docs share every band) yields its complete candidate-pair set through
+    the streamed two-level explode."""
+    import bayesiandatafusion_jl_spark.functions.dedup as dd
+
+    rows = [(i, f"unique text number {i} with several distinct words here")
+            for i in range(30)]
+    rows += [(100 + i, "same boilerplate text repeated everywhere verbatim")
+             for i in range(20)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dd.minhash_signatures(corpus)
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.lsh_candidate_pairs(sigs).collect()
+    }
+    boiler = {p for p in got if p[0] >= 100 and p[1] >= 100}
+    assert len(boiler) == 190

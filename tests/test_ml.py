@@ -744,3 +744,37 @@ def test_spill_dir_bounds_resident_snapshots(spark, planted, tmp_path):
         .collect()[0]["d"]
     )
     assert d < 1e-8, f"spilled multi-sample predict diverges by {d}"
+
+
+def test_secondary_shift_leaves_primary_invariant(spark, planted):
+    """Translation equivariance of per-relation centering: adding a
+    constant to a SECONDARY relation's values must leave the primary
+    relation's predictions (numerically) unchanged — the shift is fully
+    absorbed by that relation's own train mean, so every kernel input is
+    identical up to float re-association. The r6 pooled global_mean
+    violated exactly this: the shift leaked into the shared offset."""
+    u, _, df = planted
+    rng = np.random.default_rng(33)
+    v2 = rng.standard_normal((40, u.shape[1]))
+    cells2 = [
+        (i, j, float(u[i] @ v2[j] + 0.05 * rng.standard_normal()))
+        for i in range(u.shape[0])
+        for j in range(40)
+        if (i * 13 + j * 17) % 10 < 3
+    ]
+    df2 = spark.createDataFrame(cells2, schema="row long, attr long, value double")
+
+    def train(second):
+        rd = RelationData()
+        rd.add_relation(Relation(df, ["row", "col"], alpha=30.0))
+        rd.add_relation(Relation(second, ["row", "attr"], alpha=30.0))
+        res = macau(spark, rd, num_latent=8, burnin=4, psamples=2, seed=6)
+        return {
+            (r["row"], r["col"]): r["pred"] for r in res.pred_mean.collect()
+        }
+
+    base = train(df2)
+    shifted = train(df2.withColumn("value", F.col("value") + 1000.0))
+    assert set(base) == set(shifted)
+    worst = max(abs(base[k] - shifted[k]) for k in base)
+    assert worst < 1e-6, f"secondary +1000 shift leaked into primary: {worst}"

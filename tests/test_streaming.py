@@ -276,3 +276,55 @@ def test_score_stream_matches_batch_predict(spark, tmp_path):
     assert got.keys() == want.keys() and len(got) == len(score_cells)
     for key in want:
         assert abs(got[key] - want[key]) < 1e-9
+
+
+def test_ewma_stateful_stream_matches_batch(stream_env):
+    """Custom stateful operator (applyInPandasWithState): per-user EWMA
+    state carries across micro-batches and matches the batch fold over the
+    full history bit-for-bit; an idle user's state is evicted by the
+    event-time timeout, so its next event restarts the fold from scratch."""
+    write_batch, start, spark = stream_env
+    rows1 = [
+        _ev(1, 1, "a", 10.0, _t(900)),
+        _ev(2, 1, "a", 20.0, _t(905)),
+        _ev(3, 2, "a", 5.0, _t(910)),
+    ]
+    rows2 = [_ev(4, 1, "a", 30.0, _t(1000)), _ev(5, 2, "a", 15.0, _t(1005))]
+    write_batch(rows1)
+    q, name = start(
+        lambda s: P.ewma_stream(
+            s, alpha=0.5, watermark="10 minutes", state_ttl_ms=2 * 3600 * 1000
+        )
+    )
+    q.processAllAvailable()
+    write_batch(rows2)
+    q.processAllAvailable()
+
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch = P.ewma_scores(
+        spark.createDataFrame(rows1 + rows2, schema=P.EVENTS_SCHEMA), alpha=0.5
+    )
+    want = {r["event_id"]: r["ewma"] for r in batch.collect()}
+    assert got == want, (got, want)  # same fold, same order → bit-identical
+    # user 1: 10 → .5·20+.5·10=15 → .5·30+.5·15=22.5 (state crossed batches)
+    assert got[4] == 22.5
+
+    # eviction: advance the watermark far past user 1's TTL with other
+    # users' traffic (timeouts fire only for groups WITHOUT new data, and
+    # against the PREVIOUS batch's watermark — hence two advancing drops)
+    write_batch([_ev(6, 2, "a", 1.0, _t(1400))])
+    q.processAllAvailable()
+    write_batch([_ev(7, 3, "a", 1.0, _t(1500))])
+    q.processAllAvailable()
+    # user 1's state is gone → the fold restarts at the raw value, NOT at
+    # 0.5·40 + 0.5·22.5
+    write_batch([_ev(8, 1, "a", 40.0, _t(1510))])
+    q.processAllAvailable()
+    got2 = {
+        r["event_id"]: r["ewma"]
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert got2[8] == 40.0, got2
