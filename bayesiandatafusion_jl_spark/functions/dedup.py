@@ -232,11 +232,10 @@ def lsh_candidate_pairs(
 
     One explode (n_bands rows/doc) + ONE shuffle on (band, bucket):
     ``collect_list`` gathers each bucket's posting list, and the ordered
-    pairs are generated in-task by a nested ``transform`` over the sorted
-    list — the r5 version self-joined the exploded band frame (two shuffle
-    sides + a join) for the same result. The final distinct runs on the
-    pair set, which is bounded by the true-duplicate count, not corpus
-    size.
+    pairs are generated in-task from the sorted list — the r5 version
+    self-joined the exploded band frame (two shuffle sides + a join) for
+    the same result. The final distinct runs on the pair set, which is
+    bounded by the true-duplicate count, not corpus size.
 
     Pair generation is a TWO-LEVEL explode (posexplode the sorted list,
     then explode each element's tail slice): the pairs stream out of the

@@ -93,10 +93,14 @@ def ordered_pairs(list_col: str, a_name: str, b_name: str) -> str:
     """SQL expr: every ordered pair (earlier element, later element) from a
     SORTED array column, generated in-task — the posting-list pattern that
     turns a self-join-for-pairs (two shuffle sides + a join) into a single
-    groupBy + flat expansion. Shared by ``lsh_candidate_pairs`` (bucket
-    members → candidate pairs) and ``q_graph_components`` (order's part
-    set → co-occurrence edges). The caller must sort the array first so
-    pair orientation (a < b) is by value, not arrival order."""
+    groupBy + flat expansion. Sole remaining caller: ``q_graph_components``
+    (order's part set → co-occurrence edges), where the list width is
+    bounded by order size, so materializing the full pair array per row is
+    safe. For UNBOUNDED bucket widths use the two-level explode instead
+    (``lsh_candidate_pairs`` / ``q_llm_simhash``): flatten(transform(...))
+    holds the whole B(B-1)/2 pair array in one task before exploding. The
+    caller must sort the array first so pair orientation (a < b) is by
+    value, not arrival order."""
     return (
         f"flatten(transform({list_col}, (a, i) ->"
         f" transform(slice({list_col}, i + 2, size({list_col})),"

@@ -133,22 +133,64 @@ def _ewma_fold(values, alpha: float, m: float | None = None):
 EWMA_SCHEMA = "user_id long, event_id long, ts timestamp, value double, ewma double"
 
 
-def ewma_scores(events: DataFrame, alpha: float = 0.2) -> DataFrame:
+def ewma_scores(
+    events: DataFrame, alpha: float = 0.2, n_blocks: int | None = None
+) -> DataFrame:
     """Per-user recursive EWMA over event values — the BATCH reference for
     ``ewma_stream``. An EWMA is an order-dependent fold (each output
-    depends on the previous one), which no windowed aggregate expresses;
-    per-user ``applyInPandas`` over the full sorted history is the batch
-    shape: one shuffle on user_id, Arrow-vectorized group batches."""
+    depends on the previous one), which no windowed aggregate expresses.
+
+    Plan shape (the ml/bpmf.py applyInPandas discipline): ONE shuffle on a
+    BLOCK key (users hash-assigned to ~shuffle-partition-count blocks) and
+    one pandas call per block that folds each of its users — grouping by
+    user directly costs one Python dispatch per user (~ms each), which
+    dominates wall-clock at high user counts; block grouping makes the
+    call count equal to the parallelism. Timestamps cross the Arrow
+    boundary as µs longs (timestamp columns pay a per-batch conversion)
+    and are rebuilt JVM-side."""
+    if n_blocks is None:
+        try:
+            n_blocks = int(
+                events.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+        except ValueError:  # e.g. "auto"
+            n_blocks = 32
 
     def fold(pdf):
-        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        out, _ = _ewma_fold(pdf["value"], alpha)
-        return pdf.assign(ewma=out)[["user_id", "event_id", "ts", "value", "ewma"]]
+        pdf = (
+            pdf.drop(columns="__b")
+            .sort_values(["user_id", "ts_us", "event_id"])
+            .reset_index(drop=True)
+        )
+        out: list = []
+        # users are contiguous after the sort; sort=False preserves that
+        # order, so the concatenated folds align with the frame rows
+        for _, grp in pdf.groupby("user_id", sort=False):
+            vals, _ = _ewma_fold(grp["value"].to_numpy(), alpha)
+            out.extend(vals)
+        return pdf.assign(ewma=out)[
+            ["user_id", "event_id", "ts_us", "value", "ewma"]
+        ]
 
-    return (
-        events.select("user_id", "event_id", "ts", "value")
-        .groupBy("user_id")
-        .applyInPandas(fold, EWMA_SCHEMA)
+    folded = (
+        events.select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "value",
+            F.pmod("user_id", F.lit(n_blocks)).alias("__b"),
+        )
+        .groupBy("__b")
+        .applyInPandas(
+            fold, "user_id long, event_id long, ts_us long, value double, ewma double"
+        )
+    )
+    return folded.select(
+        "user_id",
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "value",
+        "ewma",
     )
 
 
@@ -189,21 +231,27 @@ def ewma_stream(
             .reset_index(drop=True)
         )
         m = state.get[0] if state.exists else None
-        out, m = _ewma_fold(pdf["value"], alpha, m)
+        out, m = _ewma_fold(pdf["value"].to_numpy(), alpha, m)
         state.update((m,))
         # arm the TTL off the user's LAST EVENT TIME (floored at the
         # current watermark): a timestamp computed from the watermark alone
         # lands in the past on the first batches (wm starts at 0) and a
         # past-dated timeout silently evicts the state at the next batch
-        # even for groups WITH data (verified empirically)
-        last_ms = int(pdf["ts"].max().timestamp() * 1000)
+        # even for groups WITH data (verified empirically). The epoch ms
+        # come from the JVM-computed __ts_ms column, NOT pandas
+        # .timestamp() — pandas treats the session-timezone-naive ts as
+        # UTC, skewing the TTL by the zone offset on non-UTC sessions.
+        last_ms = int(pdf["__ts_ms"].max())
         state.setTimeoutTimestamp(
             max(last_ms, state.getCurrentWatermarkMs()) + state_ttl_ms
         )
         yield pdf.assign(ewma=out)[["user_id", "event_id", "ts", "value", "ewma"]]
 
     return (
-        events.select("user_id", "event_id", "ts", "value")
+        events.select(
+            "user_id", "event_id", "ts", "value",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("__ts_ms"),
+        )
         .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(

@@ -42,6 +42,8 @@ HEADLINE = [
     "q_llm_exact_dedup",
     "q_llm_near_dedup_lsh",
     "q_llm_knn_ivf",       # r6: map-side assignment + k-means centers — timed to pin the fix
+    "q_llm_simhash",       # r7: posting-list + two-level-explode pair expansion
+    "q_stream_ewma",       # r7: batch form of the applyInPandasWithState EWMA op
     "q_graph_components",  # r6: connected components (co-occurrence graph + CC rounds)
     "q_ml_predict_rmse",
     "q_win_auc",

@@ -749,10 +749,12 @@ def test_spill_dir_bounds_resident_snapshots(spark, planted, tmp_path):
 def test_secondary_shift_leaves_primary_invariant(spark, planted):
     """Translation equivariance of per-relation centering: adding a
     constant to a SECONDARY relation's values must leave the primary
-    relation's predictions (numerically) unchanged — the shift is fully
-    absorbed by that relation's own train mean, so every kernel input is
-    identical up to float re-association. The r6 pooled global_mean
-    violated exactly this: the shift leaked into the shared offset."""
+    relation's predictions unchanged up to float noise — the shift is
+    absorbed by that relation's own train mean, so each centered kernel
+    input differs only by the ~1e-12 cancellation error of
+    (v+1000) − mean(v+1000), which the Gibbs sweeps then amplify; the
+    tolerance below leaves ~9 orders of magnitude between that noise and
+    the ~125 offset the r6 pooled global_mean leaked."""
     u, _, df = planted
     rng = np.random.default_rng(33)
     v2 = rng.standard_normal((40, u.shape[1]))
@@ -777,4 +779,4 @@ def test_secondary_shift_leaves_primary_invariant(spark, planted):
     shifted = train(df2.withColumn("value", F.col("value") + 1000.0))
     assert set(base) == set(shifted)
     worst = max(abs(base[k] - shifted[k]) for k in base)
-    assert worst < 1e-6, f"secondary +1000 shift leaked into primary: {worst}"
+    assert worst < 1e-3, f"secondary +1000 shift leaked into primary: {worst}"
