@@ -176,13 +176,14 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, which checks closure but not chains).
 
     The co-occurrence build: groupBy(order) gathers each order's DISTINCT
-    part set (bounded by order width), the ordered pairs expand in-task
-    from the sorted list — the same posting-list pattern as
-    ``lsh_candidate_pairs`` — and one more agg counts distinct co-orders
-    per pair; a lineitem self-join on l_orderkey would shuffle the fact
-    table twice for the identical pair set. HAVING keeps the graph
-    sparse, which is exactly how a real item-item graph is thresholded
-    at scale.
+    part set, the ordered pairs expand in-task from the sorted list, and
+    one more agg counts distinct co-orders per pair; a lineitem self-join
+    on l_orderkey would shuffle the fact table twice for the identical
+    pair set. The ``ordered_pairs`` (flatten/transform) expansion is safe
+    HERE because the list width is bounded by ORDER SIZE (≤7 lineitems) —
+    unbounded-width posting lists must use the two-level explode instead
+    (see ``lsh_candidate_pairs``). HAVING keeps the graph sparse, which
+    is exactly how a real item-item graph is thresholded at scale.
     """
     li = load_table(spark, sf_dir, "lineitem")
     co = (
