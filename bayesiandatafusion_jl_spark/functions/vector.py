@@ -147,8 +147,8 @@ def _cell_scores(cells, vec_col) -> "F.Column":
 _CELLS_LITERAL_MAX = 128
 
 
-def _with_cells(df: DataFrame, centers: list) -> tuple[DataFrame, "F.Column"]:
-    """Attach the centroid struct array to every row of ``df``.
+def _cells_attacher(spark: SparkSession, centers: list):
+    """Build ONE centroid attachment and return ``attach(df) -> (df, col)``.
 
     ≤ _CELLS_LITERAL_MAX cells → the pure-literal expression (zero join,
     zero shuffle, the whole argmax inside whole-stage codegen). Above that
@@ -157,16 +157,27 @@ def _with_cells(df: DataFrame, centers: list) -> tuple[DataFrame, "F.Column"]:
     nested-loop join against one row is a map-side operation), but the
     plan size is independent of n_cells, so 4k–65k-cell production indexes
     stay plannable. Downstream argmax/top-n code is identical either way.
+
+    Returning an attacher (instead of attaching directly) lets a caller
+    with several frames — ann_ivf_topk attaches to both the corpus and the
+    query side — share one centroid frame rather than serializing and
+    broadcasting an identical single-row frame once per attachment.
     """
     if len(centers) <= _CELLS_LITERAL_MAX:
-        return df, _cells_literal(centers)
-    spark = df.sparkSession
+        lit = _cells_literal(centers)
+        return lambda df: (df, lit)
     arr = [(i, -i, [float(v) for v in c]) for i, c in enumerate(centers)]
     cframe = spark.createDataFrame(
         [(arr,)],
         "__cells array<struct<cell_id:int,nid:int,ce:array<double>>>",
     )
-    return df.crossJoin(F.broadcast(cframe)), F.col("__cells")
+    bframe = F.broadcast(cframe)
+    return lambda df: (df.crossJoin(bframe), F.col("__cells"))
+
+
+def _with_cells(df: DataFrame, centers: list) -> tuple[DataFrame, "F.Column"]:
+    """One-off centroid attachment (see ``_cells_attacher``)."""
+    return _cells_attacher(df.sparkSession, centers)(df)
 
 
 def _spherical_kmeans(emb: DataFrame, n_cells: int, iters: int = 4) -> list:
@@ -256,7 +267,11 @@ def _corpus_fingerprint(sf_dir: str) -> tuple:
             st = os.stat(root)
             out.append((st.st_mtime_ns, st.st_size))
         else:
-            for dirpath, _, files in os.walk(root):
+            for dirpath, dirnames, files in os.walk(root):
+                # sort subdirs too: dirent order is filesystem-arbitrary, so
+                # a byte-identical partitioned dataset (label=*/part-*) could
+                # otherwise fingerprint differently and force a spurious refit
+                dirnames.sort()
                 for fn in sorted(files):
                     p = os.path.join(dirpath, fn)
                     st = os.stat(p)
@@ -315,8 +330,10 @@ def ann_ivf_topk(
 
     # map-side multi-assignment: n_assign nearest cells per corpus vector
     # (literal centroids, or the broadcast single-row frame above
-    # _CELLS_LITERAL_MAX cells — still zero corpus shuffles either way)
-    src, cells = _with_cells(emb, centers)
+    # _CELLS_LITERAL_MAX cells — still zero corpus shuffles either way);
+    # one shared attacher so corpus and query sides reuse the same frame
+    attach = _cells_attacher(spark, centers)
+    src, cells = attach(emb)
     assigned = src.select(
         "vec_id", "embedding",
         F.explode(
@@ -328,7 +345,7 @@ def ann_ivf_topk(
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
-    qsrc, qcellcol = _with_cells(q, centers)
+    qsrc, qcellcol = attach(q)
     qcells = qsrc.select(
         "qid", "qe",
         F.explode(

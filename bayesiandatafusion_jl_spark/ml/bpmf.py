@@ -46,6 +46,7 @@ from bayesiandatafusion_jl_spark.ml.nw import (
     sample_normal_wishart,
 )
 from bayesiandatafusion_jl_spark.ml.relation import RelationData
+from bayesiandatafusion_jl_spark.session import shuffle_partitions
 
 # Broadcast budget for factor-table joins, in BYTES — a factor row is one
 # long id plus a K-dim double array, so the estimate is rows × (K+1) × 8.
@@ -579,7 +580,7 @@ class MacauTrainer:
         self.burnin = burnin
         self.psamples = psamples
         self.seed = seed
-        self.n_blocks = n_blocks or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        self.n_blocks = n_blocks or shuffle_partitions(spark)
         self.lambda_beta = {e: lambda_beta for e in rd.entities}
         self.center = center
         self.track_rmse = track_rmse  # False: skip per-sample RMSE collects

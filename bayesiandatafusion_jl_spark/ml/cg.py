@@ -39,6 +39,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bayesiandatafusion_jl_spark.session import shuffle_partitions
+
 
 def features_to_coo(side_info: DataFrame) -> DataFrame:
     """(id, features: array<float>) → COO (id, feat, v), the sparse layout
@@ -75,7 +77,7 @@ class DistributedMatvec:
         n_parts: int | None = None,
     ):
         self.spark = spark
-        n_parts = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        n_parts = n_parts or shuffle_partitions(spark)
         # partition by id once: Fᵀ·y joins on id every CG iteration without
         # re-shuffling the (large) COO side
         self.coo = coo.repartition(n_parts, "id").persist()

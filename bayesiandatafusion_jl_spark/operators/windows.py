@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from bayesiandatafusion_jl_spark.catalog import load_table
 from bayesiandatafusion_jl_spark.functions.exprs import dsum, sql_dsum
 from bayesiandatafusion_jl_spark.registry import register
+from bayesiandatafusion_jl_spark.session import shuffle_partitions
 
 
 @register(
@@ -90,14 +91,7 @@ def auc_components(scored: DataFrame, n_buckets: int | None = None) -> DataFrame
     # at 1024 to keep the step-3 offset window's single partition tiny.
     # Bucketing NEVER affects the exact result, only load balance.
     if n_buckets is None:
-        try:
-            parts = int(
-                scored.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-            )
-        except ValueError:
-            # e.g. "auto" (AQE auto-optimized shuffle) — fall back to the
-            # pre-r7 pinned default rather than crash every AUC caller
-            parts = 32
+        parts = shuffle_partitions(scored.sparkSession)
         n_buckets = min(1024, max(1, parts))
     # NULL scores are unrankable — exclude them DELIBERATELY (and from the
     # n_pos/n_neg denominators) rather than letting a NULL bucket silently

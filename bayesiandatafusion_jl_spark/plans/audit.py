@@ -151,7 +151,18 @@ def main() -> None:
         print(rows[-1], flush=True)
     spark.stop()
 
-    end = start + 1
+    # re-read just before splicing: the audit run takes minutes and edits
+    # made to the file meanwhile must not be clobbered by the pre-run
+    # snapshot (the read above exists only for the fail-fast checks)
+    lines = open(path).read().splitlines()
+    try:
+        start = next(i for i, l in enumerate(lines) if l.startswith("| query |"))
+    except StopIteration:
+        sys.exit(
+            f"{path} table header disappeared during the audit run — "
+            "table not rewritten; audit rows were printed above"
+        )
+    end = start + 2
     while end < len(lines) and lines[end].startswith("|"):
         end += 1
     out = lines[: start + 2] + rows + lines[end:]

@@ -47,6 +47,19 @@ def get_spark(app_name: str = "bayesiandatafusion_jl_spark", cpus: str | None = 
     return spark
 
 
+def shuffle_partitions(spark: SparkSession, default: int = 32) -> int:
+    """The session's shuffle-partition count as an int, tolerating non-numeric
+    values like ``"auto"`` (AQE auto-optimized shuffle on some distros) by
+    falling back to ``default``. Every operator that sizes its parallelism
+    from this conf must go through here — a raw ``int(conf.get(...))``
+    crashes on exactly the sessions whose parallelism we most want to track.
+    """
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", str(default)))
+    except ValueError:
+        return default
+
+
 def configure_runtime(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs the engine depends on.
 

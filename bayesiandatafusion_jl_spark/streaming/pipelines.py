@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bayesiandatafusion_jl_spark.session import shuffle_partitions
+
 # canonical events schema after catalog's ns→ts normalization
 EVENTS_SCHEMA = (
     "event_id long, user_id long, event_type string, value double, "
@@ -149,12 +151,7 @@ def ewma_scores(
     boundary as µs longs (timestamp columns pay a per-batch conversion)
     and are rebuilt JVM-side."""
     if n_blocks is None:
-        try:
-            n_blocks = int(
-                events.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-            )
-        except ValueError:  # e.g. "auto"
-            n_blocks = 32
+        n_blocks = shuffle_partitions(events.sparkSession)
 
     def fold(pdf):
         pdf = (

@@ -103,3 +103,28 @@ def test_split_fraction_and_determinism(spark, frac):
     # different seed → different assignment
     s3 = split_train_test(df, ["i", "j"], test_frac=frac, seed=4)
     assert s1.exceptAll(s3).count() > 0
+
+
+def test_shuffle_partitions_tolerates_auto():
+    """The shared conf helper must survive non-numeric values like 'auto'
+    (AQE auto-optimized shuffle on some distros) — the raw
+    int(conf.get(...)) it replaced crashed on exactly those sessions.
+    Stock Spark's conf.set validates the value as an int, so the distro
+    behavior is stubbed rather than set on the live session."""
+    from bayesiandatafusion_jl_spark.session import shuffle_partitions
+
+    class _Conf:
+        def __init__(self, v):
+            self.v = v
+
+        def get(self, key, default=None):
+            return self.v if self.v is not None else default
+
+    class _S:
+        def __init__(self, v):
+            self.conf = _Conf(v)
+
+    assert shuffle_partitions(_S("48")) == 48
+    assert shuffle_partitions(_S("auto")) == 32
+    assert shuffle_partitions(_S("auto"), default=7) == 7
+    assert shuffle_partitions(_S(None)) == 32
