@@ -32,4 +32,37 @@ __version__ = "0.1.0"
 
 from bayesiandatafusion_jl_spark.registry import all_oracles, all_queries, get_query
 
-__all__ = ["all_oracles", "all_queries", "get_query", "__version__"]
+# The reference's user-facing names (``macau(rd; ...)``, ``bpmf``,
+# ``RelationData``) re-exported at the package root so an upstream user's
+# ``using BayesianDataFusion; macau(rd)`` maps to
+# ``from bayesiandatafusion_jl_spark import macau; macau(spark, rd)``.
+# Lazy (PEP 562): ``import bayesiandatafusion_jl_spark`` must stay cheap —
+# the ML stack (numpy kernels, trainer) loads only when first touched.
+_LAZY = {
+    "macau": ("bayesiandatafusion_jl_spark.ml.bpmf", "macau"),
+    "bpmf": ("bayesiandatafusion_jl_spark.ml.bpmf", "bpmf"),
+    "MacauTrainer": ("bayesiandatafusion_jl_spark.ml.bpmf", "MacauTrainer"),
+    "TrainResult": ("bayesiandatafusion_jl_spark.ml.bpmf", "TrainResult"),
+    "RelationData": ("bayesiandatafusion_jl_spark.ml.relation", "RelationData"),
+    "get_spark": ("bayesiandatafusion_jl_spark.session", "get_spark"),
+}
+
+
+def __getattr__(name: str):
+    try:
+        mod_name, attr = _LAZY[name]
+    except KeyError:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}") from None
+    import importlib
+
+    return getattr(importlib.import_module(mod_name), attr)
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_LAZY))
+
+
+__all__ = [
+    "all_oracles", "all_queries", "get_query", "__version__",
+    "macau", "bpmf", "MacauTrainer", "TrainResult", "RelationData", "get_spark",
+]

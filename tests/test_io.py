@@ -67,3 +67,18 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_obs")
         spark.sql("DROP TABLE IF EXISTS t_fac")
+
+
+def test_package_root_exports_reference_api():
+    """The upstream package's user-facing names are importable from the
+    package root (lazily — ``import bayesiandatafusion_jl_spark`` must not
+    pull the ML stack)."""
+    import bayesiandatafusion_jl_spark as b
+
+    for name in ("macau", "bpmf", "MacauTrainer", "TrainResult", "RelationData", "get_spark"):
+        assert callable(getattr(b, name)), name
+        assert name in dir(b)
+    import pytest as _pytest
+
+    with _pytest.raises(AttributeError):
+        b.no_such_symbol
