@@ -245,3 +245,115 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     canon = F.array_join(F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), " ")
     return docs.select("doc_id", F.sha2(canon, 256).alias("fingerprint"))
+
+
+@register(
+    "q_text_repetition",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(LOWER(text), ' ') AS tk FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, 1 AS ln, UNNEST(tk) AS g FROM tok
+      UNION ALL
+      SELECT doc_id, 2 AS ln,
+             UNNEST(list_transform(range(1, len(tk)),
+                    i -> tk[i] || ' ' || tk[i+1])) AS g
+      FROM tok
+      UNION ALL
+      SELECT doc_id, 3 AS ln,
+             UNNEST(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+      FROM tok
+    ),
+    gc AS (SELECT doc_id, ln, g, COUNT(*) AS c FROM grams GROUP BY doc_id, ln, g),
+    top AS (SELECT doc_id, ln, MAX(c) AS top_n, SUM(c) AS tot,
+                   COUNT(*) AS n_grams
+            FROM gc GROUP BY doc_id, ln)
+    SELECT t1.doc_id,
+           CAST(t1.tot AS BIGINT) AS n_tokens,
+           CAST(t1.n_grams AS BIGINT) AS n_distinct,
+           ROUND(1.0 - CAST(t1.n_grams AS DOUBLE) / t1.tot, 4)
+             AS dup_token_frac,
+           CAST(t2.top_n AS BIGINT) AS top_2gram_n,
+           ROUND(CAST(t2.top_n AS DOUBLE) / t2.tot, 4) AS top_2gram_frac,
+           CAST(t3.top_n AS BIGINT) AS top_3gram_n,
+           ROUND(CAST(t3.top_n AS DOUBLE) / t3.tot, 4) AS top_3gram_frac
+    FROM top t1
+    LEFT JOIN top t2 ON t1.doc_id = t2.doc_id AND t2.ln = 2
+    LEFT JOIN top t3 ON t1.doc_id = t3.doc_id AND t3.ln = 3
+    WHERE t1.ln = 1
+    """,
+    tags=("text-quality",),
+    demoted=True,
+)
+def q_text_repetition(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Within-document repetition metrics — the pretraining-data quality
+    filters of Rae et al. (Gopher, 2021) §A1.1: repeated-token fraction
+    and most-frequent-n-gram fraction (n = 2, 3). Docs dominated by one
+    n-gram or by token repeats are boilerplate/spam candidates.
+
+    Shape: tokens count as 1-grams, so ALL metrics come from one explode
+    pass over ONE scan of the text column: a map-side transform emits the
+    (n, gram) stream for n = 1, 2, 3; one partial-agg groupBy counts
+    (doc, n, gram); one per-(doc, n) reduction yields top/total/distinct;
+    one final per-doc pivot — linear motion, no self-join, no second scan
+    (the 100 TB text read is the dominant cost, so it happens once). The
+    per-row O(len²) array_max alternative was rejected. Line-level
+    duplicate metrics are omitted deliberately: the corpus contract has no
+    newlines (single-line docs make them vacuous)."""
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
+    n_tok = F.size("tk")
+    empty = F.array().cast("array<string>")
+    g2 = F.when(
+        n_tok >= 2,
+        F.expr("transform(sequence(0, size(tk)-2), i -> concat_ws(' ', slice(tk, i+1, 2)))"),
+    ).otherwise(empty)
+    g3 = F.when(
+        n_tok >= 3,
+        F.expr("transform(sequence(0, size(tk)-3), i -> concat_ws(' ', slice(tk, i+1, 3)))"),
+    ).otherwise(empty)
+
+    def tag(arr, n):
+        return F.transform(arr, lambda g: F.struct(F.lit(n).alias("ln"), g.alias("g")))
+
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.concat(tag(F.col("tk"), 1), tag(g2, 2), tag(g3, 3))
+        ).alias("t"),
+    ).select("doc_id", "t.ln", "t.g")
+    gc = grams.groupBy("doc_id", "ln", "g").agg(F.count(F.lit(1)).alias("c"))
+    top = gc.groupBy("doc_id", "ln").agg(
+        F.max("c").alias("top_n"),
+        F.sum("c").alias("tot"),
+        F.count(F.lit(1)).alias("n_grams"),
+    )
+    wide = top.groupBy("doc_id").agg(
+        F.max(F.when(F.col("ln") == 1, F.col("tot"))).alias("n_tokens"),
+        F.max(F.when(F.col("ln") == 1, F.col("n_grams"))).alias("n_distinct"),
+        F.max(F.when(F.col("ln") == 2, F.col("top_n"))).alias("top_2gram_n"),
+        F.max(F.when(F.col("ln") == 2, F.col("tot"))).alias("n_2grams"),
+        F.max(F.when(F.col("ln") == 3, F.col("top_n"))).alias("top_3gram_n"),
+        F.max(F.when(F.col("ln") == 3, F.col("tot"))).alias("n_3grams"),
+    )
+    return wide.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens"), 4
+        ).alias("dup_token_frac"),
+        F.col("top_2gram_n").cast("bigint").alias("top_2gram_n"),
+        F.round(F.col("top_2gram_n").cast("double") / F.col("n_2grams"), 4).alias(
+            "top_2gram_frac"
+        ),
+        F.col("top_3gram_n").cast("bigint").alias("top_3gram_n"),
+        F.round(F.col("top_3gram_n").cast("double") / F.col("n_3grams"), 4).alias(
+            "top_3gram_frac"
+        ),
+    )

@@ -35,6 +35,12 @@ SKIP = {
 }
 
 NOTES = {
+    "q_text_repetition": (
+        "r7: tokens count as 1-grams, so all metrics come from ONE scan and"
+        " one explode pass (n=1,2,3 gram stream); 3 partial-agg groupBys on"
+        " shrinking keys ((doc,n,gram) → (doc,n) → doc), no join — linear"
+        " motion; per-row O(len²) array_max alternative rejected"
+    ),
     "q_llm_simhash": (
         "r7: posting-list pair expansion — 3 LINEAR shuffles (sig agg,"
         " (band,sub) buckets, pair distinct), no join; pairs stream from"

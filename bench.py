@@ -44,6 +44,7 @@ HEADLINE = [
     "q_llm_knn_ivf",       # r6: map-side assignment + k-means centers — timed to pin the fix
     "q_llm_simhash",       # r7: posting-list + two-level-explode pair expansion
     "q_stream_ewma",       # r7: batch form of the applyInPandasWithState EWMA op
+    "q_text_repetition",   # r7: Gopher repetition filters — 1 scan, 3 shrinking-key aggs
     "q_graph_components",  # r6: connected components (co-occurrence graph + CC rounds)
     "q_ml_predict_rmse",
     "q_win_auc",

@@ -82,3 +82,36 @@ def test_package_root_exports_reference_api():
 
     with _pytest.raises(AttributeError):
         b.no_such_symbol
+
+
+def test_text_repetition_crafted_docs(spark):
+    """Pin q_text_repetition semantics on crafted docs: a degenerate
+    one-token-repeated doc, a no-repeat doc, and a single-token doc (whose
+    n-gram columns must be NULL, not 0)."""
+    from pyspark.sql import functions as F
+
+    from bayesiandatafusion_jl_spark.functions.text import q_text_repetition
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "w x y z"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in q_text_repetition(spark, "", docs=docs).collect()
+    }
+    r1 = rows[1]
+    assert (r1["n_tokens"], r1["n_distinct"]) == (4, 1)
+    assert r1["dup_token_frac"] == 0.75
+    # "a a" occurs 3 times out of 3 bigrams; "a a a" 2/2
+    assert (r1["top_2gram_n"], r1["top_2gram_frac"]) == (3, 1.0)
+    assert (r1["top_3gram_n"], r1["top_3gram_frac"]) == (2, 1.0)
+    r2 = rows[2]
+    assert (r2["n_tokens"], r2["n_distinct"]) == (4, 4)
+    assert r2["dup_token_frac"] == 0.0
+    assert (r2["top_2gram_n"], r2["top_2gram_frac"]) == (1, 0.3333)
+    assert (r2["top_3gram_n"], r2["top_3gram_frac"]) == (1, 0.5)
+    r3 = rows[3]
+    assert (r3["n_tokens"], r3["n_distinct"]) == (1, 1)
+    assert r3["top_2gram_n"] is None and r3["top_2gram_frac"] is None
+    assert r3["top_3gram_n"] is None and r3["top_3gram_frac"] is None
