@@ -357,3 +357,50 @@ def q_text_repetition(
             "top_3gram_frac"
         ),
     )
+
+
+# GPT-2-style pretokenizer (contractions | space-prefixed letter runs |
+# digit runs | punctuation runs) restricted to the regex subset RE2 and
+# Java regex implement identically, so the count is engine-reproducible.
+# A real BPE would merge within these pretokens; the PRETOKEN count is the
+# standard fast token-budget estimator (merges only split within them).
+_BPE_PRETOKEN_RE = r"'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9']+"
+
+
+@register(
+    "q_text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(LOWER(text),
+                '{_BPE_PRETOKEN_RE.replace("'", "''")}')) AS BIGINT)
+             AS n_pretokens,
+           LENGTH(text) AS n_chars,
+           ROUND(CAST(LENGTH(text) AS DOUBLE)
+                 / len(regexp_extract_all(LOWER(text),
+                       '{_BPE_PRETOKEN_RE.replace("'", "''")}')), 4)
+             AS chars_per_pretoken
+    FROM documents
+    """,
+    tags=("text-tokens",),
+    demoted=True,
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (the LLM budget estimators): whitespace
+    tokens and BPE-style PREtokens (GPT-2 pretokenizer regex — see
+    ``_BPE_PRETOKEN_RE``), plus chars-per-pretoken. One map-only pass,
+    zero exchanges: at 100 TB this is a single read of the text column
+    with both counts computed inside whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_pre = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PRETOKEN_RE), F.lit(0))
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        n_pre.cast("bigint").alias("n_pretokens"),
+        F.length("text").alias("n_chars"),
+        F.round(F.length("text").cast("double") / n_pre, 4).alias(
+            "chars_per_pretoken"
+        ),
+    )

@@ -35,6 +35,10 @@ SKIP = {
 }
 
 NOTES = {
+    "q_text_token_count": (
+        "r7: map-only token counting (whitespace + GPT-2 pretokenizer"
+        " regex), zero exchanges"
+    ),
     "q_text_repetition": (
         "r7: tokens count as 1-grams, so all metrics come from ONE scan and"
         " one explode pass (n=1,2,3 gram stream); 3 partial-agg groupBys on"
