@@ -404,3 +404,74 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_pretoken"
         ),
     )
+
+
+@register(
+    "q_text_quality_filter",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             len(tk) AS n_tokens,
+             1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS dup_frac,
+             CAST(len(list_filter(tk,
+                  t -> t IN ('the','of','and','fast','slow','table','key')))
+                  AS DOUBLE) / len(tk) AS en_score
+      FROM (SELECT doc_id, string_split(LOWER(text), ' ') AS tk FROM documents)
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(dup_frac, 4) AS dup_token_frac,
+           ROUND(en_score, 4) AS en_score,
+           CASE WHEN n_tokens < 20 THEN 'too_short'
+                WHEN n_tokens > 95 THEN 'too_long'
+                WHEN dup_frac > 0.6 THEN 'repetitive'
+                WHEN en_score < 0.12 THEN 'lang'
+           END AS reject_reason,
+           (CASE WHEN n_tokens < 20 THEN 'too_short'
+                 WHEN n_tokens > 95 THEN 'too_long'
+                 WHEN dup_frac > 0.6 THEN 'repetitive'
+                 WHEN en_score < 0.12 THEN 'lang'
+            END) IS NULL AS keep
+    FROM m
+    """,
+    tags=("text-quality",),
+    demoted=True,
+)
+def q_text_quality_filter(
+    spark: SparkSession,
+    sf_dir: str,
+    min_tokens: int = 20,
+    max_tokens: int = 95,
+    max_dup_frac: float = 0.6,
+    min_lang_score: float = 0.12,
+) -> DataFrame:
+    """Composed document-quality filter — the per-document keep/drop
+    decision a pretraining pipeline runs over every shard (Gopher-style
+    rule cascade: length band, repeated-token fraction, language score).
+    Emits the decision AND the first failing rule (``reject_reason``) so
+    rejection-rate dashboards need no second pass.
+
+    Thresholds compare UNROUNDED doubles (bit-identical across engines
+    since all inputs are integer counts); the surfaced fractions are
+    rounded for display only. One map-only pass over one scan, zero
+    exchanges — the filter adds nothing to the 100 TB read cost."""
+    docs = load_table(spark, sf_dir, "documents")
+    en = list(_LANG_MARKERS["en"])
+    tk = F.split(F.lower("text"), " ")
+    n_tok = F.size(tk)
+    dup = F.lit(1.0) - F.size(F.array_distinct(tk)).cast("double") / n_tok
+    en_score = F.size(F.filter(tk, lambda t: t.isin(en))).cast("double") / n_tok
+    reason = (
+        F.when(n_tok < min_tokens, "too_short")
+        .when(n_tok > max_tokens, "too_long")
+        .when(dup > max_dup_frac, "repetitive")
+        .when(en_score < min_lang_score, "lang")
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(dup, 4).alias("dup_token_frac"),
+        F.round(en_score, 4).alias("en_score"),
+        reason.alias("reject_reason"),
+        reason.isNull().alias("keep"),
+    )

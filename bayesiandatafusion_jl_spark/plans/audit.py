@@ -35,6 +35,10 @@ SKIP = {
 }
 
 NOTES = {
+    "q_text_quality_filter": (
+        "r7: composed Gopher-rule keep/drop cascade with"
+        " first-failing-rule column — map-only, zero exchanges"
+    ),
     "q_text_token_count": (
         "r7: map-only token counting (whitespace + GPT-2 pretokenizer"
         " regex), zero exchanges"
