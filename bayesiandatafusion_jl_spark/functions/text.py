@@ -475,3 +475,83 @@ def q_text_quality_filter(
         reason.alias("reject_reason"),
         reason.isNull().alias("keep"),
     )
+
+
+@register(
+    "q_llm_decontaminate",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, string_split(LOWER(text), ' ') AS tk
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source,
+             UNNEST(list_transform(range(1, len(tk) - 2),
+                    i -> array_to_string(tk[i:i+3], ' '))) AS g
+      FROM tok
+    ),
+    ev AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+    hits AS (
+      SELECT t.doc_id, COUNT(DISTINCT t.g) AS n_hit_grams
+      FROM g t JOIN ev ON t.g = ev.g
+      WHERE t.source <> 'src0'
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+           COALESCE(h.n_hit_grams, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+    tags=("text-quality", "J2"),
+    demoted=True,
+)
+def q_llm_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 4,
+    eval_source: str = "src0",
+) -> DataFrame:
+    """Benchmark decontamination — flag every training document sharing an
+    ``n``-gram with the held-out evaluation set (the GPT-3 appendix-C /
+    PaLM procedure; n = 13 on real corpora, 4 here so the word-soup corpus
+    actually collides). Output: one row per train doc with the count of
+    distinct leaked n-grams and the contaminated flag.
+
+    Scale shape: the eval side of any decontamination run is tiny
+    (benchmarks are KB–MB against a 100 TB corpus), so its distinct n-gram
+    set BROADCASTS; the training corpus is read once, its n-grams stream
+    map-side through the broadcast hash join, and the only shuffle is the
+    per-doc partial-agg count of matched grams. The train corpus is never
+    collected, never self-joined, never re-read."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.split(F.lower("text"), " ").alias("tk")
+    )
+    gram_expr = F.when(
+        F.size("tk") >= n,
+        F.expr(
+            f"transform(sequence(0, size(tk)-{n}), i -> concat_ws(' ', slice(tk, i+1, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select("doc_id", F.explode(gram_expr).alias("g"))
+
+    ev = grams(toks.filter(F.col("source") == eval_source)).select("g").distinct()
+    train = toks.filter(F.col("source") != eval_source)
+    hits = (
+        grams(train)
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_hit_grams"))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hit_grams", F.lit(0)).cast("bigint").alias("n_hit_grams"),
+            (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -35,6 +35,11 @@ SKIP = {
 }
 
 NOTES = {
+    "q_llm_decontaminate": (
+        "r7: GPT-3-style benchmark decontamination — tiny eval n-gram set"
+        " broadcast, corpus grams stream map-side through the broadcast"
+        " join; shuffles are the eval distinct + per-doc hit count only"
+    ),
     "q_text_quality_filter": (
         "r7: composed Gopher-rule keep/drop cascade with"
         " first-failing-rule column — map-only, zero exchanges"
