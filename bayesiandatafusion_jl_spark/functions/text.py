@@ -247,6 +247,22 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.sha2(canon, 256).alias("fingerprint"))
 
 
+def _ngrams(arr_col: str, n: int) -> "F.Column":
+    """Sliding-window word ``n``-grams of a token-array column as one
+    map-side array expression (space-joined); empty array below ``n``
+    tokens. The single place the off-by-one-prone sequence/slice bounds
+    live — q_text_repetition and q_llm_decontaminate both build on it."""
+    if n == 1:
+        return F.col(arr_col)
+    return F.when(
+        F.size(arr_col) >= n,
+        F.expr(
+            f"transform(sequence(0, size({arr_col})-{n}),"
+            f" i -> concat_ws(' ', slice({arr_col}, i+1, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 @register(
     "q_text_repetition",
     oracle="""
@@ -307,16 +323,8 @@ def q_text_repetition(
     if docs is None:
         docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
-    n_tok = F.size("tk")
-    empty = F.array().cast("array<string>")
-    g2 = F.when(
-        n_tok >= 2,
-        F.expr("transform(sequence(0, size(tk)-2), i -> concat_ws(' ', slice(tk, i+1, 2)))"),
-    ).otherwise(empty)
-    g3 = F.when(
-        n_tok >= 3,
-        F.expr("transform(sequence(0, size(tk)-3), i -> concat_ws(' ', slice(tk, i+1, 3)))"),
-    ).otherwise(empty)
+    g2 = _ngrams("tk", 2)
+    g3 = _ngrams("tk", 3)
 
     def tag(arr, n):
         return F.transform(arr, lambda g: F.struct(F.lit(n).alias("ln"), g.alias("g")))
@@ -406,9 +414,27 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Default quality-filter thresholds — the ONE place they live: both the
+# Python defaults and the registered oracle SQL below interpolate these,
+# so the two cannot drift. The registered oracle is equivalent to the
+# DEFAULT parameterization only; callers overriding thresholds get a
+# frame the stored SQL no longer describes (same for every parameterized
+# query in the registry — the oracle pins the spec's driver-run form).
+_QF_MIN_TOKENS = 20
+_QF_MAX_TOKENS = 95
+_QF_MAX_DUP_FRAC = 0.6
+_QF_MIN_LANG_SCORE = 0.12
+
+_QF_REASON_SQL = f"""CASE WHEN n_tokens < {_QF_MIN_TOKENS} THEN 'too_short'
+                WHEN n_tokens > {_QF_MAX_TOKENS} THEN 'too_long'
+                WHEN dup_frac > {_QF_MAX_DUP_FRAC} THEN 'repetitive'
+                WHEN en_score < {_QF_MIN_LANG_SCORE} THEN 'lang'
+           END"""
+
+
 @register(
     "q_text_quality_filter",
-    oracle="""
+    oracle=f"""
     WITH m AS (
       SELECT doc_id,
              len(tk) AS n_tokens,
@@ -422,16 +448,8 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_tokens AS BIGINT) AS n_tokens,
            ROUND(dup_frac, 4) AS dup_token_frac,
            ROUND(en_score, 4) AS en_score,
-           CASE WHEN n_tokens < 20 THEN 'too_short'
-                WHEN n_tokens > 95 THEN 'too_long'
-                WHEN dup_frac > 0.6 THEN 'repetitive'
-                WHEN en_score < 0.12 THEN 'lang'
-           END AS reject_reason,
-           (CASE WHEN n_tokens < 20 THEN 'too_short'
-                 WHEN n_tokens > 95 THEN 'too_long'
-                 WHEN dup_frac > 0.6 THEN 'repetitive'
-                 WHEN en_score < 0.12 THEN 'lang'
-            END) IS NULL AS keep
+           {_QF_REASON_SQL} AS reject_reason,
+           ({_QF_REASON_SQL}) IS NULL AS keep
     FROM m
     """,
     tags=("text-quality",),
@@ -440,10 +458,10 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_quality_filter(
     spark: SparkSession,
     sf_dir: str,
-    min_tokens: int = 20,
-    max_tokens: int = 95,
-    max_dup_frac: float = 0.6,
-    min_lang_score: float = 0.12,
+    min_tokens: int = _QF_MIN_TOKENS,
+    max_tokens: int = _QF_MAX_TOKENS,
+    max_dup_frac: float = _QF_MAX_DUP_FRAC,
+    min_lang_score: float = _QF_MIN_LANG_SCORE,
 ) -> DataFrame:
     """Composed document-quality filter — the per-document keep/drop
     decision a pretraining pipeline runs over every shard (Gopher-style
@@ -520,23 +538,21 @@ def q_llm_decontaminate(
 
     Scale shape: the eval side of any decontamination run is tiny
     (benchmarks are KB–MB against a 100 TB corpus), so its distinct n-gram
-    set BROADCASTS; the training corpus is read once, its n-grams stream
-    map-side through the broadcast hash join, and the only shuffle is the
-    per-doc partial-agg count of matched grams. The train corpus is never
-    collected, never self-joined, never re-read."""
+    set BROADCASTS; the TEXT column is read once (the gram leg), its
+    n-grams stream map-side through the broadcast hash join, and the only
+    data shuffle is the per-doc partial-agg count of matched grams. The
+    left-join spine re-scans only the pruned (doc_id, source) columns —
+    3 scans in the audit row, but one text read. Never collected, never
+    self-joined. The registered oracle pins the DEFAULT parameterization
+    (n=4, src0); overriding n/eval_source yields a frame the stored SQL
+    does not describe."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "source", F.split(F.lower("text"), " ").alias("tk")
     )
-    gram_expr = F.when(
-        F.size("tk") >= n,
-        F.expr(
-            f"transform(sequence(0, size(tk)-{n}), i -> concat_ws(' ', slice(tk, i+1, {n})))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
 
     def grams(df: DataFrame) -> DataFrame:
-        return df.select("doc_id", F.explode(gram_expr).alias("g"))
+        return df.select("doc_id", F.explode(_ngrams("tk", n)).alias("g"))
 
     ev = grams(toks.filter(F.col("source") == eval_source)).select("g").distinct()
     train = toks.filter(F.col("source") != eval_source)

@@ -73,6 +73,20 @@ def test_package_root_exports_reference_api():
     """The upstream package's user-facing names are importable from the
     package root (lazily — ``import bayesiandatafusion_jl_spark`` must not
     pull the ML stack)."""
+    import subprocess
+    import sys as _sys
+
+    # laziness is a subprocess property: resolving the names below would
+    # import ml.bpmf in THIS process, so the bare-import check runs clean
+    out = subprocess.run(
+        [_sys.executable, "-c",
+         "import sys, bayesiandatafusion_jl_spark;"
+         "assert 'bayesiandatafusion_jl_spark.ml.bpmf' not in sys.modules,"
+         " 'package import eagerly pulled the ML stack'"],
+        capture_output=True, text=True,
+    )
+    assert out.returncode == 0, out.stderr
+
     import bayesiandatafusion_jl_spark as b
 
     for name in ("macau", "bpmf", "MacauTrainer", "TrainResult", "RelationData", "get_spark"):
