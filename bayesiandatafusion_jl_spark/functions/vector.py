@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from bayesiandatafusion_jl_spark.catalog import load_table
-from bayesiandatafusion_jl_spark.functions.exprs import DEC_HI, dmean, dot, sql_dot
+from bayesiandatafusion_jl_spark.functions.exprs import dot, sql_dot
 from bayesiandatafusion_jl_spark.registry import register
 
 
@@ -180,62 +180,72 @@ def _with_cells(df: DataFrame, centers: list) -> tuple[DataFrame, "F.Column"]:
     return _cells_attacher(df.sparkSession, centers)(df)
 
 
+# Quantizer fit sample size: ≥ this many vectors per centroid. 256/cell is
+# the standard IVF training heuristic (FAISS trains on 39–256 pts/centroid);
+# the deterministic hash-sample below bounds the fit input to ~256·n_cells
+# rows no matter how big the corpus is, capped so the driver-side collect
+# stays small even at production cell counts (200k × 64 dims ≈ 100 MB).
+_KMEANS_FIT_PER_CELL = 256
+_KMEANS_FIT_MAX_ROWS = 200_000
+
+
 def _spherical_kmeans(emb: DataFrame, n_cells: int, iters: int = 4) -> list:
-    """Spherical k-means coarse quantizer as DataFrame Lloyd iterations.
+    """Spherical k-means coarse quantizer: bounded sample → driver Lloyd.
 
-    Each iteration: map-side argmax assignment against the current centers
-    (literal expression, or a single-row broadcast frame above
-    _CELLS_LITERAL_MAX cells — see ``_with_cells``), then ONE
-    groupBy(cell, pos) mean over the posexploded corpus; the n_cells × dim
-    result (driver-sized by construction, ~1k scalars) collects, is
-    L2-normalized (spherical — the corpus is unit-norm, so cosine cells),
-    and seeds the next round. Init = the lowest-vec_id corpus vectors
-    (deterministic; already unit norm).
+    Quantizer TRAINING is bounded by construction — ~256 vectors per
+    centroid suffice (the FAISS heuristic) — so the fit is: one
+    deterministic identity-hash sample (``pmod(xxhash64(vec_id))``,
+    map-only, no shuffle), ONE bounded collect (≤ _KMEANS_FIT_MAX_ROWS
+    rows — NOT N-scaled; the cap holds at any corpus size), then Lloyd
+    iterations in numpy on the driver. The pre-r7 version ran each Lloyd
+    iteration as a Spark job with the centers embedded as literals; on the
+    bounded sample that was pure overhead — 4 plan-compiles of a
+    1k-literal expression dominated (~8 s) while the arithmetic is
+    sub-millisecond in BLAS. Index ASSIGNMENT (every corpus row) stays
+    fully distributed and map-side in ``ann_ivf_topk``.
 
-    At 100 TB: fit on a bounded sample and refresh offline; each Lloyd
-    iteration is one map + one tiny agg — no iteration state on executors.
+    Determinism: the sample is a pure function of vec_ids, init is the
+    lowest-vec_id sample vectors, and numpy reduces in a fixed order — a
+    refit reproduces the cached centers bit-for-bit in-process (the
+    _KMEANS_CACHE premise). Ties in the argmax go to the lowest cell id
+    (numpy argmax picks the first maximum), matching the map-side
+    assignment's (cd, nid) struct-max tie-break.
+
     Measured here (tests/test_ann.py): spherical centers + 2-way assignment
-    recover 0.96 recall@5 honestly, where the pre-r6 "seed vector"
+    recover ≥0.9 recall@5 honestly, where the pre-r6 "seed vector"
     quantizer scored 0.94 only because the seed set contained the query
     vectors themselves.
     """
-    init = emb.orderBy("vec_id").limit(n_cells).select("embedding").collect()
-    centers = [[float(v) for v in r["embedding"]] for r in init]
+    import numpy as np
+
+    target = min(_KMEANS_FIT_PER_CELL * n_cells, _KMEANS_FIT_MAX_ROWS)
+    n = emb.count()
+    sample = emb
+    if n > target:
+        m = -(-n // target)  # ceil → expected sample size ≤ target
+        sample = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(m)) == 0)
+    rows = sample.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    centers = x[:n_cells].copy()
     for _ in range(iters):
-        src, cells = _with_cells(emb, centers)
-        assigned = src.select(
-            (-F.array_max(_cell_scores(cells, "embedding"))["nid"]).alias("cell_id"),
-            "embedding",
-        )
-        rows = (
-            assigned.select("cell_id", F.posexplode("embedding").alias("pos", "v"))
-            .groupBy("cell_id", "pos")
-            # dmean, not avg: decimal-exact sum makes the fit independent
-            # of partial-agg merge order, so a refit reproduces the cached
-            # centers bit-for-bit (the premise of _KMEANS_CACHE); DEC_HI
-            # because unit-norm components are small-magnitude (the
-            # decimal(38,6) default would quantize them to ~1e-5 relative)
-            .agg(dmean(F.col("v").cast("double"), scale=DEC_HI).alias("m"))
-            .collect()
-        )
-        new = [list(c) for c in centers]  # empty cells keep their center
-        by_cell: dict = {}
-        for r in rows:
-            by_cell.setdefault(r["cell_id"], {})[r["pos"]] = r["m"]
-        for cid, posmap in by_cell.items():
-            vec = [posmap[p] for p in sorted(posmap)]
-            norm = sum(x * x for x in vec) ** 0.5
-            if norm > 0:
-                new[cid] = [x / norm for x in vec]
-        centers = new
-    return centers
+        assign = np.argmax(x @ centers.T, axis=1)
+        for cid in range(len(centers)):
+            mask = assign == cid
+            if mask.any():  # empty cells keep their center
+                v = x[mask].mean(axis=0)
+                norm = float(np.linalg.norm(v))
+                if norm > 0:
+                    centers[cid] = v / norm
+    return [[float(c) for c in row] for row in centers]
 
 
 # Fitted coarse-quantizer centers per (corpus snapshot, n_cells): index
 # BUILD and index QUERY are separate phases in any real IVF deployment
 # (the quantizer is fitted once, offline, and served to every query); this
-# cache is that separation in-process. The fit is deterministic (decimal-
-# exact means, deterministic init), so caching never changes results. The
+# cache is that separation in-process. The fit is deterministic (hash
+# sample + fixed-order numpy reductions + deterministic init), so caching
+# never changes results in-process. The
 # key includes a FILE-LISTING FINGERPRINT of the embeddings dataset
 # (path, mtime, size per file), so data rewritten in place under a stable
 # path refits instead of serving stale centers; ``clear_quantizer_cache``
@@ -293,12 +303,13 @@ def ann_ivf_topk(
 ) -> DataFrame:
     """IVF-style approximate nearest neighbor (the 100 TB scale path).
 
-    1. Coarse quantizer: ``n_cells`` spherical k-means centroids fitted by
-       DataFrame Lloyd iterations (``_spherical_kmeans``; at scale fit on a
-       sample / refreshed offline). Centers live on the driver (n_cells ×
-       dim scalars) and reach the executors as a LITERAL struct array up
-       to _CELLS_LITERAL_MAX cells, else as a single-row broadcast frame
-       (``_with_cells``) — production 4k–65k-cell indexes stay plannable.
+    1. Coarse quantizer: ``n_cells`` spherical k-means centroids fitted on
+       a bounded deterministic sample, Lloyd in numpy on the driver
+       (``_spherical_kmeans`` — fit cost independent of corpus size).
+       Centers live on the driver (n_cells × dim scalars) and reach the
+       executors as a LITERAL struct array up to _CELLS_LITERAL_MAX cells,
+       else as a single-row broadcast frame (``_cells_attacher``) —
+       production 4k–65k-cell indexes stay plannable.
     2. Index every corpus vector under its ``n_assign`` nearest cells with
        a map-side top-n: ``transform`` computes all n_cells dots per row,
        ``sort_array`` + ``slice`` + ``explode`` pick the winners inside
