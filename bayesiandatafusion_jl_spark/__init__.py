@@ -45,6 +45,14 @@ _LAZY = {
     "TrainResult": ("bayesiandatafusion_jl_spark.ml.bpmf", "TrainResult"),
     "RelationData": ("bayesiandatafusion_jl_spark.ml.relation", "RelationData"),
     "get_spark": ("bayesiandatafusion_jl_spark.session", "get_spark"),
+    # frame-level similarity search (north-star surface)
+    "knn_topk": ("bayesiandatafusion_jl_spark.functions.vector", "knn_topk"),
+    "ann_ivf_search": ("bayesiandatafusion_jl_spark.functions.vector", "ann_ivf_search"),
+    # end-of-pipeline dedup composition
+    "dedup_keep_representatives": (
+        "bayesiandatafusion_jl_spark.functions.graph",
+        "dedup_keep_representatives",
+    ),
 }
 
 
@@ -65,4 +73,5 @@ def __dir__():
 __all__ = [
     "all_oracles", "all_queries", "get_query", "__version__",
     "macau", "bpmf", "MacauTrainer", "TrainResult", "RelationData", "get_spark",
+    "knn_topk", "ann_ivf_search", "dedup_keep_representatives",
 ]

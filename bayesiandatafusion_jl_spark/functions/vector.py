@@ -67,24 +67,34 @@ def q_fn_array_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("J3",),
 )
 def q_llm_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 — brute-force cosine top-k: 10 query vectors vs the corpus.
-
-    Query side is broadcast (tiny); each corpus partition computes its dot
-    products independently; row_number keeps top-5 with (rounded score,
-    nb_id) tiebreak so selection is deterministic cross-engine. At 100 TB
-    swap the corpus side to the IVF path below.
-    """
+    """J3 — brute-force cosine top-k: 10 query vectors vs the corpus
+    (the frame-level ``knn_topk``; at 100 TB swap to ``ann_ivf_search``)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
-    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+    return knn_topk(emb, q, k=5)
+
+
+def knn_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Brute-force cosine top-k over ARBITRARY frames — the library form
+    (the registered ``q_llm_knn`` is its pinned instantiation).
+
+    ``corpus``: (vec_id, embedding); ``queries``: (qid, qe) — unit-norm
+    vectors, so dot ≡ cosine. The query side is broadcast (it is small in
+    every top-k workload); each corpus partition computes its dot products
+    independently — no corpus shuffle; row_number keeps top-k with the
+    (rounded score, nb_id) tiebreak so selection is deterministic
+    cross-engine. This is the exact-baseline path; ``ann_ivf_search`` is
+    the sub-linear scale path.
+    """
+    pairs = corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("qid")).select(
         "qid",
         F.col("vec_id").alias("nb_id"),
         F.round(dot("qe", "embedding"), 4).alias("score"),
     )
     w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("nb_id"))
-    return pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+    return pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
 @register(
@@ -338,13 +348,45 @@ def ann_ivf_topk(
     if centers is None:
         centers = _spherical_kmeans(emb, n_cells)
         _KMEANS_CACHE[cache_key] = centers
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return ann_ivf_search(
+        emb, q, k=k, n_probe=n_probe, n_assign=n_assign, centers=centers
+    )
+
+
+def ann_ivf_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 6,
+    n_assign: int = 2,
+    centers: list | None = None,
+) -> DataFrame:
+    """IVF ANN over ARBITRARY frames — the library form of
+    ``ann_ivf_topk`` (same schema contract as ``knn_topk``: corpus
+    (vec_id, embedding), queries (qid, qe), unit-norm vectors).
+
+    Pass ``centers`` to reuse a fitted quantizer (the index-build /
+    index-query separation every real IVF deployment has — ``ann_ivf_topk``
+    feeds its corpus-fingerprint cache through this); otherwise a
+    quantizer is fitted on a bounded sample of ``corpus`` first
+    (``_spherical_kmeans``). Plan shape as documented on ``ann_ivf_topk``:
+    zero corpus shuffles for assignment, probe side broadcast, bounded
+    exact re-rank.
+    """
+    spark = corpus.sparkSession
+    if centers is None:
+        centers = _spherical_kmeans(corpus, n_cells)
 
     # map-side multi-assignment: n_assign nearest cells per corpus vector
     # (literal centroids, or the broadcast single-row frame above
     # _CELLS_LITERAL_MAX cells — still zero corpus shuffles either way);
     # one shared attacher so corpus and query sides reuse the same frame
     attach = _cells_attacher(spark, centers)
-    src, cells = attach(emb)
+    src, cells = attach(corpus)
     assigned = src.select(
         "vec_id", "embedding",
         F.explode(
@@ -353,10 +395,7 @@ def ann_ivf_topk(
     ).select("vec_id", "embedding", (-F.col("ac.nid")).alias("cell_id"))
 
     # queries probe n_probe cells — same dots, still map-side
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
-    )
-    qsrc, qcellcol = attach(q)
+    qsrc, qcellcol = attach(queries)
     qcells = qsrc.select(
         "qid", "qe",
         F.explode(

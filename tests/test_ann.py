@@ -152,3 +152,46 @@ def test_lsh_giant_bucket_pairs_complete(spark):
     }
     boiler = {p for p in got if p[0] >= 100 and p[1] >= 100}
     assert len(boiler) == 190
+
+
+def test_frame_level_search_apis(spark):
+    """knn_topk / ann_ivf_search work on arbitrary frames (not just the
+    registered sf_dir instantiations) and the registered queries remain
+    their pinned forms."""
+    from pyspark.sql import functions as F
+
+    from bayesiandatafusion_jl_spark.catalog import load_table
+    from bayesiandatafusion_jl_spark.functions.vector import (
+        ann_ivf_search,
+        ann_ivf_topk,
+        knn_topk,
+        q_llm_knn,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    # the registered query IS the library call on the canonical frames
+    assert q_llm_knn(spark, sf).exceptAll(knn_topk(emb, q, k=5)).count() == 0
+
+    # external (non-corpus) query vectors: ids disjoint from the corpus
+    ext = q.select((F.col("qid") + 1_000_000).alias("qid"), "qe")
+    res = knn_topk(emb, ext, k=3)
+    got = res.groupBy("qid").count().collect()
+    assert len(got) == 10 and all(r["count"] == 3 for r in got)
+
+    # IVF with a reused quantizer: fit once, search external queries
+    from bayesiandatafusion_jl_spark.functions.vector import _spherical_kmeans
+
+    centers = _spherical_kmeans(emb, 8)
+    ares = ann_ivf_search(emb, ext, k=3, n_probe=4, centers=centers)
+    acounts = ares.groupBy("qid").count().collect()
+    assert len(acounts) == 10 and all(r["count"] == 3 for r in acounts)
+    # external ids are never corpus members, so the self-exclusion filter
+    # must not have dropped the query's own twin
+    top1 = {r["qid"]: r["nb_id"] for r in ares.filter(F.col("rk") == 1).collect()}
+    brute1 = {r["qid"]: r["nb_id"] for r in res.filter(F.col("rk") == 1).collect()}
+    hit = sum(1 for qid in top1 if top1[qid] == brute1[qid])
+    assert hit >= 7, f"IVF top-1 agreement vs brute force too low: {hit}/10"

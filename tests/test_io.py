@@ -89,7 +89,10 @@ def test_package_root_exports_reference_api():
 
     import bayesiandatafusion_jl_spark as b
 
-    for name in ("macau", "bpmf", "MacauTrainer", "TrainResult", "RelationData", "get_spark"):
+    for name in (
+        "macau", "bpmf", "MacauTrainer", "TrainResult", "RelationData",
+        "get_spark", "knn_topk", "ann_ivf_search", "dedup_keep_representatives",
+    ):
         assert callable(getattr(b, name)), name
         assert name in dir(b)
     import pytest as _pytest
