@@ -35,6 +35,13 @@ SKIP = {
 }
 
 NOTES = {
+    "q_stream_attribution": (
+        "r7: stream-stream click→purchase range join, batch form —"
+        " purchase side broadcast at this SF; at scale it degrades to a"
+        " user_id-shuffled range join; streaming semantics"
+        " (cross-micro-batch state, watermark-bounded buffers)"
+        " pytest-gated"
+    ),
     "q_llm_decontaminate": (
         "r7: GPT-3-style benchmark decontamination — tiny eval n-gram set"
         " broadcast, corpus grams stream map-side through the broadcast"

@@ -294,3 +294,51 @@ def run_to_memory(
         .outputMode(output_mode)
         .start()
     )
+
+
+def attribution_join(
+    events: DataFrame, watermark: str = "30 minutes", horizon_min: int = 60
+) -> DataFrame:
+    """Stream-STREAM inner join: every click joined to the same user's
+    purchases within ``horizon_min`` minutes after it (click→purchase
+    attribution — the canonical two-log-stream correlation a training-data
+    pipeline runs over event feeds).
+
+    On a streaming input both sides carry a watermark AND the join
+    condition bounds purchase_ts to a click-relative range, which is what
+    lets Spark bound the join STATE: a buffered click can be evicted once
+    the purchase-side watermark passes click_ts + horizon, instead of
+    buffering every click forever. Inner-join matches emit as they arrive
+    (no watermark hold-back), so cross-micro-batch matches appear in the
+    batch where the later side lands — pytest pins that state carry.
+
+    The same function on a BATCH frame is the correctness reference (the
+    oracle-checked ``q_stream_attribution``): watermarks are skipped (a
+    batch frame has full history) and the plan is a plain range join
+    shuffled on user_id.
+    """
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("__b_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        buys = buys.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("__b_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {int(horizon_min)} MINUTES")
+        )
+    )
+    return clicks.join(buys, cond, "inner").select(
+        "click_id", "purchase_id", "user_id", "click_ts", "purchase_ts", "amount"
+    )

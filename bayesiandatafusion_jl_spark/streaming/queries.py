@@ -89,3 +89,28 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "q_stream_attribution",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+           p.value AS amount
+    FROM events c JOIN events p
+      ON c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE
+    """,
+    tags=("J7", "stream-stream"),
+    demoted=True,
+)
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of ``streaming.pipelines.attribution_join`` — the
+    stream-stream click→purchase range join, oracle-checked here; the
+    streaming semantics (cross-micro-batch matching, watermark-bounded
+    state) are pytest-gated in tests/test_streaming.py."""
+    from bayesiandatafusion_jl_spark.streaming.pipelines import attribution_join
+
+    ev = load_table(spark, sf_dir, "events")
+    return attribution_join(ev)

@@ -328,3 +328,36 @@ def test_ewma_stateful_stream_matches_batch(stream_env):
         for r in spark.sql(f"SELECT * FROM {name}").collect()
     }
     assert got2[8] == 40.0, got2
+
+
+def test_stream_stream_attribution_join(stream_env):
+    """Stream-stream inner join: in-horizon click→purchase pairs emit,
+    out-of-horizon purchases don't, and a purchase arriving in a LATER
+    micro-batch than its click still matches (buffered join state)."""
+    write_batch, start, spark = stream_env
+    q, name = start(lambda s: P.attribution_join(s, horizon_min=60))
+
+    # batch 1: user 1 clicks 10:00 and buys 10:30 (same batch, in horizon);
+    # user 2 clicks 10:00 (its purchase comes later); user 3 clicks 10:00
+    write_batch([
+        _ev(1, 1, "click", 0.0, _t(1000)),
+        _ev(2, 1, "purchase", 9.5, _t(1030)),
+        _ev(3, 2, "click", 0.0, _t(1000)),
+        _ev(4, 3, "click", 0.0, _t(1000)),
+    ])
+    q.processAllAvailable()
+    rows = {tuple(r) for r in spark.table(name).select("click_id", "purchase_id").collect()}
+    assert rows == {(1, 2)}
+
+    # batch 2: user 2's purchase at 10:40 — matches the batch-1 click
+    # ACROSS micro-batches; user 3's purchase at 12:30 is out of horizon
+    write_batch([
+        _ev(5, 2, "purchase", 3.0, _t(1040)),
+        _ev(6, 3, "purchase", 7.0, _t(1230)),
+    ])
+    q.processAllAvailable()
+    rows = {tuple(r) for r in spark.table(name).select("click_id", "purchase_id").collect()}
+    assert rows == {(1, 2), (3, 5)}
+
+    amounts = {r["click_id"]: r["amount"] for r in spark.table(name).collect()}
+    assert amounts == {1: 9.5, 3: 3.0}
