@@ -49,6 +49,10 @@ _LAZY = {
     "knn_topk": ("bayesiandatafusion_jl_spark.functions.vector", "knn_topk"),
     "ann_ivf_search": ("bayesiandatafusion_jl_spark.functions.vector", "ann_ivf_search"),
     # end-of-pipeline dedup composition
+    "lsh_near_dup_pairs": (
+        "bayesiandatafusion_jl_spark.functions.dedup",
+        "lsh_near_dup_pairs",
+    ),
     "dedup_keep_representatives": (
         "bayesiandatafusion_jl_spark.functions.graph",
         "dedup_keep_representatives",
@@ -73,5 +77,5 @@ def __dir__():
 __all__ = [
     "all_oracles", "all_queries", "get_query", "__version__",
     "macau", "bpmf", "MacauTrainer", "TrainResult", "RelationData", "get_spark",
-    "knn_topk", "ann_ivf_search", "dedup_keep_representatives",
+    "knn_topk", "ann_ivf_search", "lsh_near_dup_pairs", "dedup_keep_representatives",
 ]

@@ -290,13 +290,25 @@ def _twin_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_near_dedup_lsh(
     spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
 ) -> DataFrame:
-    """J2 (scale path) — MinHash+LSH near-dup candidates, verified by exact
-    Jaccard on the candidate set only. Rows-only driver check (hash seeds
-    are engine-specific); recall vs exact J2 asserted in tests.
+    """J2 (scale path) — MinHash+LSH near-dup over the pinned twin corpus
+    (the frame-level ``lsh_near_dup_pairs``). Rows-only driver check (hash
+    seeds are engine-specific); recall vs exact J2 asserted in tests.
 
     Self-duplicates are constructed (testdata texts are unique): each doc
     with doc_id % 7 == 0 gets a mutated twin (first token dropped), and the
     operator must find twin pairs.
+    """
+    if corpus is None:
+        corpus = _twin_corpus(spark, sf_dir)
+    return lsh_near_dup_pairs(corpus)
+
+
+def lsh_near_dup_pairs(corpus: DataFrame, jaccard_min: float = 0.5) -> DataFrame:
+    """MinHash+LSH near-dup pairs over an ARBITRARY (doc_id, text) frame —
+    the library form: shingle → signatures → banded candidates → exact
+    Jaccard verify on the candidate set only. Returns
+    (doc_a, doc_b, jaccard) with jaccard ≥ ``jaccard_min``; feed the pairs
+    to ``dedup_keep_representatives`` to actually drop duplicates.
 
     Execution shape (r6): two passes, each linear and bounded.
 
@@ -316,8 +328,6 @@ def q_llm_near_dedup_lsh(
     corpus-sized signature cache is released before the verify pass runs;
     nothing corpus-sized stays cached on return.
     """
-    if corpus is None:
-        corpus = _twin_corpus(spark, sf_dir)
     sigs = minhash_signatures(corpus, sh=shingles(corpus, distinct=False)).persist()
     # eager executor-side materialization (bounded by true-dup count) so the
     # corpus-sized signature cache releases before the verify pass
@@ -371,7 +381,7 @@ def q_llm_near_dedup_lsh(
             F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
             / F.size(F.array_union("toks_a", "toks_b")),
         )
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= jaccard_min)
     )
     return verified.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
 

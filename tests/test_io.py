@@ -91,7 +91,8 @@ def test_package_root_exports_reference_api():
 
     for name in (
         "macau", "bpmf", "MacauTrainer", "TrainResult", "RelationData",
-        "get_spark", "knn_topk", "ann_ivf_search", "dedup_keep_representatives",
+        "get_spark", "knn_topk", "ann_ivf_search", "lsh_near_dup_pairs",
+        "dedup_keep_representatives",
     ):
         assert callable(getattr(b, name)), name
         assert name in dir(b)
