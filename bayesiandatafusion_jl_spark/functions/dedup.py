@@ -303,12 +303,27 @@ def q_llm_near_dedup_lsh(
     return lsh_near_dup_pairs(corpus)
 
 
-def lsh_near_dup_pairs(corpus: DataFrame, jaccard_min: float = 0.5) -> DataFrame:
+def lsh_near_dup_pairs(
+    corpus: DataFrame,
+    jaccard_min: float = 0.5,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    rows_per_band: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
     """MinHash+LSH near-dup pairs over an ARBITRARY (doc_id, text) frame —
     the library form: shingle → signatures → banded candidates → exact
     Jaccard verify on the candidate set only. Returns
     (doc_a, doc_b, jaccard) with jaccard ≥ ``jaccard_min``; feed the pairs
     to ``dedup_keep_representatives`` to actually drop duplicates.
+
+    CANDIDATE RECALL IS GOVERNED BY THE BANDING, not by ``jaccard_min``:
+    a pair reaches the verify stage with probability 1−(1−s^r)^b (the LSH
+    S-curve; threshold ≈ (1/b)^(1/r) — ~0.59 for the default 8×4), so a
+    ``jaccard_min`` far below that threshold returns only the subset of
+    qualifying pairs the banding happens to catch. Lowering the target
+    similarity means retuning ``n_bands``/``rows_per_band`` (more bands,
+    fewer rows per band), with ``n_hashes = n_bands × rows_per_band``.
 
     Execution shape (r6): two passes, each linear and bounded.
 
@@ -328,10 +343,17 @@ def lsh_near_dup_pairs(corpus: DataFrame, jaccard_min: float = 0.5) -> DataFrame
     corpus-sized signature cache is released before the verify pass runs;
     nothing corpus-sized stays cached on return.
     """
-    sigs = minhash_signatures(corpus, sh=shingles(corpus, distinct=False)).persist()
+    if n_hashes != n_bands * rows_per_band:
+        raise ValueError("n_hashes must equal n_bands * rows_per_band")
+    sigs = minhash_signatures(
+        corpus, n_hashes=n_hashes, k=shingle_k,
+        sh=shingles(corpus, k=shingle_k, distinct=False),
+    ).persist()
     # eager executor-side materialization (bounded by true-dup count) so the
     # corpus-sized signature cache releases before the verify pass
-    cands = lsh_candidate_pairs(sigs).localCheckpoint()
+    cands = lsh_candidate_pairs(
+        sigs, n_bands=n_bands, rows_per_band=rows_per_band
+    ).localCheckpoint()
     sigs.unpersist()
     # the candidate count gates every broadcast decision below: the pair
     # set is bounded by the corpus's true-dup structure, NOT by corpus
@@ -351,7 +373,7 @@ def lsh_near_dup_pairs(corpus: DataFrame, jaccard_min: float = 0.5) -> DataFrame
     # token sets ONLY for docs that appear in a candidate pair — bounded,
     # checkpointed so ta/tb below read it instead of re-shingling twice
     toks = (
-        shingles(corpus.join(cand_docs, "doc_id", "left_semi"), distinct=False)
+        shingles(corpus.join(cand_docs, "doc_id", "left_semi"), k=shingle_k, distinct=False)
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("toks"))
         .localCheckpoint()

@@ -76,19 +76,27 @@ def q_llm_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_topk(emb, q, k=5)
 
 
-def knn_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+def knn_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5, exclude_self: bool = True
+) -> DataFrame:
     """Brute-force cosine top-k over ARBITRARY frames — the library form
     (the registered ``q_llm_knn`` is its pinned instantiation).
 
     ``corpus``: (vec_id, embedding); ``queries``: (qid, qe) — unit-norm
-    vectors, so dot ≡ cosine. The query side is broadcast (it is small in
-    every top-k workload); each corpus partition computes its dot products
-    independently — no corpus shuffle; row_number keeps top-k with the
-    (rounded score, nb_id) tiebreak so selection is deterministic
-    cross-engine. This is the exact-baseline path; ``ann_ivf_search`` is
-    the sub-linear scale path.
+    vectors, so dot ≡ cosine. ``exclude_self`` drops corpus rows whose
+    vec_id EQUALS the query's qid — correct when queries are corpus
+    members (the registered query); pass ``exclude_self=False`` when the
+    query ids live in a DIFFERENT id space, or an unrelated corpus vector
+    that happens to share a query's id would silently be excluded.
+
+    The query side is broadcast (it is small in every top-k workload);
+    each corpus partition computes its dot products independently — no
+    corpus shuffle; row_number keeps top-k with the (rounded score, nb_id)
+    tiebreak so selection is deterministic cross-engine. This is the
+    exact-baseline path; ``ann_ivf_search`` is the sub-linear scale path.
     """
-    pairs = corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("qid")).select(
+    cond = F.col("vec_id") != F.col("qid") if exclude_self else F.lit(True)
+    pairs = corpus.join(F.broadcast(queries), cond).select(
         "qid",
         F.col("vec_id").alias("nb_id"),
         F.round(dot("qe", "embedding"), 4).alias("score"),
@@ -185,11 +193,6 @@ def _cells_attacher(spark: SparkSession, centers: list):
     return lambda df: (df.crossJoin(bframe), F.col("__cells"))
 
 
-def _with_cells(df: DataFrame, centers: list) -> tuple[DataFrame, "F.Column"]:
-    """One-off centroid attachment (see ``_cells_attacher``)."""
-    return _cells_attacher(df.sparkSession, centers)(df)
-
-
 # Quantizer fit sample size: ≥ this many vectors per centroid. 256/cell is
 # the standard IVF training heuristic (FAISS trains on 39–256 pts/centroid);
 # the deterministic hash-sample below bounds the fit input to ~256·n_cells
@@ -203,16 +206,20 @@ def _spherical_kmeans(emb: DataFrame, n_cells: int, iters: int = 4) -> list:
     """Spherical k-means coarse quantizer: bounded sample → driver Lloyd.
 
     Quantizer TRAINING is bounded by construction — ~256 vectors per
-    centroid suffice (the FAISS heuristic) — so the fit is: one
-    deterministic identity-hash sample (``pmod(xxhash64(vec_id))``,
-    map-only, no shuffle), ONE bounded collect (≤ _KMEANS_FIT_MAX_ROWS
-    rows — NOT N-scaled; the cap holds at any corpus size), then Lloyd
-    iterations in numpy on the driver. The pre-r7 version ran each Lloyd
-    iteration as a Spark job with the centers embedded as literals; on the
-    bounded sample that was pure overhead — 4 plan-compiles of a
-    1k-literal expression dominated (~8 s) while the arithmetic is
-    sub-millisecond in BLAS. Index ASSIGNMENT (every corpus row) stays
-    fully distributed and map-side in ``ann_ivf_topk``.
+    centroid suffice (the FAISS heuristic) — so the fit is: one count to
+    size the sampling modulus, one deterministic identity-hash sample
+    (``pmod(xxhash64(vec_id))``, map-only, no shuffle), ONE bounded
+    collect (≤ _KMEANS_FIT_MAX_ROWS rows — NOT N-scaled; the cap holds at
+    any corpus size), then Lloyd iterations in numpy on the driver. The
+    COLLECT and the Lloyd arithmetic are corpus-size-independent; the
+    count and sample-filter scans are column-pruned single passes over the
+    source (at 100 TB: fit against a pre-counted snapshot, or pass cached
+    ``centers`` into ``ann_ivf_search`` — the index-build/query split).
+    The pre-r7 version ran each Lloyd iteration as a Spark job with the
+    centers embedded as literals; on the bounded sample that was pure
+    overhead — 4 plan-compiles of a 1k-literal expression dominated (~8 s)
+    while the arithmetic is sub-millisecond in BLAS. Index ASSIGNMENT
+    (every corpus row) stays fully distributed and map-side.
 
     Determinism: the sample is a pure function of vec_ids, init is the
     lowest-vec_id sample vectors, and numpy reduces in a fixed order — a
@@ -235,6 +242,8 @@ def _spherical_kmeans(emb: DataFrame, n_cells: int, iters: int = 4) -> list:
         m = -(-n // target)  # ceil → expected sample size ≤ target
         sample = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(m)) == 0)
     rows = sample.select("vec_id", "embedding").collect()
+    if not rows:
+        raise ValueError("cannot fit a quantizer on an empty corpus")
     rows.sort(key=lambda r: r["vec_id"])
     x = np.array([r["embedding"] for r in rows], dtype=np.float64)
     centers = x[:n_cells].copy()
@@ -364,10 +373,13 @@ def ann_ivf_search(
     n_probe: int = 6,
     n_assign: int = 2,
     centers: list | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF ANN over ARBITRARY frames — the library form of
     ``ann_ivf_topk`` (same schema contract as ``knn_topk``: corpus
-    (vec_id, embedding), queries (qid, qe), unit-norm vectors).
+    (vec_id, embedding), queries (qid, qe), unit-norm vectors;
+    ``exclude_self`` has the same id-space caveat — pass False when query
+    ids are not corpus ids).
 
     Pass ``centers`` to reuse a fitted quantizer (the index-build /
     index-query separation every real IVF deployment has — ``ann_ivf_topk``
@@ -404,9 +416,9 @@ def ann_ivf_search(
     ).select("qid", "qe", (-F.col("probe.nid")).alias("cell_id"))
 
     # |Q|·n_probe rows — broadcast, so the corpus side never shuffles
-    cand = assigned.join(F.broadcast(qcells), "cell_id").filter(
-        F.col("vec_id") != F.col("qid")
-    )
+    cand = assigned.join(F.broadcast(qcells), "cell_id")
+    if exclude_self:
+        cand = cand.filter(F.col("vec_id") != F.col("qid"))
     rescored = cand.select(
         "qid", F.col("vec_id").alias("nb_id"), F.round(dot("qe", "embedding"), 4).alias("score")
     ).dropDuplicates(["qid", "nb_id"])

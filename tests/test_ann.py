@@ -158,27 +158,29 @@ def test_frame_level_search_apis(spark):
     """knn_topk / ann_ivf_search work on arbitrary frames (not just the
     registered sf_dir instantiations) and the registered queries remain
     their pinned forms."""
-    from pyspark.sql import functions as F
-
-    from bayesiandatafusion_jl_spark.catalog import load_table
     from bayesiandatafusion_jl_spark.functions.vector import (
         ann_ivf_search,
-        ann_ivf_topk,
         knn_topk,
         q_llm_knn,
     )
 
-    sf = "/root/testdata/sf0.001"
-    emb = load_table(spark, sf, "embeddings")
+    emb = load_table(spark, SF_DIR_TINY, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     # the registered query IS the library call on the canonical frames
-    assert q_llm_knn(spark, sf).exceptAll(knn_topk(emb, q, k=5)).count() == 0
+    assert q_llm_knn(spark, SF_DIR_TINY).exceptAll(knn_topk(emb, q, k=5)).count() == 0
 
-    # external (non-corpus) query vectors: ids disjoint from the corpus
+    # external query vectors from a DIFFERENT id space: exclude_self=False,
+    # so a corpus vector sharing a query's id must NOT be dropped — each
+    # query's own twin (same embedding, overlapping ids 0..9) ranks first
+    res_overlap = knn_topk(emb, q, k=1, exclude_self=False)
+    assert all(
+        r["qid"] == r["nb_id"] for r in res_overlap.filter(F.col("rk") == 1).collect()
+    )
+
     ext = q.select((F.col("qid") + 1_000_000).alias("qid"), "qe")
-    res = knn_topk(emb, ext, k=3)
+    res = knn_topk(emb, ext, k=3, exclude_self=False)
     got = res.groupBy("qid").count().collect()
     assert len(got) == 10 and all(r["count"] == 3 for r in got)
 
@@ -186,7 +188,7 @@ def test_frame_level_search_apis(spark):
     from bayesiandatafusion_jl_spark.functions.vector import _spherical_kmeans
 
     centers = _spherical_kmeans(emb, 8)
-    ares = ann_ivf_search(emb, ext, k=3, n_probe=4, centers=centers)
+    ares = ann_ivf_search(emb, ext, k=3, n_probe=4, centers=centers, exclude_self=False)
     acounts = ares.groupBy("qid").count().collect()
     assert len(acounts) == 10 and all(r["count"] == 3 for r in acounts)
     # external ids are never corpus members, so the self-exclusion filter

@@ -78,12 +78,15 @@ def test_package_root_exports_reference_api():
 
     # laziness is a subprocess property: resolving the names below would
     # import ml.bpmf in THIS process, so the bare-import check runs clean
+    from pathlib import Path
+
+    repo_root = Path(__file__).resolve().parents[1]
     out = subprocess.run(
         [_sys.executable, "-c",
          "import sys, bayesiandatafusion_jl_spark;"
          "assert 'bayesiandatafusion_jl_spark.ml.bpmf' not in sys.modules,"
          " 'package import eagerly pulled the ML stack'"],
-        capture_output=True, text=True,
+        capture_output=True, text=True, cwd=str(repo_root),
     )
     assert out.returncode == 0, out.stderr
 
