@@ -57,6 +57,11 @@ _LAZY = {
         "bayesiandatafusion_jl_spark.functions.graph",
         "dedup_keep_representatives",
     ),
+    # MCMC convergence diagnostics over stored posterior chains
+    "rhat": ("bayesiandatafusion_jl_spark.ml.diagnostics", "rhat"),
+    "ess": ("bayesiandatafusion_jl_spark.ml.diagnostics", "ess"),
+    # skew-resistant equi-join
+    "salted_join": ("bayesiandatafusion_jl_spark.operators.joins", "salted_join"),
 }
 
 
@@ -78,4 +83,5 @@ __all__ = [
     "all_oracles", "all_queries", "get_query", "__version__",
     "macau", "bpmf", "MacauTrainer", "TrainResult", "RelationData", "get_spark",
     "knn_topk", "ann_ivf_search", "lsh_near_dup_pairs", "dedup_keep_representatives",
+    "rhat", "ess", "salted_join",
 ]

@@ -326,63 +326,10 @@ class TrainResult:
                     _W.partitionBy(*cells_df.columns).orderBy(F.lit(1))
                 ),
             )
-        fac_cols = []
-        for m, ent in enumerate(entities):
-            fcol = f"__f{m}"
-            if use_samples:
-                fdf = self.factor_samples[ent]
-                n_rows = self.entity_counts.get(ent, 0) * self.n_samples
-            else:
-                fdf = self.factors[ent]
-                n_rows = self.entity_counts.get(ent, 0)
-            if side_info and ent in side_info:
-                cold = self.cold_start_factors(ent, side_info[ent]).join(
-                    fdf.select("id").distinct(), "id", "left_anti"
-                )
-                if use_samples:
-                    # conditional-prior-mean factors are sample-independent:
-                    # replicate across sample_ids so the (id, sample_id)
-                    # joins below stay exact
-                    sids = fdf.sparkSession.range(self.n_samples).select(
-                        F.col("id").cast("int").alias("sample_id")
-                    )
-                    cold = cold.crossJoin(F.broadcast(sids))
-                fdf = fdf.unionByName(cold)
-                n_rows = None  # unknown size: don't force a broadcast
-            sel = [F.col("id").alias(f"__oid{m}"), F.col("factor").alias(fcol)]
-            if use_samples:
-                sel.append(F.col("sample_id").alias(f"__sid{m}"))
-            fdf = _maybe_broadcast(fdf.select(*sel), n_rows, self._k())
-            cond = F.col(ent).cast("long") == F.col(f"__oid{m}")
-            if use_samples and m > 0:
-                cond = cond & (F.col("__sid0") == F.col(f"__sid{m}"))
-            df = df.join(fdf, cond)
-            fac_cols.append(fcol)
+        df, fac_cols = self._factor_join(df, entities, use_samples, side_info)
         prod = _hadamard(fac_cols)
-        # add back the centering offset of the relation whose cells these
-        # are: matched by entity order against the trained relations, then
-        # order-insensitively (the factor joins are by entity NAME, so a
-        # permuted `entities` still scores the same relation and must get
-        # the same offset). First match wins — two relations over the
-        # IDENTICAL entity set are inherently ambiguous here; score those
-        # via pred_mean / _predict_sample, which know the relation.
-        # Unmatched entity lists — ad-hoc cell frames over arbitrary
-        # entity combinations — get the primary relation's mean, the
-        # pre-r7 behavior.
-        offset = None
-        for ents, m in zip(self.rel_entities_all, self.rel_means):
-            if list(entities) == list(ents):
-                offset = m
-                break
-        if offset is None:
-            for ents, m in zip(self.rel_entities_all, self.rel_means):
-                if set(entities) == set(ents):
-                    offset = m
-                    break
-        if offset is None:
-            offset = self.global_mean
         pred = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x) + F.lit(
-            offset
+            self._relation_offset(entities)
         )
         if probability:
             from bayesiandatafusion_jl_spark.ml.probit import phi_col
@@ -418,6 +365,132 @@ class TrainResult:
             .groupBy(*[F.col(c) for c in cells_df.columns], F.col("__rid"))
             .agg(*aggs)
             .drop("__rid")
+        )
+
+    def _factor_join(
+        self,
+        df: DataFrame,
+        entities: list[str],
+        use_samples: bool,
+        side_info: dict[str, DataFrame] | None = None,
+    ) -> tuple[DataFrame, list[str]]:
+        """Join one factor table per entity onto a cells frame; returns
+        ``(joined, fac_cols)``. With ``use_samples`` the per-entity SAMPLE
+        tables join on (id, sample_id) — ``__sid0`` pins every row to one
+        sample so each input cell expands to exactly S rows. Shared by
+        ``predict`` (which collapses the S rows) and ``sample_scores``
+        (which keeps them)."""
+        fac_cols = []
+        for m, ent in enumerate(entities):
+            fcol = f"__f{m}"
+            if use_samples:
+                fdf = self.factor_samples[ent]
+                n_rows = self.entity_counts.get(ent, 0) * self.n_samples
+            else:
+                fdf = self.factors[ent]
+                n_rows = self.entity_counts.get(ent, 0)
+            if side_info and ent in side_info:
+                cold = self.cold_start_factors(ent, side_info[ent]).join(
+                    fdf.select("id").distinct(), "id", "left_anti"
+                )
+                if use_samples:
+                    # conditional-prior-mean factors are sample-independent:
+                    # replicate across sample_ids so the (id, sample_id)
+                    # joins below stay exact
+                    sids = fdf.sparkSession.range(self.n_samples).select(
+                        F.col("id").cast("int").alias("sample_id")
+                    )
+                    cold = cold.crossJoin(F.broadcast(sids))
+                fdf = fdf.unionByName(cold)
+                n_rows = None  # unknown size: don't force a broadcast
+            sel = [F.col("id").alias(f"__oid{m}"), F.col("factor").alias(fcol)]
+            if use_samples:
+                sel.append(F.col("sample_id").alias(f"__sid{m}"))
+            fdf = _maybe_broadcast(fdf.select(*sel), n_rows, self._k())
+            cond = F.col(ent).cast("long") == F.col(f"__oid{m}")
+            if use_samples and m > 0:
+                cond = cond & (F.col("__sid0") == F.col(f"__sid{m}"))
+            df = df.join(fdf, cond)
+            fac_cols.append(fcol)
+        return df, fac_cols
+
+    def _relation_offset(self, entities: list[str]) -> float:
+        """Centering offset of the relation whose cells these are: matched
+        by entity order against the trained relations, then
+        order-insensitively (the factor joins are by entity NAME, so a
+        permuted ``entities`` still scores the same relation and must get
+        the same offset). First match wins — two relations over the
+        IDENTICAL entity set are inherently ambiguous here; score those
+        via pred_mean / _predict_sample, which know the relation.
+        Unmatched entity lists — ad-hoc cell frames over arbitrary entity
+        combinations — get the primary relation's mean."""
+        for ents, m in zip(self.rel_entities_all, self.rel_means):
+            if list(entities) == list(ents):
+                return m
+        for ents, m in zip(self.rel_entities_all, self.rel_means):
+            if set(entities) == set(ents):
+                return m
+        return self.global_mean
+
+    def sample_scores(
+        self, cells_df: DataFrame, entities: list[str] | None = None
+    ) -> DataFrame:
+        """Per-posterior-sample scores at arbitrary cells: one row per
+        (cell, sample_id) with a ``score`` column — ``predict`` WITHOUT the
+        final Rao-Blackwellizing collapse. This is the MCMC trace surface:
+        convergence diagnostics (``rhat`` below) and any custom posterior
+        functional (quantiles, exceedance probabilities) compute from it
+        with plain aggregations. Requires a model trained with
+        ``keep_samples != 0``. Distinct cells only (the trace of a
+        duplicated cell is the same rows repeated — callers needing
+        multiplicity should predict instead)."""
+        if self.factor_samples is None or self.n_samples <= 0:
+            raise ValueError(
+                "sample_scores needs posterior samples (train with "
+                "keep_samples != 0)"
+            )
+        entities = entities or self.rel_entities
+        if not entities:
+            raise ValueError("no entity order: pass entities=[...]")
+        df, fac_cols = self._factor_join(
+            cells_df.distinct(), entities, use_samples=True
+        )
+        prod = _hadamard(fac_cols)
+        score = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x) + F.lit(
+            self._relation_offset(entities)
+        )
+        return df.select(
+            *[F.col(c) for c in cells_df.columns],
+            F.col("__sid0").alias("sample_id"),
+            score.alias("score"),
+        )
+
+    def predict_quantiles(
+        self,
+        cells_df: DataFrame,
+        probs: tuple[float, ...] = (0.05, 0.5, 0.95),
+        entities: list[str] | None = None,
+    ) -> DataFrame:
+        """Posterior predictive-score quantiles at arbitrary cells: exact
+        percentiles over the S per-sample scores, one column per prob
+        (``q050``/``q500``/``q950`` for the defaults — ``int(p*1000)``).
+        The interval readout ``pred_std`` can't give for skewed
+        posteriors. Exact (not approx) percentile is the scale-correct
+        choice here: each group holds exactly S bounded values, so the
+        sort is per-cell-constant work, all JVM-side."""
+        if not probs:
+            raise ValueError("probs must be non-empty")
+        if any(not (0.0 <= p <= 1.0) for p in probs):
+            raise ValueError(f"probs must lie in [0, 1]: {probs}")
+        names = [f"q{int(round(p * 1000)):03d}" for p in probs]
+        if len(set(names)) != len(names):
+            raise ValueError(f"probs collide at 1/1000 resolution: {probs}")
+        t = self.sample_scores(cells_df, entities)
+        return t.groupBy(*[F.col(c) for c in cells_df.columns]).agg(
+            *[
+                F.percentile("score", F.lit(p)).alias(nm)
+                for p, nm in zip(probs, names)
+            ]
         )
 
     def save(self, path: str) -> None:

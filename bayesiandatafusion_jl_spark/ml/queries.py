@@ -114,8 +114,10 @@ def _bpmf_events_train(spark: SparkSession, sf_dir: str):
     )
     cells = split_train_test(cells, ["u", "t"], test_frac=0.2, seed=11)
     rd = RelationData().add_relation(Relation(cells, ["u", "t"], alpha=10.0))
+    # psamples=4: the minimum that supports split-chain R-hat (two halves
+    # of >= 2 samples) so the suite's diagnostics row needs no extra sweeps
     return bpmf(
-        spark, rd, num_latent=4, burnin=3, psamples=2, seed=7,
+        spark, rd, num_latent=4, burnin=3, psamples=4, seed=7,
         n_blocks=8, track_rmse=False,
     )
 
@@ -686,7 +688,11 @@ def q_ml_factorization_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     posterior std — finite values prove the whole Gibbs pipeline ran. The
     bpmf row additionally reports ``sample_gain`` = single-final-sample
     RMSE / posterior-sample-mean RMSE on the held-out cells (the measured
-    benefit of the Rao-Blackwellized multi-sample predictor, r6).
+    benefit of the Rao-Blackwellized multi-sample predictor, r6), plus
+    ``rhat_med`` / ``ess_med`` (r7) — median split-chain Gelman–Rubin R̂
+    and Geyer effective sample size of the posterior score over 64 probe
+    cells, from the SAME chain's stored samples (ml/diagnostics.py; no
+    second training).
     Statistical quality is gated by tests/test_ml.py property tests
     (planted low-rank matrices, RMSE below noise floor, posterior AUC).
     The per-model full readouts stay available as the demoted
@@ -712,6 +718,19 @@ def q_ml_factorization_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select((F.col("r1") / F.col("rm")).alias("sample_gain"))
     )
+    # convergence readout from the SAME chain: split-half R-hat + ESS at a
+    # deterministic probe set (stored samples only — zero extra sweeps)
+    from bayesiandatafusion_jl_spark.ml.diagnostics import ess, rhat
+
+    probe = pm.orderBy("u", "t").limit(64).select("u", "t")
+    diag = (
+        rhat([res], probe)
+        .join(ess([res], probe), ["u", "t"])
+        .agg(
+            F.expr("percentile(rhat, 0.5)").alias("rhat_med"),
+            F.expr("percentile(ess, 0.5)").alias("ess_med"),
+        )
+    )
     legs.append(
         pm.agg(
             F.count(F.lit(1)).alias("n_cells"),
@@ -719,6 +738,7 @@ def q_ml_factorization_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("pred_std").alias("mean_std"),
         )
         .crossJoin(gains)
+        .crossJoin(diag)
         .select(
             F.lit("bpmf").alias("model"),
             "n_cells",
@@ -726,6 +746,8 @@ def q_ml_factorization_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_std",
             F.lit(None).cast("double").alias("auc"),
             "sample_gain",
+            "rhat_med",
+            "ess_med",
         )
     )
     for model, fn in (
@@ -745,6 +767,8 @@ def q_ml_factorization_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mean_std",
                 F.lit(None).cast("double").alias("auc"),
                 F.lit(None).cast("double").alias("sample_gain"),
+                F.lit(None).cast("double").alias("rhat_med"),
+                F.lit(None).cast("double").alias("ess_med"),
             )
         )
     pb = q_ml_probit_events(spark, sf_dir)
@@ -765,6 +789,8 @@ def q_ml_factorization_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_std",
             "auc",
             F.lit(None).cast("double").alias("sample_gain"),
+            F.lit(None).cast("double").alias("rhat_med"),
+            F.lit(None).cast("double").alias("ess_med"),
         )
     )
     suite = legs[0]

@@ -198,6 +198,84 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_join(
+    fact: DataFrame,
+    mid: DataFrame,
+    on: list[str] | str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: pre-salt a hot-keyed fact side.
+
+    For the middle ground AQE's skew-join can't always fix: ``mid`` is too
+    big to broadcast, and the fact side's key distribution has a handful of
+    hot keys (one compound/user holding 10⁷ observations is the factor-model
+    case [paper:Macau §ChEMBL]) so a plain shuffle join lands one reducer
+    with the whole hot key. Each fact row is routed to one of ``n_salt``
+    sub-keys by a deterministic row hash (retry-stable — no ``rand()``/
+    ``monotonically_increasing_id``), and ``mid`` is replicated ``n_salt``×
+    via a single in-task ``explode`` — a hot key's rows now spread over
+    ``n_salt`` reducers at the cost of shuffling ``n_salt``× the mid side.
+
+    Row-identical to ``fact.join(mid, on, how)``: salting changes WHERE rows
+    meet, never WHICH rows match. Only fact-preserving join types are legal
+    — ``mid``-preserving ones (right/full) would emit one unmatched row per
+    replica. The same two-phase idea, fused with partial aggregation,
+    drives the trainer's ``skew_salt`` path (ml/bpmf.py, ml/kernels.py).
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports fact-preserving joins (inner/left), not {how!r}: "
+            "replicating the mid side would duplicate its unmatched rows"
+        )
+    if n_salt < 1:
+        raise ValueError("n_salt must be >= 1")
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = "__salt"
+    while salt in fact.columns or salt in mid.columns:
+        salt += "_"
+    # whole-row hash: deterministic under retries, and spreads a hot key's
+    # rows because the NON-key columns differ row to row
+    salted_fact = fact.withColumn(
+        salt, F.pmod(F.xxhash64(*fact.columns), F.lit(n_salt)).cast("int")
+    )
+    replicated_mid = mid.withColumn(
+        salt, F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return salted_fact.join(replicated_mid, keys + [salt], how).drop(salt)
+
+
+@register(
+    "q_join_salted",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {sql_dsum('l_extendedprice')} AS gross,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("C1", "skew"),
+    demoted=True,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 (skew-resistant variant) — the same orders⋈lineitem equi-join
+    executed through ``salted_join``; the oracle is the PLAIN join, proving
+    salting is result-invisible. Demoted: the physical shape is an internal
+    strategy choice, driver slots go to distinct semantics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, o, "l_orderkey", n_salt=4)
+        .groupBy("o_orderpriority")
+        .agg(
+            dsum("l_extendedprice").alias("gross"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 @register(
     "q_join_cross",
     oracle="""

@@ -100,6 +100,11 @@ NOTES = {
         " two-level explode, O(bucket) per-row memory (giant-bucket OOM"
         " guard)"
     ),
+    "q_join_salted": (
+        "r7: pre-salted skew join — mid side replicated n_salt=4× by an"
+        " in-task explode, fact rows routed by whole-row hash; one extra"
+        " map-side projection vs the plain join, same shuffle count"
+    ),
     "q_udaf_group_median": (
         "r6: GROUPED_AGG pandas UDF — no partial agg BY DESIGN (API-surface"
         " pin; built-in percentile is the data-scaled path)"

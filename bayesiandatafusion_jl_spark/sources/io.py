@@ -68,3 +68,24 @@ def write_parquet(
         )
         return
     writer.parquet(path)
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet layout: ``repartitionByRange`` on ``cols``
+    then ``sortWithinPartitions`` before writing.
+
+    Each output file then covers a narrow, disjoint slice of the key space
+    (range partitioning samples exact split points), so parquet footer
+    min/max stats let a selective range predicate skip whole files and
+    row groups — the layout that turns a 100 TB full scan into a
+    few-files read. The 1-D analogue of Z-ordering; for multi-column
+    locality pass the columns major-first. One shuffle at WRITE time,
+    amortized over every subsequent pruned read."""
+    part = df.repartitionByRange(n_partitions, *cols) if n_partitions else df.repartitionByRange(*cols)
+    part.sortWithinPartitions(*cols).write.mode(mode).parquet(path)

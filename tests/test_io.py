@@ -136,3 +136,38 @@ def test_text_repetition_crafted_docs(spark):
     assert (r3["n_tokens"], r3["n_distinct"]) == (1, 1)
     assert r3["top_2gram_n"] is None and r3["top_2gram_frac"] is None
     assert r3["top_3gram_n"] is None and r3["top_3gram_frac"] is None
+
+
+def test_range_sorted_layout_prunes(spark, tmp_path):
+    """write_range_sorted clusters the key space: per-file parquet footer
+    min/max intervals are disjoint (so selective range predicates skip
+    whole files at plan time), and the range filter reaches the scan as a
+    pushed filter."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    df = spark.range(10_000).select(
+        (F.col("id") * 37 % 10_000).alias("k"), F.col("id").alias("payload")
+    )
+    path = str(tmp_path / "range_sorted")
+    io.write_range_sorted(df, path, ["k"], n_partitions=8)
+
+    spans = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(0).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    assert len(spans) == 8
+    spans.sort()
+    for (_, prev_max), (cur_min, _) in zip(spans, spans[1:]):
+        assert prev_max <= cur_min, spans  # disjoint up to boundary ties
+
+    back = io.read_parquet(spark, path).filter(F.col("k") < 100)
+    assert back.count() == df.filter(F.col("k") < 100).count()
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "LessThan(k,100)" in plan, plan

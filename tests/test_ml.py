@@ -780,3 +780,106 @@ def test_secondary_shift_leaves_primary_invariant(spark, planted):
     assert set(base) == set(shifted)
     worst = max(abs(base[k] - shifted[k]) for k in base)
     assert worst < 1e-3, f"secondary +1000 shift leaked into primary: {worst}"
+
+
+def test_sample_scores_and_rhat(spark, planted):
+    """sample_scores is the per-sample trace surface (cells × S rows), and
+    rhat's estimator identities hold exactly: two IDENTICAL chains with
+    split=False have zero between-chain variance, so R-hat = sqrt((n-1)/n)
+    at every probe cell; two independent chains (different seeds) on the
+    converged planted fixture stay near 1."""
+    from bayesiandatafusion_jl_spark.ml.bpmf import MacauTrainer
+    from bayesiandatafusion_jl_spark.ml.diagnostics import rhat
+
+    _, _, df = planted
+    rd = RelationData().add_relation(Relation(df, ["row", "col"], alpha=30.0))
+    chain_a = bpmf(spark, rd, num_latent=8, burnin=8, psamples=6, seed=21)
+    chain_b = bpmf(spark, rd, num_latent=8, burnin=8, psamples=6, seed=22)
+    cells = df.filter(F.col("split") == "test").select("row", "col").limit(30)
+
+    # trace surface contract: one row per (distinct cell, sample)
+    tr = chain_a.sample_scores(cells)
+    assert tr.columns == ["row", "col", "sample_id", "score"]
+    assert tr.count() == 30 * 6
+    assert tr.select("sample_id").distinct().count() == 6
+
+    # same chain twice, unsplit: B = 0 → R-hat = sqrt((n-1)/n) exactly
+    ident = rhat([chain_a, chain_a], cells, split=False).collect()
+    assert len(ident) == 30
+    expected = float(np.sqrt(5.0 / 6.0))
+    for r in ident:
+        assert r["rhat"] == pytest.approx(expected, abs=1e-9), r
+
+    # independent chains, split halves: defined and positive everywhere.
+    # NO near-1 assertion: 6 Gibbs sweeps per chain are heavily
+    # autocorrelated, so large R-hat here is the diagnostic CORRECTLY
+    # reporting unmixed chains (estimator calibration is pinned by the
+    # exact B=0 identity above and the AR(1) ESS kernel test below).
+    vals = [r["rhat"] for r in rhat([chain_a, chain_b], cells).collect()]
+    assert len(vals) == 30 and all(v is not None and v > 0.5 for v in vals)
+
+    with pytest.raises(ValueError, match="at least one"):
+        rhat([], cells)
+    with pytest.raises(ValueError, match=">= 2 chains"):
+        rhat([chain_a], cells, split=False)
+    # split-half needs >= 4 samples per chain
+    thin = MacauTrainer(
+        spark, rd, num_latent=4, burnin=2, psamples=2, seed=3
+    ).train()
+    with pytest.raises(ValueError, match="n_samples >= 4"):
+        rhat([thin], cells)
+
+    # ESS on the same chains: defined, positive, bounded by a generous
+    # antithetic-overshoot multiple of the m*n raw draws
+    from bayesiandatafusion_jl_spark.ml.diagnostics import ess
+
+    evals = [r["ess"] for r in ess([chain_a, chain_b], cells).collect()]
+    assert len(evals) == 30
+    cap = 12 * np.log10(12) + 1e-9  # Stan's m·n·log10(m·n) ESS ceiling
+    assert all(v is not None and 0.9 < v <= cap for v in evals), sorted(evals)
+
+    # posterior predictive quantiles: ordered, and (0,1) hit the trace
+    # extremes exactly
+    qs = chain_a.predict_quantiles(cells, probs=(0.0, 0.5, 1.0))
+    assert set(qs.columns) == {"row", "col", "q000", "q500", "q1000"}
+    for r in qs.collect():
+        assert r["q000"] <= r["q500"] <= r["q1000"]
+    ext = (
+        tr.groupBy("row", "col")
+        .agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+        .join(qs, ["row", "col"])
+        .agg(
+            F.max(F.abs(F.col("q000") - F.col("lo"))).alias("dlo"),
+            F.max(F.abs(F.col("q1000") - F.col("hi"))).alias("dhi"),
+        )
+        .collect()[0]
+    )
+    assert ext["dlo"] < 1e-12 and ext["dhi"] < 1e-12
+    with pytest.raises(ValueError, match="collide"):
+        chain_a.predict_quantiles(cells, probs=(0.5, 0.5004))
+
+
+def test_ess_kernel_iid_vs_ar1():
+    """_ess_kernel calibration: iid noise → ESS ≈ m·n; a strongly
+    autocorrelated AR(1) trace → ESS near the theoretical
+    n_eff = N(1-φ)/(1+φ); constant trace → NaN."""
+    from bayesiandatafusion_jl_spark.ml.diagnostics import _ess_kernel
+
+    rng = np.random.default_rng(7)
+    m, n = 4, 500
+    iid = rng.standard_normal((m, n))
+    e_iid = _ess_kernel(iid)
+    assert 0.7 * m * n < e_iid < 1.5 * m * n, e_iid
+
+    phi = 0.9
+    ar = np.zeros((m, n))
+    for c in range(m):
+        z = rng.standard_normal(n)
+        for t in range(1, n):
+            ar[c, t] = phi * ar[c, t - 1] + z[t]
+    e_ar = _ess_kernel(ar)
+    theory = m * n * (1 - phi) / (1 + phi)  # ≈ 105
+    assert 0.4 * theory < e_ar < 2.5 * theory, (e_ar, theory)
+    assert e_ar < e_iid / 5
+
+    assert np.isnan(_ess_kernel(np.ones((2, 50))))

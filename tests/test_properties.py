@@ -128,3 +128,34 @@ def test_shuffle_partitions_tolerates_auto():
     assert shuffle_partitions(_S("auto")) == 32
     assert shuffle_partitions(_S("auto"), default=7) == 7
     assert shuffle_partitions(_S(None)) == 32
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join is result-invisible: identical rows to the plain join
+    for inner AND left (incl. unmatched fact rows), any n_salt, and it
+    survives a caller frame already carrying __salt."""
+    from pyspark.sql import functions as F
+
+    from bayesiandatafusion_jl_spark.operators.joins import salted_join
+
+    fact = spark.range(5000).select(
+        (F.col("id") % 7).alias("k"),           # 7 keys → heavy "skew"
+        (F.col("id") * 13 % 101).alias("payload"),
+        (F.col("id") % 4).alias("__salt"),      # collision probe
+    )
+    mid = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("mval")
+    )  # keys 5,6 unmatched → left join must keep them with NULL mval
+
+    for how in ("inner", "left"):
+        plain = fact.join(mid, "k", how)
+        for n_salt in (1, 3, 8):
+            salted = salted_join(fact, mid, "k", n_salt=n_salt, how=how)
+            assert salted.columns == plain.columns
+            assert salted.exceptAll(plain).count() == 0
+            assert plain.exceptAll(salted).count() == 0
+
+    with pytest.raises(ValueError, match="fact-preserving"):
+        salted_join(fact, mid, "k", how="right")
+    with pytest.raises(ValueError, match="n_salt"):
+        salted_join(fact, mid, "k", n_salt=0)
