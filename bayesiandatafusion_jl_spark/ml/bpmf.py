@@ -443,7 +443,9 @@ class TrainResult:
         with plain aggregations. Requires a model trained with
         ``keep_samples != 0``. Distinct cells only (the trace of a
         duplicated cell is the same rows repeated — callers needing
-        multiplicity should predict instead)."""
+        multiplicity should predict instead). Cells whose entity ids have
+        no stored factor row are DROPPED — the factor join is inner, same
+        as ``predict`` without side_info; diagnose trained cells."""
         if self.factor_samples is None or self.n_samples <= 0:
             raise ValueError(
                 "sample_scores needs posterior samples (train with "

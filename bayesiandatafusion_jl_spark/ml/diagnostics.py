@@ -6,19 +6,28 @@ quantitative answer is the Gelman–Rubin potential scale reduction factor
 R̂ [Gelman & Rubin 1992; split-chain form: Vehtari et al. 2021]: run M
 independent chains (different seeds), compare within-chain to
 between-chain variance of a monitored scalar; R̂ ≈ 1 ⇒ the chains are
-sampling the same distribution.
+sampling the same distribution. Its companion is the Geyer effective
+sample size [Geyer 1992] — how many INDEPENDENT draws the autocorrelated
+samples are worth, the denominator of every Monte-Carlo standard error.
 
 What to monitor: NOT the factors — a factor model's latent dimensions are
 identifiable only up to rotation/permutation, so per-coordinate factor
 traces never "converge" across chains. The rotation-invariant observables
-are the PREDICTIONS û·v̂ at probe cells, which is what ``rhat`` monitors
-(the practical choice in the BPMF literature).
+are the PREDICTIONS û·v̂ at probe cells, which is what ``rhat``/``ess``
+monitor (the practical choice in the BPMF literature).
 
-Plan shape (100 TB): ``TrainResult.sample_scores`` is the same broadcast
-factor join as ``predict`` (one row per cell × sample), then R̂ is two
-hash aggregations — per (cell, chain) moments, then per cell across the
-M×(split) chain means/variances. Nothing N-scaled touches the driver;
-probe-cell count is the only scale knob and it is caller-chosen.
+Coverage caveat (inherited from ``TrainResult.sample_scores``): probe
+cells whose entity ids have no stored factor row (never seen in training)
+are DROPPED by the inner factor join — the output can hold fewer rows
+than the distinct probe count. Diagnose trained cells, or predict
+cold-start ids via side info first.
+
+Plan shape (100 TB): ``sample_scores`` is the same broadcast factor join
+as ``predict`` (one row per cell × sample); R̂ is then two hash
+aggregations and ESS one block-folded ``applyInPandas`` pass (cells are
+folded inside Arrow batches — per-group dispatch is per BLOCK, not per
+cell). Nothing N-scaled touches the driver; probe-cell count is the only
+scale knob and it is caller-chosen.
 """
 
 from __future__ import annotations
@@ -27,6 +36,68 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _chain_traces(
+    models: list, cells_df: DataFrame, entities: list[str] | None, min_s: int
+) -> tuple[DataFrame, int]:
+    """Validate the chains and union their per-sample score traces with a
+    ``__chain`` tag. Returns ``(trace, n_samples)``."""
+    s = models[0].n_samples
+    if any(m.n_samples != s for m in models):
+        raise ValueError(
+            f"chains disagree on n_samples: {[m.n_samples for m in models]}"
+        )
+    if s < min_s:
+        raise ValueError(
+            f"need n_samples >= {min_s} (got {s}): train with a larger "
+            "keep_samples/psamples"
+        )
+    frames = [
+        mdl.sample_scores(cells_df, entities).withColumn("__chain", F.lit(c))
+        for c, mdl in enumerate(models)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), frames), s
+
+
+def rhat_from_trace(
+    trace: DataFrame,
+    cell_cols: list[str],
+    n_samples: int,
+    split: bool = True,
+) -> DataFrame:
+    """R̂ from a prebuilt trace frame (columns: ``cell_cols`` +
+    ``__chain`` + ``sample_id`` + ``score``) — the seam that lets a
+    caller build the (expensive) trace once and feed both ``rhat`` and
+    ``ess`` from it. See ``rhat`` for semantics."""
+    s = n_samples
+    half = s // 2
+    n = float(half if split else s)
+    if split:
+        # first `half` sweeps vs last `half` per chain; on odd S the
+        # middle sample is dropped so both halves are equal length
+        trace = trace.filter(
+            (F.col("sample_id") < half) | (F.col("sample_id") >= s - half)
+        ).withColumn(
+            "__chain",
+            F.col("__chain") * 2
+            + (F.col("sample_id") >= s - half).cast("int"),
+        )
+    per_chain = trace.groupBy(*cell_cols, "__chain").agg(
+        F.avg("score").alias("__m"), F.var_samp("score").alias("__v")
+    )
+    w = F.avg("__v")
+    b_over_n = F.var_samp("__m")  # = B/n across the sub-chains
+    var_plus = F.lit((n - 1.0) / n) * w + b_over_n
+    # W = 0 with B > 0 is the WORST signature — chains frozen at
+    # DIFFERENT values (a stuck sampler): mathematically R̂ → ∞, so
+    # report +Infinity, not NULL; NULL is reserved for the fully
+    # degenerate constant-everywhere trace (no scale to reduce at all)
+    return per_chain.groupBy(*cell_cols).agg(
+        F.when(w > 0, F.sqrt(var_plus / w))
+        .when(b_over_n > 0, F.lit(float("inf")))
+        .alias("rhat")
+    )
 
 
 def rhat(
@@ -42,9 +113,10 @@ def rhat(
     (the modern default) halves each chain along sweep order, which also
     detects a still-trending single chain; M models yield 2M sub-chains,
     so even one model is diagnosable. Returns one row per distinct probe
-    cell: the cell id columns + ``rhat`` (double; NULL where the score is
-    constant within every sub-chain — a degenerate trace has no scale to
-    reduce). Converged ⇒ rhat ≲ 1.01 (loose practical cut: 1.1).
+    cell (minus cold ids — see the module caveat): the cell id columns +
+    ``rhat`` (double; +Infinity for chains frozen at different values,
+    NULL only for a trace constant across ALL chains). Converged ⇒
+    rhat ≲ 1.01 (loose practical cut: 1.1).
 
     With ``split=False`` and M identical chains the estimator's bias is
     visible exactly: B = 0 ⇒ R̂ = √((n−1)/n) — pinned by the tests.
@@ -53,48 +125,8 @@ def rhat(
         raise ValueError("rhat needs at least one trained model")
     if not split and len(models) < 2:
         raise ValueError("split=False needs >= 2 chains (models)")
-    s = models[0].n_samples
-    if any(m.n_samples != s for m in models):
-        raise ValueError(
-            f"chains disagree on n_samples: {[m.n_samples for m in models]}"
-        )
-    min_s = 4 if split else 2
-    if s < min_s:
-        raise ValueError(
-            f"need n_samples >= {min_s} (got {s}): train with a larger "
-            "keep_samples/psamples"
-        )
-    half = s // 2
-    n_per_chain = half if split else s
-
-    frames = []
-    for c, mdl in enumerate(models):
-        t = mdl.sample_scores(cells_df, entities)
-        if split:
-            # first `half` sweeps vs last `half`; on odd S the middle
-            # sample is dropped so both halves are equal length
-            t = t.filter(
-                (F.col("sample_id") < half) | (F.col("sample_id") >= s - half)
-            ).withColumn(
-                "__chain",
-                F.lit(2 * c) + (F.col("sample_id") >= s - half).cast("int"),
-            )
-        else:
-            t = t.withColumn("__chain", F.lit(c))
-        frames.append(t.drop("sample_id"))
-    union = reduce(lambda a, b: a.unionByName(b), frames)
-
-    cell_cols = [c for c in cells_df.columns]
-    per_chain = union.groupBy(*cell_cols, "__chain").agg(
-        F.avg("score").alias("__m"), F.var_samp("score").alias("__v")
-    )
-    n = float(n_per_chain)
-    w = F.avg("__v")
-    b_over_n = F.var_samp("__m")  # = B/n across the sub-chains
-    var_plus = F.lit((n - 1.0) / n) * w + b_over_n
-    return per_chain.groupBy(*cell_cols).agg(
-        F.when(w > 0, F.sqrt(var_plus / w)).alias("rhat")
-    )
+    trace, s = _chain_traces(models, cells_df, entities, 4 if split else 2)
+    return rhat_from_trace(trace, list(cells_df.columns), s, split=split)
 
 
 def _ess_kernel(arr) -> float:
@@ -143,6 +175,46 @@ def _ess_kernel(arr) -> float:
     return float(min(m * n / tau, cap))
 
 
+def ess_from_trace(
+    trace: DataFrame, cell_cols: list[str], n_samples: int
+) -> DataFrame:
+    """ESS from a prebuilt trace frame (same seam as
+    ``rhat_from_trace``). One ``applyInPandas`` pass, BLOCK-folded:
+    cells are hashed into ``shuffle.partitions`` blocks and the bounded
+    m×S kernel runs per cell INSIDE each Arrow batch — per-group
+    dispatch overhead (~1–3 ms/group measured in this engine) is paid
+    per block, not per probe cell, so a 100k-cell probe set costs ~32
+    dispatches, not 100k."""
+    from bayesiandatafusion_jl_spark.session import shuffle_partitions
+
+    n_blocks = shuffle_partitions(trace.sparkSession)
+    out_fields = ", ".join(
+        f"`{c}` {trace.schema[c].dataType.simpleString()}" for c in cell_cols
+    )
+    out_schema = out_fields + ", ess double"
+
+    def _per_block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for cell, g in pdf.groupby(cell_cols, sort=False):
+            chains = [
+                cg.sort_values("sample_id")["score"].to_numpy()
+                for _, cg in g.groupby("__chain", sort=True)
+            ]
+            n = min(len(c) for c in chains)
+            e = _ess_kernel(np.stack([c[:n] for c in chains]))
+            key = cell if isinstance(cell, tuple) else (cell,)
+            rows.append(key + (None if not np.isfinite(e) else e,))
+        return pd.DataFrame(rows, columns=cell_cols + ["ess"])
+
+    blocked = trace.withColumn(
+        "__blk", F.pmod(F.xxhash64(*cell_cols), F.lit(n_blocks))
+    )
+    return blocked.groupBy("__blk").applyInPandas(_per_block, out_schema)
+
+
 def ess(
     models: list,
     cells_df: DataFrame,
@@ -153,44 +225,10 @@ def ess(
     R̂ says whether the chains agree; ESS says how many INDEPENDENT draws
     the m×S autocorrelated Gibbs samples are worth — the denominator of
     every Monte-Carlo standard error (mcse = sd/√ESS). One row per
-    distinct probe cell: cell ids + ``ess`` (double; NULL for a
-    degenerate constant trace).
-
-    Plan: the same broadcast factor join as ``predict`` builds the trace,
-    then ONE ``applyInPandas`` over cells runs the bounded m×S
-    autocovariance kernel per group — per-group work is
-    corpus-size-independent; probe-cell count is the only scale knob."""
+    distinct probe cell (minus cold ids — see the module caveat): cell
+    ids + ``ess`` (double; NULL for a degenerate constant trace, capped
+    at m·n·log₁₀(m·n) per Stan's convention)."""
     if not models:
         raise ValueError("ess needs at least one trained model")
-    s = models[0].n_samples
-    if any(m.n_samples != s for m in models):
-        raise ValueError(
-            f"chains disagree on n_samples: {[m.n_samples for m in models]}"
-        )
-    if s < 2:
-        raise ValueError(f"need n_samples >= 2 (got {s})")
-    frames = [
-        mdl.sample_scores(cells_df, entities).withColumn("__chain", F.lit(c))
-        for c, mdl in enumerate(models)
-    ]
-    union = reduce(lambda a, b: a.unionByName(b), frames)
-    cell_cols = list(cells_df.columns)
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in cells_df.schema
-    ) + ", ess double"
-
-    def _per_cell(pdf):
-        import numpy as np
-        import pandas as pd
-
-        chains = [
-            g.sort_values("sample_id")["score"].to_numpy()
-            for _, g in pdf.groupby("__chain", sort=True)
-        ]
-        n = min(len(c) for c in chains)
-        e = _ess_kernel(np.stack([c[:n] for c in chains]))
-        row = {c: [pdf[c].iloc[0]] for c in cell_cols}
-        row["ess"] = [None if not np.isfinite(e) else e]
-        return pd.DataFrame(row)
-
-    return union.groupBy(*cell_cols).applyInPandas(_per_cell, out_schema)
+    trace, s = _chain_traces(models, cells_df, entities, 2)
+    return ess_from_trace(trace, list(cells_df.columns), s)

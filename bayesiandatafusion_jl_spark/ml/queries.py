@@ -719,13 +719,23 @@ def q_ml_factorization_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("r1") / F.col("rm")).alias("sample_gain"))
     )
     # convergence readout from the SAME chain: split-half R-hat + ESS at a
-    # deterministic probe set (stored samples only — zero extra sweeps)
-    from bayesiandatafusion_jl_spark.ml.diagnostics import ess, rhat
+    # deterministic probe set (stored samples only — zero extra sweeps).
+    # The trace is built ONCE and localCheckpoint-ed: identical subplans
+    # are NOT deduped across the two metric legs (engine-verified), so
+    # without the checkpoint the probe derivation + factor-sample join
+    # would execute twice.
+    from bayesiandatafusion_jl_spark.ml.diagnostics import (
+        ess_from_trace,
+        rhat_from_trace,
+    )
 
     probe = pm.orderBy("u", "t").limit(64).select("u", "t")
+    trace = (
+        res.sample_scores(probe).withColumn("__chain", F.lit(0))
+    ).localCheckpoint()
     diag = (
-        rhat([res], probe)
-        .join(ess([res], probe), ["u", "t"])
+        rhat_from_trace(trace, ["u", "t"], res.n_samples)
+        .join(ess_from_trace(trace, ["u", "t"], res.n_samples), ["u", "t"])
         .agg(
             F.expr("percentile(rhat, 0.5)").alias("rhat_med"),
             F.expr("percentile(ess, 0.5)").alias("ess_med"),

@@ -198,6 +198,20 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hashable_type(dt) -> bool:
+    """xxhash64 rejects MapType at any nesting depth (maps are unordered,
+    no canonical hash) — walk the type tree."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _hashable_type(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_hashable_type(f.dataType) for f in dt.fields)
+    return True
+
+
 def salted_join(
     fact: DataFrame,
     mid: DataFrame,
@@ -219,14 +233,23 @@ def salted_join(
 
     Row-identical to ``fact.join(mid, on, how)``: salting changes WHERE rows
     meet, never WHICH rows match. Only fact-preserving join types are legal
-    — ``mid``-preserving ones (right/full) would emit one unmatched row per
-    replica. The same two-phase idea, fused with partial aggregation,
-    drives the trainer's ``skew_salt`` path (ml/bpmf.py, ml/kernels.py).
+    — inner/left (mid replication can't duplicate fact rows: each fact row
+    carries exactly one salt) and semi/anti (existence of a (key, salt)
+    match ≡ existence of a key match, since every salt replica holds all of
+    ``mid``); ``mid``-preserving types (right/full) would emit one
+    unmatched row per replica. The same two-phase idea, fused with partial
+    aggregation, drives the trainer's ``skew_salt`` path (ml/bpmf.py,
+    ml/kernels.py).
     """
-    if how not in ("inner", "left", "left_outer", "leftouter"):
+    allowed = (
+        "inner", "left", "left_outer", "leftouter",
+        "semi", "left_semi", "leftsemi", "anti", "left_anti", "leftanti",
+    )
+    if how not in allowed:
         raise ValueError(
-            f"salted_join supports fact-preserving joins (inner/left), not {how!r}: "
-            "replicating the mid side would duplicate its unmatched rows"
+            f"salted_join supports fact-preserving joins "
+            f"(inner/left/semi/anti), not {how!r}: replicating the mid side "
+            "would duplicate its unmatched rows"
         )
     if n_salt < 1:
         raise ValueError("n_salt must be >= 1")
@@ -235,9 +258,15 @@ def salted_join(
     while salt in fact.columns or salt in mid.columns:
         salt += "_"
     # whole-row hash: deterministic under retries, and spreads a hot key's
-    # rows because the NON-key columns differ row to row
+    # rows because the NON-key columns differ row to row. Map-typed
+    # columns are excluded — xxhash64 rejects MapType (unordered, no
+    # canonical hash) and the salt only needs SOME per-row entropy; the
+    # always-hashable join keys keep the list non-empty.
+    hashable = [
+        f.name for f in fact.schema.fields if _hashable_type(f.dataType)
+    ]
     salted_fact = fact.withColumn(
-        salt, F.pmod(F.xxhash64(*fact.columns), F.lit(n_salt)).cast("int")
+        salt, F.pmod(F.xxhash64(*hashable), F.lit(n_salt)).cast("int")
     )
     replicated_mid = mid.withColumn(
         salt, F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))

@@ -87,5 +87,11 @@ def write_range_sorted(
     few-files read. The 1-D analogue of Z-ordering; for multi-column
     locality pass the columns major-first. One shuffle at WRITE time,
     amortized over every subsequent pruned read."""
-    part = df.repartitionByRange(n_partitions, *cols) if n_partitions else df.repartitionByRange(*cols)
+    if n_partitions is not None and n_partitions < 1:
+        raise ValueError(f"n_partitions must be >= 1, got {n_partitions}")
+    part = (
+        df.repartitionByRange(n_partitions, *cols)
+        if n_partitions is not None
+        else df.repartitionByRange(*cols)
+    )
     part.sortWithinPartitions(*cols).write.mode(mode).parquet(path)

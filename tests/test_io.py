@@ -171,3 +171,6 @@ def test_range_sorted_layout_prunes(spark, tmp_path):
     assert back.count() == df.filter(F.col("k") < 100).count()
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "LessThan(k,100)" in plan, plan
+
+    with pytest.raises(ValueError, match="n_partitions"):
+        io.write_range_sorted(df, path, ["k"], n_partitions=0)

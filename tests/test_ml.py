@@ -883,3 +883,45 @@ def test_ess_kernel_iid_vs_ar1():
     assert e_ar < e_iid / 5
 
     assert np.isnan(_ess_kernel(np.ones((2, 50))))
+
+
+def test_rhat_ess_from_synthetic_trace(spark):
+    """Trace-level seams pinned on hand-built chains: frozen-at-different-
+    values chains → R-hat = +Infinity (the worst divergence signature must
+    NOT read as NULL/converged); globally constant trace → NULL; the
+    block-folded ESS pass returns one row per cell with the same kernel
+    values as direct numpy."""
+    from bayesiandatafusion_jl_spark.ml.diagnostics import (
+        _ess_kernel,
+        ess_from_trace,
+        rhat_from_trace,
+    )
+
+    s = 4
+    rows = []
+    # cell 0: chain 0 frozen at 1.0, chain 1 frozen at 2.0 → inf
+    # cell 1: everything 3.0 → NULL
+    # cell 2: a varying trace → finite
+    var_trace = {0: [0.1, 0.9, 0.2, 0.8], 1: [0.5, 0.4, 0.6, 0.3]}
+    for chain in (0, 1):
+        for sid in range(s):
+            rows.append((0, chain, sid, float(1.0 + chain)))
+            rows.append((1, chain, sid, 3.0))
+            rows.append((2, chain, sid, var_trace[chain][sid]))
+    trace = spark.createDataFrame(
+        rows, "cell long, __chain int, sample_id int, score double"
+    )
+    got = {
+        r["cell"]: r["rhat"]
+        for r in rhat_from_trace(trace, ["cell"], s, split=False).collect()
+    }
+    assert got[0] == float("inf")
+    assert got[1] is None
+    assert got[2] is not None and np.isfinite(got[2])
+
+    es = {r["cell"]: r["ess"] for r in ess_from_trace(trace, ["cell"], s).collect()}
+    assert len(es) == 3
+    assert es[1] is None  # degenerate constant trace
+    expect = _ess_kernel(np.array([var_trace[0], var_trace[1]]))
+    assert es[2] == pytest.approx(expect, rel=1e-12)
+    assert es[0] is not None  # frozen-but-different: defined (b>0)

@@ -147,13 +147,19 @@ def test_salted_join_equals_plain_join(spark):
         F.col("id").alias("k"), (F.col("id") * 100).alias("mval")
     )  # keys 5,6 unmatched → left join must keep them with NULL mval
 
-    for how in ("inner", "left"):
+    for how in ("inner", "left", "left_semi", "left_anti"):
         plain = fact.join(mid, "k", how)
         for n_salt in (1, 3, 8):
             salted = salted_join(fact, mid, "k", n_salt=n_salt, how=how)
             assert salted.columns == plain.columns
             assert salted.exceptAll(plain).count() == 0
             assert plain.exceptAll(salted).count() == 0
+
+    # a map-typed fact column must not break the salt hash (xxhash64
+    # rejects MapType — the salt hashes the hashable columns only)
+    mfact = fact.withColumn("meta", F.create_map(F.lit("a"), F.col("payload")))
+    mj = salted_join(mfact, mid, "k", n_salt=3)
+    assert mj.count() == mfact.join(mid, "k").count()
 
     with pytest.raises(ValueError, match="fact-preserving"):
         salted_join(fact, mid, "k", how="right")
