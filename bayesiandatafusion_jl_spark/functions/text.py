@@ -571,3 +571,81 @@ def q_llm_decontaminate(
             (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def duplicated_spans(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-document duplicated-span profile (the word-n-gram-grain
+    variant of Lee et al. 2022's "Deduplicating Training Data Makes
+    Language Models Better" substring dedup): per document, how many of
+    its distinct n-gram spans also occur in at least one OTHER document.
+
+    Output: (id_col, n_spans, n_shared_spans, shared_frac); documents
+    shorter than ``n`` tokens have no spans and no row.
+
+    Scale shape — three LINEAR shuffles, no self-join, nothing collected:
+
+    1. distinct (doc, span) pairs (explode is map-side; the distinct is
+       a hash aggregate with map-side combine);
+    2. span → doc-count (hash aggregate on the span key) filtered to
+       count ≥ 2 — the duplicated-span dictionary;
+    3. pairs left-semi-ish joined against the dictionary and re-grouped
+       by doc for the per-doc counts.
+
+    At 100 TB the span STRING never needs to shuffle twice: hash spans to
+    int64 (xxhash64) after step 1 and carry only the hash — collisions
+    only over-count shared spans by ~N²/2⁶⁴. The oracle-checked query
+    below groups by the raw string so DuckDB reproduces it bit-exactly;
+    the hashed variant is a one-line swap documented here.
+    """
+    toks = docs.select(id_col, F.split(F.lower(text_col), " ").alias("tk"))
+    spans = toks.select(
+        id_col, F.explode(_ngrams("tk", n)).alias("g")
+    ).distinct()
+    dup = (
+        spans.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("g")
+    )
+    joined = spans.join(dup.withColumn("__dup", F.lit(1)), "g", "left")
+    shared = F.sum(F.when(F.col("__dup").isNotNull(), 1).otherwise(0))
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        shared.cast("bigint").alias("n_shared_spans"),
+        F.round(shared.cast("double") / F.count(F.lit(1)), 4).alias("shared_frac"),
+    )
+
+
+@register(
+    "q_llm_dup_spans",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(LOWER(text), ' ') AS tk FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_transform(range(1, len(tk) - 1),
+                    i -> array_to_string(tk[i:i+2], ' '))) AS g
+      FROM tok
+    ),
+    dup AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) >= 2)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN dup.g IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_shared_spans,
+           ROUND(SUM(CASE WHEN dup.g IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS shared_frac
+    FROM g LEFT JOIN dup ON g.g = dup.g
+    GROUP BY g.doc_id
+    """,
+    tags=("J2", "text-quality"),
+    demoted=True,
+)
+def q_llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span profile over 3-gram spans (see
+    ``duplicated_spans``). Demoted: the driver surface is capped at 50;
+    locally oracle-parity-checked like every demoted spec."""
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, n=3)

@@ -7,6 +7,7 @@ from bayesiandatafusion_jl_spark.operators import (  # noqa: F401
     aggregates,
     filters,
     joins,
+    maintenance,
     sampling,
     scans,
     setops,

@@ -223,3 +223,48 @@ def q_agg_vector_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy("label", "pos").agg(
         F.round(F.sum("v"), 4).alias("s"), F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "q_agg_approx_quantile",
+    oracle=None,  # sketch values are engine-specific → rows-only check;
+    # the measured rel_err column IS the quality gate (asserted in tests)
+    tags=("D4", "sketch"),
+    demoted=True,
+)
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna via ``percentile_approx``)
+    vs the exact answer, with the measured relative error as an output
+    column — the same honesty convention as the HLL ratio row in
+    q_llm_scale_suite.
+
+    At 100 TB the exact ``percentile`` is the non-starter (it buffers the
+    full per-group value multiset); the GK sketch is one pass, bounded
+    memory, mergeable across partitions (map-side partial agg). Here both
+    run so the error is measured, exactly as a production pipeline would
+    validate a sketch before trusting it.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = [0.5, 0.9, 0.99]
+    agg = li.agg(
+        F.percentile("l_extendedprice", qs).alias("exact"),
+        F.percentile_approx("l_extendedprice", qs, 10_000).alias("approx"),
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(q) for q in qs]).alias("q"),
+        F.col("exact").alias("exact"),
+        F.col("approx").alias("approx"),
+    )
+    row = agg.select(F.explode(pairs).alias("r")).select(
+        F.col("r.q").alias("q"),
+        F.col("r.exact").alias("exact"),
+        F.col("r.approx").cast("double").alias("approx"),
+    )
+    return row.select(
+        "q",
+        "exact",
+        "approx",
+        F.round(F.abs(F.col("approx") - F.col("exact")) / F.col("exact"), 6).alias(
+            "rel_err"
+        ),
+    )

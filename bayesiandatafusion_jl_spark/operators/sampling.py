@@ -143,3 +143,54 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_fixed_n(c, ["c_nationkey"], ["c_custkey"], 20).select(
         "c_custkey", "c_nationkey", "c_mktsegment"
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_cols: list[str],
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli rates — the dataset-MIXING
+    primitive: "80% of wiki, 50% of books, 5% of web" as one map-only
+    filter. Same identity-hash contract as ``hash_sample`` (partition-
+    independent, engine-reproducible, and rate-NESTED per stratum: a
+    stratum's 0.25 sample is a subset of its 0.5 sample), so re-weighting
+    a mixture never churns the rows kept at lower rates.
+
+    The rate lookup compiles to a literal CASE over the stratum column —
+    zero joins, zero shuffles, prunes to a scan-level filter."""
+    thresholds = {k: int(r * _MOD) for k, r in rates.items()}
+    thr: F.Column = F.lit(int(default_rate * _MOD))
+    for k in sorted(thresholds):
+        thr = F.when(F.col(strata_col) == k, F.lit(thresholds[k])).otherwise(thr)
+    return df.filter(_bucket(id_cols) < thr)
+
+
+_MIX_RATES = {"src0": 0.8, "src1": 0.5, "src2": 0.25}
+_MIX_DEFAULT = 0.05
+_MIX_CASE = " ".join(
+    f"WHEN source = '{k}' THEN {int(r * _MOD)}" for k, r in sorted(_MIX_RATES.items())
+)
+
+
+@register(
+    "q_sample_mixture",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {_sql_bucket(['doc_id'])} <
+          (CASE {_MIX_CASE} ELSE {int(_MIX_DEFAULT * _MOD)} END)
+    """,
+    tags=("sampling",),
+    demoted=True,
+)
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture: per-source sampling rates over documents
+    (src0 80%, src1 50%, src2 25%, everything else 5%) as one
+    deterministic map-only filter. Demoted: see q_sample_bernoulli."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, ["doc_id"], "source", _MIX_RATES, _MIX_DEFAULT
+    ).select("doc_id", "source")

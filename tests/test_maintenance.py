@@ -1,0 +1,134 @@
+"""Semantic tests for table maintenance (CDC merge, SCD2), mixture
+sampling, duplicated-span detection, and the approx-quantile sketch —
+constructed-frame cases that exercise every branch the oracle-parity data
+may not (inserts of brand-new keys, delete-then-reinsert ordering,
+single-version keys, planted duplicate docs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bayesiandatafusion_jl_spark.operators.maintenance import (
+    merge_upsert,
+    scd2_history,
+)
+from bayesiandatafusion_jl_spark.operators.sampling import (
+    hash_sample,
+    mixture_sample,
+)
+from bayesiandatafusion_jl_spark.functions.text import duplicated_spans
+
+from tests.conftest import SF_DIR_TINY
+
+
+def test_merge_upsert_paths(spark):
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    # k=1 untouched; k=2 updated twice (latest wins); k=3 deleted;
+    # k=4 inserted; k=5 inserted then deleted (net: absent);
+    # k=6 deleted then re-inserted (net: present)
+    chg = spark.createDataFrame(
+        [
+            (2, "b1", False, 10),
+            (2, "b2", False, 20),
+            (3, None, True, 10),
+            (4, "d", False, 10),
+            (5, "e", False, 10),
+            (5, None, True, 20),
+            (6, None, True, 10),
+            (6, "f", False, 20),
+        ],
+        "k int, v string, is_delete boolean, seq int",
+    )
+    got = {
+        r.k: r.v
+        for r in merge_upsert(snap, chg, ["k"], ["seq"]).collect()
+    }
+    assert got == {1: "a", 2: "b2", 4: "d", 6: "f"}
+
+
+def test_merge_upsert_seq_tiebreak(spark):
+    snap = spark.createDataFrame([(1, "a")], "k int, v string")
+    chg = spark.createDataFrame(
+        [(1, "x", False, 10, 1), (1, "y", False, 10, 2)],
+        "k int, v string, is_delete boolean, seq int, off int",
+    )
+    got = merge_upsert(snap, chg, ["k"], ["seq", "off"]).collect()
+    assert [(r.k, r.v) for r in got] == [(1, "y")]
+
+
+def test_scd2_collapses_and_versions(spark):
+    chg = spark.createDataFrame(
+        [
+            (1, 10, "A"),
+            (1, 20, "A"),  # no change → collapsed
+            (1, 30, "B"),
+            (1, 40, "A"),  # value may recur in a LATER interval
+            (2, 10, "Z"),  # single-version key
+        ],
+        "k int, seq int, attr string",
+    )
+    rows = sorted(
+        scd2_history(chg, ["k"], "seq", ["attr"]).collect(),
+        key=lambda r: (r.k, r.version),
+    )
+    got = [
+        (r.k, r.attr, r.effective_from, r.effective_to, r.version, r.is_current)
+        for r in rows
+    ]
+    assert got == [
+        (1, "A", 10, 30, 1, False),
+        (1, "B", 30, 40, 2, False),
+        (1, "A", 40, None, 3, True),
+        (2, "Z", 10, None, 1, True),
+    ]
+
+
+def test_mixture_sample_nests_within_stratum(spark):
+    df = spark.range(0, 4000).select(
+        F.col("id"), (F.pmod("id", F.lit(4))).cast("string").alias("src")
+    )
+    lo = mixture_sample(df, ["id"], "src", {"1": 0.2, "2": 0.1}, 0.05)
+    hi = mixture_sample(df, ["id"], "src", {"1": 0.6, "2": 0.3}, 0.15)
+    # per-stratum nesting: every row kept at the low rates survives the high
+    assert lo.exceptAll(hi.select(*lo.columns)).count() == 0
+    # the default rate applies to strata absent from the map
+    other = lo.filter(~F.col("src").isin("1", "2"))
+    assert other.count() > 0
+    assert (
+        other.exceptAll(hash_sample(df, ["id"], 0.05).filter(~F.col("src").isin("1", "2"))).count()
+        == 0
+    )
+
+
+def test_duplicated_spans_planted_pair(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),
+            (2, "a copy of the quick brown fox here"),
+            (3, "entirely unrelated words only appear once"),
+            (4, "xy"),  # < n tokens → no spans, no row
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in duplicated_spans(docs, n=3).collect()}
+    assert set(got) == {1, 2, 3}
+    # docs 1 and 2 share "the quick brown" and "quick brown fox"
+    assert got[1].n_shared_spans == 2
+    assert got[2].n_shared_spans == 2
+    assert got[3].n_shared_spans == 0
+    assert got[3].shared_frac == 0.0
+    assert got[1].n_spans == 4  # 6 tokens → 4 distinct 3-grams
+
+
+def test_approx_quantile_error_bounded(spark):
+    from bayesiandatafusion_jl_spark.registry import specs
+
+    df = specs(include_demoted=True)["q_agg_approx_quantile"].fn(
+        spark, SF_DIR_TINY
+    )
+    rows = df.collect()
+    assert {r.q for r in rows} == {0.5, 0.9, 0.99}
+    # GK accuracy=10000 → rank error ≤ 1e-4·n; generous value-space bound
+    assert all(r.rel_err < 0.01 for r in rows)
