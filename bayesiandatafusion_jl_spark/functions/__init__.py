@@ -3,8 +3,10 @@ text/dedup (J1–J6 + text analysis)."""
 
 from bayesiandatafusion_jl_spark.functions import (  # noqa: F401
     dedup,
+    dedup_index,
     graph,
     mllib_lsh,
+    packing,
     scalar,
     text,
     vector,

@@ -225,6 +225,32 @@ def minhash_signatures(
     )
 
 
+def band_buckets(
+    sigs: DataFrame, n_bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc_id, band, bucket) band-hash frame of a signature frame — the
+    shared LSH banding used both inline (``lsh_candidate_pairs``) and at
+    rest (``dedup_index.write_signature_index``); the two MUST hash bands
+    identically or an incremental query would probe the wrong buckets.
+    Map-side: one posexplode, n_bands rows per doc."""
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, n_bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
@@ -246,19 +272,7 @@ def lsh_candidate_pairs(
     task before exploding. The quadratic pair OUTPUT for such a bucket is
     inherent to pair listing; this shape just never holds it in memory.
     """
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
+    bands = band_buckets(sigs, n_bands=n_bands, rows_per_band=rows_per_band)
     buckets = (
         bands.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))

@@ -26,7 +26,16 @@ The global position of a row = its partition's prefix offset + its local
 exclusive cumsum; ``bin_id = pos div capacity``, ``offset = pos mod
 capacity``. The result is bit-identical to the single-task window (the
 oracle below IS that single global window, in DuckDB) at any partition
-count, which the nesting test pins.
+count, which ``tests/test_packing.py::test_partition_count_invariance``
+pins at n_partitions ∈ {1, 3, 7, 32}.
+
+Execution-determinism note: ``repartitionByRange`` SAMPLES its boundaries
+per execution, so the staged frame is ``checkpoint_df``-materialized ONCE
+before anything reads ``spark_partition_id()`` — the per-partition totals
+collect and the returned plan must see the SAME partition assignment, and
+Spark does not dedupe identical subplans across actions. The checkpoint
+also removes 2 of the 3 redundant executions of the range shuffle the
+naive plan would run (totals leg, output leg, caller's action).
 """
 
 from __future__ import annotations
@@ -37,6 +46,7 @@ from pyspark.sql import functions as F
 from bayesiandatafusion_jl_spark.catalog import load_table
 from bayesiandatafusion_jl_spark.operators.sampling import _bucket, _sql_bucket
 from bayesiandatafusion_jl_spark.registry import register
+from bayesiandatafusion_jl_spark.session import checkpoint_df, shuffle_partitions
 
 
 def pack_sequences(
@@ -59,13 +69,17 @@ def pack_sequences(
         raise ValueError(f"capacity must be positive, got {capacity}")
     sess = df.sparkSession
     if n_partitions is None:
-        n_partitions = int(sess.conf.get("spark.sql.shuffle.partitions"))
+        n_partitions = shuffle_partitions(sess)
 
     order_cols = [_bucket(id_cols).alias("__ord")] + [F.col(c) for c in id_cols]
     staged = df.select("*", order_cols[0]).repartitionByRange(
         n_partitions, F.col("__ord"), *id_cols
     )
-    pid = staged.withColumn("__pid", F.spark_partition_id())
+    # repartitionByRange samples its boundaries per EXECUTION; materialize
+    # once so the totals collect below and the returned plan read the SAME
+    # __pid assignment (Spark never dedupes identical subplans across
+    # actions — an uncheckpointed two-leg read is a latent wrong answer).
+    pid = checkpoint_df(staged.withColumn("__pid", F.spark_partition_id()))
 
     w = (
         W.partitionBy("__pid")
@@ -91,12 +105,14 @@ def pack_sequences(
     offsets = sess.createDataFrame(
         [(p, prefix[p]) for p in range(n_partitions)], "__pid int, __prefix long"
     )
-    pos = F.col("__prefix") + F.col("__local")
+    # integer `div`, never float division: cumulative positions in a 100 TB
+    # token stream exceed 2^53, where a double round-trip loses exactness
     return (
         local.join(F.broadcast(offsets), "__pid")
-        .withColumn("bin_id", (pos / capacity).cast("long"))
-        .withColumn("offset", F.pmod(pos, F.lit(capacity)).cast("long"))
-        .drop("__ord", "__pid", "__local", "__prefix")
+        .withColumn("__pos", (F.col("__prefix") + F.col("__local")).cast("long"))
+        .withColumn("bin_id", F.expr(f"__pos div {int(capacity)}"))
+        .withColumn("offset", F.pmod(F.col("__pos"), F.lit(capacity)).cast("long"))
+        .drop("__ord", "__pid", "__local", "__prefix", "__pos")
     )
 
 
@@ -120,7 +136,7 @@ _PACK_CAPACITY = 256
       FROM t
     )
     SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-           CAST(p / {_PACK_CAPACITY} AS BIGINT) AS bin_id,
+           CAST(p // {_PACK_CAPACITY} AS BIGINT) AS bin_id,
            CAST(p % {_PACK_CAPACITY} AS BIGINT) AS offset
     FROM pos
     """,

@@ -649,3 +649,124 @@ def q_llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     locally oracle-parity-checked like every demoted spec."""
     docs = load_table(spark, sf_dir, "documents")
     return duplicated_spans(docs, n=3)
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    n: int = 3,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rewrite each document with cross-document duplicated spans EXCISED —
+    the output side of Lee et al. 2022's substring dedup (word-n-gram
+    grain): ``duplicated_spans`` profiles the duplication, this emits the
+    cleaned corpus a training pipeline actually feeds downstream.
+
+    A token is removed iff it is covered by at least one n-gram span that
+    occurs in ``min_docs`` or more DISTINCT documents. Matching is over
+    the lowercased token stream (same normalization as the profiler), and
+    the cleaned text is rebuilt from that stream.
+
+    Output: (id_col, text_cleaned, n_tokens, n_removed) — one row per
+    input document, including fully-clean and fully-excised ones.
+
+    Scale shape — linear shuffles only, no self-join, nothing collected:
+
+    1. positional spans (posexplode — map-side);
+    2. duplicated-span dictionary: distinct (doc, span) → span doc-count
+       ≥ min_docs (two hash aggregates with map-side combine);
+    3. span starts joined against the dictionary, re-grouped per doc into
+       a covered-starts set (bounded by the doc's own span count);
+    4. one doc-keyed join back onto the token arrays; the rebuild itself
+       is a map-side higher-order-function expression (transform/exists),
+       O(tokens × covered_starts) per doc — bounded by doc length squared
+       in the worst (fully duplicated) case, which is the per-doc grain
+       Lee et al. accept.
+
+    As with the profiler, at 100 TB the span string shuffles once: swap
+    the raw span for xxhash64(span) after step 1 and carry the hash.
+    """
+    toks = docs.select(id_col, F.split(F.lower(text_col), " ").alias("tk"))
+    pos_spans = toks.select(
+        id_col, F.posexplode(_ngrams("tk", n)).alias("p", "g")
+    )
+    dup = (
+        pos_spans.select(id_col, "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("g")
+    )
+    starts = (
+        pos_spans.join(dup, "g")
+        .groupBy(id_col)
+        .agg(F.collect_set("p").alias("__starts"))
+    )
+    kept = (
+        f"filter(transform(tk, (t, i) -> struct(t AS t, i AS i)),"
+        f" x -> NOT exists(__s, s -> s <= x.i AND x.i < s + {int(n)}))"
+    )
+    return (
+        toks.join(starts, id_col, "left")
+        .withColumn("__s", F.coalesce("__starts", F.array().cast("array<int>")))
+        .select(
+            id_col,
+            F.expr(f"concat_ws(' ', transform({kept}, x -> x.t))").alias(
+                "text_cleaned"
+            ),
+            F.size("tk").cast("bigint").alias("n_tokens"),
+            (F.size("tk") - F.expr(f"size({kept})")).cast("bigint").alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
+@register(
+    "q_llm_remove_dup_spans",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(LOWER(text), ' ') AS tk FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             UNNEST(range(1, len(tk) - 1)) AS p,
+             UNNEST(list_transform(range(1, len(tk) - 1),
+                    i -> array_to_string(tk[i:i+2], ' '))) AS g
+      FROM tok
+    ),
+    dup AS (
+      SELECT g FROM (SELECT DISTINCT doc_id, g FROM g)
+      GROUP BY g HAVING COUNT(*) >= 2
+    ),
+    covered AS (SELECT g.doc_id, g.p FROM g JOIN dup USING (g)),
+    tokpos AS (
+      SELECT doc_id, UNNEST(range(1, len(tk) + 1)) AS j, UNNEST(tk) AS t
+      FROM tok
+    ),
+    removed AS (
+      SELECT DISTINCT tp.doc_id, tp.j
+      FROM tokpos tp JOIN covered c
+        ON tp.doc_id = c.doc_id AND tp.j BETWEEN c.p AND c.p + 2
+    )
+    SELECT tp.doc_id,
+           COALESCE(string_agg(CASE WHEN r.j IS NULL THEN tp.t END,
+                               ' ' ORDER BY tp.j), '') AS text_cleaned,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN r.j IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_removed
+    FROM tokpos tp
+    LEFT JOIN removed r ON tp.doc_id = r.doc_id AND tp.j = r.j
+    GROUP BY tp.doc_id
+    """,
+    tags=("J2", "text-quality"),
+    demoted=True,
+)
+def q_llm_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaned corpus under 3-gram cross-doc span removal (see
+    ``remove_duplicated_spans``); the DuckDB oracle rebuilds the same
+    cleaned text token-by-token via an interval join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicated_spans(docs, n=3)

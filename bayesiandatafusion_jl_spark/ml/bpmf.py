@@ -46,7 +46,7 @@ from bayesiandatafusion_jl_spark.ml.nw import (
     sample_normal_wishart,
 )
 from bayesiandatafusion_jl_spark.ml.relation import RelationData
-from bayesiandatafusion_jl_spark.session import shuffle_partitions
+from bayesiandatafusion_jl_spark.session import checkpoint_df, shuffle_partitions
 
 # Broadcast budget for factor-table joins, in BYTES — a factor row is one
 # long id plus a K-dim double array, so the estimate is rows × (K+1) × 8.
@@ -118,22 +118,9 @@ def _beta_target_fn(k, mu, lam_u, seed, sweep):
 
 
 def _checkpoint(df: DataFrame) -> DataFrame:
-    """persist → eager localCheckpoint → release the pre-checkpoint cache.
-
-    BOTH halves are load-bearing. The persist grounds the checkpointed
-    plan's origin statistics in the real materialized size: without it the
-    LogicalRDD inherits the default sizeInBytes (2⁶³) and every chained
-    sweep's join-stats MULTIPLY the previous checkpoint's origin stats, so
-    the size estimate's BigInt doubles in bit length per sweep —
-    observed as a driver heap OOM inside stats estimation around sweep
-    ~60 of the arity-3 test. The immediate unpersist releases the
-    CacheManager entry (safe: the eager checkpoint has already copied the
-    partitions and truncated lineage), so long sessions don't accumulate
-    dead cached plans."""
-    cached = df.persist()
-    out = cached.localCheckpoint()
-    cached.unpersist()
-    return out
+    """Shared persist→localCheckpoint→unpersist discipline; see
+    ``session.checkpoint_df`` for why both halves are load-bearing."""
+    return checkpoint_df(df)
 
 
 def _truncnorm_udf():

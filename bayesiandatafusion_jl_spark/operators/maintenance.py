@@ -71,7 +71,12 @@ def merge_upsert(
         .select(*[F.col(f"__img.{c}").alias(c) for c in payload_cols])
     )
     touched = latest.select(*key_cols)
-    survivors = latest.filter(~F.col(delete_col)).drop(delete_col)
+    # NULL delete flags are upserts, not deletes: a bare ~col(delete_col)
+    # filter silently drops NULL-flagged keys (NULL fails the predicate),
+    # turning a malformed changelog row into a data-loss delete
+    survivors = latest.filter(
+        ~F.coalesce(F.col(delete_col), F.lit(False))
+    ).drop(delete_col)
     untouched = snapshot.join(touched, on=key_cols, how="left_anti")
     return untouched.unionByName(survivors)
 
@@ -102,8 +107,11 @@ def scd2_history(
         F.col("__prev").isNull() | (F.col("__prev") != attrs)
     )
     # re-derive the window over the collapsed frame: effective_to is the
-    # NEXT RETAINED change, not the next raw row
-    w2 = W.partitionBy(*key_cols).orderBy(F.col(seq_col).asc())
+    # NEXT RETAINED change, not the next raw row. Must order by the SAME
+    # (seq, tiebreak) as the collapse window — seq alone leaves retained
+    # changes sharing (key, seq) with nondeterministic version numbering
+    # and interval bounds
+    w2 = W.partitionBy(*key_cols).orderBy(*order)
     return changed.select(
         *key_cols,
         *attr_cols,
@@ -170,23 +178,23 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scd2_history",
     oracle="""
     WITH ordered AS (
-      SELECT user_id, ts, event_type,
+      SELECT user_id, ts, event_id, event_type,
              LAG(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
              ) AS prev
       FROM events
     ),
     chg AS (
-      SELECT user_id, ts, event_type FROM ordered
+      SELECT user_id, ts, event_id, event_type FROM ordered
       WHERE prev IS NULL OR prev <> event_type
     )
     SELECT user_id, event_type,
            ts AS effective_from,
-           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts)
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
              AS effective_to,
-           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts)
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
              AS INTEGER) AS version,
-           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
              AS is_current
     FROM chg
     """,

@@ -114,6 +114,41 @@ NOTES = {
         " (persist→collect→unpersist), so the returned plan is a local"
         " relation; the pass itself is 1 groupBy(score) + bounded windows"
     ),
+    "q_cdc_merge": (
+        "r7: changelog folded map-side by max_by (shuffles key"
+        " cardinality, not the changelog), snapshot anti-joined on the"
+        " touched keys + union — the snapshot is never windowed/sorted;"
+        " AQE broadcasts the touched-keys side for small changelogs"
+    ),
+    "q_scd2_history": (
+        "r7: two windows over ONE (key, seq, tiebreak) partitioning and"
+        " ordering — single exchange, single sort, both frames in one"
+        " physical pass; r8: second window tiebreak-ordered like the first"
+    ),
+    "q_sample_mixture": (
+        "r7: per-stratum mixture rates as a map-only identity-hash CASE"
+        " filter — zero exchanges; rate-nested per stratum so re-weighting"
+        " never churns kept rows"
+    ),
+    "q_llm_dup_spans": (
+        "r7: Lee-et-al. grain cross-doc span profile — one explode pass"
+        " over the shingle stream, 3 linear shuffles on shrinking keys"
+        " (span → (doc,span) → doc), no self-join; hash-the-span variant"
+        " documented for the 100 TB string-shuffle case"
+    ),
+    "q_agg_approx_quantile": (
+        "r7: GK sketch (approx_percentile) vs full-buffer exact percentile"
+        " with measured rel_err column — partial-agg sketch merge, one"
+        " scalar exchange"
+    ),
+    "q_llm_pack_sequences": (
+        "r8: two-phase distributed prefix scan — range shuffle executed"
+        " ONCE (checkpoint_df pins the sampled partition boundaries for"
+        " both the per-partition totals collect and the output plan), then"
+        " per-partition windows + broadcast prefix-offset join; bin_id by"
+        " integer div (exact past 2^53). Returned plan reads the"
+        " checkpointed RDD, hence 0 parquet scans here"
+    ),
 }
 
 

@@ -47,6 +47,31 @@ def get_spark(app_name: str = "bayesiandatafusion_jl_spark", cpus: str | None = 
     return spark
 
 
+def checkpoint_df(df):
+    """persist → eager localCheckpoint → release the pre-checkpoint cache.
+
+    The one sanctioned way to pin a nondeterministic subplan (sampled
+    range-partition boundaries, seeded draws, fresh RDD ids) so that two
+    consumers of the same frame are guaranteed to read the SAME
+    materialization — Spark does NOT dedupe identical subplans across
+    actions, so without this the subplan executes once per action and a
+    nondeterministic stage can produce different rows each time.
+
+    BOTH halves are load-bearing. The persist grounds the checkpointed
+    plan's origin statistics in the real materialized size: without it the
+    LogicalRDD inherits the default sizeInBytes (2⁶³) and chained
+    iterations' join-stats MULTIPLY the previous checkpoint's origin
+    stats (observed as a driver heap OOM inside stats estimation in long
+    Gibbs runs). The immediate unpersist releases the CacheManager entry
+    (safe: the eager checkpoint has already copied the partitions and
+    truncated lineage), so long sessions don't accumulate dead caches.
+    """
+    cached = df.persist()
+    out = cached.localCheckpoint()
+    cached.unpersist()
+    return out
+
+
 def shuffle_partitions(spark: SparkSession, default: int = 32) -> int:
     """The session's shuffle-partition count as an int, tolerating non-numeric
     values like ``"auto"`` (AQE auto-optimized shuffle on some distros) by

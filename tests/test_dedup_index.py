@@ -1,0 +1,108 @@
+"""Incremental near-dup against the persisted signature index: twin
+recall where the twins STRADDLE the index/new-shard boundary, the
+banding-mismatch guard, index append, and the no-recompute plan contract
+(the old side of every join is a parquet scan of the index — the old
+corpus's text never re-read, its signatures never recomputed)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bayesiandatafusion_jl_spark.functions.dedup_index import (
+    dedup_incremental,
+    write_signature_index,
+)
+from bayesiandatafusion_jl_spark.plans.inspect import formatted_plan
+
+
+@pytest.fixture()
+def index_dir(tmp_path):
+    d = str(tmp_path / "sig_index")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _corpus(spark, ids, mutate=()):
+    # distinctive long docs so random pairs share no 3-shingles
+    rows = []
+    for i in ids:
+        toks = [f"tok{i}w{j}" for j in range(30)]
+        if i in mutate:
+            toks = toks[1:]  # drop first token → near-dup twin
+        rows.append((i, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_boundary_straddling_twin_recall(spark, index_dir):
+    # index holds docs 0..19; new shard holds twins of 5 docs (ids+1000,
+    # first token dropped) plus 5 genuinely fresh docs
+    old = _corpus(spark, range(20))
+    write_signature_index(old, index_dir)
+    twin_ids = [0, 3, 7, 11, 19]
+    twins = _corpus(spark, twin_ids, mutate=twin_ids).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    fresh = _corpus(spark, range(500, 505))
+    pairs = dedup_incremental(twins.unionByName(fresh), index_dir).collect()
+    cross = {(r.doc_a, r.doc_b) for r in pairs if r.pair_type == "new_index"}
+    # every planted twin pair crosses the boundary and must be found
+    assert {(t + 1000, t) for t in twin_ids} <= cross
+    # fresh docs must not pair with anything
+    assert not any(r.doc_a >= 500 and r.doc_a < 1000 for r in pairs)
+    # estimator sanity: twins share 27/29 shingles → est well above 0.5
+    assert all(r.jaccard_est >= 0.5 for r in pairs)
+
+
+def test_intra_shard_pairs_found(spark, index_dir):
+    write_signature_index(_corpus(spark, range(10)), index_dir)
+    # the new shard itself contains an identical pair (200, 201)
+    a = _corpus(spark, [200])
+    b = a.select(F.lit(201).cast("long").alias("doc_id"), "text")
+    pairs = dedup_incremental(a.unionByName(b), index_dir).collect()
+    assert {(r.doc_a, r.doc_b, r.pair_type) for r in pairs} == {
+        (200, 201, "new_new")
+    }
+    assert pairs[0].jaccard_est == 1.0
+
+
+def test_banding_mismatch_rejected(spark, index_dir):
+    write_signature_index(_corpus(spark, range(5)), index_dir)
+    with pytest.raises(ValueError, match="band hashes would disagree"):
+        dedup_incremental(
+            _corpus(spark, [100]), index_dir,
+            n_hashes=32, n_bands=16, rows_per_band=2,
+        )
+    with pytest.raises(ValueError, match="band hashes would disagree"):
+        write_signature_index(
+            _corpus(spark, [100]), index_dir, shingle_k=5, mode="append"
+        )
+
+
+def test_update_index_appends_probed_shard(spark, index_dir):
+    write_signature_index(_corpus(spark, range(10)), index_dir)
+    shard1 = _corpus(spark, [100])
+    dedup_incremental(shard1, index_dir, update_index=True).collect()
+    # a later twin of doc 100 must now hit the index
+    twin = _corpus(spark, [100], mutate=[100]).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    pairs = dedup_incremental(twin, index_dir).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(1100, 100)}
+    assert pairs[0].pair_type == "new_index"
+
+
+def test_plan_never_recomputes_old_signatures(spark, index_dir):
+    write_signature_index(_corpus(spark, range(10)), index_dir)
+    new = _corpus(spark, [100])
+    plan = formatted_plan(dedup_incremental(new, index_dir))
+    # every parquet scan in the probe plan reads the INDEX, not a corpus
+    scans = [l for l in plan.splitlines() if "Location" in l]
+    assert scans, "expected index parquet scans in the plan"
+    assert all("sig_index" in l for l in scans), plan
+    # and the old side carries no shingle/minhash recompute: the only
+    # xxhash64 calls in the plan hash the NEW shard's shingles/bands
+    assert "collect_set" not in plan

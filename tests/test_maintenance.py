@@ -16,7 +16,10 @@ from bayesiandatafusion_jl_spark.operators.sampling import (
     hash_sample,
     mixture_sample,
 )
-from bayesiandatafusion_jl_spark.functions.text import duplicated_spans
+from bayesiandatafusion_jl_spark.functions.text import (
+    duplicated_spans,
+    remove_duplicated_spans,
+)
 
 from tests.conftest import SF_DIR_TINY
 
@@ -58,6 +61,18 @@ def test_merge_upsert_seq_tiebreak(spark):
     assert [(r.k, r.v) for r in got] == [(1, "y")]
 
 
+def test_merge_upsert_null_delete_flag_is_upsert(spark):
+    # A NULL delete flag must be treated as "not a delete": a bare
+    # ~col(is_delete) filter would silently drop the key instead.
+    snap = spark.createDataFrame([(1, "a")], "k int, v string")
+    chg = spark.createDataFrame(
+        [(1, "x", None, 10), (2, "y", None, 10)],
+        "k int, v string, is_delete boolean, seq int",
+    )
+    got = {r.k: r.v for r in merge_upsert(snap, chg, ["k"], ["seq"]).collect()}
+    assert got == {1: "x", 2: "y"}
+
+
 def test_scd2_collapses_and_versions(spark):
     chg = spark.createDataFrame(
         [
@@ -82,6 +97,33 @@ def test_scd2_collapses_and_versions(spark):
         (1, "B", 30, 40, 2, False),
         (1, "A", 40, None, 3, True),
         (2, "Z", 10, None, 1, True),
+    ]
+
+
+def test_scd2_tiebreak_orders_second_window(spark):
+    # Two retained changes share (key, seq); the tiebreak column must pin
+    # version numbering and interval bounds in BOTH windows — seq-only
+    # ordering in the second window is nondeterministic.
+    chg = spark.createDataFrame(
+        [
+            (1, 10, 1, "A"),
+            (1, 10, 2, "B"),  # same seq, later tiebreak
+            (1, 20, 1, "C"),
+        ],
+        "k int, seq int, off int, attr string",
+    )
+    rows = sorted(
+        scd2_history(chg, ["k"], "seq", ["attr"], tiebreak_cols=["off"]).collect(),
+        key=lambda r: r.version,
+    )
+    got = [
+        (r.attr, r.effective_from, r.effective_to, r.version, r.is_current)
+        for r in rows
+    ]
+    assert got == [
+        ("A", 10, 10, 1, False),
+        ("B", 10, 20, 2, False),
+        ("C", 20, None, 3, True),
     ]
 
 
@@ -132,3 +174,55 @@ def test_approx_quantile_error_bounded(spark):
     assert {r.q for r in rows} == {0.5, 0.9, 0.99}
     # GK accuracy=10000 → rank error ≤ 1e-4·n; generous value-space bound
     assert all(r.rel_err < 0.01 for r in rows)
+
+
+def test_remove_duplicated_spans_planted_pair(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),
+            (2, "a copy of the quick brown fox here"),
+            (3, "entirely unrelated words only appear once"),
+            (4, "xy"),  # < n tokens → no spans, passes through untouched
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in remove_duplicated_spans(docs, n=3).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    # shared spans "the quick brown" + "quick brown fox" cover
+    # "the quick brown fox" in both docs
+    assert got[1].text_cleaned == "jumps high"
+    assert (got[1].n_tokens, got[1].n_removed) == (6, 4)
+    assert got[2].text_cleaned == "a copy of here"
+    assert (got[2].n_tokens, got[2].n_removed) == (8, 4)
+    assert got[3].n_removed == 0
+    assert got[4].text_cleaned == "xy" and got[4].n_removed == 0
+
+
+def test_remove_duplicated_spans_reprofile_clean(spark):
+    # The cleaned corpus, re-profiled at the same grain, must show zero
+    # cross-doc shared spans on this constructed case.
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),
+            (2, "a copy of the quick brown fox here"),
+            (3, "entirely unrelated words only appear once"),
+        ],
+        "doc_id int, text string",
+    )
+    cleaned = remove_duplicated_spans(docs, n=3).select(
+        "doc_id", F.col("text_cleaned").alias("text")
+    )
+    prof = duplicated_spans(cleaned, n=3)
+    assert prof.agg(F.sum("n_shared_spans")).collect()[0][0] == 0
+
+
+def test_remove_duplicated_spans_full_excision(spark):
+    # Two identical docs: every token is covered → empty cleaned text.
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in remove_duplicated_spans(docs, n=3).collect()}
+    for d in (1, 2):
+        assert got[d].text_cleaned == ""
+        assert got[d].n_removed == got[d].n_tokens == 4
