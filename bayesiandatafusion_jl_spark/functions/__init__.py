@@ -7,6 +7,7 @@ from bayesiandatafusion_jl_spark.functions import (  # noqa: F401
     graph,
     mllib_lsh,
     packing,
+    pipeline,
     scalar,
     text,
     vector,

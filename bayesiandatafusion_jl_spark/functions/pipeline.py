@@ -1,0 +1,215 @@
+"""End-to-end LLM training-data pipeline composition.
+
+The r7 pieces exist as independent operators; a real pipeline chains them
+on ONE pass budget: quality filter → benchmark decontamination → mixture
+sampling → sequence packing. This module registers the composed query so
+the chain's interplay is itself oracle-checked — per-stage document and
+token counts, ending with the number of context windows the packed stream
+occupies.
+
+Scale shape: the stage flags (quality keep, contaminated, mixture keep)
+are computed as COLUMNS over a single scan of the corpus — quality and
+mixture are map-only expressions, contamination is one broadcast-hash
+join of the gram stream against the tiny eval-gram set plus a distinct on
+hit doc_ids — and every per-stage count is a conditional aggregate over
+that one flags frame. The naive alternative (filter → count per stage)
+re-executes the upstream pipeline once per stage. Packing then runs only
+over the final survivors, which is where a pipeline would hand off to the
+training-data writer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bayesiandatafusion_jl_spark.catalog import load_table
+from bayesiandatafusion_jl_spark.functions.packing import pack_sequences
+from bayesiandatafusion_jl_spark.functions.text import (
+    _LANG_MARKERS,
+    _ngrams,
+    _QF_MAX_DUP_FRAC,
+    _QF_MAX_TOKENS,
+    _QF_MIN_LANG_SCORE,
+    _QF_MIN_TOKENS,
+    _QF_REASON_SQL,
+)
+from bayesiandatafusion_jl_spark.operators.sampling import (
+    _MIX_CASE,
+    _MIX_DEFAULT,
+    _MIX_RATES,
+    _MOD,
+    _bucket,
+    _sql_bucket,
+)
+from bayesiandatafusion_jl_spark.registry import register
+
+_CAPACITY = 256
+_EVAL_SOURCE = "src0"
+_DECON_N = 4
+
+
+def pipeline_stage_counts(
+    docs: DataFrame, capacity: int = _CAPACITY
+) -> DataFrame:
+    """(stage, n_docs, n_tokens) per pipeline stage over a (doc_id,
+    source, text) frame: raw → quality → decontaminated → mixture →
+    packed (where n_docs is the count of distinct context windows in
+    which a surviving document STARTS)."""
+    tk = F.split(F.lower("text"), " ")
+    n_tok = F.size(tk)
+    dup = F.lit(1.0) - F.size(F.array_distinct(tk)).cast("double") / n_tok
+    en = list(_LANG_MARKERS["en"])
+    en_score = F.size(F.filter(tk, lambda t: t.isin(en))).cast("double") / n_tok
+    keep_q = ~(
+        (n_tok < _QF_MIN_TOKENS)
+        | (n_tok > _QF_MAX_TOKENS)
+        | (dup > _QF_MAX_DUP_FRAC)
+        | (en_score < _QF_MIN_LANG_SCORE)
+    )
+
+    toks = docs.select("doc_id", "source", tk.alias("tk"))
+    ev = (
+        toks.filter(F.col("source") == _EVAL_SOURCE)
+        .select(F.explode(_ngrams("tk", _DECON_N)).alias("g"))
+        .distinct()
+    )
+    contam = (
+        toks.filter(F.col("source") != _EVAL_SOURCE)
+        .select("doc_id", F.explode(_ngrams("tk", _DECON_N)).alias("g"))
+        .join(F.broadcast(ev), "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__c", F.lit(1))
+    )
+
+    thr: F.Column = F.lit(int(_MIX_DEFAULT * _MOD))
+    for k in sorted(_MIX_RATES):
+        thr = F.when(
+            F.col("source") == k, F.lit(int(_MIX_RATES[k] * _MOD))
+        ).otherwise(thr)
+    keep_mix = _bucket(["doc_id"]) < thr
+
+    flags = (
+        docs.filter(F.col("source") != _EVAL_SOURCE)
+        .select(
+            "doc_id",
+            "source",
+            n_tok.cast("long").alias("n_tokens"),
+            keep_q.alias("keep_q"),
+            keep_mix.alias("keep_mix"),
+        )
+        .join(contam, "doc_id", "left")
+        .withColumn("contam", F.col("__c").isNotNull())
+    )
+
+    survive_q = F.col("keep_q")
+    survive_d = survive_q & ~F.col("contam")
+    survive_m = survive_d & F.col("keep_mix")
+
+    def _cnt(pred):
+        return F.sum(F.when(pred, 1).otherwise(0)).cast("long")
+
+    def _tok(pred):
+        return F.sum(F.when(pred, F.col("n_tokens")).otherwise(0)).cast("long")
+
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("c0"),
+        F.sum("n_tokens").cast("long").alias("t0"),
+        _cnt(survive_q).alias("c1"),
+        _tok(survive_q).alias("t1"),
+        _cnt(survive_d).alias("c2"),
+        _tok(survive_d).alias("t2"),
+        _cnt(survive_m).alias("c3"),
+        _tok(survive_m).alias("t3"),
+    )
+    stages = agg.selectExpr(
+        "stack(4, 'raw', c0, t0, 'quality', c1, t1,"
+        " 'decontaminated', c2, t2, 'mixture', c3, t3)"
+        " AS (stage, n_docs, n_tokens)"
+    )
+
+    survivors = flags.filter(survive_m).select("doc_id", "n_tokens")
+    packed = (
+        pack_sequences(survivors, ["doc_id"], "n_tokens", capacity)
+        .agg(
+            F.countDistinct("bin_id").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(F.lit("packed").alias("stage"), "n_docs", "n_tokens")
+    )
+    return stages.unionByName(packed)
+
+
+@register(
+    "q_llm_pipeline_compose",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, string_split(LOWER(text), ' ') AS tk
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, source,
+             len(tk) AS n_tokens,
+             1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+               AS dup_frac,
+             CAST(len(list_filter(tk,
+                  t -> t IN ('the','of','and','fast','slow','table','key')))
+                  AS DOUBLE) / len(tk) AS en_score
+      FROM base WHERE source <> '{_EVAL_SOURCE}'
+    ),
+    g AS (
+      SELECT doc_id, source,
+             UNNEST(list_transform(range(1, len(tk) - {_DECON_N - 2}),
+                    i -> array_to_string(tk[i:i+{_DECON_N - 1}], ' '))) AS g
+      FROM base
+    ),
+    ev AS (SELECT DISTINCT g FROM g WHERE source = '{_EVAL_SOURCE}'),
+    contam AS (
+      SELECT DISTINCT t.doc_id FROM g t JOIN ev USING (g)
+      WHERE t.source <> '{_EVAL_SOURCE}'
+    ),
+    flags AS (
+      SELECT m.doc_id, m.n_tokens,
+             ({_QF_REASON_SQL}) IS NULL AS keep_q,
+             (c.doc_id IS NOT NULL) AS contam,
+             ({_sql_bucket(['doc_id'])} <
+              CASE {_MIX_CASE} ELSE {int(_MIX_DEFAULT * _MOD)} END)
+               AS keep_mix
+      FROM m LEFT JOIN contam c USING (doc_id)
+    )
+    SELECT 'raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM flags
+    UNION ALL
+    SELECT 'quality', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_tokens) AS BIGINT) FROM flags WHERE keep_q
+    UNION ALL
+    SELECT 'decontaminated', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_tokens) AS BIGINT) FROM flags
+    WHERE keep_q AND NOT contam
+    UNION ALL
+    SELECT 'mixture', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_tokens) AS BIGINT) FROM flags
+    WHERE keep_q AND NOT contam AND keep_mix
+    UNION ALL
+    SELECT 'packed', CAST(COUNT(DISTINCT p // {_CAPACITY}) AS BIGINT),
+           CAST(SUM(n_tokens) AS BIGINT) FROM (
+      SELECT n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+      FROM (
+        SELECT doc_id, n_tokens, {_sql_bucket(['doc_id'])} AS ord
+        FROM flags WHERE keep_q AND NOT contam AND keep_mix
+      )
+    )
+    """,
+    tags=("text-quality", "sampling", "packing", "pipeline"),
+    demoted=True,
+)
+def q_llm_pipeline_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining-data pipeline (quality → decontaminate →
+    mixture → pack) as per-stage (n_docs, n_tokens) counts — proves the
+    r7/r8 pieces chain on one pass budget; the oracle re-derives every
+    stage in SQL including the packed-window count."""
+    return pipeline_stage_counts(load_table(spark, sf_dir, "documents"))

@@ -141,6 +141,24 @@ NOTES = {
         " with measured rel_err column — partial-agg sketch merge, one"
         " scalar exchange"
     ),
+    "q_llm_remove_dup_spans": (
+        "r8: cleaned-corpus emission over the span profile's dictionary —"
+        " posexplode spans, 2 hash aggs for the dup dictionary, starts"
+        " re-grouped per doc, ONE doc-keyed join back; the rewrite itself"
+        " is a map-side transform/exists HOF expression"
+    ),
+    "q_llm_dedup_incremental": (
+        "r8: new shard shingled/signed once (checkpointed), probe is one"
+        " (band,bucket) equi-join against the range-sorted bucket parquet;"
+        " old corpus text never re-read, old signatures never recomputed"
+        " (plan-asserted in tests) — scoring is the MinHash component-match"
+        " estimator, no old-side shingle sets"
+    ),
+    "q_llm_pipeline_compose": (
+        "r8: stage flags as COLUMNS over one corpus scan (conditional"
+        " aggregates per stage, not filter+count re-executions); only the"
+        " final survivors enter the packing scan"
+    ),
     "q_llm_pack_sequences": (
         "r8: two-phase distributed prefix scan — range shuffle executed"
         " ONCE (checkpoint_df pins the sampled partition boundaries for"

@@ -46,6 +46,10 @@ HEADLINE = [
     "q_stream_ewma",       # r7: batch form of the applyInPandasWithState EWMA op
     "q_text_repetition",   # r7: Gopher repetition filters — 1 scan, 3 shrinking-key aggs
     "q_graph_components",  # r6: connected components (co-occurrence graph + CC rounds)
+    "q_cdc_merge",         # r8: maintenance family — changelog merge onto snapshot
+    "q_scd2_history",      # r8: maintenance family — validity-interval history
+    "q_llm_pack_sequences",  # r8: checkpointed two-phase prefix scan
+    "q_llm_pipeline_compose",  # r8: quality→decontaminate→mixture→pack chain
     "q_ml_predict_rmse",
     "q_win_auc",
 ]
