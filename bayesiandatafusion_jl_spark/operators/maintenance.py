@@ -214,3 +214,72 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         attr_cols=["event_type"],
         tiebreak_cols=["event_id"],
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_mb: int = 512,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_mb`` each — the table-maintenance pass every incremental
+    pipeline needs, because CDC appends and streaming sinks accumulate
+    thousands of KB-sized files whose per-file open/footer overhead
+    eventually dominates scan time (and whose task count explodes the
+    scheduler at 100 TB).
+
+    File count is sized from the directory's ACTUAL bytes via the Hadoop
+    FileSystem API (works on any FS Spark can read — local, HDFS, object
+    stores), not guessed from row counts. With ``sort_cols`` the rewrite
+    range-clusters on those columns (``write_range_sorted``), so the
+    compaction pass doubles as a layout optimization — footer min/max
+    stats then prune selective scans; without them it is a plain
+    ``repartition`` (round-robin, evenly sized files).
+
+    Returns a 1-row stats frame (files_before, files_after, bytes,
+    target_files) — the shape a maintenance-job log wants. Never
+    rewrites in place: compact to a new directory, then swap atomically
+    at the catalog/manifest layer above this.
+    """
+    from bayesiandatafusion_jl_spark.sources.io import write_range_sorted
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, -(-int(total_bytes) // (target_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(in_path)
+    files_before = len(df.inputFiles())
+    if sort_cols:
+        write_range_sorted(df, out_path, sort_cols, n_partitions=n_files, mode=mode)
+    else:
+        df.repartition(n_files).write.mode(mode).parquet(out_path)
+    files_after = len(spark.read.parquet(out_path).inputFiles())
+    return spark.createDataFrame(
+        [(files_before, files_after, int(total_bytes), n_files)],
+        "files_before int, files_after int, bytes long, target_files int",
+    )
+
+
+@register(
+    "q_table_compact",
+    oracle=None,  # side-effecting maintenance op: rewrites files, returns a
+    # stats row; content-preservation + file-count are pytest-gated
+    tags=("maintenance",),
+    demoted=True,
+)
+def q_table_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance: fragment the nation table into many tiny files under
+    /tmp, compact back to target size, and return the stats row. The
+    rows-only driver check pins that the op runs end-to-end; tests assert
+    content equality and the file-count contract."""
+    frag = f"/tmp/bdf_compact/{sf_dir.strip('/').replace('/', '_')}/frag"
+    out = f"/tmp/bdf_compact/{sf_dir.strip('/').replace('/', '_')}/compacted"
+    load_table(spark, sf_dir, "nation").repartition(13).write.mode(
+        "overwrite"
+    ).parquet(frag)
+    return compact_parquet(spark, frag, out, target_mb=512)

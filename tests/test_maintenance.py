@@ -226,3 +226,40 @@ def test_remove_duplicated_spans_full_excision(spark):
     for d in (1, 2):
         assert got[d].text_cleaned == ""
         assert got[d].n_removed == got[d].n_tokens == 4
+
+
+def test_compact_parquet_preserves_content(spark, tmp_path):
+    from bayesiandatafusion_jl_spark.operators.maintenance import compact_parquet
+
+    frag, out = str(tmp_path / "frag"), str(tmp_path / "out")
+    df = spark.range(0, 10_000).select(
+        "id", (F.col("id") * 3).alias("v")
+    )
+    df.repartition(37).write.parquet(frag)
+    stats = compact_parquet(spark, frag, out, target_mb=512).collect()[0]
+    assert stats.files_before == 37
+    # 10k tiny rows << 512 MB → exactly one output file
+    assert stats.files_after == stats.target_files == 1
+    assert stats.bytes > 0
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+
+
+def test_compact_parquet_range_clustered(spark, tmp_path):
+    from bayesiandatafusion_jl_spark.operators.maintenance import compact_parquet
+
+    frag, out = str(tmp_path / "frag"), str(tmp_path / "out")
+    spark.range(0, 5_000).repartition(11).write.parquet(frag)
+    compact_parquet(spark, frag, out, target_mb=512, sort_cols=["id"])
+    back = spark.read.parquet(out)
+    assert back.count() == 5_000
+    # range-clustered rewrite: a selective range scan must prune on footer
+    # stats — with one file we at least assert the file is sorted
+    import pyarrow.parquet as pq
+    import glob
+
+    files = glob.glob(f"{out}/*.parquet")
+    assert files
+    col = pq.read_table(files[0], columns=["id"])["id"].to_pylist()
+    assert col == sorted(col)
