@@ -156,3 +156,108 @@ def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         sized, ["doc_id"], "n_tokens", _PACK_CAPACITY
     ).select("doc_id", "n_tokens", "bin_id", "offset")
+
+
+def pack_chunks(
+    df: DataFrame,
+    id_cols: list[str],
+    len_col: str,
+    capacity: int,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Chunk-level packing output — what the training-data WRITER emits:
+    one row per (document, context window) intersection, so a document
+    straddling window boundaries appears once per window it touches.
+
+    Adds to ``id_cols``: ``bin_id`` (the window), ``bin_offset`` (where
+    the chunk starts inside the window), ``doc_offset`` (where the chunk
+    starts inside the document), ``chunk_len``. Invariants (pytest-pinned):
+    chunk lengths per document sum to the document length and are
+    contiguous in ``doc_offset``; every window except the stream's last is
+    filled to exactly ``capacity`` tokens.
+
+    Derivation is a map-side explode over ``pack_sequences``' placement
+    (global position = bin_id·capacity + offset): per doc, one row per
+    spanned window via ``sequence``; all arithmetic integer (`div`), so
+    positions stay exact past 2^53. Zero-length documents span no window
+    and emit no chunk.
+    """
+    placed = pack_sequences(df, id_cols, len_col, capacity, n_partitions)
+    cap = int(capacity)
+    pos = f"(bin_id * {cap} + offset)"
+    last = f"({pos} + {len_col} - 1) div {cap}"
+    return (
+        placed.filter(F.col(len_col) > 0)
+        .select(
+            *id_cols,
+            len_col,
+            F.expr(f"{pos}").alias("__pos"),
+            F.explode(F.expr(f"sequence(bin_id, {last})")).alias("bin_id"),
+        )
+        .select(
+            *id_cols,
+            "bin_id",
+            (F.greatest(F.col("__pos"), F.col("bin_id") * cap) - F.col("bin_id") * cap)
+            .cast("long")
+            .alias("bin_offset"),
+            (F.greatest(F.col("__pos"), F.col("bin_id") * cap) - F.col("__pos"))
+            .cast("long")
+            .alias("doc_offset"),
+            (
+                F.least(F.col("__pos") + F.col(len_col), (F.col("bin_id") + 1) * cap)
+                - F.greatest(F.col("__pos"), F.col("bin_id") * cap)
+            )
+            .cast("long")
+            .alias("chunk_len"),
+        )
+    )
+
+
+@register(
+    "q_llm_pack_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(LOWER(text), ' ')) AS n_tokens,
+             {_sql_bucket(['doc_id'])} AS ord
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS p
+      FROM t
+    ),
+    spans AS (
+      SELECT doc_id, p, n_tokens,
+             UNNEST(range(CAST(p // {_PACK_CAPACITY} AS BIGINT),
+                          CAST((p + n_tokens - 1) // {_PACK_CAPACITY} + 1
+                               AS BIGINT))) AS bin_id
+      FROM pos WHERE n_tokens > 0
+    )
+    SELECT doc_id, CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(GREATEST(p, bin_id * {_PACK_CAPACITY})
+                - bin_id * {_PACK_CAPACITY} AS BIGINT) AS bin_offset,
+           CAST(GREATEST(p, bin_id * {_PACK_CAPACITY}) - p AS BIGINT)
+             AS doc_offset,
+           CAST(LEAST(p + n_tokens, (bin_id + 1) * {_PACK_CAPACITY})
+                - GREATEST(p, bin_id * {_PACK_CAPACITY}) AS BIGINT)
+             AS chunk_len
+    FROM spans
+    """,
+    tags=("J5", "packing"),
+    demoted=True,
+)
+def q_llm_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer-grain packing: one row per (doc, context-window) chunk under
+    the same deterministic layout as ``q_llm_pack_sequences``; the oracle
+    re-derives every chunk from the single global window."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return pack_chunks(sized, ["doc_id"], "n_tokens", _PACK_CAPACITY).select(
+        "doc_id", "bin_id", "bin_offset", "doc_offset", "chunk_len"
+    )

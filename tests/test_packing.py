@@ -108,3 +108,44 @@ def test_capacity_validation(spark):
     df = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
     with pytest.raises(ValueError):
         pack_sequences(df, ["doc_id"], "n_tokens", 0)
+
+
+def test_pack_chunks_invariants(spark):
+    from bayesiandatafusion_jl_spark.functions.packing import pack_chunks
+
+    rows = [(i, ln) for i, ln in enumerate([100, 300, 50, 700, 6, 256])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    chunks = pack_chunks(df, ["doc_id"], "n_tokens", 256, n_partitions=3).collect()
+    lens = dict(rows)
+    total = sum(lens.values())
+    by_doc: dict[int, list] = {}
+    by_bin: dict[int, int] = {}
+    for c in chunks:
+        by_doc.setdefault(c.doc_id, []).append(c)
+        by_bin[c.bin_id] = by_bin.get(c.bin_id, 0) + c.chunk_len
+        assert 0 < c.chunk_len <= 256
+        assert 0 <= c.bin_offset < 256
+    # per-doc: chunks contiguous in doc_offset and sum to the doc length
+    for d, cs in by_doc.items():
+        cs.sort(key=lambda c: c.doc_offset)
+        assert cs[0].doc_offset == 0
+        acc = 0
+        for c in cs:
+            assert c.doc_offset == acc
+            acc += c.chunk_len
+        assert acc == lens[d]
+    # per-bin: every window except the stream's last is filled exactly
+    last_bin = (total - 1) // 256
+    assert set(by_bin) == set(range(last_bin + 1))
+    for b, filled in by_bin.items():
+        assert filled == (256 if b < last_bin else total - 256 * last_bin)
+
+
+def test_pack_chunks_zero_length_docs_emit_nothing(spark):
+    from bayesiandatafusion_jl_spark.functions.packing import pack_chunks
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, 5)], "doc_id long, n_tokens long"
+    )
+    got = pack_chunks(df, ["doc_id"], "n_tokens", 8).collect()
+    assert {r.doc_id for r in got} == {1, 3}
