@@ -32,6 +32,10 @@ SKIP = {
     "q_ml_als_mllib": "iterative (MLlib ALS interop cross-check)",
     "q_ml_probit_events": "iterative (probit training on a planted matrix)",
     "q_llm_scale_suite": "eager quality-metric suite (5 pipelines + per-leg counts)",
+    "q_table_compact": (
+        "side-effecting maintenance op — fragments + rewrites files, returns"
+        " a driver-built stats row (see operators/maintenance.py)"
+    ),
 }
 
 NOTES = {
@@ -158,6 +162,10 @@ NOTES = {
         "r8: stage flags as COLUMNS over one corpus scan (conditional"
         " aggregates per stage, not filter+count re-executions); only the"
         " final survivors enter the packing scan"
+    ),
+    "q_llm_pack_chunks": (
+        "r8: writer-grain chunks — map-side sequence-explode over the"
+        " checkpointed pack_sequences placement; integer arithmetic only"
     ),
     "q_llm_pack_sequences": (
         "r8: two-phase distributed prefix scan — range shuffle executed"
