@@ -11,4 +11,5 @@ from bayesiandatafusion_jl_spark.functions import (  # noqa: F401
     scalar,
     text,
     vector,
+    vector_index,
 )

@@ -163,6 +163,13 @@ NOTES = {
         " aggregates per stage, not filter+count re-executions); only the"
         " final survivors enter the packing scan"
     ),
+    "q_llm_ann_index": (
+        "r8: persisted IVF — postings parquet partitioned by cell_id;"
+        " probe scan carries a STATIC cell_id IN(...) partition filter"
+        " (plan-asserted: only probed cell directories are listed);"
+        " probe side broadcast, corpus postings never shuffle;"
+        " append mode assigns a new shard under stored centers, no refit"
+    ),
     "q_llm_pack_chunks": (
         "r8: writer-grain chunks — map-side sequence-explode over the"
         " checkpointed pack_sequences placement; integer arithmetic only"

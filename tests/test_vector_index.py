@@ -1,0 +1,106 @@
+"""Persisted IVF index: recall vs brute force on a clustered corpus,
+partition-pruned probe scans (the plan must read ONLY probed cell
+directories), incremental shard append under stored centers, and the
+meta mismatch guard."""
+
+from __future__ import annotations
+
+import math
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bayesiandatafusion_jl_spark.functions.vector import knn_topk
+from bayesiandatafusion_jl_spark.functions.vector_index import (
+    ann_ivf_query_index,
+    write_ivf_index,
+)
+from bayesiandatafusion_jl_spark.plans.inspect import formatted_plan
+
+
+@pytest.fixture()
+def index_dir(tmp_path):
+    d = str(tmp_path / "ivf")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _clustered(spark, n_clusters=4, per_cluster=40, dim=8):
+    """Unit-norm vectors in tight clusters around orthant axes — real
+    cluster structure so IVF pruning is meaningful."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        base = np.zeros(dim)
+        base[c % dim] = 1.0
+        for _ in range(per_cluster):
+            v = base + rng.normal(0, 0.05, dim)
+            v = v / math.sqrt(float((v * v).sum()))
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_index_recall_matches_brute_force(spark, index_dir):
+    corpus = _clustered(spark)
+    write_ivf_index(corpus, index_dir, n_cells=8, n_assign=2)
+    q = corpus.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    exact = {
+        (r.qid, r.nb_id) for r in knn_topk(corpus, q, k=5).collect()
+    }
+    got = {
+        (r.qid, r.nb_id)
+        for r in ann_ivf_query_index(q, index_dir, k=5, n_probe=4).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"recall {recall}"
+
+
+def test_probe_scan_is_partition_pruned(spark, index_dir):
+    corpus = _clustered(spark)
+    write_ivf_index(corpus, index_dir, n_cells=8, n_assign=1)
+    q = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    df = ann_ivf_query_index(q, index_dir, k=3, n_probe=2)
+    plan = formatted_plan(df)
+    # the postings scan must carry a STATIC cell_id partition filter whose
+    # IN-list is the probed cells: with n_probe=2 only 2 of 8 cell
+    # directories are ever listed, let alone read
+    import re
+
+    m = re.search(r"PartitionFilters: \[cell_id#\d+ IN \(([\d,\s]+)\)", plan)
+    assert m, f"no static cell_id IN partition filter:\n{plan}"
+    probed = [c.strip() for c in m.group(1).split(",")]
+    assert len(probed) <= 2, probed
+
+
+def test_append_shard_under_stored_centers(spark, index_dir):
+    corpus = _clustered(spark)
+    write_ivf_index(corpus, index_dir, n_cells=8, n_assign=2)
+    # new shard: near-copies of vectors 0..4, ids offset by 1000
+    shard = corpus.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    write_ivf_index(shard, index_dir, n_cells=8, n_assign=2, mode="append")
+    q = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    got = ann_ivf_query_index(q, index_dir, k=1, n_probe=3).collect()
+    # each query's top hit is its appended exact copy (score 1.0)
+    assert {(r.qid, r.nb_id) for r in got} == {(i, i + 1000) for i in range(5)}
+    assert all(r.score == 1.0 for r in got)
+
+
+def test_append_meta_mismatch_rejected(spark, index_dir):
+    corpus = _clustered(spark)
+    write_ivf_index(corpus, index_dir, n_cells=8, n_assign=2)
+    with pytest.raises(ValueError, match="append asked for"):
+        write_ivf_index(corpus, index_dir, n_cells=16, n_assign=2, mode="append")
