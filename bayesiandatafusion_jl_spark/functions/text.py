@@ -574,7 +574,11 @@ def q_llm_decontaminate(
 
 
 def duplicated_spans(
-    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_spans: bool = False,
 ) -> DataFrame:
     """Cross-document duplicated-span profile (the word-n-gram-grain
     variant of Lee et al. 2022's "Deduplicating Training Data Makes
@@ -593,16 +597,20 @@ def duplicated_spans(
     3. pairs left-semi-ish joined against the dictionary and re-grouped
        by doc for the per-doc counts.
 
-    At 100 TB the span STRING never needs to shuffle twice: hash spans to
-    int64 (xxhash64) after step 1 and carry only the hash — collisions
-    only over-count shared spans by ~N²/2⁶⁴. The oracle-checked query
-    below groups by the raw string so DuckDB reproduces it bit-exactly;
-    the hashed variant is a one-line swap documented here.
+    At 100 TB the span STRING never needs to shuffle twice:
+    ``hash_spans=True`` swaps the raw span for xxhash64(span) right after
+    the explode, so every shuffle carries a fixed-width int64 instead of
+    an n-token string — collisions only over-count shared spans by
+    ~N²/2⁶⁴ (equivalence vs the string path is pytest-pinned on the
+    planted corpus). The oracle-checked query uses the string path so
+    DuckDB reproduces it bit-exactly.
     """
     toks = docs.select(id_col, F.split(F.lower(text_col), " ").alias("tk"))
-    spans = toks.select(
-        id_col, F.explode(_ngrams("tk", n)).alias("g")
-    ).distinct()
+    g = F.explode(_ngrams("tk", n)).alias("g")
+    spans = toks.select(id_col, g)
+    if hash_spans:
+        spans = spans.select(id_col, F.xxhash64("g").alias("g"))
+    spans = spans.distinct()
     dup = (
         spans.groupBy("g")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -657,6 +665,7 @@ def remove_duplicated_spans(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_spans: bool = False,
 ) -> DataFrame:
     """Rewrite each document with cross-document duplicated spans EXCISED —
     the output side of Lee et al. 2022's substring dedup (word-n-gram
@@ -691,6 +700,10 @@ def remove_duplicated_spans(
     pos_spans = toks.select(
         id_col, F.posexplode(_ngrams("tk", n)).alias("p", "g")
     )
+    if hash_spans:
+        # 100 TB path: shuffles carry a fixed-width int64, never the span
+        # string (same collision bound as duplicated_spans)
+        pos_spans = pos_spans.select(id_col, "p", F.xxhash64("g").alias("g"))
     dup = (
         pos_spans.select(id_col, "g")
         .distinct()

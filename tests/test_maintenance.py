@@ -263,3 +263,18 @@ def test_compact_parquet_range_clustered(spark, tmp_path):
     assert files
     col = pq.read_table(files[0], columns=["id"])["id"].to_pylist()
     assert col == sorted(col)
+
+
+def test_hashed_span_variants_match_string_path(spark):
+    # hash_spans=True (the 100 TB fixed-width-shuffle path) must agree
+    # with the string path wherever xxhash64 is collision-free — i.e.
+    # everywhere in practice; pinned here on the tiny corpus.
+    from bayesiandatafusion_jl_spark.catalog import load_table
+
+    docs = load_table(spark, SF_DIR_TINY, "documents").limit(200)
+    a = sorted(duplicated_spans(docs, n=3).collect())
+    b = sorted(duplicated_spans(docs, n=3, hash_spans=True).collect())
+    assert a == b
+    ra = sorted(remove_duplicated_spans(docs, n=3).collect())
+    rb = sorted(remove_duplicated_spans(docs, n=3, hash_spans=True).collect())
+    assert ra == rb
