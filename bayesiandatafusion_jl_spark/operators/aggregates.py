@@ -268,3 +268,106 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err"
         ),
     )
+
+
+def heavy_hitters(
+    items: DataFrame, item_col: str, phi: float
+) -> DataFrame:
+    """EXACT frequency-threshold heavy hitters (all items with frequency
+    ≥ phi·N) without ever shuffling the full item vocabulary — the classic
+    two-pass Misra–Gries construction:
+
+    1. **Candidate pass (map-only)**: each partition runs a Misra–Gries
+       summary with k = ⌈1/phi⌉ counters over its local stream
+       (``mapInPandas`` — per-partition imperative state is exactly what
+       the sketch is; Arrow-batched, bounded k counters per partition).
+       MG guarantees any item with LOCAL frequency > n_p/k survives its
+       partition's summary; an item with GLOBAL frequency ≥ N/k must
+       exceed n_p/k in at least one partition, so the union of partition
+       summaries is a SUPERSET of the true heavy hitters — recall 1.0 by
+       construction.
+    2. **Verify pass (exact)**: the candidate set (≤ k·P ids, broadcast)
+       semi-joins the stream; only candidate rows enter the count
+       aggregate, so the shuffle is bounded by k·P distinct keys, not the
+       vocabulary. False candidates are dropped by the exact ≥ phi·N
+       filter — precision 1.0.
+
+    Net: output identical to the full groupBy-count (SQL-oracle-able!),
+    while the only full-data operations are two linear scans and one
+    scalar count. At 100 TB with a trillion-term vocabulary, the full
+    groupBy shuffles the vocabulary; this shuffles ⌈1/phi⌉·P keys.
+
+    Returns (item_col, cnt, frac) sorted nowhere — order-insensitive.
+    """
+    if not (0 < phi <= 1):
+        raise ValueError(f"phi must be in (0, 1], got {phi}")
+    # undercount of a merged MG summary is ≤ n/(k+1) (Agarwal et al. 2012,
+    # mergeable summaries), so k+1 > 1/phi keeps every true heavy hitter's
+    # residual count positive; int()+1 gives that with margin
+    k = max(2, int(1 / phi) + 1)
+
+    import pandas as pd
+
+    def mg(batches):
+        # per-batch exact value_counts merged into the MG summary (the
+        # mergeable-summaries procedure: add, then subtract the (k+1)-th
+        # largest count from all and keep positives) — vectorized, never a
+        # per-token Python loop
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[item_col].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                thresh = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    key: c - thresh for key, c in counters.items() if c > thresh
+                }
+        yield pd.DataFrame({item_col: list(counters.keys())})
+
+    src = items.select(item_col)
+    cands = (
+        src.mapInPandas(mg, schema=src.schema)
+        .distinct()
+    )
+    total = src.count()
+    counted = (
+        src.join(F.broadcast(cands), item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= phi * total)
+    )
+    return counted.select(
+        item_col,
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.round(F.col("cnt") / F.lit(total), 6).alias("frac"),
+    )
+
+
+_HH_PHI = 0.002
+
+
+@register(
+    "q_agg_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT UNNEST(string_split(LOWER(text), ' ')) AS token FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS total FROM tok)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(COUNT(*) / (SELECT CAST(total AS DOUBLE) FROM n), 6) AS frac
+    FROM tok GROUP BY token
+    HAVING COUNT(*) >= {_HH_PHI} * (SELECT total FROM n)
+    """,
+    tags=("D4", "sketch", "J5"),
+    demoted=True,
+)
+def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens occupying ≥ 0.2% of the corpus token stream, via the
+    Misra-Gries candidate pass + exact verify. Output is EXACTLY the full
+    groupBy-count answer (the oracle), but the plan never shuffles the
+    vocabulary — the scale story is the plan, not an approximation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    return heavy_hitters(toks, "token", _HH_PHI)

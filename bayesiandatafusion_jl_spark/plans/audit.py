@@ -163,6 +163,12 @@ NOTES = {
         " aggregates per stage, not filter+count re-executions); only the"
         " final survivors enter the packing scan"
     ),
+    "q_agg_heavy_hitters": (
+        "r8: two-pass Misra-Gries — candidate pass is map-only mapInPandas"
+        " (k=501 counters/partition), verify pass semi-joins the broadcast"
+        " candidate set so the count shuffle is bounded by k·P keys, never"
+        " the vocabulary; output EXACTLY equals the full groupBy (oracle)"
+    ),
     "q_llm_ann_index": (
         "r8: persisted IVF — postings parquet partitioned by cell_id;"
         " probe scan carries a STATIC cell_id IN(...) partition filter"

@@ -278,3 +278,43 @@ def test_hashed_span_variants_match_string_path(spark):
     ra = sorted(remove_duplicated_spans(docs, n=3).collect())
     rb = sorted(remove_duplicated_spans(docs, n=3, hash_spans=True).collect())
     assert ra == rb
+
+
+def test_heavy_hitters_exact_on_skewed_stream(spark):
+    from bayesiandatafusion_jl_spark.operators.aggregates import heavy_hitters
+
+    # skewed stream: item i appears ~N/(i+1) times (Zipf-ish), scattered
+    # across many partitions so no single partition sees the global picture
+    df = (
+        spark.range(0, 50_000, 1, 16)
+        .select((F.col("id") % 997).alias("raw"))
+        .select(
+            F.when(F.col("raw") < 300, F.lit(0))
+            .when(F.col("raw") < 450, F.lit(1))
+            .when(F.col("raw") < 540, F.lit(2))
+            .otherwise(F.col("raw"))
+            .cast("string")
+            .alias("item")
+        )
+        .repartition(16)  # round-robin: every partition sees every item
+    )
+    phi = 0.05
+    got = {r.item: r.cnt for r in heavy_hitters(df, "item", phi).collect()}
+    exact = {
+        r.item: r.cnt
+        for r in df.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+        if r.cnt >= phi * 50_000
+    }
+    assert got == exact and len(exact) >= 2
+
+
+def test_heavy_hitters_phi_validation(spark):
+    from bayesiandatafusion_jl_spark.operators.aggregates import heavy_hitters
+
+    df = spark.createDataFrame([("a",)], "item string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        heavy_hitters(df, "item", 0.0)
