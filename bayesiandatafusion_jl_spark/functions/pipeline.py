@@ -7,15 +7,17 @@ the chain's interplay is itself oracle-checked — per-stage document and
 token counts, ending with the number of context windows the packed stream
 occupies.
 
-Scale shape: the stage flags (quality keep, contaminated, mixture keep)
-are computed as COLUMNS over a single scan of the corpus — quality and
-mixture are map-only expressions, contamination is one broadcast-hash
-join of the gram stream against the tiny eval-gram set plus a distinct on
-hit doc_ids — and every per-stage count is a conditional aggregate over
-that one flags frame. The naive alternative (filter → count per stage)
-re-executes the upstream pipeline once per stage. Packing then runs only
-over the final survivors, which is where a pipeline would hand off to the
-training-data writer.
+Scale shape: the train corpus's TEXT is read exactly ONCE — the per-doc
+quality metrics ride along the 4-gram explode (map-side expressions on
+the same projected row), the gram stream joins the broadcast eval-gram
+set, and one per-doc partial aggregate folds both the metrics (``first``)
+and the contamination hit (``max``) back to doc grain. Stage counts are
+then conditional aggregates over that one flags frame. The naive
+alternatives both lose at 100 TB: filter→count per stage re-executes the
+pipeline per stage, and computing quality and contamination as separate
+legs reads the text column twice. The eval side is a second, tiny read
+(source-pruned). Packing then runs only over the final survivors, which
+is where a pipeline would hand off to the training-data writer.
 """
 
 from __future__ import annotations
@@ -43,6 +45,7 @@ from bayesiandatafusion_jl_spark.operators.sampling import (
     _sql_bucket,
 )
 from bayesiandatafusion_jl_spark.registry import register
+from bayesiandatafusion_jl_spark.session import checkpoint_df
 
 _CAPACITY = 256
 _EVAL_SOURCE = "src0"
@@ -56,11 +59,16 @@ def pipeline_stage_counts(
     source, text) frame: raw → quality → decontaminated → mixture →
     packed (where n_docs is the count of distinct context windows in
     which a surviving document STARTS)."""
-    tk = F.split(F.lower("text"), " ")
-    n_tok = F.size(tk)
-    dup = F.lit(1.0) - F.size(F.array_distinct(tk)).cast("double") / n_tok
+    toks = docs.select(
+        "doc_id", "source", F.split(F.lower("text"), " ").alias("tk")
+    )
+    # quality metrics over the materialized token array
+    n_tok = F.size("tk")
+    dup = F.lit(1.0) - F.size(F.array_distinct("tk")).cast("double") / n_tok
     en = list(_LANG_MARKERS["en"])
-    en_score = F.size(F.filter(tk, lambda t: t.isin(en))).cast("double") / n_tok
+    en_score = (
+        F.size(F.filter("tk", lambda t: t.isin(en))).cast("double") / n_tok
+    )
     keep_q = ~(
         (n_tok < _QF_MIN_TOKENS)
         | (n_tok > _QF_MAX_TOKENS)
@@ -68,19 +76,11 @@ def pipeline_stage_counts(
         | (en_score < _QF_MIN_LANG_SCORE)
     )
 
-    toks = docs.select("doc_id", "source", tk.alias("tk"))
     ev = (
         toks.filter(F.col("source") == _EVAL_SOURCE)
         .select(F.explode(_ngrams("tk", _DECON_N)).alias("g"))
         .distinct()
-    )
-    contam = (
-        toks.filter(F.col("source") != _EVAL_SOURCE)
-        .select("doc_id", F.explode(_ngrams("tk", _DECON_N)).alias("g"))
-        .join(F.broadcast(ev), "g")
-        .select("doc_id")
-        .distinct()
-        .withColumn("__c", F.lit(1))
+        .withColumn("__h", F.lit(1))
     )
 
     thr: F.Column = F.lit(int(_MIX_DEFAULT * _MOD))
@@ -90,18 +90,32 @@ def pipeline_stage_counts(
         ).otherwise(thr)
     keep_mix = _bucket(["doc_id"]) < thr
 
-    flags = (
-        docs.filter(F.col("source") != _EVAL_SOURCE)
-        .select(
-            "doc_id",
-            "source",
-            n_tok.cast("long").alias("n_tokens"),
-            keep_q.alias("keep_q"),
-            keep_mix.alias("keep_mix"),
-        )
-        .join(contam, "doc_id", "left")
-        .withColumn("contam", F.col("__c").isNotNull())
+    # ONE text read for the train side: quality metrics + mixture flag are
+    # map-side columns on the same row as the gram explode (explode_outer
+    # keeps sub-n-gram docs), the eval-gram set broadcasts into the stream,
+    # and one per-doc partial agg (first/max fold map-side) restores doc
+    # grain with the contamination hit attached
+    exploded = toks.filter(F.col("source") != _EVAL_SOURCE).select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        keep_q.alias("keep_q"),
+        keep_mix.alias("keep_mix"),
+        F.explode_outer(_ngrams("tk", _DECON_N)).alias("g"),
     )
+    flags = (
+        exploded.join(F.broadcast(ev), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.first("keep_q").alias("keep_q"),
+            F.first("keep_mix").alias("keep_mix"),
+            F.coalesce(F.max("__h") == 1, F.lit(False)).alias("contam"),
+        )
+    )
+    # flags is doc-grain (no text — tiny vs the corpus) and feeds BOTH the
+    # stage aggregate and the packing leg; materialize once so the
+    # text-scan pipeline above runs a single time, not once per consumer
+    flags = checkpoint_df(flags)
 
     survive_q = F.col("keep_q")
     survive_d = survive_q & ~F.col("contam")

@@ -159,9 +159,11 @@ NOTES = {
         " estimator, no old-side shingle sets"
     ),
     "q_llm_pipeline_compose": (
-        "r8: stage flags as COLUMNS over one corpus scan (conditional"
-        " aggregates per stage, not filter+count re-executions); only the"
-        " final survivors enter the packing scan"
+        "r8: train TEXT read once — quality metrics ride the 4-gram"
+        " explode, eval grams broadcast in, one per-doc partial agg folds"
+        " metrics+hit back to doc grain; flags checkpointed (doc-grain,"
+        " tiny) so the stage aggregate and packing leg share one"
+        " execution; stage counts are conditional aggregates"
     ),
     "q_agg_heavy_hitters": (
         "r8: two-pass Misra-Gries — candidate pass is map-only mapInPandas"
