@@ -342,3 +342,60 @@ def attribution_join(
     return clicks.join(buys, cond, "inner").select(
         "click_id", "purchase_id", "user_id", "click_ts", "purchase_ts", "amount"
     )
+
+
+def near_dup_stream(
+    docs_stream: DataFrame,
+    index_dir: str,
+    pairs_out: str,
+    checkpoint_dir: str,
+    jaccard_min: float = 0.5,
+    **lsh_params,
+):
+    """Streaming incremental near-dup: every micro-batch of (doc_id, text)
+    is LSH-probed against the persisted signature index
+    (``functions.dedup_index``), its near-dup pairs appended to
+    ``pairs_out`` (parquet), and its signatures appended to the index — so
+    each arriving shard is deduped against ALL history (including earlier
+    micro-batches) while only ever signing the new rows.
+
+    This is ``foreachBatch`` by design, not a stateful operator: the dedup
+    state (the signature index) must outlive the stream, be shared with
+    batch jobs, and be rebuildable/compactable offline — a parquet index
+    probed per batch gives all three, where an in-stream state store gives
+    none. The per-batch work is the audited ``dedup_incremental`` plan
+    (new shard signed once, (band,bucket) probe, no old-corpus recompute);
+    exactly-once for the SINK comes from the streaming checkpoint +
+    idempotent-overwrite semantics of the batch id partition below, while
+    index appends are at-least-once (re-appended signatures create
+    self-pairs with jaccard_est=1.0 that downstream keep-rules collapse;
+    documented trade for an index any batch job can also append to).
+
+    Returns the started query; drive with ``processAllAvailable()`` or a
+    trigger.
+    """
+    from bayesiandatafusion_jl_spark.functions.dedup_index import (
+        dedup_incremental,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        pairs = dedup_incremental(
+            batch_df.select("doc_id", "text"),
+            index_dir,
+            jaccard_min=jaccard_min,
+            update_index=True,
+            **lsh_params,
+        ).withColumn("batch_id", F.lit(batch_id))
+        # partitioned by batch_id: a replayed batch overwrites its own
+        # partition (idempotent), never others
+        pairs.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(pairs_out)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

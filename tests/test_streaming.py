@@ -361,3 +361,59 @@ def test_stream_stream_attribution_join(stream_env):
 
     amounts = {r["click_id"]: r["amount"] for r in spark.table(name).collect()}
     assert amounts == {1: 9.5, 3: 3.0}
+
+
+def test_near_dup_stream_across_microbatches(spark, tmp_path):
+    """Docs arrive as two file drops; a twin of a batch-1 doc arrives in
+    batch 2 and must pair against the INDEX (which batch 1 appended to),
+    proving cross-micro-batch dedup without re-signing history."""
+    from bayesiandatafusion_jl_spark.functions.dedup_index import (
+        write_signature_index,
+    )
+    from bayesiandatafusion_jl_spark.streaming import pipelines as P
+
+    src = str(tmp_path / "docs_in")
+    index_dir = str(tmp_path / "sig_index")
+    pairs_out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def doc(i, drop_first=False):
+        toks = [f"w{i}x{j}" for j in range(30)]
+        return (i, " ".join(toks[1:] if drop_first else toks))
+
+    # seed index with a pre-stream corpus (docs 0-9)
+    seed = spark.createDataFrame(
+        [doc(i) for i in range(10)], "doc_id long, text string"
+    )
+    write_signature_index(seed, index_dir)
+
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # batch 1: fresh docs 100-104 (one of which, 100, twins seed doc 3)
+    b1 = [doc(i) for i in range(101, 105)] + [(100, doc(3, True)[1])]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    q = P.near_dup_stream(stream, index_dir, pairs_out, ckpt)
+    try:
+        q.processAllAvailable()
+        # batch 2: doc 200 twins STREAMED doc 101 (cross-micro-batch)
+        b2 = [(200, doc(101, True)[1]), doc(201)]
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in spark.read.parquet(pairs_out).collect()
+    }
+    assert (100, 3) in pairs  # stream vs pre-stream index
+    assert (200, 101) in pairs  # batch 2 vs batch 1 — via the index append
+    assert not any(a in (201,) for a, _ in pairs)
