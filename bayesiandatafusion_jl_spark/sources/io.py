@@ -95,3 +95,72 @@ def write_range_sorted(
         else df.repartitionByRange(*cols)
     )
     part.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_partitions: int | None = None,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) clustered parquet layout over 2+ numeric
+    columns — the multi-dimensional complement to ``write_range_sorted``:
+    a 1-D range sort gives one column tight per-file min/max spans and
+    leaves every OTHER column's span at ~full range per file; interleaving
+    the columns' bit representations orders by a space-filling curve, so
+    EVERY clustered column gets a narrow span in every file and selective
+    predicates on ANY of them skip files on footer stats (the same
+    mechanism Delta/Iceberg OPTIMIZE ZORDER uses).
+
+    Construction (all map-side except the one clustering shuffle):
+
+    1. one scalar agg for per-column min/max (bounded collect);
+    2. each column scaled to a ``bits``-bit integer rank (double math —
+       rank quality only affects locality, never correctness: the data
+       itself is written unmodified);
+    3. ranks bit-interleaved into the Morton value as a plain
+       shiftleft/and expression sum (whole-stage codegen);
+    4. ``repartitionByRange`` + ``sortWithinPartitions`` on the Morton
+       value, which is then dropped before write.
+
+    ``bits`` × len(cols) must fit in a long (≤ 62); 16 bits per dimension
+    distinguishes 65k quantiles per column — far finer than file count.
+    """
+    if len(cols) < 2:
+        raise ValueError("z-ordering needs >= 2 columns; use write_range_sorted")
+    if bits * len(cols) > 62:
+        raise ValueError(f"bits*len(cols) must be <= 62, got {bits * len(cols)}")
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+
+    top = (1 << bits) - 1
+    ranks = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        r = F.least(
+            F.lit(top),
+            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top),
+        ).cast("long")
+        ranks.append(r)
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for j, r in enumerate(ranks):
+        for i in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(r, i).bitwiseAND(F.lit(1)), i * k + j
+            ).cast("long")
+
+    staged = df.withColumn("__z", z)
+    part = (
+        staged.repartitionByRange(n_partitions, "__z")
+        if n_partitions is not None
+        else staged.repartitionByRange("__z")
+    )
+    part.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)

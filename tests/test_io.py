@@ -174,3 +174,59 @@ def test_range_sorted_layout_prunes(spark, tmp_path):
 
     with pytest.raises(ValueError, match="n_partitions"):
         io.write_range_sorted(df, path, ["k"], n_partitions=0)
+
+
+def test_zordered_layout_clusters_both_dims(spark, tmp_path):
+    """Z-order must give BOTH columns narrow per-file footer spans; the
+    1-D range sort (the alternative) provably cannot: its secondary
+    column spans ~the full range in every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    df = (
+        spark.range(40_000)
+        .select(
+            (F.col("id") % 200).cast("double").alias("x"),
+            ((F.col("id") * 7919) % 200).cast("double").alias("y"),
+        )
+        .repartition(8)
+    )
+    zpath, rpath = str(tmp_path / "zord"), str(tmp_path / "rsort")
+    io.write_zordered(df, zpath, ["x", "y"], n_partitions=16)
+    io.write_range_sorted(df, rpath, ["x"], n_partitions=16)
+
+    def avg_spans(path, col_idx):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mn = min(
+                md.row_group(rg).column(col_idx).statistics.min
+                for rg in range(md.num_row_groups)
+            )
+            mx = max(
+                md.row_group(rg).column(col_idx).statistics.max
+                for rg in range(md.num_row_groups)
+            )
+            spans.append(mx - mn)
+        return sum(spans) / len(spans)
+
+    # full range is 199; z-order: both dims clustered (≈ range/sqrt(16))
+    assert avg_spans(zpath, 0) < 100
+    assert avg_spans(zpath, 1) < 100
+    # 1-D sort: x tight but y unclustered — z-order's y is far tighter
+    assert avg_spans(rpath, 0) < 30
+    assert avg_spans(rpath, 1) > 150
+    assert avg_spans(zpath, 1) < avg_spans(rpath, 1) / 2
+    # content preserved
+    back = spark.read.parquet(zpath)
+    assert back.count() == 40_000
+
+
+def test_zordered_validation(spark, tmp_path):
+    df = spark.range(10).select(F.col("id").cast("double").alias("x"))
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        io.write_zordered(df, str(tmp_path / "z1"), ["x"])
+    df2 = df.withColumn("y", F.col("x"))
+    with pytest.raises(ValueError, match="<= 62"):
+        io.write_zordered(df2, str(tmp_path / "z2"), ["x", "y"], bits=32)
