@@ -270,6 +270,21 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mg_merge(counters: dict, batch_counts: dict, k: int) -> dict:
+    """Merge exact batch counts into a Misra-Gries summary of ≤ k counters
+    (Agarwal et al. 2012 mergeable-summaries procedure: add, then subtract
+    the (k+1)-th largest count from all and keep positives). Invariant
+    (hypothesis-pinned in tests/test_properties.py): after any sequence of
+    merges over a stream of total length n, every item with true frequency
+    > n/(k+1) is present in the summary."""
+    for v, c in batch_counts.items():
+        counters[v] = counters.get(v, 0) + c
+    if len(counters) > k:
+        thresh = sorted(counters.values(), reverse=True)[k]
+        counters = {key: c - thresh for key, c in counters.items() if c > thresh}
+    return counters
+
+
 def heavy_hitters(
     items: DataFrame, item_col: str, phi: float
 ) -> DataFrame:
@@ -309,19 +324,13 @@ def heavy_hitters(
     import pandas as pd
 
     def mg(batches):
-        # per-batch exact value_counts merged into the MG summary (the
-        # mergeable-summaries procedure: add, then subtract the (k+1)-th
-        # largest count from all and keep positives) — vectorized, never a
-        # per-token Python loop
+        # per-batch exact value_counts merged into the MG summary —
+        # vectorized, never a per-token Python loop
         counters: dict = {}
         for pdf in batches:
-            for v, c in pdf[item_col].value_counts().items():
-                counters[v] = counters.get(v, 0) + int(c)
-            if len(counters) > k:
-                thresh = sorted(counters.values(), reverse=True)[k]
-                counters = {
-                    key: c - thresh for key, c in counters.items() if c > thresh
-                }
+            counters = _mg_merge(
+                counters, {v: int(c) for v, c in pdf[item_col].value_counts().items()}, k
+            )
         yield pd.DataFrame({item_col: list(counters.keys())})
 
     src = items.select(item_col)

@@ -165,3 +165,63 @@ def test_salted_join_equals_plain_join(spark):
         salted_join(fact, mid, "k", how="right")
     with pytest.raises(ValueError, match="n_salt"):
         salted_join(fact, mid, "k", n_salt=0)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(0, 10**6),
+    k=st.integers(2, 20),
+    n=st.integers(1, 2_000),
+    vocab=st.integers(1, 50),
+    n_batches=st.integers(1, 8),
+)
+def test_mg_merge_superset_guarantee(seed, k, n, vocab, n_batches):
+    """For ANY stream split into ANY batches, every item with frequency
+    > n/(k+1) must survive the merged Misra-Gries summary — the invariant
+    heavy_hitters' exactness rests on."""
+    from collections import Counter
+
+    from bayesiandatafusion_jl_spark.operators.aggregates import _mg_merge
+
+    rng = np.random.default_rng(seed)
+    # skewed stream so heavy items actually exist
+    stream = rng.zipf(1.5, size=n) % vocab
+    cuts = sorted(rng.integers(0, n + 1, size=n_batches - 1)) if n_batches > 1 else []
+    batches = np.split(stream, cuts)
+    counters: dict = {}
+    for b in batches:
+        counters = _mg_merge(counters, dict(Counter(b.tolist())), k)
+    true = Counter(stream.tolist())
+    for item, freq in true.items():
+        if freq > n / (k + 1):
+            assert item in counters, (item, freq, n, k)
+    assert len(counters) <= k
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 10**6),
+    n_docs=st.integers(1, 60),
+    capacity=st.integers(1, 64),
+)
+def test_packing_arithmetic_reference(seed, n_docs, capacity):
+    """Pure-python reference of the packing arithmetic: for any lengths and
+    capacity, (bin_id, offset) from the exclusive prefix sum satisfies
+    pos = bin_id*capacity + offset with 0 <= offset < capacity, and chunk
+    spans partition [pos, pos+len)."""
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(0, 5 * capacity, size=n_docs)
+    pos = 0
+    for ln in lens:
+        b, o = pos // capacity, pos % capacity
+        assert b * capacity + o == pos and 0 <= o < capacity
+        # chunk spans cover [pos, pos+ln) contiguously
+        if ln > 0:
+            covered = 0
+            for bb in range(pos // capacity, (pos + int(ln) - 1) // capacity + 1):
+                s = max(pos, bb * capacity)
+                e = min(pos + int(ln), (bb + 1) * capacity)
+                assert e > s
+                covered += e - s
+            assert covered == ln
+        pos += int(ln)
