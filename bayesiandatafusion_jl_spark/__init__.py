@@ -62,6 +62,46 @@ _LAZY = {
     "ess": ("bayesiandatafusion_jl_spark.ml.diagnostics", "ess"),
     # skew-resistant equi-join
     "salted_join": ("bayesiandatafusion_jl_spark.operators.joins", "salted_join"),
+    # r8: incremental dedup index + persisted IVF
+    "write_signature_index": (
+        "bayesiandatafusion_jl_spark.functions.dedup_index",
+        "write_signature_index",
+    ),
+    "dedup_incremental": (
+        "bayesiandatafusion_jl_spark.functions.dedup_index",
+        "dedup_incremental",
+    ),
+    "write_ivf_index": (
+        "bayesiandatafusion_jl_spark.functions.vector_index",
+        "write_ivf_index",
+    ),
+    "ann_ivf_query_index": (
+        "bayesiandatafusion_jl_spark.functions.vector_index",
+        "ann_ivf_query_index",
+    ),
+    # r8: corpus rewrite + packing + exact heavy hitters
+    "remove_duplicated_spans": (
+        "bayesiandatafusion_jl_spark.functions.text",
+        "remove_duplicated_spans",
+    ),
+    "pack_sequences": ("bayesiandatafusion_jl_spark.functions.packing", "pack_sequences"),
+    "pack_chunks": ("bayesiandatafusion_jl_spark.functions.packing", "pack_chunks"),
+    "heavy_hitters": (
+        "bayesiandatafusion_jl_spark.operators.aggregates",
+        "heavy_hitters",
+    ),
+    # r8: table maintenance + layouts
+    "merge_upsert": ("bayesiandatafusion_jl_spark.operators.maintenance", "merge_upsert"),
+    "scd2_history": ("bayesiandatafusion_jl_spark.operators.maintenance", "scd2_history"),
+    "compact_parquet": (
+        "bayesiandatafusion_jl_spark.operators.maintenance",
+        "compact_parquet",
+    ),
+    "write_zordered": ("bayesiandatafusion_jl_spark.sources.io", "write_zordered"),
+    "write_range_sorted": (
+        "bayesiandatafusion_jl_spark.sources.io",
+        "write_range_sorted",
+    ),
 }
 
 
@@ -84,4 +124,9 @@ __all__ = [
     "macau", "bpmf", "MacauTrainer", "TrainResult", "RelationData", "get_spark",
     "knn_topk", "ann_ivf_search", "lsh_near_dup_pairs", "dedup_keep_representatives",
     "rhat", "ess", "salted_join",
+    "write_signature_index", "dedup_incremental",
+    "write_ivf_index", "ann_ivf_query_index",
+    "remove_duplicated_spans", "pack_sequences", "pack_chunks", "heavy_hitters",
+    "merge_upsert", "scd2_history", "compact_parquet",
+    "write_zordered", "write_range_sorted",
 ]
