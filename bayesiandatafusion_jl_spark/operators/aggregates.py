@@ -325,30 +325,45 @@ def heavy_hitters(
 
     def mg(batches):
         # per-batch exact value_counts merged into the MG summary —
-        # vectorized, never a per-token Python loop
+        # vectorized, never a per-token Python loop. The partition's row
+        # count rides along as one extra (NULL item) row so the stream
+        # total needs no separate counting pass.
         counters: dict = {}
+        n_local = 0
         for pdf in batches:
+            n_local += len(pdf)
             counters = _mg_merge(
                 counters, {v: int(c) for v, c in pdf[item_col].value_counts().items()}, k
             )
-        yield pd.DataFrame({item_col: list(counters.keys())})
+        yield pd.DataFrame(
+            {
+                item_col: list(counters.keys()) + [None],
+                "__n": [0] * len(counters) + [n_local],
+            }
+        )
 
     src = items.select(item_col)
-    cands = (
-        src.mapInPandas(mg, schema=src.schema)
-        .distinct()
+    item_type = src.schema[item_col].dataType.simpleString()
+    # summary is tiny (≤ (k+1)·P rows) but feeds two consumers (candidate
+    # set + total); checkpoint so the candidate PASS runs once
+    from bayesiandatafusion_jl_spark.session import checkpoint_df
+
+    summary = checkpoint_df(
+        src.mapInPandas(mg, schema=f"{item_col} {item_type}, __n long")
     )
-    total = src.count()
+    cands = summary.filter(F.col(item_col).isNotNull()).select(item_col).distinct()
+    total = F.broadcast(summary.agg(F.sum("__n").alias("__total")))
     counted = (
         src.join(F.broadcast(cands), item_col, "left_semi")
         .groupBy(item_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= phi * total)
+        .crossJoin(total)
+        .filter(F.col("cnt") >= phi * F.col("__total"))
     )
     return counted.select(
         item_col,
         F.col("cnt").cast("bigint").alias("cnt"),
-        F.round(F.col("cnt") / F.lit(total), 6).alias("frac"),
+        F.round(F.col("cnt") / F.col("__total"), 6).alias("frac"),
     )
 
 
