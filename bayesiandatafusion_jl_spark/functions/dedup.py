@@ -436,8 +436,13 @@ def q_llm_scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       recovery. Ground truth: every doc with doc_id % 7 == 0 gets a
       mutated twin (first token dropped); quality = fraction of twin
       pairs found (banded/bucketed candidates only — no all-pairs).
-    - ``ivf_knn`` / ``mllib_brp``: ANN top-5 for 10 queries; quality =
-      recall vs the exact brute-force cosine top-5 (q_llm_knn).
+    - ``incremental_lsh`` (r8): the twin SHARD probed against the
+      persisted signature index (functions/dedup_index.py) — only the
+      shard is signed; same twin recall metric.
+    - ``ivf_knn`` / ``mllib_brp`` / ``ivf_index`` (r8): ANN top-5 for 10
+      queries; quality = recall vs the exact brute-force cosine top-5
+      (q_llm_knn); ``ivf_index`` serves from the persisted
+      partition-pruned inverted file (functions/vector_index.py).
     - ``approx_distinct``: HLL++ distinct users (D4); quality =
       approx/exact ratio (2% target precision).
 
@@ -473,9 +478,30 @@ def q_llm_scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((method, n, rec))
     corpus.unpersist()
 
+    # r8: incremental path — twin shard probed against the PERSISTED
+    # signature index (only the shard is signed; same twin ground truth;
+    # pairs normalized to (orig, twin) order for the shared recall metric)
+    from bayesiandatafusion_jl_spark.functions.dedup_index import (
+        q_llm_dedup_incremental,
+    )
+
+    inc = q_llm_dedup_incremental(spark, sf_dir).select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+    )
+    n, rec = twin_recall(inc)
+    rows.append(("incremental_lsh", n, rec))
+
     brute = q_llm_knn(spark, sf_dir).select("qid", "nb_id").persist()
     n_brute = brute.count()
-    for method, fn in (("ivf_knn", q_llm_knn_ivf), ("mllib_brp", q_llm_knn_brp_mllib)):
+    from bayesiandatafusion_jl_spark.functions.vector_index import q_llm_ann_index
+
+    for method, fn in (
+        ("ivf_knn", q_llm_knn_ivf),
+        ("mllib_brp", q_llm_knn_brp_mllib),
+        # r8: same queries served from the PERSISTED partition-pruned index
+        ("ivf_index", q_llm_ann_index),
+    ):
         ann = fn(spark, sf_dir).select("qid", "nb_id")
         hit = ann.join(brute, ["qid", "nb_id"], "left_semi").count()
         rows.append((method, ann.count(), hit / n_brute if n_brute else 0.0))
