@@ -6,12 +6,20 @@ frames under ``index_dir``:
 
 - ``sigs``   — (doc_id, sig: array<long>) MinHash signatures;
 - ``buckets`` — (doc_id, band, bucket) LSH band buckets, range-sorted on
-  (band, bucket) via ``sources.io.write_range_sorted`` so a probe of a
-  band/bucket slice skips files on footer stats;
+  (band, bucket) within each write so a probe of a band/bucket slice
+  skips files on footer stats;
 - ``meta``   — one row pinning (n_hashes, n_bands, rows_per_band,
   shingle_k); an incremental query validates against it so an index
   written under one banding can never be silently probed under another
   (band hashes would disagree and recall would quietly drop to ~0).
+
+Both data frames are PARTITIONED BY an ``__epoch`` string (one per
+ingested shard). That makes shard appends IDEMPOTENT: an append is a
+dynamic-partition overwrite of its own epoch directory, so a replayed
+shard (streaming micro-batch retry, rerun batch job) replaces its
+previous signatures instead of duplicating them — duplicated index rows
+would otherwise double every future pair involving the replayed docs.
+Readers project explicit columns, so the epoch column never leaks.
 
 ``dedup_incremental`` shingles and signs ONLY the new shard (one linear
 pass), probes the stored buckets with a (band, bucket) equi-join, and
@@ -39,13 +47,17 @@ from bayesiandatafusion_jl_spark.functions.dedup import (
     minhash_signatures,
     shingles,
 )
+from bayesiandatafusion_jl_spark.functions.index_meta import (
+    check_meta,
+    index_paths,
+    write_meta,
+)
 from bayesiandatafusion_jl_spark.registry import register
-from bayesiandatafusion_jl_spark.sources.io import write_range_sorted
+from bayesiandatafusion_jl_spark.session import checkpoint_df
 
 
 def _paths(index_dir: str) -> tuple[str, str, str]:
-    d = index_dir.rstrip("/")
-    return f"{d}/sigs", f"{d}/buckets", f"{d}/meta"
+    return index_paths(index_dir, "sigs", "buckets", "meta")
 
 
 def _signatures(
@@ -59,6 +71,37 @@ def _signatures(
     )
 
 
+def _write_epoch(
+    df: DataFrame,
+    path: str,
+    epoch: str,
+    wipe: bool,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write one shard's rows under ``__epoch=<epoch>``. ``wipe=True``
+    replaces the WHOLE directory (fresh index); otherwise a dynamic
+    partition overwrite replaces only this epoch — the idempotent-replay
+    primitive every append path here goes through."""
+    staged = df.withColumn("__epoch", F.lit(epoch))
+    if sort_cols:
+        staged = staged.repartitionByRange(
+            *[F.col(c) for c in sort_cols]
+        ).sortWithinPartitions(*sort_cols)
+    writer = staged.write.mode("overwrite").partitionBy("__epoch")
+    if not wipe:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.parquet(path)
+
+
+def _check_banding(spark: SparkSession, meta_path: str, **params: int) -> None:
+    check_meta(
+        spark,
+        meta_path,
+        "band hashes would disagree and recall would silently collapse",
+        **params,
+    )
+
+
 def write_signature_index(
     corpus: DataFrame,
     index_dir: str,
@@ -67,53 +110,56 @@ def write_signature_index(
     rows_per_band: int = 4,
     shingle_k: int = 3,
     mode: str = "overwrite",
+    epoch: str = "base",
 ) -> None:
     """Build the at-rest signature index for ``corpus`` (doc_id, text).
 
     One signature pass feeds both frames (the sig frame is persisted
     across the two writes, then released). ``mode="append"`` adds a new
-    shard to an existing index — the params must match ``meta`` (checked).
+    shard under its own ``epoch`` — the params must match ``meta``
+    (checked), and re-appending the SAME epoch overwrites that epoch's
+    rows (idempotent replay), never duplicates them.
     """
     if n_hashes != n_bands * rows_per_band:
         raise ValueError("n_hashes must equal n_bands * rows_per_band")
     sig_path, bucket_path, meta_path = _paths(index_dir)
     spark = corpus.sparkSession
     if mode == "append":
-        _check_meta(spark, meta_path, n_hashes, n_bands, rows_per_band, shingle_k)
+        _check_banding(
+            spark,
+            meta_path,
+            n_hashes=n_hashes,
+            n_bands=n_bands,
+            rows_per_band=rows_per_band,
+            shingle_k=shingle_k,
+        )
+        if epoch == "base":
+            raise ValueError(
+                "append needs a unique epoch per shard (epoch='base' is the "
+                "fresh-build epoch)"
+            )
     sigs = _signatures(corpus, n_hashes, shingle_k).persist()
+    wipe = mode != "append"
     try:
-        sigs.write.mode(mode).parquet(sig_path)
-        write_range_sorted(
+        _write_epoch(sigs, sig_path, epoch, wipe)
+        _write_epoch(
             band_buckets(sigs, n_bands=n_bands, rows_per_band=rows_per_band),
             bucket_path,
-            ["band", "bucket"],
-            mode=mode,
+            epoch,
+            wipe,
+            sort_cols=["band", "bucket"],
         )
     finally:
         sigs.unpersist()
-    if mode != "append":
-        spark.createDataFrame(
-            [(n_hashes, n_bands, rows_per_band, shingle_k)],
-            "n_hashes int, n_bands int, rows_per_band int, shingle_k int",
-        ).write.mode(mode).parquet(meta_path)
-
-
-def _check_meta(
-    spark: SparkSession,
-    meta_path: str,
-    n_hashes: int,
-    n_bands: int,
-    rows_per_band: int,
-    shingle_k: int,
-) -> None:
-    got = spark.read.parquet(meta_path).collect()[0]
-    want = (n_hashes, n_bands, rows_per_band, shingle_k)
-    have = (got.n_hashes, got.n_bands, got.rows_per_band, got.shingle_k)
-    if want != have:
-        raise ValueError(
-            f"index at {meta_path} was written with (n_hashes, n_bands, "
-            f"rows_per_band, shingle_k)={have}, query asked for {want} — "
-            "band hashes would disagree and recall would silently collapse"
+    if wipe:
+        write_meta(
+            spark,
+            meta_path,
+            "overwrite",
+            n_hashes=n_hashes,
+            n_bands=n_bands,
+            rows_per_band=rows_per_band,
+            shingle_k=shingle_k,
         )
 
 
@@ -126,6 +172,7 @@ def dedup_incremental(
     rows_per_band: int = 4,
     shingle_k: int = 3,
     update_index: bool = False,
+    epoch: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs of a NEW shard against the stored index + within
     itself, WITHOUT touching the old corpus's text.
@@ -146,14 +193,39 @@ def dedup_incremental(
     side from the checkpoint, old side a parquet scan of ``sigs``
     restricted to candidate doc_ids). Nothing scales with the OLD corpus
     except the two index scans.
+
+    ``update_index=True`` requires a unique ``epoch`` naming this shard:
+    the append is a dynamic-partition overwrite of ``__epoch=<epoch>``,
+    so a REPLAYED shard (task retry, rerun job, streaming micro-batch
+    restart) replaces its own earlier rows instead of duplicating them —
+    duplicated signatures would double every future pair involving these
+    docs.
     """
     if n_hashes != n_bands * rows_per_band:
         raise ValueError("n_hashes must equal n_bands * rows_per_band")
+    if update_index and not epoch:
+        raise ValueError(
+            "update_index=True needs a unique epoch per shard (the append "
+            "is an idempotent per-epoch overwrite)"
+        )
     sig_path, bucket_path, meta_path = _paths(index_dir)
     spark = new_docs.sparkSession
-    _check_meta(spark, meta_path, n_hashes, n_bands, rows_per_band, shingle_k)
+    _check_banding(
+        spark,
+        meta_path,
+        n_hashes=n_hashes,
+        n_bands=n_bands,
+        rows_per_band=rows_per_band,
+        shingle_k=shingle_k,
+    )
 
-    new_sigs = _signatures(new_docs, n_hashes, shingle_k).localCheckpoint()
+    # checkpoint_df, not bare localCheckpoint: the persist half grounds the
+    # checkpointed plan's sizeInBytes in the real shard size, so the
+    # (band,bucket) probe and signature-attachment joins can auto-broadcast
+    # the small shard side against the corpus-scale index scans (a bare
+    # localCheckpoint inherits the default 2^63 estimate and forces
+    # sort-merge, shuffling the INDEX — see session.checkpoint_df)
+    new_sigs = checkpoint_df(_signatures(new_docs, n_hashes, shingle_k))
     new_bands = band_buckets(new_sigs, n_bands=n_bands, rows_per_band=rows_per_band)
     old_buckets = spark.read.parquet(bucket_path).select(
         "band", "bucket", F.col("doc_id").alias("doc_b")
@@ -191,13 +263,21 @@ def dedup_incremental(
         .select("doc_a", "doc_b", "jaccard_est", "pair_type")
     )
     if update_index:
-        # append the SAME checkpointed signatures that produced the pairs
-        new_sigs.write.mode("append").parquet(sig_path)
-        write_range_sorted(
+        # materialize the (bounded) pair set BEFORE touching the index: the
+        # scored plan's parquet scans pinned their file listing at read
+        # time, and a replayed epoch's overwrite below DELETES some of
+        # those files — a lazy consumer would hit FILE_NOT_EXIST (or worse,
+        # silently read the post-update index)
+        scored = checkpoint_df(scored)
+        # append the SAME checkpointed signatures that produced the pairs,
+        # as an idempotent per-epoch overwrite
+        _write_epoch(new_sigs, sig_path, epoch, wipe=False)
+        _write_epoch(
             band_buckets(new_sigs, n_bands=n_bands, rows_per_band=rows_per_band),
             bucket_path,
-            ["band", "bucket"],
-            mode="append",
+            epoch,
+            wipe=False,
+            sort_cols=["band", "bucket"],
         )
     return scored
 

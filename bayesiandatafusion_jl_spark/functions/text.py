@@ -717,6 +717,10 @@ def remove_duplicated_spans(
         .groupBy(id_col)
         .agg(F.collect_set("p").alias("__starts"))
     )
+    # materialize the kept-token array ONCE (HOF expressions don't get
+    # codegen subexpression elimination, and the exists-scan is the
+    # acknowledged O(tokens × covered_starts) worst case — paying it twice
+    # per doc for text_cleaned AND n_removed would double the rebuild)
     kept = (
         f"filter(transform(tk, (t, i) -> struct(t AS t, i AS i)),"
         f" x -> NOT exists(__s, s -> s <= x.i AND x.i < s + {int(n)}))"
@@ -724,15 +728,14 @@ def remove_duplicated_spans(
     return (
         toks.join(starts, id_col, "left")
         .withColumn("__s", F.coalesce("__starts", F.array().cast("array<int>")))
+        .withColumn("__kept", F.expr(kept))
         .select(
             id_col,
-            F.expr(f"concat_ws(' ', transform({kept}, x -> x.t))").alias(
+            F.expr("concat_ws(' ', transform(__kept, x -> x.t))").alias(
                 "text_cleaned"
             ),
             F.size("tk").cast("bigint").alias("n_tokens"),
-            (F.size("tk") - F.expr(f"size({kept})")).cast("bigint").alias(
-                "n_removed"
-            ),
+            (F.size("tk") - F.size("__kept")).cast("bigint").alias("n_removed"),
         )
     )
 

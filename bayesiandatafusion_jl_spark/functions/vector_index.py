@@ -45,12 +45,16 @@ from bayesiandatafusion_jl_spark.functions.vector import (
     _spherical_kmeans,
     dot,
 )
+from bayesiandatafusion_jl_spark.functions.index_meta import (
+    check_meta,
+    index_paths,
+    write_meta,
+)
 from bayesiandatafusion_jl_spark.registry import register
 
 
 def _paths(index_dir: str) -> tuple[str, str, str]:
-    d = index_dir.rstrip("/")
-    return f"{d}/postings", f"{d}/centers", f"{d}/meta"
+    return index_paths(index_dir, "postings", "centers", "meta")
 
 
 def _load_centers(spark: SparkSession, centers_path: str) -> list:
@@ -75,18 +79,27 @@ def write_ivf_index(
     """
     post_path, centers_path, meta_path = _paths(index_dir)
     spark = corpus.sparkSession
-    dim = len(corpus.select("embedding").first()["embedding"])
     if mode == "append":
-        got = spark.read.parquet(meta_path).collect()[0]
-        if (got.n_cells, got.n_assign, got.dim) != (n_cells, n_assign, dim):
-            raise ValueError(
-                f"index at {meta_path} was written with (n_cells, n_assign, "
-                f"dim)=({got.n_cells}, {got.n_assign}, {got.dim}), append "
-                f"asked for ({n_cells}, {n_assign}, {dim})"
-            )
+        # probe the SHARD's dim (appends are shard-sized — one cheap row);
+        # the meta check guards the quantizer config and dimensionality a
+        # mismatched shard would silently mis-bucket
+        row = corpus.select("embedding").first()
+        if row is None or row["embedding"] is None:
+            raise ValueError("cannot append an empty shard to the IVF index")
+        check_meta(
+            spark,
+            meta_path,
+            "a shard assigned under a different quantizer config would be"
+            " silently mis-bucketed",
+            n_cells=n_cells,
+            n_assign=n_assign,
+            dim=len(row["embedding"]),
+        )
         centers = _load_centers(spark, centers_path)
     else:
         centers = _spherical_kmeans(corpus, n_cells)
+        if not centers:
+            raise ValueError("cannot fit an IVF quantizer on an empty corpus")
 
     attach = _cells_attacher(spark, centers)
     src, cells = attach(corpus)
@@ -107,9 +120,14 @@ def write_ivf_index(
             [(i, [float(v) for v in c]) for i, c in enumerate(centers)],
             "cell_id int, ce array<double>",
         ).write.mode(mode).parquet(centers_path)
-        spark.createDataFrame(
-            [(n_cells, n_assign, dim)], "n_cells int, n_assign int, dim int"
-        ).write.mode(mode).parquet(meta_path)
+        write_meta(
+            spark,
+            meta_path,
+            mode,
+            n_cells=n_cells,
+            n_assign=n_assign,
+            dim=len(centers[0]),
+        )
 
 
 def ann_ivf_query_index(

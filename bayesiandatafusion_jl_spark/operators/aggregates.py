@@ -313,6 +313,12 @@ def heavy_hitters(
     groupBy shuffles the vocabulary; this shuffles ⌈1/phi⌉·P keys.
 
     Returns (item_col, cnt, frac) sorted nowhere — order-insensitive.
+
+    NULL items are EXCLUDED — from the candidates, the counts, and the
+    total (pandas value_counts drops them and NULL doubles as the
+    summary's total-marker row, so counting them would silently break the
+    exactness contract; a SQL GROUP BY would instead count NULL as a
+    group). Pre-fill a sentinel if NULL frequency matters.
     """
     if not (0 < phi <= 1):
         raise ValueError(f"phi must be in (0, 1], got {phi}")
@@ -342,7 +348,7 @@ def heavy_hitters(
             }
         )
 
-    src = items.select(item_col)
+    src = items.select(item_col).filter(F.col(item_col).isNotNull())
     item_type = src.schema[item_col].dataType.simpleString()
     # summary is tiny (≤ (k+1)·P rows) but feeds two consumers (candidate
     # set + total); checkpoint so the candidate PASS runs once

@@ -143,10 +143,20 @@ def write_zordered(
     ranks = []
     for c in cols:
         mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None:
+            raise ValueError(
+                f"z-order column {c!r} is entirely NULL — cannot derive a "
+                "rank range; drop it from cols or fill it first"
+            )
         span = (mx - mn) or 1.0
-        r = F.least(
-            F.lit(top),
-            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top),
+        # NULL values rank 0 (cluster at the curve origin, deterministic)
+        # rather than poisoning the Morton key to NULL
+        r = F.coalesce(
+            F.least(
+                F.lit(top),
+                F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top),
+            ),
+            F.lit(0),
         ).cast("long")
         ranks.append(r)
     k = len(cols)

@@ -364,12 +364,15 @@ def near_dup_stream(
     batch jobs, and be rebuildable/compactable offline — a parquet index
     probed per batch gives all three, where an in-stream state store gives
     none. The per-batch work is the audited ``dedup_incremental`` plan
-    (new shard signed once, (band,bucket) probe, no old-corpus recompute);
-    exactly-once for the SINK comes from the streaming checkpoint +
-    idempotent-overwrite semantics of the batch id partition below, while
-    index appends are at-least-once (re-appended signatures create
-    self-pairs with jaccard_est=1.0 that downstream keep-rules collapse;
-    documented trade for an index any batch job can also append to).
+    (new shard signed once, (band,bucket) probe, no old-corpus recompute).
+
+    Replay safety: BOTH writes are idempotent per batch. The pair sink is
+    partitioned by batch_id with dynamic partition overwrite, and the
+    index append goes to ``__epoch=batch_<id>`` the same way
+    (``dedup_incremental``'s epoch contract) — a replayed micro-batch
+    replaces its own earlier pair partition AND its own index epoch, so a
+    crash between the index append and the sink write cannot duplicate
+    signatures or emit a batch's pairs twice.
 
     Returns the started query; drive with ``processAllAvailable()`` or a
     trigger.
@@ -386,6 +389,7 @@ def near_dup_stream(
             index_dir,
             jaccard_min=jaccard_min,
             update_index=True,
+            epoch=f"batch_{batch_id}",
             **lsh_params,
         ).withColumn("batch_id", F.lit(batch_id))
         # partitioned by batch_id: a replayed batch overwrites its own

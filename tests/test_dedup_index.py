@@ -78,14 +78,15 @@ def test_banding_mismatch_rejected(spark, index_dir):
         )
     with pytest.raises(ValueError, match="band hashes would disagree"):
         write_signature_index(
-            _corpus(spark, [100]), index_dir, shingle_k=5, mode="append"
+            _corpus(spark, [100]), index_dir, shingle_k=5, mode="append",
+            epoch="s1",
         )
 
 
 def test_update_index_appends_probed_shard(spark, index_dir):
     write_signature_index(_corpus(spark, range(10)), index_dir)
     shard1 = _corpus(spark, [100])
-    dedup_incremental(shard1, index_dir, update_index=True).collect()
+    dedup_incremental(shard1, index_dir, update_index=True, epoch="s1").collect()
     # a later twin of doc 100 must now hit the index
     twin = _corpus(spark, [100], mutate=[100]).select(
         (F.col("doc_id") + 1000).alias("doc_id"), "text"
@@ -93,6 +94,25 @@ def test_update_index_appends_probed_shard(spark, index_dir):
     pairs = dedup_incremental(twin, index_dir).collect()
     assert {(r.doc_a, r.doc_b) for r in pairs} == {(1100, 100)}
     assert pairs[0].pair_type == "new_index"
+    # epoch is required for appends — silent duplication is not an option
+    with pytest.raises(ValueError, match="unique epoch"):
+        dedup_incremental(shard1, index_dir, update_index=True)
+
+
+def test_replayed_epoch_does_not_duplicate_index_rows(spark, index_dir):
+    write_signature_index(_corpus(spark, range(5)), index_dir)
+    shard = _corpus(spark, [100, 101])
+    # same shard + same epoch twice = replay; index must hold it ONCE
+    for _ in range(2):
+        dedup_incremental(shard, index_dir, update_index=True, epoch="s1").collect()
+    sigs = spark.read.parquet(f"{index_dir}/sigs").select("doc_id")
+    assert sigs.count() == 7  # 5 base + 2 shard, no duplicates
+    # and a future twin of a replayed doc pairs exactly once
+    twin = _corpus(spark, [100], mutate=[100]).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    pairs = dedup_incremental(twin, index_dir).collect()
+    assert [(r.doc_a, r.doc_b) for r in pairs] == [(1100, 100)]
 
 
 def test_plan_never_recomputes_old_signatures(spark, index_dir):

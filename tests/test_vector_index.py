@@ -102,5 +102,5 @@ def test_append_shard_under_stored_centers(spark, index_dir):
 def test_append_meta_mismatch_rejected(spark, index_dir):
     corpus = _clustered(spark)
     write_ivf_index(corpus, index_dir, n_cells=8, n_assign=2)
-    with pytest.raises(ValueError, match="append asked for"):
+    with pytest.raises(ValueError, match="request asked for"):
         write_ivf_index(corpus, index_dir, n_cells=16, n_assign=2, mode="append")
