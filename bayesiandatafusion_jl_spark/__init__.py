@@ -102,6 +102,16 @@ _LAZY = {
         "bayesiandatafusion_jl_spark.sources.io",
         "write_range_sorted",
     ),
+    # r8: PII scrub + deterministic training-shard shuffle
+    "redact_pii": ("bayesiandatafusion_jl_spark.functions.text", "redact_pii"),
+    "shuffle_shards": (
+        "bayesiandatafusion_jl_spark.operators.sampling",
+        "shuffle_shards",
+    ),
+    "write_shuffled_shards": (
+        "bayesiandatafusion_jl_spark.sources.io",
+        "write_shuffled_shards",
+    ),
 }
 
 
@@ -129,4 +139,5 @@ __all__ = [
     "remove_duplicated_spans", "pack_sequences", "pack_chunks", "heavy_hitters",
     "merge_upsert", "scd2_history", "compact_parquet",
     "write_zordered", "write_range_sorted",
+    "redact_pii", "shuffle_shards", "write_shuffled_shards",
 ]

@@ -786,3 +786,129 @@ def q_llm_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned text token-by-token via an interval join."""
     docs = load_table(spark, sf_dir, "documents")
     return remove_duplicated_spans(docs, n=3)
+
+
+# --- PII redaction ---------------------------------------------------------
+#
+# Pattern subset chosen to mean the SAME thing in Java regex (Spark) and
+# RE2 (DuckDB oracle): character classes, bounded repetition, \b word
+# boundaries — no lookarounds, no backrefs. The patterns are deliberately
+# conservative (precision over recall): a pretraining scrub that mangles
+# non-PII text is worse than one that misses an exotic format.
+_PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b",
+    "ip": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Scrub PII spans from ``text_col``: each pattern family is counted
+    (``n_<name>s``, on the ORIGINAL text) then replaced with a typed
+    placeholder (``[EMAIL]`` / ``[PHONE]`` / ``[IP]``) in
+    ``<text_col>_redacted``.
+
+    Map-only — counting and replacement are whole-stage-codegen regexp
+    expressions over one scan, zero exchanges: at 100 TB the scrub costs
+    nothing beyond the read the pipeline already pays. The default families
+    are non-overlapping, so replacement order cannot change the result;
+    custom ``patterns`` are applied in dict order."""
+    pats = patterns if patterns is not None else _PII_PATTERNS
+    out = df
+    for name, pat in pats.items():
+        out = out.withColumn(
+            f"n_{name}s",
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long"),
+        )
+    red = F.col(text_col)
+    for name, pat in pats.items():
+        red = F.regexp_replace(red, pat, f"[{name.upper()}]")
+    return out.withColumn(f"{text_col}_redacted", red)
+
+
+# The testdata word-soup contains no PII, so the registered query plants
+# deterministic spans (keyed on doc_id, identical CONCAT in both engines)
+# before scrubbing — the oracle then exercises real match+replace parity
+# instead of vacuously passing on zero matches.
+_PII_SEED_SQL = """
+         text ||
+         CASE WHEN doc_id % 7 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE '' END ||
+         CASE WHEN doc_id % 11 = 0
+              THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END ||
+         CASE WHEN doc_id % 13 = 0
+              THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.' || CAST(doc_id % 100 AS VARCHAR)
+              ELSE '' END
+"""
+
+
+@register(
+    "q_text_pii_redact",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id, {_PII_SEED_SQL} AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '{_PII_PATTERNS["email"]}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+                '{_PII_PATTERNS["phone"]}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text,
+                '{_PII_PATTERNS["ip"]}')) AS BIGINT) AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '{_PII_PATTERNS["email"]}', '[EMAIL]', 'g'),
+               '{_PII_PATTERNS["phone"]}', '[PHONE]', 'g'),
+             '{_PII_PATTERNS["ip"]}', '[IP]', 'g') AS text_redacted
+    FROM seeded
+    """,
+    tags=("text-quality", "pii"),
+    demoted=True,
+)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over ``documents`` with deterministically planted
+    email/phone/IP spans (see ``redact_pii``); counts are taken pre-scrub,
+    the redacted text is surfaced for byte-level parity checking."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call 555-010-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    (F.col("doc_id") % 100).cast("string"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    return redact_pii(seeded).select(
+        "doc_id", "n_emails", "n_phones", "n_ips", "text_redacted"
+    )

@@ -194,3 +194,77 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(
         docs, ["doc_id"], "source", _MIX_RATES, _MIX_DEFAULT
     ).select("doc_id", "source")
+
+
+# --- deterministic training-shard shuffle ----------------------------------
+
+
+def _shuffle_pos(id_cols: list[str], seed: int) -> F.Column:
+    """Seeded pseudo-random position in [0, _PRIME): the _bucket mix plus
+    the seed folded in as one extra virtual column term, reduced mod the
+    PRIME only (fine grain — ~1e6 distinct positions, vs _bucket's 1e4
+    display buckets)."""
+    mix = F.lit(((seed % _PRIME) + 1) * pow(_MULT, len(id_cols) + 1, _PRIME)).cast(
+        "long"
+    )
+    for k, c in enumerate(id_cols):
+        p = pow(_MULT, k + 1, _PRIME)
+        mix = mix + F.pmod(F.col(c).cast("long"), F.lit(_PRIME)) * F.lit(p)
+    return F.pmod(mix, F.lit(_PRIME).cast("long"))
+
+
+def _sql_shuffle_pos(id_cols: list[str], seed: int) -> str:
+    terms = " + ".join(
+        f"((({c} % {_PRIME}) + {_PRIME}) % {_PRIME} * {pow(_MULT, k + 1, _PRIME)})"
+        for k, c in enumerate(id_cols)
+    )
+    const = ((seed % _PRIME) + 1) * pow(_MULT, len(id_cols) + 1, _PRIME)
+    return f"((({const} + {terms}) % {_PRIME}) + {_PRIME}) % {_PRIME}"
+
+
+def shuffle_shards(
+    df: DataFrame, id_cols: list[str], n_shards: int, seed: int = 0
+) -> DataFrame:
+    """Deterministic global shuffle for training-data serving: every row
+    gets a pseudo-random ``pos`` (seeded identity hash, [0, ~1e6)) and a
+    ``shard`` = pos mod n_shards.
+
+    The trainer's "shuffle the corpus, split into shards, read each shard
+    in order" step WITHOUT a global sort-by-rand(): assignment is map-only
+    (no shuffle, no RNG state, partition-independent), reproducible across
+    reruns/engines from (id_cols, seed) alone, and re-seeding is a new
+    epoch-order permutation at zero storage cost. Within-shard ordering by
+    (pos, id_cols) is deterministic; pos collisions (~birthday at 1e6)
+    only tie-break, never bias. ``write_shuffled_shards``
+    (sources/io.py) persists the layout one file per shard."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    pos = _shuffle_pos(id_cols, seed)
+    return df.withColumn("pos", pos).withColumn(
+        "shard", F.pmod(F.col("pos"), F.lit(n_shards)).cast("int")
+    )
+
+
+_SHUF_N, _SHUF_SEED = 8, 42
+
+
+@register(
+    "q_shuffle_shards",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_sql_shuffle_pos(['doc_id'], _SHUF_SEED)} AS BIGINT) AS pos,
+           CAST(({_sql_shuffle_pos(['doc_id'], _SHUF_SEED)}) % {_SHUF_N} AS INT)
+             AS shard
+    FROM documents
+    """,
+    tags=("sampling", "serving"),
+    demoted=True,
+)
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-deterministic corpus shuffle: documents → (pos, shard) under
+    seed 42 / 8 shards (see ``shuffle_shards``). Demoted: see
+    q_sample_bernoulli."""
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffle_shards(docs, ["doc_id"], _SHUF_N, _SHUF_SEED).select(
+        "doc_id", "pos", "shard"
+    )

@@ -129,6 +129,16 @@ NOTES = {
         " ordering — single exchange, single sort, both frames in one"
         " physical pass; r8: second window tiebreak-ordered like the first"
     ),
+    "q_text_pii_redact": (
+        "r8: PII scrub (email/phone/IP regex families, Java≡RE2 dialect"
+        " subset) — count + replace are codegen regexp expressions over one"
+        " scan, zero exchanges; planted spans make the oracle non-vacuous"
+    ),
+    "q_shuffle_shards": (
+        "r8: epoch-deterministic corpus shuffle — seeded identity-hash pos"
+        " + shard as map-only expressions, no sort-by-rand() total shuffle;"
+        " write_shuffled_shards persists one pos-sorted file per shard"
+    ),
     "q_sample_mixture": (
         "r7: per-stratum mixture rates as a map-only identity-hash CASE"
         " filter — zero exchanges; rate-nested per stratum so re-weighting"

@@ -174,3 +174,34 @@ def write_zordered(
         else staged.repartitionByRange("__z")
     )
     part.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+
+
+def write_shuffled_shards(
+    df,
+    path: str,
+    id_cols: list[str],
+    n_shards: int,
+    seed: int = 0,
+    mode: str = "overwrite",
+):
+    """Persist a deterministic epoch shuffle (``shuffle_shards``,
+    operators/sampling.py) as ``path/shard=K/`` parquet, one file per
+    shard, rows pos-sorted within the file — the trainer reads shard
+    directories round-robin and gets a reproducible global permutation
+    without any sort-by-rand() total shuffle.
+
+    One hash-repartition on ``shard`` (each shard lands wholly in one
+    task, so each directory holds exactly one file whose row order IS the
+    serving order); re-seeding rewrites layout only, data unmodified."""
+    from pyspark.sql import functions as F
+
+    from bayesiandatafusion_jl_spark.operators.sampling import shuffle_shards
+
+    staged = shuffle_shards(df, id_cols, n_shards, seed)
+    (
+        staged.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos", *id_cols)
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -230,3 +230,39 @@ def test_zordered_validation(spark, tmp_path):
     df2 = df.withColumn("y", F.col("x"))
     with pytest.raises(ValueError, match="<= 62"):
         io.write_zordered(df2, str(tmp_path / "z2"), ["x", "y"], bits=32)
+
+
+def test_shuffled_shards_layout_and_determinism(spark, tmp_path):
+    """write_shuffled_shards: every shard directory holds ONE pos-sorted
+    file; assignment is partition-count-invariant and seed-reproducible."""
+    from bayesiandatafusion_jl_spark.operators.sampling import shuffle_shards
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {(r["doc_id"], r["pos"], r["shard"])
+         for r in shuffle_shards(df, ["doc_id"], 8, seed=7).collect()}
+    b = {(r["doc_id"], r["pos"], r["shard"])
+         for r in shuffle_shards(df.repartition(13), ["doc_id"], 8, seed=7).collect()}
+    assert a == b, "shard/pos assignment must not depend on partitioning"
+    # all 8 shards populated, roughly balanced (loose 3x bound)
+    import collections
+
+    byshard = collections.Counter(s for _, _, s in a)
+    assert set(byshard) == set(range(8))
+    assert max(byshard.values()) < 3 * min(byshard.values())
+
+    out = str(tmp_path / "shards")
+    io.write_shuffled_shards(df, out, ["doc_id"], 8, seed=7)
+    from pathlib import Path
+
+    for k in range(8):
+        files = [p for p in Path(out, f"shard={k}").glob("*.parquet")]
+        assert len(files) == 1, f"shard {k}: expected one file, got {files}"
+    # within-shard read order == pos order (single file, single partition)
+    got = spark.read.parquet(out + "/shard=3").select("pos").collect()
+    ps = [r["pos"] for r in got]
+    assert ps == sorted(ps)
+    # epoch re-seed is a different permutation of the same rows
+    c = {(r["doc_id"], r["pos"]) for r in
+         shuffle_shards(df, ["doc_id"], 8, seed=8).collect()}
+    assert {d for d, _ in c} == {d for d, _, _ in a}
+    assert c != {(d, p) for d, p, _ in a}

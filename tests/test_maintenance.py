@@ -318,3 +318,28 @@ def test_heavy_hitters_phi_validation(spark):
 
     with _pt.raises(ValueError):
         heavy_hitters(df, "item", 0.0)
+
+
+def test_redact_pii_semantics(spark):
+    from bayesiandatafusion_jl_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-1.org and x@y.io twice"),
+            (2, "call 555-123-4567 from 10.0.0.1 now"),
+            (3, "clean text with nothing to scrub 1.2 v3"),
+            (4, "edge 999.999.999.999 and 12-34-5678 non-matches"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_phones"], rows[1]["n_ips"]) == (2, 0, 0)
+    assert rows[1]["text_redacted"] == "mail [EMAIL] and [EMAIL] twice"
+    assert (rows[2]["n_emails"], rows[2]["n_phones"], rows[2]["n_ips"]) == (0, 1, 1)
+    assert rows[2]["text_redacted"] == "call [PHONE] from [IP] now"
+    # no PII → byte-identical passthrough
+    assert rows[3]["text_redacted"] == rows[3]["text"]
+    assert (rows[3]["n_emails"], rows[3]["n_phones"], rows[3]["n_ips"]) == (0, 0, 0)
+    # conservative patterns: 999.999… IS matched per-octet-width ({1,3}),
+    # documented precision tradeoff; the malformed phone is not
+    assert rows[4]["n_ips"] == 1 and rows[4]["n_phones"] == 0
