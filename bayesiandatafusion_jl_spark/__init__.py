@@ -104,6 +104,7 @@ _LAZY = {
     ),
     # r8: PII scrub + deterministic training-shard shuffle
     "redact_pii": ("bayesiandatafusion_jl_spark.functions.text", "redact_pii"),
+    "unigram_nll": ("bayesiandatafusion_jl_spark.functions.text", "unigram_nll"),
     "shuffle_shards": (
         "bayesiandatafusion_jl_spark.operators.sampling",
         "shuffle_shards",
@@ -139,5 +140,5 @@ __all__ = [
     "remove_duplicated_spans", "pack_sequences", "pack_chunks", "heavy_hitters",
     "merge_upsert", "scd2_history", "compact_parquet",
     "write_zordered", "write_range_sorted",
-    "redact_pii", "shuffle_shards", "write_shuffled_shards",
+    "redact_pii", "shuffle_shards", "write_shuffled_shards", "unigram_nll",
 ]

@@ -912,3 +912,98 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(seeded).select(
         "doc_id", "n_emails", "n_phones", "n_ips", "text_redacted"
     )
+
+
+# --- unigram-LM quality score ----------------------------------------------
+
+
+def unigram_nll(
+    df: DataFrame, text_col: str = "text", vocab_size: int = 1000
+) -> DataFrame:
+    """Per-document mean unigram negative log-likelihood — the LM-based
+    quality proxy (CCNet-style: score each doc against a language model
+    trained on the corpus itself; here the LM is the corpus unigram
+    distribution). High mean NLL = the doc is full of rare/unknown tokens
+    relative to the corpus; a quality cascade thresholds or buckets on it.
+
+    Two linear passes over the token stream and nothing else:
+
+    1. vocab build — token counts, deterministic top-``vocab_size``
+       (count desc, token asc), plus the scalar corpus total N;
+    2. scoring — tokens LEFT JOIN the (KB-sized, broadcast) vocab;
+       per-token NLL = ln(N / count), OOV floored at count 1; per-doc
+       decimal-exact mean (``dmean`` discipline, exprs.py).
+
+    The vocab broadcast is what makes this 100 TB-safe: the join carries a
+    ``vocab_size``-row table to every task instead of shuffling the token
+    stream a second time. Per-token NLL is cast to float32 to absorb
+    last-ulp libm differences (the q_fn_math convention)."""
+    from pyspark.sql.functions import broadcast
+
+    from bayesiandatafusion_jl_spark.functions.exprs import DEC
+
+    tok = tokens(df, text_col).select("doc_id", "token")
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(vocab_size)
+    )
+    total = tok.count()  # one scalar action — the LM's normalizer
+    nll = (
+        F.log(F.lit(total).cast("double") / F.coalesce(F.col("cnt"), F.lit(1)))
+        .cast("float")
+    )
+    return (
+        tok.join(broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("cnt").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            # float32 absorbs libm ulp noise; the explicit double hop
+            # before the decimal cast matters: DuckDB scales REAL→DECIMAL
+            # in float precision (3.4061794f*1e6 rounds to 3406179.5 →
+            # .406180) while Spark goes through exact double — hopping to
+            # double first makes both engines round the same exact value
+            (
+                F.sum(nll.cast("double").cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_nll"),
+        )
+    )
+
+
+@register(
+    "q_text_unigram_nll",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS token
+      FROM documents
+    ),
+    tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok2),
+    vocab AS (
+      SELECT token, COUNT(*) AS cnt FROM tok2
+      GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 1000
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(CAST(CAST(CAST(LN((SELECT total FROM n)
+                 / COALESCE(v.cnt, 1))
+                 AS REAL) AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+             AS mean_nll
+    FROM tok2 t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.doc_id
+    """,
+    tags=("text-quality",),
+    demoted=True,
+)
+def q_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained unigram-LM quality score per document (see
+    ``unigram_nll``): top-1000 vocab, OOV floored at count 1."""
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_nll(docs, vocab_size=1000)

@@ -134,6 +134,12 @@ NOTES = {
         " subset) — count + replace are codegen regexp expressions over one"
         " scan, zero exchanges; planted spans make the oracle non-vacuous"
     ),
+    "q_text_unigram_nll": (
+        "r8: corpus-self-trained unigram-LM quality score — two linear"
+        " token passes; the KB-sized top-V vocab is broadcast so scoring"
+        " never shuffles the token stream; per-token NLL float32-absorbed,"
+        " decimal-exact per-doc mean"
+    ),
     "q_shuffle_shards": (
         "r8: epoch-deterministic corpus shuffle — seeded identity-hash pos"
         " + shard as map-only expressions, no sort-by-rand() total shuffle;"

@@ -343,3 +343,20 @@ def test_redact_pii_semantics(spark):
     # conservative patterns: 999.999… IS matched per-octet-width ({1,3}),
     # documented precision tradeoff; the malformed phone is not
     assert rows[4]["n_ips"] == 1 and rows[4]["n_phones"] == 0
+
+
+def test_unigram_nll_oov_and_ranking(spark):
+    from bayesiandatafusion_jl_spark.functions.text import unigram_nll
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common rareword oddity"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in unigram_nll(df, vocab_size=1).collect()}
+    assert rows[1]["n_oov"] == 0 and rows[2]["n_oov"] == 2
+    # the doc full of corpus-frequent tokens scores lower NLL (higher quality)
+    assert rows[1]["mean_nll"] < rows[2]["mean_nll"]
+    assert rows[1]["n_tokens"] == 4 and rows[2]["n_tokens"] == 4
