@@ -113,6 +113,13 @@ _LAZY = {
         "bayesiandatafusion_jl_spark.sources.io",
         "write_shuffled_shards",
     ),
+    # r8: data-selection + semantic dedup
+    "dsir_logweights": (
+        "bayesiandatafusion_jl_spark.functions.text",
+        "dsir_logweights",
+    ),
+    "semdedup": ("bayesiandatafusion_jl_spark.functions.vector", "semdedup"),
+    "bigram_nll": ("bayesiandatafusion_jl_spark.functions.text", "bigram_nll"),
 }
 
 
@@ -141,4 +148,5 @@ __all__ = [
     "merge_upsert", "scd2_history", "compact_parquet",
     "write_zordered", "write_range_sorted",
     "redact_pii", "shuffle_shards", "write_shuffled_shards", "unigram_nll",
+    "dsir_logweights", "semdedup", "bigram_nll",
 ]

@@ -1007,3 +1007,292 @@ def q_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``unigram_nll``): top-1000 vocab, OOV floored at count 1."""
     docs = load_table(spark, sf_dir, "documents")
     return unigram_nll(docs, vocab_size=1000)
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target,
+    text_col: str = "text",
+    n_buckets_hex: int = 3,
+) -> DataFrame:
+    """DSIR-style hashed-n-gram importance log-weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling").
+
+    Fits two bag-of-hashed-n-grams unigram models — one on the ``target``
+    subset, one on the whole (raw) corpus — and scores every document with
+    its log importance weight Σ_f c_f · [ln p_target(f) − ln p_raw(f)]
+    (add-1 smoothing over the observed buckets). High-weight docs look
+    like the target domain; importance RESAMPLING is then just
+    ``sample_mixture``/``bernoulli`` on a transform of the weight.
+
+    Features are word 1- and 2-grams hashed into 16^``n_buckets_hex``
+    buckets via a sha256-hex prefix — a hash both engines (and any other)
+    reproduce byte-for-byte, so the whole pipeline is oracle-checkable
+    (the usual DSIR murmur-hash is engine-specific; the bucket STATISTICS,
+    not the hash family, carry the method).
+
+    Plan shape (and why it holds at 100 TB):
+
+    - ONE explode pass builds the gram stream (unigram and bigram arrays
+      concatenated before the explode — no second scan per order);
+    - per-(doc, bucket) counts ``c`` shuffle once on (doc_id, bucket);
+    - the bucket-model table is a ≤16^n_buckets_hex-row aggregate of that
+      frame — broadcast back, never shuffled;
+    - totals attach as a 1-row broadcast cross join (the q_llm_tfidf
+      scalar convention).
+    The (doc, bucket) frame feeds both the model branch and the scoring
+    branch, so it is materialized ONCE via ``checkpoint_df`` (its subplan
+    is deterministic, so this is an efficiency choice, not a correctness
+    requirement): the corpus text is tokenized and exploded exactly one
+    time, and both branches read the checkpointed counts.
+
+    Per-bucket log ratio is cast to float32 to absorb last-ulp libm
+    differences (q_fn_math convention); the per-doc sum is decimal-exact
+    (order-independent) per the registry discipline.
+
+    ``target`` is any boolean Column over ``docs``'s columns.
+    """
+    from bayesiandatafusion_jl_spark.functions.exprs import DEC
+    from bayesiandatafusion_jl_spark.session import checkpoint_df
+
+    tk = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    base = docs.select(
+        "doc_id", target.alias("__tgt"), tk.alias("tk")
+    )
+    grams = base.select(
+        "doc_id",
+        "__tgt",
+        F.explode(F.concat(_ngrams("tk", 1), _ngrams("tk", 2))).alias("g"),
+    ).select(
+        "doc_id", "__tgt", F.substring(F.sha2(F.col("g"), 256), 1, 3).alias("b")
+    )
+    db = checkpoint_df(
+        grams.groupBy("doc_id", "__tgt", "b").agg(F.count(F.lit(1)).alias("c"))
+    )
+    bs = db.groupBy("b").agg(
+        F.sum(F.when(F.col("__tgt"), F.col("c")).otherwise(F.lit(0)))
+        .alias("tgt_c"),
+        F.sum("c").alias("raw_c"),
+    )
+    tot = bs.agg(
+        F.sum("tgt_c").alias("t_tgt"),
+        F.sum("raw_c").alias("t_raw"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    lr = (
+        bs.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log((F.col("tgt_c") + 1) / (F.col("t_tgt") + F.col("nb")))
+                - F.log((F.col("raw_c") + 1) / (F.col("t_raw") + F.col("nb")))
+            )
+            .cast("float")
+            .alias("lr"),
+        )
+    )
+    return (
+        db.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_features"),
+            F.sum((F.col("lr").cast("double") * F.col("c")).cast(DEC))
+            .cast("double")
+            .alias("log_weight"),
+        )
+    )
+
+
+@register(
+    "q_llm_dsir_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang = 'en' AS tgt,
+             list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, tgt,
+             UNNEST(list_concat(
+               tk,
+               list_transform(range(1, len(tk)),
+                              i -> tk[i] || ' ' || tk[i+1]))) AS g
+      FROM tok
+    ),
+    db AS (
+      SELECT doc_id, tgt, substr(sha256(g), 1, 3) AS b, COUNT(*) AS c
+      FROM g GROUP BY doc_id, tgt, b
+    ),
+    bs AS (
+      SELECT b, SUM(CASE WHEN tgt THEN c ELSE 0 END) AS tgt_c,
+             SUM(c) AS raw_c
+      FROM db GROUP BY b
+    ),
+    tot AS (
+      SELECT SUM(tgt_c) AS t_tgt, SUM(raw_c) AS t_raw, COUNT(*) AS nb
+      FROM bs
+    ),
+    lr AS (
+      SELECT b,
+             CAST(LN((tgt_c + 1) / (t_tgt + nb))
+                  - LN((raw_c + 1) / (t_raw + nb)) AS REAL) AS lr
+      FROM bs CROSS JOIN tot
+    )
+    SELECT db.doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_features,
+           CAST(SUM(CAST(CAST(lr AS DOUBLE) * c AS DECIMAL(38,6)))
+                AS DOUBLE) AS log_weight
+    FROM db JOIN lr USING (b)
+    GROUP BY db.doc_id
+    """,
+    tags=("text-quality", "data-selection"),
+    demoted=True,
+)
+def q_llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights against the ``lang = 'en'`` target
+    slice (see ``dsir_logweights``): hashed 1/2-gram bucket models,
+    add-1 smoothing, decimal-exact per-doc sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_logweights(docs, F.col("lang") == "en")
+
+
+def bigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 1000,
+    bigram_size: int = 4000,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Per-document mean INTERPOLATED-BIGRAM negative log-likelihood — the
+    distributed analog of CCNet's KenLM perplexity filter, one order up
+    from ``unigram_nll``: p(w_i | w_{i-1}) = λ·p₂ + (1−λ)·p₁ with
+    p₂ = c(w_{i-1} w_i)/c(w_{i-1}) over the top-``bigram_size`` bigram
+    table and p₁ the floor-smoothed unigram model. Fluent token order
+    scores low; shuffled/boilerplate text scores high even when its
+    unigram profile looks normal — exactly what the bigram order adds.
+
+    Plan shape (100 TB story identical to ``unigram_nll``):
+
+    - token + bigram streams come from ONE tokenized base (bigrams as a
+      zip of two array slices — map-side, no self-join on position);
+    - both model tables are deterministic top-K aggregates (count desc,
+      key asc) — KB-sized, BROADCAST back onto the pair stream, so the
+      corpus-sized stream shuffles only for the per-doc groupBy;
+    - the corpus total N is one scalar action (the unigram_nll precedent).
+
+    λ defaults to 0.5 (a power of two: the interpolation multiply is
+    exact in both engines). Per-position NLL is float32-cast (libm ulp
+    absorption), the per-doc mean decimal-exact. Docs with < 2 tokens
+    have no bigram positions and are absent from the output (inner
+    semantics, mirrored by the oracle). Bigrams whose previous word falls
+    outside the top-``vocab_size`` unigram table back off to the unigram
+    term alone (p₂ = 0) — both models are honestly capped-vocab, which is
+    what keeps them broadcastable at any corpus size."""
+    from bayesiandatafusion_jl_spark.functions.exprs import DEC
+
+    tk = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    base = df.select("doc_id", tk.alias("tk"))
+    uni = base.select("doc_id", F.explode("tk").alias("w"))
+    c1 = (
+        uni.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .orderBy(F.col("c1").desc(), F.col("w").asc())
+        .limit(vocab_size)
+    )
+    total = uni.count()  # the unigram normalizer — one scalar action
+    n1 = F.size("tk") - 1
+    pairs = (
+        base.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.slice("tk", 1, n1).alias("pv"),
+            F.slice("tk", 2, n1).alias("cv"),
+        )
+        .select("doc_id", F.explode(F.arrays_zip("pv", "cv")).alias("z"))
+        .select(
+            "doc_id", F.col("z.pv").alias("prev"), F.col("z.cv").alias("cur")
+        )
+    )
+    c2 = (
+        pairs.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .orderBy(F.col("c2").desc(), F.col("prev").asc(), F.col("cur").asc())
+        .limit(bigram_size)
+    )
+    cp = c1.select(F.col("w").alias("prev"), F.col("c1").alias("c1p"))
+    cc = c1.select(F.col("w").alias("cur"), F.col("c1").alias("c1c"))
+    p2 = F.when(
+        F.col("c2").isNotNull() & F.col("c1p").isNotNull(),
+        F.col("c2") / F.col("c1p"),
+    ).otherwise(F.lit(0.0))
+    p1 = F.coalesce(F.col("c1c"), F.lit(1)) / F.lit(float(total))
+    nll = (-F.log(F.lit(lam) * p2 + F.lit(1.0 - lam) * p1)).cast("float")
+    return (
+        pairs.join(F.broadcast(c2), ["prev", "cur"], "left")
+        .join(F.broadcast(cp), "prev", "left")
+        .join(F.broadcast(cc), "cur", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            (
+                F.sum(nll.cast("double").cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_nll2"),
+        )
+    )
+
+
+@register(
+    "q_text_bigram_nll",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    uni AS (SELECT doc_id, UNNEST(tk) AS w FROM tok),
+    c1 AS (
+      SELECT w, COUNT(*) AS c1 FROM uni
+      GROUP BY w ORDER BY c1 DESC, w ASC LIMIT 1000
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM uni),
+    pr AS (
+      SELECT doc_id,
+             UNNEST(list_slice(tk, 1, len(tk) - 1)) AS prev,
+             UNNEST(list_slice(tk, 2, len(tk))) AS cur
+      FROM tok WHERE len(tk) >= 2
+    ),
+    c2 AS (
+      SELECT prev, cur, COUNT(*) AS c2 FROM pr
+      GROUP BY prev, cur ORDER BY c2 DESC, prev ASC, cur ASC LIMIT 4000
+    ),
+    sc AS (
+      SELECT pr.doc_id,
+             CAST(-LN(
+               0.5 * (CASE WHEN c2.c2 IS NOT NULL AND cp.c1 IS NOT NULL
+                           THEN c2.c2 / cp.c1 ELSE 0.0 END)
+               + 0.5 * (COALESCE(cc.c1, 1) / (SELECT total FROM n))
+             ) AS REAL) AS nll
+      FROM pr
+      LEFT JOIN c2 ON pr.prev = c2.prev AND pr.cur = c2.cur
+      LEFT JOIN c1 cp ON pr.prev = cp.w
+      LEFT JOIN c1 cc ON pr.cur = cc.w
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(CAST(nll AS DOUBLE) AS DECIMAL(38,6)))
+                AS DOUBLE) / COUNT(*) AS mean_nll2
+    FROM sc GROUP BY doc_id
+    """,
+    tags=("text-quality",),
+    demoted=True,
+)
+def q_text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM quality score per document (see
+    ``bigram_nll``): top-1000 unigram + top-4000 bigram models, λ = 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_nll(docs)

@@ -431,3 +431,128 @@ def q_llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 (scale path) — IVF-bucketed ANN top-k; rows-only driver check,
     recall asserted against brute force in tests."""
     return ann_ivf_topk(spark, sf_dir)
+
+
+def semdedup(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    centers: list | None = None,
+    max_cluster_rows: int = 1_000_000,
+) -> DataFrame:
+    """SemDeDup — semantic (embedding-space) deduplication via
+    cluster-then-prune (Abbas et al. 2023, arXiv:2303.09540).
+
+    1. Coarse k-means clusters the corpus (``_spherical_kmeans``: bounded
+       deterministic sample, driver-side Lloyd — fit cost independent of
+       corpus size; pass ``centers`` to reuse a fitted quantizer).
+    2. Every vector is assigned map-side to its nearest centroid (same
+       zero-shuffle literal/broadcast dots as ``ann_ivf_search``).
+    3. WITHIN each cluster only, a greedy prune keeps the lowest-vec_id
+       representative of every cosine-≥-threshold group and marks the
+       rest as duplicates — the quadratic comparison is confined to one
+       cluster, which is the whole point of the method: O(N²) becomes
+       Σ_c O(|c|²) with |c| ≈ N/n_clusters, and clusters process in
+       parallel (one shuffle on cluster_id, then ``applyInPandas``).
+
+    The per-cluster kernel is memory-linear — it never materializes the
+    |c|×|c| similarity matrix (one row of sims per keeper iteration,
+    O(|c|·d) resident) — but a giant cluster still means quadratic TIME
+    and a whole-group pandas buffer, so clusters above
+    ``max_cluster_rows`` fail fast with sizing guidance rather than
+    OOMing an executor mid-job (raise n_clusters ∝ corpus size: the
+    paper's setting is |c| in the tens of thousands at any scale).
+
+    Determinism: fitted centers are deterministic (seeded hash sample +
+    fixed-order numpy), assignment tie-breaks to the lowest cell id, and
+    the greedy order is vec_id ascending — output is independent of input
+    partitioning (pinned by tests/test_semdedup.py).
+
+    Returns one row per input vector:
+    ``vec_id, cell_id, rep_id, is_dup, cos_to_rep`` — ``rep_id`` is the
+    kept representative (itself for kept rows), ``cos_to_rep`` the cosine
+    that condemned a duplicate (1.0 for kept rows, rounded to 4dp).
+    Unit-norm embedding contract as everywhere in this module.
+    """
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    if centers is None:
+        centers = _spherical_kmeans(corpus, n_clusters)
+
+    attach = _cells_attacher(spark, centers)
+    src, cells = attach(corpus)
+    assigned = src.select(
+        "vec_id",
+        "embedding",
+        (
+            -F.element_at(
+                F.sort_array(_cell_scores(cells, "embedding"), asc=False), 1
+            )["nid"]
+        ).alias("cell_id"),
+    )
+
+    thr = float(threshold)
+    cap = int(max_cluster_rows)
+
+    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) > cap:
+            raise ValueError(
+                f"semdedup cluster {int(pdf['cell_id'].iloc[0])} has "
+                f"{len(pdf)} rows > max_cluster_rows={cap}; raise "
+                "n_clusters (target ~N/n_clusters ≲ 1e5 rows/cluster)"
+            )
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        n = len(pdf)
+        rep = ids.copy()
+        cos = np.ones(n, dtype=np.float64)
+        dup = np.zeros(n, dtype=bool)
+        for i in range(n):
+            if dup[i]:
+                continue
+            if i + 1 == n:
+                break
+            sims = x[i + 1 :] @ x[i]
+            hit = np.nonzero(~dup[i + 1 :] & (sims >= thr))[0] + i + 1
+            dup[hit] = True
+            rep[hit] = ids[i]
+            cos[hit] = sims[hit - i - 1]
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell_id": pdf["cell_id"].to_numpy(),
+                "rep_id": rep,
+                "is_dup": dup,
+                "cos_to_rep": np.round(cos, 4),
+            }
+        )
+
+    return assigned.groupBy("cell_id").applyInPandas(
+        _prune,
+        "vec_id bigint, cell_id int, rep_id bigint, is_dup boolean,"
+        " cos_to_rep double",
+    )
+
+
+@register(
+    "q_llm_semdedup", oracle=None, tags=("J2", "semantic-dedup", "ann"), demoted=True
+)
+def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (semantic scale path) — SemDeDup cluster-then-prune over the
+    embeddings table (see ``semdedup``). τ = 0.4 selects the top tail of
+    this near-uniform synthetic corpus (same rationale as
+    q_llm_embed_neardup's 0.35: the real-corpus τ ≈ 0.95 matches nothing
+    here); rows-only driver check — cluster assignment is k-means-derived
+    and not SQL-expressible — with planted-twin recall and
+    partition-invariance pinned in tests/test_semdedup.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cache_key = (_corpus_fingerprint(sf_dir), 16)
+    centers = _KMEANS_CACHE.get(cache_key)
+    if centers is None:
+        centers = _spherical_kmeans(emb, 16)
+        _KMEANS_CACHE[cache_key] = centers
+    return semdedup(emb, n_clusters=16, threshold=0.4, centers=centers)

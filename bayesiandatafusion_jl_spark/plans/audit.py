@@ -145,6 +145,30 @@ NOTES = {
         " + shard as map-only expressions, no sort-by-rand() total shuffle;"
         " write_shuffled_shards persists one pos-sorted file per shard"
     ),
+    "q_llm_dsir_weights": (
+        "r8: DSIR importance log-weights — ONE explode builds the hashed"
+        " 1/2-gram stream (arrays concatenated pre-explode), one shuffle to"
+        " (doc,bucket) counts which are checkpoint_df'd so the model branch"
+        " and the scoring branch read one materialization — text tokenized"
+        " exactly once, hence 0 parquet scans in this plan; the ≤4096-row"
+        " bucket model + 1-row totals broadcast back; sha256-prefix buckets"
+        " keep the whole method DuckDB-oracle-checkable"
+    ),
+    "q_llm_semdedup": (
+        "r8: SemDeDup cluster-then-prune — driver-fit quantizer (bounded"
+        " sample), map-side nearest-centroid assignment (zero shuffle),"
+        " ONE exchange on cell_id into a memory-linear greedy pandas prune"
+        " (never materializes the c-by-c similarity matrix);"
+        " max_cluster_rows fails fast with sizing guidance instead of"
+        " OOMing; O(N^2) becomes sum over clusters of O(c^2)"
+    ),
+    "q_text_bigram_nll": (
+        "r8: interpolated-bigram LM score (CCNet/KenLM analog, one order"
+        " up from unigram_nll) — bigram stream is a map-side zip of two"
+        " array slices (no positional self-join); both model tables are"
+        " deterministic top-K broadcasts, so the pair stream shuffles only"
+        " for the per-doc groupBy"
+    ),
     "q_sample_mixture": (
         "r7: per-stratum mixture rates as a map-only identity-hash CASE"
         " filter — zero exchanges; rate-nested per stratum so re-weighting"

@@ -50,6 +50,8 @@ HEADLINE = [
     "q_scd2_history",      # r8: maintenance family — validity-interval history
     "q_llm_pack_sequences",  # r8: checkpointed two-phase prefix scan
     "q_llm_pipeline_compose",  # r8: quality→decontaminate→mixture→pack chain
+    "q_llm_dsir_weights",  # r8: DSIR hashed-n-gram importance weights
+    "q_llm_semdedup",      # r8: SemDeDup cluster-then-prune semantic dedup
     "q_ml_predict_rmse",
     "q_win_auc",
 ]

@@ -360,3 +360,54 @@ def test_unigram_nll_oov_and_ranking(spark):
     # the doc full of corpus-frequent tokens scores lower NLL (higher quality)
     assert rows[1]["mean_nll"] < rows[2]["mean_nll"]
     assert rows[1]["n_tokens"] == 4 and rows[2]["n_tokens"] == 4
+
+
+def test_dsir_logweights_separates_target_vocab(spark):
+    """Planted-vocabulary separation: docs written in the target slice's
+    vocabulary must score higher importance weights than docs written in
+    the off-domain vocabulary, and a doc mixing both lands in between."""
+    from pyspark.sql import functions as F
+
+    from bayesiandatafusion_jl_spark.functions.text import dsir_logweights
+
+    tgt_text = "alpha beta gamma delta alpha beta"
+    raw_text = "omega sigma tau upsilon omega sigma"
+    rows = (
+        [(i, tgt_text, "en") for i in range(10)]
+        + [(100 + i, raw_text, "de") for i in range(10)]
+        + [(200, tgt_text, "de"), (201, raw_text, "en"),
+           (202, "alpha beta omega sigma", "de")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_logweights(df, F.col("lang") == "en").collect()
+    }
+    # target-vocab docs outrank raw-vocab docs regardless of their OWN label
+    assert w[200] > w[202] > w[100]
+    assert w[0] > w[101]
+    # n_features = unigrams + bigrams = 6 + 5 per doc
+    nf = {
+        r["doc_id"]: r["n_features"]
+        for r in dsir_logweights(df, F.col("lang") == "en").collect()
+    }
+    assert nf[0] == 11
+
+
+def test_bigram_nll_penalizes_shuffled_token_order(spark):
+    """The bigram order's whole point: a doc with the SAME unigram profile
+    but shuffled token order must score higher NLL than the fluent docs
+    (unigram_nll cannot tell them apart)."""
+    from bayesiandatafusion_jl_spark.functions.text import bigram_nll
+
+    fluent = [(i, "a b c d a b c d") for i in range(10)]
+    shuffled = [(99, "d b a c c a d b")]
+    df = spark.createDataFrame(
+        fluent + shuffled, "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in bigram_nll(df).collect()}
+    assert rows[0]["n_bigrams"] == 7
+    assert rows[99]["mean_nll2"] > rows[0]["mean_nll2"]
+    # sub-2-token docs are absent by contract
+    one = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    assert bigram_nll(one).count() == 0
