@@ -1009,6 +1009,18 @@ def q_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_nll(docs, vocab_size=1000)
 
 
+def _token_array(text_col: str = "text") -> "F.Column":
+    """Lowercased non-empty token ARRAY on the module's ' '-split grain —
+    the one tokenizer expression shared by every oracle-paired array
+    consumer here (the DuckDB side is always
+    ``list_filter(string_split(LOWER(text), ' '), x -> x <> '')``; keeping
+    a single Spark twin of it means a tokenization change cannot
+    desynchronize one pipeline silently)."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != ""
+    )
+
+
 def dsir_logweights(
     docs: DataFrame,
     target,
@@ -1055,18 +1067,15 @@ def dsir_logweights(
     from bayesiandatafusion_jl_spark.functions.exprs import DEC
     from bayesiandatafusion_jl_spark.session import checkpoint_df
 
-    tk = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
-    )
     base = docs.select(
-        "doc_id", target.alias("__tgt"), tk.alias("tk")
+        "doc_id", target.alias("__tgt"), _token_array(text_col).alias("tk")
     )
     grams = base.select(
         "doc_id",
         "__tgt",
         F.explode(F.concat(_ngrams("tk", 1), _ngrams("tk", 2))).alias("g"),
     ).select(
-        "doc_id", "__tgt", F.substring(F.sha2(F.col("g"), 256), 1, 3).alias("b")
+        "doc_id", "__tgt", F.substring(F.sha2(F.col("g"), 256), 1, int(n_buckets_hex)).alias("b")
     )
     db = checkpoint_df(
         grams.groupBy("doc_id", "__tgt", "b").agg(F.count(F.lit(1)).alias("c"))
@@ -1192,12 +1201,15 @@ def bigram_nll(
     what keeps them broadcastable at any corpus size."""
     from bayesiandatafusion_jl_spark.functions.exprs import DEC
 
-    tk = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
-    )
-    base = df.select("doc_id", tk.alias("tk"))
+    base = df.select("doc_id", _token_array(text_col).alias("tk"))
     uni = base.select("doc_id", F.explode("tk").alias("w"))
-    c1 = (
+    from bayesiandatafusion_jl_spark.session import checkpoint_df
+
+    # the KB-sized unigram model feeds BOTH the prev- and cur-side joins;
+    # checkpoint it so the corpus-wide top-K aggregate executes once, not
+    # once per broadcast build (ReuseExchange cannot dedupe the two
+    # non-identical projections of it)
+    c1 = checkpoint_df(
         uni.groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
         .orderBy(F.col("c1").desc(), F.col("w").asc())

@@ -312,6 +312,19 @@ def _corpus_fingerprint(sf_dir: str) -> tuple:
     return tuple(out)
 
 
+def _cached_centers(emb: DataFrame, sf_dir: str, n_cells: int) -> list:
+    """Get-or-fit quantizer centers through _KMEANS_CACHE — the ONE place
+    the cache-key semantics live (ann_ivf_topk and q_llm_semdedup both go
+    through here, so a key change can never leave the two paths serving
+    incompatible centers for the same (fingerprint, n_cells))."""
+    cache_key = (_corpus_fingerprint(sf_dir), n_cells)
+    centers = _KMEANS_CACHE.get(cache_key)
+    if centers is None:
+        centers = _spherical_kmeans(emb, n_cells)
+        _KMEANS_CACHE[cache_key] = centers
+    return centers
+
+
 def ann_ivf_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -352,11 +365,7 @@ def ann_ivf_topk(
     clustered corpus the same plan prunes much harder.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    cache_key = (_corpus_fingerprint(sf_dir), n_cells)
-    centers = _KMEANS_CACHE.get(cache_key)
-    if centers is None:
-        centers = _spherical_kmeans(emb, n_cells)
-        _KMEANS_CACHE[cache_key] = centers
+    centers = _cached_centers(emb, sf_dir, n_cells)
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -550,9 +559,5 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and not SQL-expressible — with planted-twin recall and
     partition-invariance pinned in tests/test_semdedup.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cache_key = (_corpus_fingerprint(sf_dir), 16)
-    centers = _KMEANS_CACHE.get(cache_key)
-    if centers is None:
-        centers = _spherical_kmeans(emb, 16)
-        _KMEANS_CACHE[cache_key] = centers
+    centers = _cached_centers(emb, sf_dir, 16)
     return semdedup(emb, n_clusters=16, threshold=0.4, centers=centers)

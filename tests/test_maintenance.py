@@ -379,19 +379,16 @@ def test_dsir_logweights_separates_target_vocab(spark):
            (202, "alpha beta omega sigma", "de")]
     )
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
-    w = {
-        r["doc_id"]: r["log_weight"]
+    rows = {
+        r["doc_id"]: r
         for r in dsir_logweights(df, F.col("lang") == "en").collect()
     }
+    w = {k: r["log_weight"] for k, r in rows.items()}
     # target-vocab docs outrank raw-vocab docs regardless of their OWN label
     assert w[200] > w[202] > w[100]
     assert w[0] > w[101]
     # n_features = unigrams + bigrams = 6 + 5 per doc
-    nf = {
-        r["doc_id"]: r["n_features"]
-        for r in dsir_logweights(df, F.col("lang") == "en").collect()
-    }
-    assert nf[0] == 11
+    assert rows[0]["n_features"] == 11
 
 
 def test_bigram_nll_penalizes_shuffled_token_order(spark):
