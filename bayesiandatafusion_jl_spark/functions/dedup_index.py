@@ -87,10 +87,13 @@ def _write_epoch(
         staged = staged.repartitionByRange(
             *[F.col(c) for c in sort_cols]
         ).sortWithinPartitions(*sort_cols)
-    writer = staged.write.mode("overwrite").partitionBy("__epoch")
-    if not wipe:
-        writer = writer.option("partitionOverwriteMode", "dynamic")
-    writer.parquet(path)
+    # the mode is set EXPLICITLY both ways: a caller session configured with
+    # partitionOverwriteMode=dynamic (common in production) would otherwise
+    # turn the wipe=True fresh build into a partial overwrite that leaves
+    # stale __epoch partitions (ghost documents) in place
+    staged.write.mode("overwrite").partitionBy("__epoch").option(
+        "partitionOverwriteMode", "static" if wipe else "dynamic"
+    ).parquet(path)
 
 
 def _check_banding(spark: SparkSession, meta_path: str, **params: int) -> None:
@@ -199,7 +202,10 @@ def dedup_incremental(
     so a REPLAYED shard (task retry, rerun job, streaming micro-batch
     restart) replaces its own earlier rows instead of duplicating them —
     duplicated signatures would double every future pair involving these
-    docs.
+    docs. The probe scans additionally EXCLUDE ``__epoch == epoch``
+    (partition-pruned), so a replay whose earlier attempt crashed after
+    the index append still reproduces the original pair set instead of
+    matching the shard against its own stale signatures.
     """
     if n_hashes != n_bands * rows_per_band:
         raise ValueError("n_hashes must equal n_bands * rows_per_band")
@@ -227,7 +233,21 @@ def dedup_incremental(
     # sort-merge, shuffling the INDEX — see session.checkpoint_df)
     new_sigs = checkpoint_df(_signatures(new_docs, n_hashes, shingle_k))
     new_bands = band_buckets(new_sigs, n_bands=n_bands, rows_per_band=rows_per_band)
-    old_buckets = spark.read.parquet(bucket_path).select(
+
+    def _index_scan(path: str) -> DataFrame:
+        # REPLAY HOLE guard: on a replayed shard (update_index=True, same
+        # epoch), the index may already hold this shard's own rows from the
+        # earlier attempt (crash after the index append, before the pair
+        # sink write). Excluding __epoch == epoch from the probe scans makes
+        # the replay reproduce the ORIGINAL pair set — intra-shard dups stay
+        # pair_type=new_new instead of additionally surfacing as new_index
+        # in both orientations. Partition pruning makes the filter free.
+        scan = spark.read.parquet(path)
+        if update_index:
+            scan = scan.filter(F.col("__epoch") != epoch)
+        return scan
+
+    old_buckets = _index_scan(bucket_path).select(
         "band", "bucket", F.col("doc_id").alias("doc_b")
     )
     cross = (
@@ -244,7 +264,7 @@ def dedup_incremental(
 
     sa = new_sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb_new = new_sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    sb_old = spark.read.parquet(sig_path).select(
+    sb_old = _index_scan(sig_path).select(
         F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
     )
     est = (

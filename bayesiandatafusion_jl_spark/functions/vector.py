@@ -448,6 +448,7 @@ def semdedup(
     threshold: float = 0.95,
     centers: list | None = None,
     max_cluster_rows: int = 1_000_000,
+    precheck: bool = True,
 ) -> DataFrame:
     """SemDeDup — semantic (embedding-space) deduplication via
     cluster-then-prune (Abbas et al. 2023, arXiv:2303.09540).
@@ -467,10 +468,17 @@ def semdedup(
     The per-cluster kernel is memory-linear — it never materializes the
     |c|×|c| similarity matrix (one row of sims per keeper iteration,
     O(|c|·d) resident) — but a giant cluster still means quadratic TIME
-    and a whole-group pandas buffer, so clusters above
-    ``max_cluster_rows`` fail fast with sizing guidance rather than
-    OOMing an executor mid-job (raise n_clusters ∝ corpus size: the
-    paper's setting is |c| in the tens of thousands at any scale).
+    and a whole-group pandas buffer. The ``max_cluster_rows`` guard runs
+    BEFORE the pandas stage: a cheap ``groupBy(cell_id).count()`` pre-pass
+    (map-side partial agg, n_clusters-row collect) fails fast with sizing
+    guidance while the oversized cluster is still a lazy plan — an
+    in-kernel check would fire only after Spark had already buffered the
+    whole group into executor memory, bounding prune time but not the OOM
+    (the ADVICE r8 finding). A defensive in-kernel re-check remains for
+    callers that disable the pre-pass (``precheck=False`` saves the extra
+    corpus scan when cluster sizes are already known to be safe). Raise
+    n_clusters ∝ corpus size: the paper's setting is |c| in the tens of
+    thousands at any scale.
 
     Determinism: fitted centers are deterministic (seeded hash sample +
     fixed-order numpy), assignment tie-breaks to the lowest cell id, and
@@ -503,6 +511,25 @@ def semdedup(
 
     thr = float(threshold)
     cap = int(max_cluster_rows)
+
+    if precheck:
+        # fail BEFORE any group is buffered into a pandas kernel: cell
+        # assignment is deterministic (seeded centers, lowest-id tie-break)
+        # so re-deriving `assigned` for this bounded agg is safe, and the
+        # agg itself is map-side partial with an n_clusters-row collect
+        over = (
+            assigned.groupBy("cell_id")
+            .count()
+            .filter(F.col("count") > cap)
+            .orderBy(F.desc("count"))
+            .take(5)
+        )
+        if over:
+            sizes = ", ".join(f"cell {r.cell_id}: {r['count']}" for r in over)
+            raise ValueError(
+                f"semdedup clusters exceed max_cluster_rows={cap} ({sizes});"
+                " raise n_clusters (target ~N/n_clusters ≲ 1e5 rows/cluster)"
+            )
 
     def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np

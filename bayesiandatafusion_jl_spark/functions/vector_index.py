@@ -4,11 +4,13 @@
 production deployment builds the inverted file ONCE and serves query
 batches against it. The index under ``index_dir``:
 
-- ``postings`` — (vec_id, embedding) parquet PARTITIONED BY cell_id: each
-  cell is its own directory, so a probe of P cells is a partition-pruned
-  scan that reads exactly those P directories and skips the rest of the
-  corpus at file-listing time (the strongest pruning Spark has — better
-  than footer stats, the files are never even listed);
+- ``postings`` — (vec_id, embedding) parquet PARTITIONED BY
+  (cell_id, __epoch): each cell is its own directory, so a probe of P
+  cells is a partition-pruned scan that reads exactly those P directories
+  and skips the rest of the corpus at file-listing time (the strongest
+  pruning Spark has — better than footer stats, the files are never even
+  listed); the inner ``__epoch`` level (one per appended shard) makes
+  shard appends replay-idempotent, exactly like the signature index;
 - ``centers``  — (cell_id, ce: array<double>) the fitted quantizer;
 - ``meta``     — one row pinning (n_cells, n_assign, dim); append-mode
   writes and queries validate against it.
@@ -51,6 +53,7 @@ from bayesiandatafusion_jl_spark.functions.index_meta import (
     write_meta,
 )
 from bayesiandatafusion_jl_spark.registry import register
+from bayesiandatafusion_jl_spark.session import checkpoint_df
 
 
 def _paths(index_dir: str) -> tuple[str, str, str]:
@@ -68,18 +71,32 @@ def write_ivf_index(
     n_cells: int = 16,
     n_assign: int = 2,
     mode: str = "overwrite",
+    epoch: str = "base",
 ) -> None:
     """Build (or append a shard to) the inverted file for a
     (vec_id, embedding) frame.
 
     overwrite: fit the quantizer on a bounded corpus sample, assign every
     vector to its ``n_assign`` nearest cells map-side, write postings
-    partitioned by cell_id. append: load the STORED centers (meta-checked)
-    and assign only the new shard — the incremental path.
+    partitioned by (cell_id, __epoch). append: load the STORED centers
+    (meta-checked) and assign only the new shard — the incremental path —
+    under a caller-supplied unique ``epoch``. Like the signature index,
+    the append is a dynamic-partition overwrite of the shard's own
+    ``__epoch`` subdirectories, so a retried/replayed shard REPLACES its
+    earlier postings instead of silently duplicating them (assignment
+    under the stored centers is deterministic, so a replay writes exactly
+    the same (cell_id, __epoch) partitions). cell_id stays the OUTER
+    partition level: probe-time partition pruning on ``cell_id IN (...)``
+    is unchanged.
     """
     post_path, centers_path, meta_path = _paths(index_dir)
     spark = corpus.sparkSession
     if mode == "append":
+        if epoch == "base":
+            raise ValueError(
+                "append needs a unique epoch per shard (epoch='base' is the"
+                " fresh-build epoch); replay-idempotence depends on it"
+            )
         # probe the SHARD's dim (appends are shard-sized — one cheap row);
         # the meta check guards the quantizer config and dimensionality a
         # mismatched shard would silently mis-bucket
@@ -114,7 +131,15 @@ def write_ivf_index(
             )
         ).alias("ac"),
     ).select((-F.col("ac.nid")).alias("cell_id"), "vec_id", "embedding")
-    assigned.write.mode(mode).partitionBy("cell_id").parquet(post_path)
+    # explicit partitionOverwriteMode both ways, same rationale as
+    # dedup_index._write_epoch: fresh build must wipe the whole directory
+    # regardless of the session default; appends overwrite only their own
+    # (cell_id, __epoch) partitions (idempotent replay)
+    assigned.withColumn("__epoch", F.lit(epoch)).write.mode(
+        "overwrite"
+    ).partitionBy("cell_id", "__epoch").option(
+        "partitionOverwriteMode", "static" if mode != "append" else "dynamic"
+    ).parquet(post_path)
     if mode != "append":
         spark.createDataFrame(
             [(i, [float(v) for v in c]) for i, c in enumerate(centers)],
@@ -158,7 +183,12 @@ def ann_ivf_query_index(
             )
         ).alias("probe"),
     ).select("qid", "qe", (-F.col("probe.nid")).alias("cell_id"))
-    qcells = qcells.localCheckpoint()  # probe set read twice (ids + join)
+    # probe set read twice (ids collect + candidate join); checkpoint_df,
+    # not bare localCheckpoint, per the repo-wide rule: the persist half
+    # grounds sizeInBytes so broadcast planning stays size-based (the
+    # explicit hint below makes this belt-and-braces today, but a bare
+    # localCheckpoint's 2^63 estimate is a trap for future consumers)
+    qcells = checkpoint_df(qcells)
 
     # distinct probed cells: bounded by min(|Q|·n_probe, n_cells) — the
     # sanctioned collect shape; becomes the partition-pruning predicate

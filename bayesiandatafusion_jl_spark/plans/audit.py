@@ -159,8 +159,11 @@ NOTES = {
         " sample), map-side nearest-centroid assignment (zero shuffle),"
         " ONE exchange on cell_id into a memory-linear greedy pandas prune"
         " (never materializes the c-by-c similarity matrix);"
-        " max_cluster_rows fails fast with sizing guidance instead of"
-        " OOMing; O(N^2) becomes sum over clusters of O(c^2)"
+        " max_cluster_rows is enforced by a groupBy(cell_id).count()"
+        " pre-pass BEFORE the pandas stage (r9: ADVICE fix — the former"
+        " in-kernel check fired only after the group was already buffered),"
+        " so oversized clusters fail while still a lazy plan; O(N^2)"
+        " becomes sum over clusters of O(c^2)"
     ),
     "q_text_bigram_nll": (
         "r8: interpolated-bigram LM score (CCNet/KenLM analog, one order"

@@ -372,7 +372,12 @@ def near_dup_stream(
     (``dedup_incremental``'s epoch contract) — a replayed micro-batch
     replaces its own earlier pair partition AND its own index epoch, so a
     crash between the index append and the sink write cannot duplicate
-    signatures or emit a batch's pairs twice.
+    signatures or emit a batch's pairs twice. The replay also reproduces
+    the ORIGINAL pair set byte-for-byte: ``dedup_incremental`` excludes
+    the batch's own ``__epoch`` from its probe scans, so signatures left
+    by the crashed attempt cannot re-surface intra-batch dups as
+    ``new_index`` pairs (r9 fix; pinned by
+    tests/test_dedup_index.py::test_replay_reproduces_original_pair_set).
 
     Returns the started query; drive with ``processAllAvailable()`` or a
     trigger.

@@ -115,6 +115,52 @@ def test_replayed_epoch_does_not_duplicate_index_rows(spark, index_dir):
     assert [(r.doc_a, r.doc_b) for r in pairs] == [(1100, 100)]
 
 
+def test_fresh_build_wipes_under_dynamic_session_default(spark, index_dir):
+    """ADVICE r8: a session configured with partitionOverwriteMode=dynamic
+    must not turn a fresh rebuild into a partial overwrite that leaves
+    ghost __epoch partitions from pre-rebuild appends."""
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        write_signature_index(_corpus(spark, range(5)), index_dir)
+        dedup_incremental(
+            _corpus(spark, [100]), index_dir, update_index=True, epoch="s1"
+        ).collect()
+        # fresh rebuild with a smaller corpus: epoch s1 must be GONE
+        write_signature_index(_corpus(spark, range(3)), index_dir)
+        ids = {
+            r.doc_id
+            for r in spark.read.parquet(f"{index_dir}/sigs").select("doc_id").collect()
+        }
+        assert ids == {0, 1, 2}, ids
+    finally:
+        spark.conf.set(conf_key, prev)
+
+
+def test_replay_reproduces_original_pair_set(spark, index_dir):
+    """Crash-after-index-append replay (ADVICE r8): the first attempt
+    appended epoch s1 to the index but 'crashed' before its pairs were
+    consumed; the replay probes an index that already holds the shard's
+    OWN signatures. Excluding __epoch == s1 from the probe scans means the
+    replay emits exactly the clean run's pairs — the intra-shard dup stays
+    one new_new pair instead of additionally surfacing as new_index in
+    both orientations."""
+    write_signature_index(_corpus(spark, range(5)), index_dir)
+    a = _corpus(spark, [200])
+    shard = a.unionByName(
+        a.select(F.lit(201).cast("long").alias("doc_id"), "text")
+    )
+    first = dedup_incremental(
+        shard, index_dir, update_index=True, epoch="s1"
+    ).collect()  # attempt 1: index append happened, pretend the sink write died
+    replay = dedup_incremental(
+        shard, index_dir, update_index=True, epoch="s1"
+    ).collect()
+    key = lambda rows: sorted((r.doc_a, r.doc_b, r.pair_type) for r in rows)
+    assert key(first) == key(replay) == [(200, 201, "new_new")]
+
+
 def test_plan_never_recomputes_old_signatures(spark, index_dir):
     write_signature_index(_corpus(spark, range(10)), index_dir)
     new = _corpus(spark, [100])

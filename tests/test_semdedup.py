@@ -79,7 +79,13 @@ def test_semdedup_partition_invariance(spark):
 
 def test_semdedup_giant_cluster_guard(spark):
     """Clusters above max_cluster_rows fail fast with sizing guidance
-    instead of OOMing an executor."""
+    instead of OOMing an executor — at CALL time (the pre-pass runs before
+    the pandas stage; no .count() here, the plan is never executed), and
+    in-kernel as defense when the pre-pass is disabled."""
     df = _synthetic(spark)
+    with pytest.raises(ValueError, match="max_cluster_rows"):
+        semdedup(df, n_clusters=1, threshold=0.9, max_cluster_rows=10)
     with pytest.raises(Exception, match="max_cluster_rows"):
-        semdedup(df, n_clusters=1, threshold=0.9, max_cluster_rows=10).count()
+        semdedup(
+            df, n_clusters=1, threshold=0.9, max_cluster_rows=10, precheck=False
+        ).count()

@@ -89,7 +89,9 @@ def test_append_shard_under_stored_centers(spark, index_dir):
     shard = corpus.filter(F.col("vec_id") < 5).select(
         (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
     )
-    write_ivf_index(shard, index_dir, n_cells=8, n_assign=2, mode="append")
+    write_ivf_index(
+        shard, index_dir, n_cells=8, n_assign=2, mode="append", epoch="day1"
+    )
     q = corpus.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -99,8 +101,36 @@ def test_append_shard_under_stored_centers(spark, index_dir):
     assert all(r.score == 1.0 for r in got)
 
 
+def test_append_replay_is_idempotent(spark, index_dir):
+    """A replayed shard append (same epoch) must REPLACE its earlier
+    postings, not duplicate them — the ADVICE r8 finding. Verified at the
+    storage level (row count over the raw postings parquet), not via the
+    query path, because dropDuplicates in the query would mask dups."""
+    corpus = _clustered(spark)
+    write_ivf_index(corpus, index_dir, n_cells=8, n_assign=2)
+    shard = corpus.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    for _ in range(2):  # original attempt + replay
+        write_ivf_index(
+            shard, index_dir, n_cells=8, n_assign=2, mode="append", epoch="day1"
+        )
+    postings = spark.read.parquet(index_dir + "/postings")
+    n_shard = postings.filter(F.col("vec_id") >= 1000).count()
+    assert n_shard == 5 * 2, n_shard  # n_assign=2 cells per vector, once each
+
+
+def test_append_requires_unique_epoch(spark, index_dir):
+    corpus = _clustered(spark)
+    write_ivf_index(corpus, index_dir, n_cells=8, n_assign=2)
+    with pytest.raises(ValueError, match="unique epoch"):
+        write_ivf_index(corpus, index_dir, n_cells=8, n_assign=2, mode="append")
+
+
 def test_append_meta_mismatch_rejected(spark, index_dir):
     corpus = _clustered(spark)
     write_ivf_index(corpus, index_dir, n_cells=8, n_assign=2)
     with pytest.raises(ValueError, match="request asked for"):
-        write_ivf_index(corpus, index_dir, n_cells=16, n_assign=2, mode="append")
+        write_ivf_index(
+            corpus, index_dir, n_cells=16, n_assign=2, mode="append", epoch="d1"
+        )
