@@ -219,7 +219,6 @@ def pipeline_stage_counts(
     )
     """,
     tags=("text-quality", "sampling", "packing", "pipeline"),
-    demoted=True,
 )
 def q_llm_pipeline_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed pretraining-data pipeline (quality → decontaminate →

@@ -1000,7 +1000,6 @@ def unigram_nll(
     GROUP BY t.doc_id
     """,
     tags=("text-quality",),
-    demoted=True,
 )
 def q_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-self-trained unigram-LM quality score per document (see
@@ -1157,7 +1156,6 @@ def dsir_logweights(
     GROUP BY db.doc_id
     """,
     tags=("text-quality", "data-selection"),
-    demoted=True,
 )
 def q_llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance log-weights against the ``lang = 'en'`` target

@@ -17,6 +17,57 @@ from bayesiandatafusion_jl_spark.registry import register
 
 
 @register(
+    "q_stream_windows",
+    oracle=f"""
+    WITH offs AS (SELECT UNNEST([0, 1, 2, 3]) AS o),
+    slid AS (
+      SELECT (epoch_us(ts) // 1000000 // 21600 - o) * 21600 AS start_s,
+             event_type, value
+      FROM events CROSS JOIN offs
+    )
+    SELECT 'tumbling' AS op, CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+           event_type, COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY CAST(date_trunc('day', ts) AS TIMESTAMP), event_type
+    UNION ALL
+    SELECT 'sliding' AS op, make_timestamp(start_s * 1000000) AS win_start,
+           event_type, COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+    FROM slid
+    GROUP BY make_timestamp(start_s * 1000000), event_type
+    """,
+    tags=("J7", "J8"),
+)
+def q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7+J8 consolidated (the ``q_set_ops`` pattern): tumbling 1-day and
+    sliding (1-day length, 6-h slide) windowed aggregates over events in
+    one op-tagged result. Both legs use the identical ``F.window``
+    expression the streaming pipelines run on ``readStream``; window
+    starts are epoch-aligned, so the oracle reproduces them with
+    date_trunc (tumbling) and the div-offset arithmetic (sliding: every
+    event lands in exactly 4 windows, starts = (ts_s div 21600 − k)·21600,
+    k ∈ 0..3). Each leg is one partial-agg shuffle on (window, type) —
+    keys shrink with the window grain, not the data; the UNION ALL is
+    shuffle-free. The single-window forms stay as demoted
+    ``q_stream_tumbling`` / ``q_stream_sliding``."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def leg(op: str, *window_args: str) -> DataFrame:
+        return (
+            ev.groupBy(F.window("ts", *window_args).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+            .select(
+                F.lit(op).alias("op"),
+                F.col("w.start").alias("win_start"),
+                "event_type",
+                "n",
+                "sum_value",
+            )
+        )
+
+    return leg("tumbling", "1 day").unionByName(leg("sliding", "1 day", "6 hours"))
+
+
+@register(
     "q_stream_tumbling",
     oracle=f"""
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
@@ -25,6 +76,7 @@ from bayesiandatafusion_jl_spark.registry import register
     GROUP BY CAST(date_trunc('day', ts) AS DATE), event_type
     """,
     tags=("J7",),
+    demoted=True,
 )
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7 — tumbling 1-day window per event_type. Uses ``F.window`` (the
@@ -73,6 +125,7 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY make_timestamp(start_s * 1000000), event_type
     """,
     tags=("J8",),
+    demoted=True,
 )
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 — sliding window (1 day length, 6 h slide): every event lands in
