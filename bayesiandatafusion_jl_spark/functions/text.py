@@ -666,16 +666,24 @@ def remove_duplicated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_spans: bool = False,
+    min_span_tokens: int = 0,
 ) -> DataFrame:
     """Rewrite each document with cross-document duplicated spans EXCISED —
     the output side of Lee et al. 2022's substring dedup (word-n-gram
     grain): ``duplicated_spans`` profiles the duplication, this emits the
     cleaned corpus a training pipeline actually feeds downstream.
 
-    A token is removed iff it is covered by at least one n-gram span that
-    occurs in ``min_docs`` or more DISTINCT documents. Matching is over
-    the lowercased token stream (same normalization as the profiler), and
-    the cleaned text is rebuilt from that stream.
+    A token is covered iff it sits inside at least one n-gram span that
+    occurs in ``min_docs`` or more DISTINCT documents. Covered positions
+    are merged into maximal contiguous runs, and a run is removed only
+    when it is at least ``min_span_tokens`` tokens long — Lee et al.
+    excise only duplicated runs of ~50+ tokens, because short n-gram
+    matches ("in the end", "new york times") are ordinary language, and
+    removing every one of them shreds normal text. ``min_span_tokens=0``
+    (or any value ≤ n, the minimum possible run) removes every covered
+    token — the pre-guard behavior. Matching is over the lowercased token
+    stream (same normalization as the profiler), and the cleaned text is
+    rebuilt from that stream.
 
     Output: (id_col, text_cleaned, n_tokens, n_removed) — one row per
     input document, including fully-clean and fully-excised ones.
@@ -721,14 +729,39 @@ def remove_duplicated_spans(
     # codegen subexpression elimination, and the exists-scan is the
     # acknowledged O(tokens × covered_starts) worst case — paying it twice
     # per doc for text_cleaned AND n_removed would double the rebuild)
-    kept = (
-        f"filter(transform(tk, (t, i) -> struct(t AS t, i AS i)),"
-        f" x -> NOT exists(__s, s -> s <= x.i AND x.i < s + {int(n)}))"
+    joined = toks.join(starts, id_col, "left").withColumn(
+        "__s", F.coalesce("__starts", F.array().cast("array<int>"))
     )
+    if min_span_tokens > n:
+        # run-merge path: fold the SORTED starts into maximal covered
+        # intervals (s' <= b+1 ⇒ its coverage touches the previous run),
+        # keep only runs >= min_span_tokens long, then test tokens against
+        # the surviving runs. All per-doc HOF expressions — the merge is
+        # O(covered_starts) and adds no shuffle.
+        runs = (
+            f"filter(aggregate(array_sort(__s),"
+            f" cast(array() as array<struct<a:int,b:int>>),"
+            f" (acc, s) -> CASE"
+            f"   WHEN size(acc) > 0 AND s <= element_at(acc, -1).b + 1"
+            f"   THEN concat(slice(acc, 1, size(acc) - 1),"
+            f"        array(struct(element_at(acc, -1).a AS a,"
+            f"        greatest(element_at(acc, -1).b, s + {int(n)} - 1) AS b)))"
+            f"   ELSE concat(acc, array(struct(s AS a, s + {int(n)} - 1 AS b)))"
+            f" END),"
+            f" r -> r.b - r.a + 1 >= {int(min_span_tokens)})"
+        )
+        kept = (
+            "filter(transform(tk, (t, i) -> struct(t AS t, i AS i)),"
+            " x -> NOT exists(__runs, r -> r.a <= x.i AND x.i <= r.b))"
+        )
+        joined = joined.withColumn("__runs", F.expr(runs))
+    else:
+        kept = (
+            f"filter(transform(tk, (t, i) -> struct(t AS t, i AS i)),"
+            f" x -> NOT exists(__s, s -> s <= x.i AND x.i < s + {int(n)}))"
+        )
     return (
-        toks.join(starts, id_col, "left")
-        .withColumn("__s", F.coalesce("__starts", F.array().cast("array<int>")))
-        .withColumn("__kept", F.expr(kept))
+        joined.withColumn("__kept", F.expr(kept))
         .select(
             id_col,
             F.expr("concat_ws(' ', transform(__kept, x -> x.t))").alias(
@@ -786,6 +819,68 @@ def q_llm_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned text token-by-token via an interval join."""
     docs = load_table(spark, sf_dir, "documents")
     return remove_duplicated_spans(docs, n=3)
+
+
+@register(
+    "q_llm_remove_dup_spans_minlen",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(LOWER(text), ' ') AS tk FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             UNNEST(range(1, len(tk) - 1)) AS p,
+             UNNEST(list_transform(range(1, len(tk) - 1),
+                    i -> array_to_string(tk[i:i+2], ' '))) AS g
+      FROM tok
+    ),
+    dup AS (
+      SELECT g FROM (SELECT DISTINCT doc_id, g FROM g)
+      GROUP BY g HAVING COUNT(*) >= 2
+    ),
+    covered AS (SELECT g.doc_id, g.p FROM g JOIN dup USING (g)),
+    tokpos AS (
+      SELECT doc_id, UNNEST(range(1, len(tk) + 1)) AS j, UNNEST(tk) AS t
+      FROM tok
+    ),
+    covpos AS (
+      SELECT DISTINCT tp.doc_id, tp.j
+      FROM tokpos tp JOIN covered c
+        ON tp.doc_id = c.doc_id AND tp.j BETWEEN c.p AND c.p + 2
+    ),
+    runs AS (
+      SELECT doc_id, j,
+             j - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j) AS grp
+      FROM covpos
+    ),
+    removed AS (
+      SELECT doc_id, j FROM (
+        SELECT doc_id, j, COUNT(*) OVER (PARTITION BY doc_id, grp) AS runlen
+        FROM runs
+      ) WHERE runlen >= 5
+    )
+    SELECT tp.doc_id,
+           COALESCE(string_agg(CASE WHEN r.j IS NULL THEN tp.t END,
+                               ' ' ORDER BY tp.j), '') AS text_cleaned,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN r.j IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_removed
+    FROM tokpos tp
+    LEFT JOIN removed r ON tp.doc_id = r.doc_id AND tp.j = r.j
+    GROUP BY tp.doc_id
+    """,
+    tags=("J2", "text-quality"),
+    demoted=True,
+)
+def q_llm_remove_dup_spans_minlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span removal with the Lee-et-al. minimum-run guard: covered
+    positions merge into maximal runs (SQL island detection in the
+    oracle, a sorted-starts interval fold in Spark) and only runs of
+    ≥ 5 tokens are excised — short incidental n-gram matches survive.
+    L=5 (not the paper's 50) so the guard actually bites on this corpus's
+    short synthetic docs; the semantics are length-parameter-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicated_spans(docs, n=3, min_span_tokens=5)
 
 
 # --- PII redaction ---------------------------------------------------------
@@ -926,40 +1021,49 @@ def unigram_nll(
     distribution). High mean NLL = the doc is full of rare/unknown tokens
     relative to the corpus; a quality cascade thresholds or buckets on it.
 
-    Two linear passes over the token stream and nothing else:
-
-    1. vocab build — token counts, deterministic top-``vocab_size``
-       (count desc, token asc), plus the scalar corpus total N;
-    2. scoring — tokens LEFT JOIN the (KB-sized, broadcast) vocab;
-       per-token NLL = ln(N / count), OOV floored at count 1; per-doc
-       decimal-exact mean (``dmean`` discipline, exprs.py).
+    ONE pass over the token stream (the ``dsir_logweights`` pattern):
+    tokenize + explode + one shuffle onto (doc_id, token) counts, which
+    are CHECKPOINTED; everything else — the top-``vocab_size`` vocab model
+    (count desc, token asc), the corpus normalizer N = Σc (a 1-row
+    broadcast cross join, not a separate ``count()`` action), and the
+    per-doc scoring — derives from that checkpointed count frame, so the
+    corpus text is read and tokenized exactly once.
 
     The vocab broadcast is what makes this 100 TB-safe: the join carries a
     ``vocab_size``-row table to every task instead of shuffling the token
-    stream a second time. Per-token NLL is cast to float32 to absorb
-    last-ulp libm differences (the q_fn_math convention)."""
+    stream a second time. Per-token NLL = ln(N / count) (OOV floored at
+    count 1) is cast to float32 to absorb last-ulp libm differences (the
+    q_fn_math convention); the per-doc mean weights each distinct token's
+    NLL by its in-doc count c — the float32·c product is exact in double
+    (24-bit mantissa × small integer), so both engines round the identical
+    value into the decimal accumulator."""
     from pyspark.sql.functions import broadcast
 
     from bayesiandatafusion_jl_spark.functions.exprs import DEC
+    from bayesiandatafusion_jl_spark.session import checkpoint_df
 
     tok = tokens(df, text_col).select("doc_id", "token")
+    dt = checkpoint_df(
+        tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    )
     vocab = (
-        tok.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        dt.groupBy("token")
+        .agg(F.sum("c").cast("bigint").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("token").asc())
         .limit(vocab_size)
     )
-    total = tok.count()  # one scalar action — the LM's normalizer
+    tot = dt.agg(F.sum("c").cast("double").alias("total"))
     nll = (
-        F.log(F.lit(total).cast("double") / F.coalesce(F.col("cnt"), F.lit(1)))
+        F.log(F.col("total") / F.coalesce(F.col("cnt"), F.lit(1)))
         .cast("float")
     )
     return (
-        tok.join(broadcast(vocab), "token", "left")
+        dt.crossJoin(broadcast(tot))
+        .join(broadcast(vocab), "token", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.when(F.col("cnt").isNull(), 1).otherwise(0))
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("cnt").isNull(), F.col("c")).otherwise(F.lit(0)))
             .cast("bigint")
             .alias("n_oov"),
             # float32 absorbs libm ulp noise; the explicit double hop
@@ -968,8 +1072,8 @@ def unigram_nll(
             # .406180) while Spark goes through exact double — hopping to
             # double first makes both engines round the same exact value
             (
-                F.sum(nll.cast("double").cast(DEC)).cast("double")
-                / F.count(F.lit(1))
+                F.sum((nll.cast("double") * F.col("c")).cast(DEC)).cast("double")
+                / F.sum("c")
             ).alias("mean_nll"),
         )
     )
@@ -983,20 +1087,24 @@ def unigram_nll(
       FROM documents
     ),
     tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
-    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok2),
+    dt AS (
+      SELECT doc_id, token, COUNT(*) AS c FROM tok2 GROUP BY doc_id, token
+    ),
+    n AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM dt),
     vocab AS (
-      SELECT token, COUNT(*) AS cnt FROM tok2
+      SELECT token, CAST(SUM(c) AS BIGINT) AS cnt FROM dt
       GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 1000
     )
     SELECT t.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           CAST(SUM(CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(t.c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.cnt IS NULL THEN t.c ELSE 0 END) AS BIGINT)
              AS n_oov,
            CAST(SUM(CAST(CAST(CAST(LN((SELECT total FROM n)
                  / COALESCE(v.cnt, 1))
-                 AS REAL) AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+                 AS REAL) AS DOUBLE) * t.c AS DECIMAL(38,6))) AS DOUBLE)
+             / SUM(t.c)
              AS mean_nll
-    FROM tok2 t LEFT JOIN vocab v ON t.token = v.token
+    FROM dt t LEFT JOIN vocab v ON t.token = v.token
     GROUP BY t.doc_id
     """,
     tags=("text-quality",),
@@ -1180,56 +1288,70 @@ def bigram_nll(
     scores low; shuffled/boilerplate text scores high even when its
     unigram profile looks normal — exactly what the bigram order adds.
 
-    Plan shape (100 TB story identical to ``unigram_nll``):
+    Plan shape (100 TB story identical to ``unigram_nll`` /
+    ``dsir_logweights``): ONE pass over the corpus text. Unigram and
+    bigram grams ride the SAME tagged stream (unigram structs carry a
+    NULL ``cur``; bigrams are a zip of two array slices — map-side, no
+    self-join on position), so a single explode + one shuffle produces
+    the checkpointed per-(doc, prev, cur) count frame. Everything else
+    derives from that frame:
 
-    - token + bigram streams come from ONE tokenized base (bigrams as a
-      zip of two array slices — map-side, no self-join on position);
     - both model tables are deterministic top-K aggregates (count desc,
-      key asc) — KB-sized, BROADCAST back onto the pair stream, so the
-      corpus-sized stream shuffles only for the per-doc groupBy;
-    - the corpus total N is one scalar action (the unigram_nll precedent).
+      key asc) of it — KB-sized, BROADCAST back, never reshuffled (the
+      unigram model is additionally checkpointed because it feeds BOTH
+      the prev- and cur-side broadcast builds, which ReuseExchange
+      cannot dedupe);
+    - the corpus total N = Σc over the unigram rows attaches as a 1-row
+      broadcast cross join — no separate ``count()`` action;
+    - scoring runs over the bigram rows of the frame, each distinct
+      (doc, prev, cur) weighted by its count c.
 
     λ defaults to 0.5 (a power of two: the interpolation multiply is
     exact in both engines). Per-position NLL is float32-cast (libm ulp
-    absorption), the per-doc mean decimal-exact. Docs with < 2 tokens
-    have no bigram positions and are absent from the output (inner
-    semantics, mirrored by the oracle). Bigrams whose previous word falls
-    outside the top-``vocab_size`` unigram table back off to the unigram
-    term alone (p₂ = 0) — both models are honestly capped-vocab, which is
-    what keeps them broadcastable at any corpus size."""
+    absorption); the float32·c product is exact in double, and the
+    per-doc mean is decimal-exact. Docs with < 2 tokens have no bigram
+    positions and are absent from the output (inner semantics, mirrored
+    by the oracle). Bigrams whose previous word falls outside the
+    top-``vocab_size`` unigram table back off to the unigram term alone
+    (p₂ = 0) — both models are honestly capped-vocab, which is what
+    keeps them broadcastable at any corpus size."""
     from bayesiandatafusion_jl_spark.functions.exprs import DEC
-
-    base = df.select("doc_id", _token_array(text_col).alias("tk"))
-    uni = base.select("doc_id", F.explode("tk").alias("w"))
     from bayesiandatafusion_jl_spark.session import checkpoint_df
 
+    base = df.select("doc_id", _token_array(text_col).alias("tk"))
+    null_s = F.lit(None).cast("string")
+    n1 = F.greatest(F.size("tk") - 1, F.lit(0))
+    uni_structs = F.transform(
+        "tk", lambda w: F.struct(w.alias("prev"), null_s.alias("cur"))
+    )
+    pair_structs = F.zip_with(
+        F.slice("tk", 1, n1),
+        F.slice("tk", 2, n1),
+        lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+    )
+    grams = base.select(
+        "doc_id", F.explode(F.concat(uni_structs, pair_structs)).alias("g")
+    ).select("doc_id", F.col("g.prev").alias("prev"), F.col("g.cur").alias("cur"))
+    dg = checkpoint_df(
+        grams.groupBy("doc_id", "prev", "cur").agg(F.count(F.lit(1)).alias("c"))
+    )
+    du = dg.filter(F.col("cur").isNull()).select(
+        "doc_id", F.col("prev").alias("w"), "c"
+    )
+    dp = dg.filter(F.col("cur").isNotNull())
     # the KB-sized unigram model feeds BOTH the prev- and cur-side joins;
-    # checkpoint it so the corpus-wide top-K aggregate executes once, not
-    # once per broadcast build (ReuseExchange cannot dedupe the two
-    # non-identical projections of it)
+    # checkpoint it so the top-K aggregate over the (corpus-scale)
+    # checkpointed count frame executes once, not once per broadcast build
     c1 = checkpoint_df(
-        uni.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c1"))
+        du.groupBy("w")
+        .agg(F.sum("c").cast("bigint").alias("c1"))
         .orderBy(F.col("c1").desc(), F.col("w").asc())
         .limit(vocab_size)
     )
-    total = uni.count()  # the unigram normalizer — one scalar action
-    n1 = F.size("tk") - 1
-    pairs = (
-        base.filter(F.size("tk") >= 2)
-        .select(
-            "doc_id",
-            F.slice("tk", 1, n1).alias("pv"),
-            F.slice("tk", 2, n1).alias("cv"),
-        )
-        .select("doc_id", F.explode(F.arrays_zip("pv", "cv")).alias("z"))
-        .select(
-            "doc_id", F.col("z.pv").alias("prev"), F.col("z.cv").alias("cur")
-        )
-    )
+    tot = du.agg(F.sum("c").cast("double").alias("total"))
     c2 = (
-        pairs.groupBy("prev", "cur")
-        .agg(F.count(F.lit(1)).alias("c2"))
+        dp.groupBy("prev", "cur")
+        .agg(F.sum("c").cast("bigint").alias("c2"))
         .orderBy(F.col("c2").desc(), F.col("prev").asc(), F.col("cur").asc())
         .limit(bigram_size)
     )
@@ -1239,18 +1361,19 @@ def bigram_nll(
         F.col("c2").isNotNull() & F.col("c1p").isNotNull(),
         F.col("c2") / F.col("c1p"),
     ).otherwise(F.lit(0.0))
-    p1 = F.coalesce(F.col("c1c"), F.lit(1)) / F.lit(float(total))
+    p1 = F.coalesce(F.col("c1c"), F.lit(1)) / F.col("total")
     nll = (-F.log(F.lit(lam) * p2 + F.lit(1.0 - lam) * p1)).cast("float")
     return (
-        pairs.join(F.broadcast(c2), ["prev", "cur"], "left")
+        dp.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(c2), ["prev", "cur"], "left")
         .join(F.broadcast(cp), "prev", "left")
         .join(F.broadcast(cc), "cur", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("c").cast("bigint").alias("n_bigrams"),
             (
-                F.sum(nll.cast("double").cast(DEC)).cast("double")
-                / F.count(F.lit(1))
+                F.sum((nll.cast("double") * F.col("c")).cast(DEC)).cast("double")
+                / F.sum("c")
             ).alias("mean_nll2"),
         )
     )
@@ -1264,38 +1387,46 @@ def bigram_nll(
              list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS tk
       FROM documents
     ),
-    uni AS (SELECT doc_id, UNNEST(tk) AS w FROM tok),
+    du AS (
+      SELECT doc_id, w, COUNT(*) AS c
+      FROM (SELECT doc_id, UNNEST(tk) AS w FROM tok)
+      GROUP BY doc_id, w
+    ),
     c1 AS (
-      SELECT w, COUNT(*) AS c1 FROM uni
+      SELECT w, CAST(SUM(c) AS BIGINT) AS c1 FROM du
       GROUP BY w ORDER BY c1 DESC, w ASC LIMIT 1000
     ),
-    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM uni),
+    n AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM du),
     pr AS (
       SELECT doc_id,
              UNNEST(list_slice(tk, 1, len(tk) - 1)) AS prev,
              UNNEST(list_slice(tk, 2, len(tk))) AS cur
       FROM tok WHERE len(tk) >= 2
     ),
+    dp AS (
+      SELECT doc_id, prev, cur, COUNT(*) AS c FROM pr
+      GROUP BY doc_id, prev, cur
+    ),
     c2 AS (
-      SELECT prev, cur, COUNT(*) AS c2 FROM pr
+      SELECT prev, cur, CAST(SUM(c) AS BIGINT) AS c2 FROM dp
       GROUP BY prev, cur ORDER BY c2 DESC, prev ASC, cur ASC LIMIT 4000
     ),
     sc AS (
-      SELECT pr.doc_id,
+      SELECT dp.doc_id, dp.c,
              CAST(-LN(
                0.5 * (CASE WHEN c2.c2 IS NOT NULL AND cp.c1 IS NOT NULL
                            THEN c2.c2 / cp.c1 ELSE 0.0 END)
                + 0.5 * (COALESCE(cc.c1, 1) / (SELECT total FROM n))
              ) AS REAL) AS nll
-      FROM pr
-      LEFT JOIN c2 ON pr.prev = c2.prev AND pr.cur = c2.cur
-      LEFT JOIN c1 cp ON pr.prev = cp.w
-      LEFT JOIN c1 cc ON pr.cur = cc.w
+      FROM dp
+      LEFT JOIN c2 ON dp.prev = c2.prev AND dp.cur = c2.cur
+      LEFT JOIN c1 cp ON dp.prev = cp.w
+      LEFT JOIN c1 cc ON dp.cur = cc.w
     )
     SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           CAST(SUM(CAST(CAST(nll AS DOUBLE) AS DECIMAL(38,6)))
-                AS DOUBLE) / COUNT(*) AS mean_nll2
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(CAST(nll AS DOUBLE) * c AS DECIMAL(38,6)))
+                AS DOUBLE) / SUM(c) AS mean_nll2
     FROM sc GROUP BY doc_id
     """,
     tags=("text-quality",),

@@ -228,6 +228,62 @@ def test_remove_duplicated_spans_full_excision(spark):
         assert got[d].n_removed == got[d].n_tokens == 4
 
 
+def test_remove_duplicated_spans_min_span_tokens(spark):
+    # Lee-et-al. minimum-run guard: the long duplicated run is excised,
+    # the short incidental trigram match survives.
+    long_run = "one two three four five six seven eight nine ten"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words {long_run} gap in the end closing"),
+            (2, f"other copy {long_run} trailing stuff"),
+            (3, "this phrase sits in the end of a doc"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in remove_duplicated_spans(docs, n=3, min_span_tokens=6).collect()
+    }
+    # docs 1+2 share the 10-token run (>= 6 → excised); docs 1+3 share the
+    # 3-token "in the end" (covered run of 3 < 6 → preserved)
+    assert got[1].text_cleaned == "intro words gap in the end closing"
+    assert got[1].n_removed == 10
+    assert got[2].text_cleaned == "other copy trailing stuff"
+    assert got[2].n_removed == 10
+    assert got[3].n_removed == 0
+    # guard below the run grain (L <= n) reproduces the pre-guard behavior
+    base = remove_duplicated_spans(docs, n=3).orderBy("doc_id").collect()
+    zero = (
+        remove_duplicated_spans(docs, n=3, min_span_tokens=3)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert base == zero
+
+
+def test_remove_duplicated_spans_adjacent_runs_merge(spark):
+    # Two overlapping shared regions whose coverage is contiguous must be
+    # ONE run for the length test: doc 1 shares "a b c" with doc 2 and
+    # "d e f" with doc 3, adjacent in doc 1 → a single 6-token run.
+    docs = spark.createDataFrame(
+        [
+            (1, "start a b c d e f finish"),
+            (2, "x a b c y"),
+            (3, "p d e f q"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in remove_duplicated_spans(docs, n=3, min_span_tokens=6).collect()
+    }
+    assert got[1].text_cleaned == "start finish"
+    assert got[1].n_removed == 6
+    # in docs 2 and 3 the shared trigram is an isolated 3-token run < 6
+    assert got[2].n_removed == 0
+    assert got[3].n_removed == 0
+
+
 def test_compact_parquet_preserves_content(spark, tmp_path):
     from bayesiandatafusion_jl_spark.operators.maintenance import compact_parquet
 
