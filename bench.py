@@ -54,6 +54,9 @@ HEADLINE = [
     "q_llm_semdedup",      # r8: SemDeDup cluster-then-prune semantic dedup
     "q_ml_predict_rmse",
     "q_win_auc",
+    "q_agg_heavy_hitters",  # r11: exact Misra-Gries 2-pass heavy hitters
+    "q_text_unigram_nll",   # r11: pin the 3-scans->1 checkpoint rewrite
+    "q_text_bigram_nll",    # r11: pin the 4-scans->1 tagged-stream rewrite
 ]
 
 
@@ -79,6 +82,52 @@ def main() -> None:
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
         timings_max[name] = round(max(runs), 3)
+
+    # Persisted-index family (r11 verdict item): build each index ONCE
+    # outside the timed loop, then time the PROBE leg alone — the
+    # steady-state cost an incremental pipeline actually pays per shard.
+    import shutil
+
+    from pyspark.sql import functions as FF
+
+    from bayesiandatafusion_jl_spark.functions.dedup_index import (
+        _twin_corpus,
+        dedup_incremental,
+        write_signature_index,
+    )
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        ann_ivf_query_index,
+        write_ivf_index,
+    )
+    from bayesiandatafusion_jl_spark.catalog import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents").select("doc_id", "text")
+    sig_dir = "/tmp/bdf_bench_sig_index"
+    shutil.rmtree(sig_dir, ignore_errors=True)
+    write_signature_index(docs, sig_dir)
+    new_shard = _twin_corpus(spark, sf_dir).filter(FF.col("doc_id") >= 1_000_000)
+
+    def time_probe(label: str, probe) -> None:
+        runs = []
+        for _ in range(iterations):
+            t0 = time.time()
+            probe().write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        timings[label] = round(min(runs), 3)
+        timings_max[label] = round(max(runs), 3)
+
+    time_probe("dedup_index_probe", lambda: dedup_incremental(new_shard, sig_dir))
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    ivf_dir = "/tmp/bdf_bench_ivf_index"
+    shutil.rmtree(ivf_dir, ignore_errors=True)
+    write_ivf_index(emb, ivf_dir, n_cells=16, n_assign=2)
+    q_batch = emb.filter(FF.col("vec_id") < 100).select(
+        FF.col("vec_id").alias("qid"), FF.col("embedding").alias("qe")
+    )
+    time_probe(
+        "ivf_index_probe", lambda: ann_ivf_query_index(q_batch, ivf_dir, k=5, n_probe=6)
+    )
 
     # ML sweep throughput: one BPMF Gibbs sweep (I3 kernel both entities +
     # moments + NW) on the events-derived matrix, K=16 (BASELINE.md (c))
