@@ -50,6 +50,7 @@ from bayesiandatafusion_jl_spark.functions.vector import (
 from bayesiandatafusion_jl_spark.functions.index_meta import (
     check_meta,
     index_paths,
+    read_meta,
     write_meta,
 )
 from bayesiandatafusion_jl_spark.registry import register
@@ -65,6 +66,32 @@ def _load_centers(spark: SparkSession, centers_path: str) -> list:
     return [list(r.ce) for r in rows]
 
 
+# Drift-stat sample cap: the guard needs a mean, not a census — a few
+# thousand vectors bound its error far below any actionable threshold.
+_DRIFT_SAMPLE_MAX_ROWS = 50_000
+
+
+def _assign_score_mean(df: DataFrame, centers: list, vec_col: str) -> float:
+    """Mean best-cell cosine of a deterministic identity-hash sample of
+    ``df`` under ``centers`` — the assignment-quality statistic the drift
+    guard compares. Map-only sample filter (same ``pmod(xxhash64)``
+    convention as the quantizer fit) + one bounded aggregate; never
+    corpus-scaled driver traffic."""
+    spark = df.sparkSession
+    n = df.count()
+    sample = df
+    if n > _DRIFT_SAMPLE_MAX_ROWS:
+        m = -(-n // _DRIFT_SAMPLE_MAX_ROWS)
+        sample = df.filter(F.pmod(F.xxhash64("vec_id"), F.lit(m)) == 0)
+    attach = _cells_attacher(spark, centers)
+    src, cells = attach(sample)
+    best = F.array_max(_cell_scores(cells, vec_col))["cd"]
+    row = src.agg(F.avg(best).alias("m")).collect()[0]
+    if row["m"] is None:
+        raise ValueError("cannot compute assignment stats on an empty frame")
+    return float(row["m"])
+
+
 def write_ivf_index(
     corpus: DataFrame,
     index_dir: str,
@@ -72,6 +99,8 @@ def write_ivf_index(
     n_assign: int = 2,
     mode: str = "overwrite",
     epoch: str = "base",
+    max_drift: float = 0.15,
+    on_drift: str = "error",
 ) -> None:
     """Build (or append a shard to) the inverted file for a
     (vec_id, embedding) frame.
@@ -88,6 +117,17 @@ def write_ivf_index(
     the same (cell_id, __epoch) partitions). cell_id stays the OUTER
     partition level: probe-time partition pruning on ``cell_id IN (...)``
     is unchanged.
+
+    Drift guard (append only): the fresh build pins the corpus's mean
+    best-cell cosine in meta (``assign_ppm``, parts-per-million); every
+    append recomputes the same statistic for the NEW shard under the
+    stored centers. A shard whose mean is more than ``max_drift`` below
+    the pinned value sits far from every centroid — the quantizer no
+    longer describes the data, cells fill unevenly, and probe recall
+    decays silently. ``on_drift="error"`` (default) fails the append and
+    names the numbers; ``"warn"`` appends anyway with a warning (the
+    operator accepts degraded recall until the next scheduled refit).
+    Indexes written before this stat existed skip the check.
     """
     post_path, centers_path, meta_path = _paths(index_dir)
     spark = corpus.sparkSession
@@ -113,6 +153,25 @@ def write_ivf_index(
             dim=len(row["embedding"]),
         )
         centers = _load_centers(spark, centers_path)
+        meta_row = read_meta(spark, meta_path).asDict()
+        if "assign_ppm" in meta_row:
+            base_mean = meta_row["assign_ppm"] / 1e6
+            shard_mean = _assign_score_mean(corpus, centers, "embedding")
+            if base_mean - shard_mean > max_drift:
+                msg = (
+                    f"IVF append drift guard: shard mean best-cell cosine"
+                    f" {shard_mean:.4f} is {base_mean - shard_mean:.4f} below"
+                    f" the index's pinned {base_mean:.4f} (max_drift="
+                    f"{max_drift}) — the stored quantizer no longer fits"
+                    f" this data; refit with mode='overwrite' (or pass"
+                    f" on_drift='warn' to append with degraded recall)"
+                )
+                if on_drift == "warn":
+                    import warnings
+
+                    warnings.warn(msg, stacklevel=2)
+                else:
+                    raise ValueError(msg)
     else:
         centers = _spherical_kmeans(corpus, n_cells)
         if not centers:
@@ -152,6 +211,9 @@ def write_ivf_index(
             n_cells=n_cells,
             n_assign=n_assign,
             dim=len(centers[0]),
+            assign_ppm=round(
+                _assign_score_mean(corpus, centers, "embedding") * 1e6
+            ),
         )
 
 

@@ -134,3 +134,62 @@ def test_append_meta_mismatch_rejected(spark, index_dir):
         write_ivf_index(
             corpus, index_dir, n_cells=16, n_assign=2, mode="append", epoch="d1"
         )
+
+
+def _drifted_shard(spark, dim=8, n=30):
+    """Unit vectors concentrated in a direction the clustered corpus never
+    occupies (equal negative weight on every axis) — far from every fitted
+    centroid, so mean best-cell cosine collapses."""
+    import math as m
+
+    v = [-1.0 / m.sqrt(dim)] * dim
+    return spark.createDataFrame(
+        [(2000 + i, v) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_append_drift_guard_rejects_drifted_shard(spark, index_dir):
+    corpus = _clustered(spark)
+    write_ivf_index(corpus, index_dir, n_cells=8, n_assign=2)
+    with pytest.raises(ValueError, match="drift guard"):
+        write_ivf_index(
+            _drifted_shard(spark),
+            index_dir,
+            n_cells=8,
+            n_assign=2,
+            mode="append",
+            epoch="d1",
+        )
+
+
+def test_append_drift_guard_warn_mode_appends(spark, index_dir):
+    corpus = _clustered(spark)
+    write_ivf_index(corpus, index_dir, n_cells=8, n_assign=2)
+    shard = _drifted_shard(spark)
+    with pytest.warns(UserWarning, match="drift guard"):
+        write_ivf_index(
+            shard,
+            index_dir,
+            n_cells=8,
+            n_assign=2,
+            mode="append",
+            epoch="d1",
+            on_drift="warn",
+        )
+    postings = spark.read.parquet(index_dir + "/postings")
+    assert postings.filter(F.col("vec_id") >= 2000).count() > 0
+
+
+def test_append_in_distribution_shard_passes_guard(spark, index_dir):
+    corpus = _clustered(spark)
+    write_ivf_index(corpus, index_dir, n_cells=8, n_assign=2)
+    shard = corpus.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    # in-distribution shard sails through with the default error mode
+    write_ivf_index(
+        shard, index_dir, n_cells=8, n_assign=2, mode="append", epoch="d1"
+    )
+    postings = spark.read.parquet(index_dir + "/postings")
+    assert postings.filter(F.col("vec_id") >= 1000).count() == 10
