@@ -2,6 +2,7 @@
 text/dedup (J1–J6 + text analysis)."""
 
 from bayesiandatafusion_jl_spark.functions import (  # noqa: F401
+    bpe,
     dedup,
     dedup_index,
     graph,
