@@ -135,10 +135,12 @@ NOTES = {
         " scan, zero exchanges; planted spans make the oracle non-vacuous"
     ),
     "q_text_unigram_nll": (
-        "r8: corpus-self-trained unigram-LM quality score — two linear"
-        " token passes; the KB-sized top-V vocab is broadcast so scoring"
-        " never shuffles the token stream; per-token NLL float32-absorbed,"
-        " decimal-exact per-doc mean"
+        "r11: corpus-self-trained unigram-LM quality score — ONE token"
+        " pass (dsir pattern): tokenize+explode into a checkpointed"
+        " (doc,token) count frame; vocab model, N=Σc (1-row broadcast, no"
+        " count() action) and scoring all derive from it; the KB-sized"
+        " top-V vocab is broadcast so scoring never reshuffles; NLL·c"
+        " float32-absorbed exact-in-double, decimal-exact per-doc mean"
     ),
     "q_shuffle_shards": (
         "r8: epoch-deterministic corpus shuffle — seeded identity-hash pos"
@@ -166,11 +168,39 @@ NOTES = {
         " becomes sum over clusters of O(c^2)"
     ),
     "q_text_bigram_nll": (
-        "r8: interpolated-bigram LM score (CCNet/KenLM analog, one order"
-        " up from unigram_nll) — bigram stream is a map-side zip of two"
-        " array slices (no positional self-join); both model tables are"
-        " deterministic top-K broadcasts, so the pair stream shuffles only"
-        " for the per-doc groupBy"
+        "r11: interpolated-bigram LM score — ONE corpus pass: unigram and"
+        " bigram grams ride one tagged stream (NULL cur marks unigrams;"
+        " bigrams a map-side zip of two array slices, no positional"
+        " self-join) into a checkpointed (doc,prev,cur) count frame that"
+        " feeds both top-K broadcast models, N (1-row broadcast, no"
+        " count() action) and the count-weighted scoring"
+    ),
+    "q_fn_scalar_suite": (
+        "r11: H1+H2+H3+H6 consolidated — three map-only legs (lineitem"
+        " math / part string / orders date) unpivoted via the stack"
+        " generator into one op-tagged long schema; key-modulus filters"
+        " push to the scans; zero exchanges"
+    ),
+    "q_stream_windows": (
+        "r11: J7+J8 consolidated — tumbling and sliding window aggs as"
+        " op-tagged legs; one partial-agg shuffle per leg on (window,type)"
+        " shrinking keys; UNION ALL is shuffle-free"
+    ),
+    "q_llm_remove_dup_spans_minlen": (
+        "r11: span removal with the Lee-et-al. minimum-run guard — same"
+        " linear profile shuffles; covered starts fold into maximal runs"
+        " per doc (sorted-starts interval aggregate HOF, no extra"
+        " exchange), only runs >= L excised"
+    ),
+    "q_text_bpe_token_count": (
+        "r11: corpus-trained BPE (bounded identity-hash sample collected"
+        " to the driver, quantizer-fit precedent) applied via an"
+        " Arrow-batched pandas UDF with broadcast merge ranks + pretoken"
+        " LRU — map-only, zero exchanges beyond the scan"
+    ),
+    "q_llm_pack_bpe": (
+        "r11: pack_sequences driven by the BPE token counts — the same"
+        " checkpointed two-phase prefix scan at tokenizer grain"
     ),
     "q_sample_mixture": (
         "r7: per-stratum mixture rates as a map-only identity-hash CASE"
