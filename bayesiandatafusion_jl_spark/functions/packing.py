@@ -141,7 +141,6 @@ _PACK_CAPACITY = 256
     FROM pos
     """,
     tags=("J5", "packing"),
-    demoted=True,
 )
 def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack the documents table into {capacity}-token context windows:

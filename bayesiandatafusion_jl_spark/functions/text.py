@@ -870,7 +870,6 @@ def q_llm_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY tp.doc_id
     """,
     tags=("J2", "text-quality"),
-    demoted=True,
 )
 def q_llm_remove_dup_spans_minlen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span removal with the Lee-et-al. minimum-run guard: covered
@@ -1430,7 +1429,6 @@ def bigram_nll(
     FROM sc GROUP BY doc_id
     """,
     tags=("text-quality",),
-    demoted=True,
 )
 def q_text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated-bigram LM quality score per document (see

@@ -114,6 +114,55 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_rollup_cube",
+    oracle=f"""
+    SELECT 'rollup' AS op, o_orderstatus AS g1, o_orderpriority AS g2,
+           COUNT(*) AS n, {sql_dsum('o_totalprice')} AS val
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT 'cube', l_returnflag, l_linestatus,
+           COUNT(*), {sql_dsum('l_quantity')}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("D5", "D6"),
+)
+def q_agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5+D6 consolidated (the ``q_set_ops`` pattern): rollup
+    (hierarchical subtotals + grand total over orders) and cube (all
+    grouping sets over lineitem) as op-tagged legs of one result. Each
+    leg is one grouping-sets partial aggregate — keys shrink with the
+    grouping, never grow with the data; the UNION ALL is shuffle-free.
+    The single forms stay demoted with identical local parity gates."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rollup_leg = (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("val"))
+        .select(
+            F.lit("rollup").alias("op"),
+            F.col("o_orderstatus").alias("g1"),
+            F.col("o_orderpriority").alias("g2"),
+            "n",
+            "val",
+        )
+    )
+    cube_leg = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("val"))
+        .select(
+            F.lit("cube").alias("op"),
+            F.col("l_returnflag").alias("g1"),
+            F.col("l_linestatus").alias("g2"),
+            "n",
+            "val",
+        )
+    )
+    return rollup_leg.unionByName(cube_leg)
+
+
+@register(
     "q_agg_rollup",
     oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
@@ -122,6 +171,7 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
     tags=("D5",),
+    demoted=True,
 )
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5 — rollup (hierarchical subtotals + grand total)."""
@@ -139,6 +189,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
     tags=("D6",),
+    demoted=True,
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D6 — cube (all grouping sets)."""
@@ -389,7 +440,6 @@ _HH_PHI = 0.002
     HAVING COUNT(*) >= {_HH_PHI} * (SELECT total FROM n)
     """,
     tags=("D4", "sketch", "J5"),
-    demoted=True,
 )
 def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokens occupying ≥ 0.2% of the corpus token stream, via the

@@ -146,6 +146,67 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_semi_anti",
+    oracle="""
+    SELECT 'semi' AS op, c_custkey, c_name, c_acctbal,
+           CAST(NULL AS BIGINT) AS c_nationkey
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    UNION ALL
+    SELECT 'anti', c_custkey, c_name, CAST(NULL AS DOUBLE),
+           CAST(c_nationkey AS BIGINT)
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    """,
+    tags=("C5", "C6"),
+)
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5+C6 consolidated (the ``q_set_ops`` pattern): left-semi
+    (active-set restriction — entities with ≥1 training observation) and
+    left-anti (cold-start entities predicted from side info only
+    [paper:Macau]) in one op-tagged result. Each leg pushes its orders
+    filter below the join (PushedFilters) and runs one hash semi/anti
+    join; the UNION ALL is shuffle-free. The single-join forms stay
+    demoted with identical local parity gates."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    semi = (
+        c.join(
+            o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")),
+            c.c_custkey == F.col("o_custkey"),
+            "left_semi",
+        )
+        .select(
+            F.lit("semi").alias("op"),
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.lit(None).cast("bigint").alias("c_nationkey"),
+        )
+    )
+    anti = (
+        c.join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT"),
+            c.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .select(
+            F.lit("anti").alias("op"),
+            "c_custkey",
+            "c_name",
+            F.lit(None).cast("double").alias("c_acctbal"),
+            F.col("c_nationkey").cast("bigint"),
+        )
+    )
+    return semi.unionByName(anti)
+
+
+@register(
     "q_join_semi",
     oracle="""
     SELECT c_custkey, c_name, c_acctbal
@@ -156,6 +217,7 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
     tags=("C5",),
+    demoted=True,
 )
 def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5 — left semi join: active-set restriction (entities having ≥1
@@ -179,6 +241,7 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AND o_orderpriority = '1-URGENT')
     """,
     tags=("C6",),
+    demoted=True,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6 — left anti join: cold-start entities with zero observations,

@@ -180,6 +180,106 @@ def q_win_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_win_suite",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             {sql_dsum('o_totalprice')} AS day_total,
+             COUNT(*) AS n
+      FROM orders
+      GROUP BY CAST(o_orderdate AS DATE)
+    )
+    SELECT 'lag_lead' AS op,
+           user_id AS k1, event_id AS k2,
+           CAST(date_diff('microsecond',
+                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                ts) AS DOUBLE) AS dval,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS sval
+    FROM events
+    UNION ALL
+    SELECT 'moving_avg7', n, CAST(NULL AS BIGINT),
+           CAST(SUM(CAST(day_total AS DECIMAL(38,6))) OVER (
+             ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / COUNT(*) OVER (
+             ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+           CAST(day AS VARCHAR)
+    FROM daily
+    UNION ALL
+    SELECT 'cumsum', o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE),
+           CAST(NULL AS VARCHAR)
+    FROM orders
+    """,
+    tags=("E3", "E4", "E5"),
+)
+def q_win_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+E4+E5 consolidated (the ``q_set_ops`` pattern) into the common
+    long schema ``(op, k1, k2, dval, sval)``:
+
+    - ``lag_lead``: per-user inter-event gap (µs, exact in double — gaps
+      are far below 2^53) + next event type;
+    - ``moving_avg7``: 7-row moving average of daily revenue (pre-agg to
+      days shrinks the window input ~10³; exact-decimal sum / count);
+    - ``cumsum``: per-customer running spend (decimal prefix sums —
+      exact and order-stable).
+
+    Each leg keeps its own single window shuffle (keys: user, global-day,
+    customer); the UNION ALL is shuffle-free. Wide single forms stay
+    demoted with identical local parity gates."""
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    null_b = F.lit(None).cast("bigint")
+    null_s = F.lit(None).cast("string")
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_leg = ev.select(
+        F.lit("lag_lead").alias("op"),
+        F.col("user_id").alias("k1"),
+        F.col("event_id").alias("k2"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag("ts").over(wl).cast("timestamp"))
+        )
+        .cast("double")
+        .alias("dval"),
+        F.lead("event_type").over(wl).alias("sval"),
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        dsum("o_totalprice").alias("day_total"), F.count(F.lit(1)).alias("n")
+    )
+    wm = W.orderBy("day").rowsBetween(-6, 0)
+    mov_leg = daily.select(
+        F.lit("moving_avg7").alias("op"),
+        F.col("n").alias("k1"),
+        null_b.alias("k2"),
+        (
+            F.sum(F.col("day_total").cast("decimal(38,6)")).over(wm).cast("double")
+            / F.count(F.lit(1)).over(wm)
+        ).alias("dval"),
+        F.col("day").cast("string").alias("sval"),
+    )
+    wc = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum_leg = o.select(
+        F.lit("cumsum").alias("op"),
+        F.col("o_custkey").alias("k1"),
+        F.col("o_orderkey").alias("k2"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .over(wc)
+        .cast("double")
+        .alias("dval"),
+        null_s.alias("sval"),
+    )
+    return lag_leg.unionByName(mov_leg).unionByName(cum_leg)
+
+
+@register(
     "q_win_lag_lead",
     oracle="""
     SELECT user_id, event_id,
@@ -191,6 +291,7 @@ def q_win_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
     tags=("E3",),
+    demoted=True,
 )
 def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 — lag/lead: inter-event gaps per user (µs, exact integer)."""
@@ -231,6 +332,7 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM daily
     """,
     tags=("E4",),
+    demoted=True,
 )
 def q_win_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 — sliding-frame aggregate: 7-row moving average of daily revenue.
@@ -265,6 +367,7 @@ def q_win_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     """,
     tags=("E5",),
+    demoted=True,
 )
 def q_win_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 — cumulative aggregate (the running posterior-mean accumulation
