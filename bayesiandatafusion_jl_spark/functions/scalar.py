@@ -264,6 +264,41 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fn_events_suite",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN value > 50.0 THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("H5", "H7", "A4"),
+)
+def q_fn_events_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5+H7+A4 consolidated: CASE-WHEN thresholding (the ``class_cut``
+    binarization of the probit/AUC path [api]) and semi-structured JSON
+    payload access (``from_json`` with a declared schema — JVM-side) share
+    the SAME events-by-type grain, so both capability rows ride ONE
+    partial-agg shuffle instead of two driver slots. Single forms stay
+    demoted with identical local parity gates."""
+    ev = load_table(spark, sf_dir, "events")
+    pos = F.when(F.col("value") > 50.0, 1).otherwise(0)
+    k = F.from_json("props", "k INT").getField("k")
+    return ev.withColumn("k", k).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(pos).alias("n_pos"),
+        F.sum(1 - pos).alias("n_neg"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@register(
     "q_fn_case_probit",
     oracle="""
     SELECT event_type,
@@ -274,6 +309,7 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type
     """,
     tags=("H5",),
+    demoted=True,
 )
 def q_fn_case_probit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H5 — CASE WHEN thresholding: the ``class_cut`` binarization used for
@@ -322,6 +358,7 @@ def q_fn_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type
     """,
     tags=("H7", "A4"),
+    demoted=True,
 )
 def q_fn_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H7+A4 — semi-structured (JSON payload) access + aggregation over

@@ -453,7 +453,6 @@ _QF_REASON_SQL = f"""CASE WHEN n_tokens < {_QF_MIN_TOKENS} THEN 'too_short'
     FROM m
     """,
     tags=("text-quality",),
-    demoted=True,
 )
 def q_text_quality_filter(
     spark: SparkSession,
@@ -522,7 +521,6 @@ def q_text_quality_filter(
     LEFT JOIN hits h ON d.doc_id = h.doc_id
     """,
     tags=("text-quality", "J2"),
-    demoted=True,
 )
 def q_llm_decontaminate(
     spark: SparkSession,
@@ -966,7 +964,6 @@ _PII_SEED_SQL = """
     FROM seeded
     """,
     tags=("text-quality", "pii"),
-    demoted=True,
 )
 def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over ``documents`` with deterministically planted

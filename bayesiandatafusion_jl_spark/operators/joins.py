@@ -24,6 +24,69 @@ from bayesiandatafusion_jl_spark.registry import register
 
 
 @register(
+    "q_join_inner_left",
+    oracle=f"""
+    SELECT 'inner' AS op, o_orderkey AS k1, CAST(NULL AS BIGINT) AS k2,
+           o_totalprice AS dval, c_name AS sv1, c_mktsegment AS sv2
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 400000
+    UNION ALL
+    SELECT 'left_agg', c_custkey, COUNT(o_orderkey),
+           COALESCE({sql_dsum('o_totalprice')}, 0.0), c_name,
+           CAST(NULL AS VARCHAR)
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    tags=("C1", "C4"),
+)
+def q_join_inner_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+C4 consolidated (the ``q_set_ops`` pattern), op-tagged:
+
+    - ``inner``: equi-join (obs ⋈ factors shape [paper:BPMF]), high-value
+      orders against their customers — row grain;
+    - ``left_agg``: left outer join keeping ALL entities including
+      unobserved ones (the pred-all full-matrix shape [api]), folded to
+      per-customer order counts and decimal-exact spend.
+
+    Each leg shuffles once on its join key (the left leg's groupBy reuses
+    the join partitioning); the UNION ALL is shuffle-free. Single forms
+    stay demoted with identical local parity gates."""
+    null_b = F.lit(None).cast("bigint")
+    null_s = F.lit(None).cast("string")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    inner_leg = (
+        o.filter(F.col("o_totalprice") > 400000)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .select(
+            F.lit("inner").alias("op"),
+            F.col("o_orderkey").alias("k1"),
+            null_b.alias("k2"),
+            F.col("o_totalprice").alias("dval"),
+            F.col("c_name").alias("sv1"),
+            F.col("c_mktsegment").alias("sv2"),
+        )
+    )
+    left_leg = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spend"),
+        )
+        .select(
+            F.lit("left_agg").alias("op"),
+            F.col("c_custkey").alias("k1"),
+            F.col("n_orders").alias("k2"),
+            F.col("total_spend").alias("dval"),
+            F.col("c_name").alias("sv1"),
+            null_s.alias("sv2"),
+        )
+    )
+    return inner_leg.unionByName(left_leg)
+
+
+@register(
     "q_join_inner",
     oracle="""
     SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
@@ -31,6 +94,7 @@ from bayesiandatafusion_jl_spark.registry import register
     WHERE o_totalprice > 400000
     """,
     tags=("C1",),
+    demoted=True,
 )
 def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1 — inner equi-join (obs ⋈ factors shape [paper:BPMF])."""
@@ -129,6 +193,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_custkey, c_name
     """,
     tags=("C4",),
+    demoted=True,
 )
 def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 — left outer join: keep *all* entities incl. unobserved ones
