@@ -22,7 +22,7 @@ is where a pipeline would hand off to the training-data writer.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from bayesiandatafusion_jl_spark.catalog import load_table
@@ -52,13 +52,26 @@ _EVAL_SOURCE = "src0"
 _DECON_N = 4
 
 
+_DEDUP_PREFIX_TOKENS = 8
+
+
 def pipeline_stage_counts(
     docs: DataFrame, capacity: int = _CAPACITY
 ) -> DataFrame:
     """(stage, n_docs, n_tokens) per pipeline stage over a (doc_id,
-    source, text) frame: raw → quality → decontaminated → mixture →
-    packed (where n_docs is the count of distinct context windows in
-    which a surviving document STARTS)."""
+    source, text) frame: raw → quality → dedup → decontaminated →
+    mixture → packed (where n_docs is the count of distinct context
+    windows in which a surviving document STARTS).
+
+    The dedup stage (r11) is prefix-fingerprint exact dedup: documents
+    sharing the sha256 of their first ``_DEDUP_PREFIX_TOKENS`` lowercased
+    tokens keep only the lowest-doc_id representative — the cheap
+    boilerplate/prefix-duplicate heuristic a pipeline runs before the
+    expensive near-dup pass (full-content exact dedup is
+    ``q_llm_exact_dedup``; MinHash near-dup its own operator family). The
+    fingerprint rides the same one text scan as everything else; the
+    keep flag costs ONE extra shuffle — over the doc-grain flags frame
+    (fixed-width hash keys), never the text."""
     toks = docs.select(
         "doc_id", "source", F.split(F.lower("text"), " ").alias("tk")
     )
@@ -95,11 +108,15 @@ def pipeline_stage_counts(
     # keeps sub-n-gram docs), the eval-gram set broadcasts into the stream,
     # and one per-doc partial agg (first/max fold map-side) restores doc
     # grain with the contamination hit attached
+    fp = F.sha2(
+        F.concat_ws(" ", F.slice("tk", 1, _DEDUP_PREFIX_TOKENS)), 256
+    )
     exploded = toks.filter(F.col("source") != _EVAL_SOURCE).select(
         "doc_id",
         n_tok.cast("long").alias("n_tokens"),
         keep_q.alias("keep_q"),
         keep_mix.alias("keep_mix"),
+        fp.alias("__fp"),
         F.explode_outer(_ngrams("tk", _DECON_N)).alias("g"),
     )
     flags = (
@@ -109,8 +126,15 @@ def pipeline_stage_counts(
             F.first("n_tokens").alias("n_tokens"),
             F.first("keep_q").alias("keep_q"),
             F.first("keep_mix").alias("keep_mix"),
+            F.first("__fp").alias("__fp"),
             F.coalesce(F.max("__h") == 1, F.lit(False)).alias("contam"),
         )
+    )
+    # prefix-dedup keep: one shuffle over the DOC-GRAIN frame on the
+    # fixed-width fingerprint — the text never reshuffles
+    wd = W.partitionBy("__fp")
+    flags = flags.withColumn(
+        "keep_dd", F.min("doc_id").over(wd) == F.col("doc_id")
     )
     # flags is doc-grain (no text — tiny vs the corpus) and feeds BOTH the
     # stage aggregate and the packing leg; materialize once so the
@@ -118,7 +142,8 @@ def pipeline_stage_counts(
     flags = checkpoint_df(flags)
 
     survive_q = F.col("keep_q")
-    survive_d = survive_q & ~F.col("contam")
+    survive_dd = survive_q & F.col("keep_dd")
+    survive_d = survive_dd & ~F.col("contam")
     survive_m = survive_d & F.col("keep_mix")
 
     def _cnt(pred):
@@ -132,13 +157,15 @@ def pipeline_stage_counts(
         F.sum("n_tokens").cast("long").alias("t0"),
         _cnt(survive_q).alias("c1"),
         _tok(survive_q).alias("t1"),
+        _cnt(survive_dd).alias("c1d"),
+        _tok(survive_dd).alias("t1d"),
         _cnt(survive_d).alias("c2"),
         _tok(survive_d).alias("t2"),
         _cnt(survive_m).alias("c3"),
         _tok(survive_m).alias("t3"),
     )
     stages = agg.selectExpr(
-        "stack(4, 'raw', c0, t0, 'quality', c1, t1,"
+        "stack(5, 'raw', c0, t0, 'quality', c1, t1, 'dedup', c1d, t1d,"
         " 'decontaminated', c2, t2, 'mixture', c3, t3)"
         " AS (stage, n_docs, n_tokens)"
     )
@@ -169,7 +196,8 @@ def pipeline_stage_counts(
                AS dup_frac,
              CAST(len(list_filter(tk,
                   t -> t IN ('the','of','and','fast','slow','table','key')))
-                  AS DOUBLE) / len(tk) AS en_score
+                  AS DOUBLE) / len(tk) AS en_score,
+             sha256(array_to_string(tk[1:{_DEDUP_PREFIX_TOKENS}], ' ')) AS fp
       FROM base WHERE source <> '{_EVAL_SOURCE}'
     ),
     g AS (
@@ -186,6 +214,7 @@ def pipeline_stage_counts(
     flags AS (
       SELECT m.doc_id, m.n_tokens,
              ({_QF_REASON_SQL}) IS NULL AS keep_q,
+             (MIN(m.doc_id) OVER (PARTITION BY m.fp) = m.doc_id) AS keep_dd,
              (c.doc_id IS NOT NULL) AS contam,
              ({_sql_bucket(['doc_id'])} <
               CASE {_MIX_CASE} ELSE {int(_MIX_DEFAULT * _MOD)} END)
@@ -198,13 +227,17 @@ def pipeline_stage_counts(
     SELECT 'quality', CAST(COUNT(*) AS BIGINT),
            CAST(SUM(n_tokens) AS BIGINT) FROM flags WHERE keep_q
     UNION ALL
+    SELECT 'dedup', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_tokens) AS BIGINT) FROM flags
+    WHERE keep_q AND keep_dd
+    UNION ALL
     SELECT 'decontaminated', CAST(COUNT(*) AS BIGINT),
            CAST(SUM(n_tokens) AS BIGINT) FROM flags
-    WHERE keep_q AND NOT contam
+    WHERE keep_q AND keep_dd AND NOT contam
     UNION ALL
     SELECT 'mixture', CAST(COUNT(*) AS BIGINT),
            CAST(SUM(n_tokens) AS BIGINT) FROM flags
-    WHERE keep_q AND NOT contam AND keep_mix
+    WHERE keep_q AND keep_dd AND NOT contam AND keep_mix
     UNION ALL
     SELECT 'packed', CAST(COUNT(DISTINCT p // {_CAPACITY}) AS BIGINT),
            CAST(SUM(n_tokens) AS BIGINT) FROM (
@@ -214,15 +247,17 @@ def pipeline_stage_counts(
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
       FROM (
         SELECT doc_id, n_tokens, {_sql_bucket(['doc_id'])} AS ord
-        FROM flags WHERE keep_q AND NOT contam AND keep_mix
+        FROM flags WHERE keep_q AND keep_dd AND NOT contam AND keep_mix
       )
     )
     """,
     tags=("text-quality", "sampling", "packing", "pipeline"),
 )
 def q_llm_pipeline_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed pretraining-data pipeline (quality → decontaminate →
-    mixture → pack) as per-stage (n_docs, n_tokens) counts — proves the
-    r7/r8 pieces chain on one pass budget; the oracle re-derives every
-    stage in SQL including the packed-window count."""
+    """The composed pretraining-data pipeline (quality → prefix-dedup →
+    decontaminate → mixture → pack) as per-stage (n_docs, n_tokens)
+    counts — proves the r7/r8/r11 pieces chain on one pass budget; the
+    oracle re-derives every stage in SQL including the packed-window
+    count. The dedup stage is non-vacuous on this corpus (22 prefix
+    collisions at sf0.01)."""
     return pipeline_stage_counts(load_table(spark, sf_dir, "documents"))

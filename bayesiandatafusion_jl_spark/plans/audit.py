@@ -202,6 +202,31 @@ NOTES = {
         "r11: pack_sequences driven by the BPE token counts — the same"
         " checkpointed two-phase prefix scan at tokenizer grain"
     ),
+    "q_win_suite": (
+        "r11: E3+E4+E5 op-tagged legs — each keeps its own single window"
+        " shuffle (user / global-day-after-preagg / customer); UNION ALL"
+        " shuffle-free"
+    ),
+    "q_join_semi_anti": (
+        "r11: C5+C6 op-tagged legs — orders filters pushed below each"
+        " semi/anti hash join; UNION ALL shuffle-free"
+    ),
+    "q_agg_rollup_cube": (
+        "r11: D5+D6 op-tagged grouping-sets legs — keys shrink with the"
+        " grouping, never grow with the data"
+    ),
+    "q_filter_suite": (
+        "r11: B1+B2+B3 op-tagged legs — map-only filter+project, all"
+        " predicates pushed to the scans, zero exchanges"
+    ),
+    "q_join_inner_left": (
+        "r11: C1+C4 op-tagged legs — one shuffle per join key; the left"
+        " leg's groupBy reuses the join partitioning"
+    ),
+    "q_fn_events_suite": (
+        "r11: H5+H7 share the events-by-type grain — both capability rows"
+        " ride ONE partial-agg shuffle"
+    ),
     "q_sample_mixture": (
         "r7: per-stratum mixture rates as a map-only identity-hash CASE"
         " filter — zero exchanges; rate-nested per stratum so re-weighting"
