@@ -6,6 +6,7 @@ from bayesiandatafusion_jl_spark.functions import (  # noqa: F401
     dedup,
     dedup_index,
     graph,
+    index_compact,
     mllib_lsh,
     packing,
     pipeline,

@@ -141,6 +141,13 @@ def write_signature_index(
                 "append needs a unique epoch per shard (epoch='base' is the "
                 "fresh-build epoch)"
             )
+        # a compaction-folded epoch's directory is gone; replaying it would
+        # duplicate its rows (see index_compact module docstring)
+        from bayesiandatafusion_jl_spark.functions.index_compact import (
+            check_not_folded,
+        )
+
+        check_not_folded(spark, index_dir, epoch)
     sigs = _signatures(corpus, n_hashes, shingle_k).persist()
     wipe = mode != "append"
     try:
@@ -216,6 +223,14 @@ def dedup_incremental(
         )
     sig_path, bucket_path, meta_path = _paths(index_dir)
     spark = new_docs.sparkSession
+    if update_index:
+        # same folded-epoch replay guard as write_signature_index: once a
+        # compaction folded this epoch, re-appending it duplicates its rows
+        from bayesiandatafusion_jl_spark.functions.index_compact import (
+            check_not_folded,
+        )
+
+        check_not_folded(spark, index_dir, epoch)
     _check_banding(
         spark,
         meta_path,

@@ -137,6 +137,14 @@ def write_ivf_index(
                 "append needs a unique epoch per shard (epoch='base' is the"
                 " fresh-build epoch); replay-idempotence depends on it"
             )
+        # an epoch folded by a past compaction no longer has its own
+        # partition directory — replaying it would duplicate its rows
+        # inside the compacted epoch (see index_compact module docstring)
+        from bayesiandatafusion_jl_spark.functions.index_compact import (
+            check_not_folded,
+        )
+
+        check_not_folded(spark, index_dir, epoch)
         # probe the SHARD's dim (appends are shard-sized — one cheap row);
         # the meta check guards the quantizer config and dimensionality a
         # mismatched shard would silently mis-bucket

@@ -1,0 +1,240 @@
+"""Epoch compaction of the persisted indexes: content preservation,
+file-count reduction, probe invariance (incl. the partition-pruning
+contract surviving the rewrite), and the folded-epoch replay guard."""
+
+from __future__ import annotations
+
+import re
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bayesiandatafusion_jl_spark.functions.dedup_index import (
+    dedup_incremental,
+    write_signature_index,
+)
+from bayesiandatafusion_jl_spark.functions.index_compact import (
+    compact_ivf_index,
+    compact_signature_index,
+    folded_epochs,
+)
+from bayesiandatafusion_jl_spark.functions.vector_index import (
+    ann_ivf_query_index,
+    write_ivf_index,
+)
+from bayesiandatafusion_jl_spark.plans.inspect import formatted_plan
+from tests.test_vector_index import _clustered
+
+
+@pytest.fixture()
+def ivf_dir(tmp_path):
+    d = str(tmp_path / "ivf")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture()
+def sig_dir(tmp_path):
+    d = str(tmp_path / "sig")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _ivf_with_shards(spark, ivf_dir, n_shards=3):
+    corpus = _clustered(spark)
+    write_ivf_index(corpus, ivf_dir, n_cells=8, n_assign=2)
+    for s in range(n_shards):
+        shard = corpus.filter(F.col("vec_id") % 7 == s).select(
+            (F.col("vec_id") + 1000 * (s + 1)).alias("vec_id"), "embedding"
+        )
+        write_ivf_index(
+            shard, ivf_dir, n_cells=8, n_assign=2, mode="append",
+            epoch=f"day-{s}",
+        )
+    return corpus
+
+
+def _posting_rows(spark, ivf_dir):
+    return {
+        (r.cell_id, r.vec_id)
+        for r in spark.read.parquet(ivf_dir + "/postings")
+        .select("cell_id", "vec_id")
+        .collect()
+    }
+
+
+def test_ivf_compact_preserves_content_and_cuts_files(spark, ivf_dir):
+    _ivf_with_shards(spark, ivf_dir)
+    before_rows = _posting_rows(spark, ivf_dir)
+    files_before = len(spark.read.parquet(ivf_dir + "/postings").inputFiles())
+    stats = compact_ivf_index(spark, ivf_dir).collect()[0]
+    assert stats.epochs_folded == 4  # base + 3 shards
+    assert _posting_rows(spark, ivf_dir) == before_rows
+    files_after = len(spark.read.parquet(ivf_dir + "/postings").inputFiles())
+    assert files_after < files_before, (files_before, files_after)
+    # one live epoch remains
+    epochs = {
+        r["__epoch"]
+        for r in spark.read.parquet(ivf_dir + "/postings")
+        .select("__epoch")
+        .distinct()
+        .collect()
+    }
+    assert epochs == {"compact-0"}
+
+
+def test_ivf_probe_invariant_and_still_pruned(spark, ivf_dir):
+    corpus = _ivf_with_shards(spark, ivf_dir)
+    q = corpus.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    before = {
+        (r.qid, r.nb_id)
+        for r in ann_ivf_query_index(q, ivf_dir, k=5, n_probe=3).collect()
+    }
+    compact_ivf_index(spark, ivf_dir)
+    df = ann_ivf_query_index(q, ivf_dir, k=5, n_probe=3)
+    after = {(r.qid, r.nb_id) for r in df.collect()}
+    assert after == before
+    # cell_id stays the outer partition level: the probe's static IN
+    # partition filter must survive the rewrite
+    plan = formatted_plan(df)
+    assert re.search(r"PartitionFilters: \[cell_id#\d+ IN \(", plan), plan
+
+
+def test_ivf_folded_epoch_replay_rejected_new_epoch_ok(spark, ivf_dir):
+    corpus = _ivf_with_shards(spark, ivf_dir)
+    compact_ivf_index(spark, ivf_dir)
+    # vec_ids 3 and 4 are in NO day-shard (shards take vec_id % 7 in 0..2),
+    # so their only exact copies will be the ones appended below
+    shard = corpus.filter(F.col("vec_id").isin(3, 4)).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="folded into compact-0"):
+        write_ivf_index(
+            shard, ivf_dir, n_cells=8, n_assign=2, mode="append", epoch="day-1"
+        )
+    # reserved prefix rejected outright
+    with pytest.raises(ValueError, match="reserved"):
+        write_ivf_index(
+            shard, ivf_dir, n_cells=8, n_assign=2, mode="append",
+            epoch="compact-7",
+        )
+    # a genuinely new shard appends fine and is served
+    write_ivf_index(
+        shard, ivf_dir, n_cells=8, n_assign=2, mode="append", epoch="day-9"
+    )
+    q = corpus.filter(F.col("vec_id").isin(3, 4)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    got = ann_ivf_query_index(q, ivf_dir, k=1, n_probe=3).collect()
+    assert {(r.qid, r.nb_id) for r in got} == {(3, 9003), (4, 9004)}
+
+
+def test_ivf_second_compaction_bumps_generation(spark, ivf_dir):
+    corpus = _ivf_with_shards(spark, ivf_dir)
+    compact_ivf_index(spark, ivf_dir)
+    shard = corpus.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding"
+    )
+    write_ivf_index(
+        shard, ivf_dir, n_cells=8, n_assign=2, mode="append", epoch="day-9"
+    )
+    stats = compact_ivf_index(spark, ivf_dir).collect()[0]
+    assert stats.epochs_folded == 2  # compact-0 + day-9
+    epochs = {
+        r["__epoch"]
+        for r in spark.read.parquet(ivf_dir + "/postings")
+        .select("__epoch")
+        .distinct()
+        .collect()
+    }
+    assert epochs == {"compact-1"}
+    # ledger holds both folded shard epochs (compact-* outputs are internal
+    # and never recorded — external appends can't use the prefix anyway)
+    assert folded_epochs(spark, ivf_dir) == {
+        "base": 0, "day-0": 0, "day-1": 0, "day-2": 0, "day-9": 1,
+    }
+
+
+def test_ivf_single_epoch_compaction_is_noop(spark, ivf_dir):
+    corpus = _clustered(spark)
+    write_ivf_index(corpus, ivf_dir, n_cells=8, n_assign=2)
+    before_files = set(spark.read.parquet(ivf_dir + "/postings").inputFiles())
+    stats = compact_ivf_index(spark, ivf_dir).collect()[0]
+    assert stats.epochs_folded == 0
+    assert set(spark.read.parquet(ivf_dir + "/postings").inputFiles()) == before_files
+    assert folded_epochs(spark, ivf_dir) == {}
+
+
+def _docs(spark, lo, hi):
+    return spark.createDataFrame(
+        [
+            (i, f"document number {i} with some shared boilerplate text "
+                f"and unique payload token-{i} token-{i + 1} token-{i + 2}")
+            for i in range(lo, hi)
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_sig_compact_preserves_probe_results(spark, sig_dir):
+    write_signature_index(_docs(spark, 0, 60), sig_dir)
+    write_signature_index(
+        _docs(spark, 60, 90), sig_dir, mode="append", epoch="s1"
+    )
+    write_signature_index(
+        _docs(spark, 90, 120), sig_dir, mode="append", epoch="s2"
+    )
+    # new shard = mutated copies of docs 0..9 → pairs must straddle into
+    # the index identically before and after compaction
+    new_shard = spark.createDataFrame(
+        [
+            (10_000 + i, f"document number {i} with some shared boilerplate "
+                         f"text and unique payload token-{i} token-{i + 1} "
+                         f"token-{i + 2}")
+            for i in range(10)
+        ],
+        "doc_id long, text string",
+    )
+    before = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_incremental(new_shard, sig_dir, jaccard_min=0.5).collect()
+    }
+    assert before, "probe found no pairs — fixture is vacuous"
+    files_before = len(spark.read.parquet(sig_dir + "/buckets").inputFiles())
+    stats = {r.frame: r for r in compact_signature_index(spark, sig_dir).collect()}
+    assert stats["sigs"].epochs_folded == 3
+    assert stats["buckets"].epochs_folded == 3
+    after = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_incremental(new_shard, sig_dir, jaccard_min=0.5).collect()
+    }
+    assert after == before
+    files_after = len(spark.read.parquet(sig_dir + "/buckets").inputFiles())
+    assert files_after < files_before, (files_before, files_after)
+
+
+def test_sig_update_index_replay_of_folded_epoch_rejected(spark, sig_dir):
+    write_signature_index(_docs(spark, 0, 40), sig_dir)
+    shard = _docs(spark, 40, 50)
+    dedup_incremental(shard, sig_dir, update_index=True, epoch="s1")
+    compact_signature_index(spark, sig_dir)
+    with pytest.raises(ValueError, match="folded into compact-0"):
+        dedup_incremental(shard, sig_dir, update_index=True, epoch="s1")
+    with pytest.raises(ValueError, match="folded into compact-0"):
+        write_signature_index(shard, sig_dir, mode="append", epoch="s1")
+    # a NEW epoch still appends fine post-compaction
+    dedup_incremental(
+        _docs(spark, 50, 60), sig_dir, update_index=True, epoch="s2"
+    )
+    epochs = {
+        r["__epoch"]
+        for r in spark.read.parquet(sig_dir + "/sigs")
+        .select("__epoch")
+        .distinct()
+        .collect()
+    }
+    assert epochs == {"compact-0", "s2"}
