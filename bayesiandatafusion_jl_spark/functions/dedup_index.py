@@ -171,6 +171,13 @@ def write_signature_index(
             rows_per_band=rows_per_band,
             shingle_k=shingle_k,
         )
+        # fresh build = new incarnation, new epoch namespace (matches
+        # write_ivf_index; see index_compact.reset_ledger)
+        from bayesiandatafusion_jl_spark.functions.index_compact import (
+            reset_ledger,
+        )
+
+        reset_ledger(spark, index_dir)
 
 
 def dedup_incremental(

@@ -89,6 +89,32 @@ def folded_epochs(spark: SparkSession, index_dir: str) -> dict[str, int]:
     return {r["epoch"]: r["gen"] for r in rows}
 
 
+def reset_ledger(spark: SparkSession, index_dir: str) -> None:
+    """Delete the folded-epoch ledger — a FRESH build (overwrite) starts a
+    new index incarnation with a new epoch namespace, so the old
+    incarnation's fold history must not reject its epochs. Rebuilds over
+    the SAME data (``refit_ivf_index``) re-record the old epochs after
+    the fresh write instead, because replaying one of those shards against
+    the rebuilt index WOULD duplicate its rows."""
+    (ledger_path,) = index_paths(index_dir, "folded")
+    fs, hpath, _ = _fs(spark, ledger_path)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
+def record_folded(
+    spark: SparkSession, index_dir: str, epochs: list[str], gen: int
+) -> None:
+    """Append entries to the folded-epoch ledger (compaction and refit use
+    this; appends only ever read it)."""
+    if not epochs:
+        return
+    (ledger_path,) = index_paths(index_dir, "folded")
+    spark.createDataFrame(
+        [(e, gen) for e in sorted(set(epochs))], "epoch string, gen int"
+    ).write.mode("append").parquet(ledger_path)
+
+
 def check_not_folded(spark: SparkSession, index_dir: str, epoch: str) -> None:
     """Raise if ``epoch`` was folded by a past compaction (replaying it
     would duplicate every one of its rows) or impersonates a compacted
@@ -166,15 +192,6 @@ def compact_epochs(
     return epochs, files_before, files_after, total_bytes
 
 
-def _record_fold(
-    spark: SparkSession, index_dir: str, epochs: list[str], gen: int
-) -> None:
-    (ledger_path,) = index_paths(index_dir, "folded")
-    spark.createDataFrame(
-        [(e, gen) for e in epochs], "epoch string, gen int"
-    ).write.mode("append").parquet(ledger_path)
-
-
 def _next_gen(spark: SparkSession, index_dir: str) -> int:
     folded = folded_epochs(spark, index_dir)
     return (max(folded.values()) + 1) if folded else 0
@@ -210,7 +227,7 @@ def compact_ivf_index(
         r["__epoch"] for r in df.select("__epoch").distinct().collect()
     )
     if len(epochs) > 1:
-        _record_fold(
+        record_folded(
             spark, index_dir,
             [e for e in epochs if not e.startswith(COMPACT_PREFIX)], gen,
         )
@@ -237,7 +254,7 @@ def compact_signature_index(
         r["__epoch"] for r in df.select("__epoch").distinct().collect()
     )
     if len(epochs) > 1:
-        _record_fold(
+        record_folded(
             spark, index_dir,
             [e for e in epochs if not e.startswith(COMPACT_PREFIX)], gen,
         )

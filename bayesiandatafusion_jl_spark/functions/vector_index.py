@@ -223,6 +223,79 @@ def write_ivf_index(
                 _assign_score_mean(corpus, centers, "embedding") * 1e6
             ),
         )
+        # fresh build = new incarnation, new epoch namespace: drop the old
+        # incarnation's fold history (refit_ivf_index re-records what must
+        # survive a same-data rebuild)
+        from bayesiandatafusion_jl_spark.functions.index_compact import (
+            reset_ledger,
+        )
+
+        reset_ledger(spark, index_dir)
+
+
+def refit_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    n_cells: int | None = None,
+    n_assign: int | None = None,
+) -> DataFrame:
+    """Re-fit the quantizer FROM THE INDEX ITSELF — the remedy the append
+    drift guard prescribes, without re-reading the original corpus: the
+    postings already hold every (vec_id, embedding) (n_assign times), so
+    the rebuild input is one dedup of the postings scan. After enough
+    drifted-but-warned appends, cells fill unevenly and probe recall
+    decays; a refit re-centers the quantizer on the data the index NOW
+    holds and re-pins the drift-guard statistic to match.
+
+    ``n_cells`` / ``n_assign`` default to the stored meta (pure refit);
+    pass new values to re-shape the index in the same pass (e.g. double
+    the cells after the corpus doubled).
+
+    Replay safety across the rebuild: every pre-refit epoch's vectors are
+    baked into the rebuilt ``base`` epoch, so a replayed OLD shard append
+    would duplicate its rows exactly like a post-compaction replay. The
+    old incarnation's live epochs AND previously folded epochs are
+    re-recorded in the fresh ledger (generation 0) after the rebuild.
+
+    Returns a 1-row stats frame (n_vectors, n_cells, n_assign,
+    epochs_rebased).
+    """
+    from bayesiandatafusion_jl_spark.functions.index_compact import (
+        COMPACT_PREFIX,
+        folded_epochs,
+        record_folded,
+    )
+
+    post_path, _, meta_path = _paths(index_dir)
+    meta = read_meta(spark, meta_path).asDict()
+    n_cells = n_cells if n_cells is not None else meta["n_cells"]
+    n_assign = n_assign if n_assign is not None else meta["n_assign"]
+
+    posts = spark.read.parquet(post_path)
+    live = [
+        r["__epoch"] for r in posts.select("__epoch").distinct().collect()
+    ]
+    prior = list(folded_epochs(spark, index_dir))
+    # eager checkpoint BEFORE the overwrite: the rebuild deletes the very
+    # files this frame reads (same materialize-before-overwrite rule as
+    # dedup_incremental's pair frame)
+    corpus = checkpoint_df(
+        posts.select("vec_id", "embedding").dropDuplicates(["vec_id"])
+    )
+    n_vectors = corpus.count()
+    write_ivf_index(corpus, index_dir, n_cells=n_cells, n_assign=n_assign)
+    rebased = sorted(
+        {
+            e
+            for e in live + prior
+            if e != "base" and not e.startswith(COMPACT_PREFIX)
+        }
+    )
+    record_folded(spark, index_dir, rebased, 0)
+    return spark.createDataFrame(
+        [(n_vectors, n_cells, n_assign, len(rebased))],
+        "n_vectors long, n_cells int, n_assign int, epochs_rebased int",
+    )
 
 
 def ann_ivf_query_index(

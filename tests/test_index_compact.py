@@ -238,3 +238,102 @@ def test_sig_update_index_replay_of_folded_epoch_rejected(spark, sig_dir):
         .collect()
     }
     assert epochs == {"compact-0", "s2"}
+
+
+def test_fresh_build_resets_ledger(spark, ivf_dir):
+    _ivf_with_shards(spark, ivf_dir, n_shards=1)
+    compact_ivf_index(spark, ivf_dir)
+    assert folded_epochs(spark, ivf_dir)
+    # brand-new incarnation at the same path: old fold history must not
+    # reject the new incarnation's epochs
+    corpus = _clustered(spark)
+    write_ivf_index(corpus, ivf_dir, n_cells=8, n_assign=2)
+    assert folded_epochs(spark, ivf_dir) == {}
+    shard = corpus.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 500).alias("vec_id"), "embedding"
+    )
+    write_ivf_index(
+        shard, ivf_dir, n_cells=8, n_assign=2, mode="append", epoch="day-0"
+    )
+
+
+def test_refit_rebuilds_from_index_and_rebases_epochs(spark, ivf_dir):
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        refit_ivf_index,
+    )
+
+    corpus = _ivf_with_shards(spark, ivf_dir, n_shards=2)
+    before_ids = {
+        r.vec_id
+        for r in spark.read.parquet(ivf_dir + "/postings")
+        .select("vec_id")
+        .distinct()
+        .collect()
+    }
+    stats = refit_ivf_index(spark, ivf_dir).collect()[0]
+    assert stats.n_vectors == len(before_ids)
+    assert stats.epochs_rebased == 2  # day-0, day-1 (base is reused)
+    after_ids = {
+        r.vec_id
+        for r in spark.read.parquet(ivf_dir + "/postings")
+        .select("vec_id")
+        .distinct()
+        .collect()
+    }
+    assert after_ids == before_ids
+    # everything now lives in the fresh base epoch
+    epochs = {
+        r["__epoch"]
+        for r in spark.read.parquet(ivf_dir + "/postings")
+        .select("__epoch")
+        .distinct()
+        .collect()
+    }
+    assert epochs == {"base"}
+    # pre-refit shard epochs are rebased into the ledger: replays rejected
+    assert set(folded_epochs(spark, ivf_dir)) == {"day-0", "day-1"}
+    shard = corpus.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 500).alias("vec_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="folded into"):
+        write_ivf_index(
+            shard, ivf_dir, n_cells=8, n_assign=2, mode="append", epoch="day-0"
+        )
+    # and the rebuilt index still serves queries
+    q = corpus.filter(F.col("vec_id").isin(3, 4)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    assert ann_ivf_query_index(q, ivf_dir, k=3, n_probe=4).count() > 0
+
+
+def test_refit_unsticks_drift_guard(spark, ivf_dir):
+    """The full lifecycle the drift guard prescribes: a drifted shard is
+    warned in, the NEXT drifted shard refuses under the old quantizer,
+    refit re-centers on the index's current data, and the follow-up
+    drifted shard then passes the guard."""
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        refit_ivf_index,
+    )
+    from tests.test_vector_index import _drifted_shard
+
+    corpus = _clustered(spark)
+    write_ivf_index(corpus, ivf_dir, n_cells=8, n_assign=2)
+    with pytest.warns(UserWarning, match="drift guard"):
+        write_ivf_index(
+            _drifted_shard(spark, n=120), ivf_dir, n_cells=8, n_assign=2,
+            mode="append", epoch="d1", on_drift="warn",
+        )
+    with pytest.raises(ValueError, match="drift guard"):
+        write_ivf_index(
+            _drifted_shard(spark, n=30).select(
+                (F.col("vec_id") + 100).alias("vec_id"), "embedding"
+            ),
+            ivf_dir, n_cells=8, n_assign=2, mode="append", epoch="d2",
+        )
+    refit_ivf_index(spark, ivf_dir)
+    write_ivf_index(
+        _drifted_shard(spark, n=30).select(
+            (F.col("vec_id") + 100).alias("vec_id"), "embedding"
+        ),
+        ivf_dir, n_cells=8, n_assign=2, mode="append", epoch="d2",
+    )
