@@ -36,6 +36,11 @@ SKIP = {
         "side-effecting maintenance op — fragments + rewrites files, returns"
         " a driver-built stats row (see operators/maintenance.py)"
     ),
+    "q_index_compact": (
+        "side-effecting maintenance op — folds index __epoch partitions"
+        " via tmp-dir rewrite + FS swap, returns a driver-built stats"
+        " frame (see functions/index_compact.py)"
+    ),
 }
 
 NOTES = {
