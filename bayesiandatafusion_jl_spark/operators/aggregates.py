@@ -451,3 +451,147 @@ def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower("text"), " ")).alias("token")
     )
     return heavy_hitters(toks, "token", _HH_PHI)
+
+
+def _cms_dims(eps: float, delta: float) -> tuple[int, int]:
+    """Count-min sketch dimensions (Cormode & Muthukrishnan 2005): width
+    w = ⌈e/ε⌉ columns, depth d = ⌈ln(1/δ)⌉ rows give, for every item,
+    estimate ∈ [true, true + ε·N] with probability ≥ 1−δ."""
+    import math
+
+    if not (0 < eps < 1):
+        raise ValueError(f"eps must be in (0, 1), got {eps}")
+    if not (0 < delta < 1):
+        raise ValueError(f"delta must be in (0, 1), got {delta}")
+    return math.ceil(math.e / eps), math.ceil(math.log(1 / delta))
+
+
+def _cms_cells(item_col: str, w: int, d: int):
+    """The d (row, col) cell coordinates of an item: row i's hash is
+    xxhash64 seeded by i — d pairwise-independent-enough hash functions
+    from the one JVM-side hash family, zero Python in the path."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                F.pmod(F.xxhash64(F.lit(i), F.col(item_col)), F.lit(w)).alias("c"),
+            )
+            for i in range(d)
+        ]
+    )
+
+
+def cms_sketch(
+    items: DataFrame, item_col: str, eps: float = 1e-3, delta: float = 0.01
+) -> DataFrame:
+    """Count-min frequency sketch as a SPARSE DataFrame (r, c, cnt) —
+    zero-count cells omitted.
+
+    Spark-first construction — no UDF, no per-partition state: each item
+    emits its d cells (array of structs + one explode, whole-stage
+    codegen), and ``groupBy(r, c).count()`` IS the sketch. Map-side
+    partial aggregation means each task ships at most d·w cells no matter
+    how many rows it scanned, and the final shuffle moves ≤ d·w distinct
+    keys — the sketch's mergeability is exactly Spark's partial-agg
+    contract, so at 100 TB the data motion is the sketch size, not the
+    stream. The result is deterministic (xxhash64 is seeded, counts are
+    exact integers), so unlike a sampled sketch it needs no checkpoint.
+
+    Any single row r sums to N (the stream length) — total count rides in
+    the sketch for free. NULL items are excluded, same contract as
+    ``heavy_hitters``.
+
+    d·w rows bound the sketch: eps=1e-3, delta=0.01 → 5×2719 ≈ 13.6k
+    cells regardless of corpus size.
+    """
+    w, d = _cms_dims(eps, delta)
+    cells = (
+        items.filter(F.col(item_col).isNotNull())
+        .select(F.explode(_cms_cells(item_col, w, d)).alias("cell"))
+        .select("cell.r", "cell.c")
+    )
+    return cells.groupBy("r", "c").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    item_col: str,
+    eps: float = 1e-3,
+    delta: float = 0.01,
+) -> DataFrame:
+    """Point-query frequency estimates: est(x) = min over the item's d
+    cells (missing sparse cell = 0). Overestimate-only by construction —
+    est ≥ true always; est ≤ true + ε·N w.p. ≥ 1−δ.
+
+    Pass the SAME (eps, delta) the sketch was built with — the hash
+    family is derived from them. The query side explodes to d rows per
+    query and joins the sketch on (r, c); the sketch's post-agg size
+    (≤ d·w) is known to AQE, which broadcasts it for any practical ε, so
+    an arbitrarily large query batch never shuffles.
+
+    Returns (item_col, est).
+    """
+    w, d = _cms_dims(eps, delta)
+    qcells = (
+        queries.filter(F.col(item_col).isNotNull())
+        .select(item_col, F.explode(_cms_cells(item_col, w, d)).alias("cell"))
+        .select(item_col, "cell.r", "cell.c")
+    )
+    joined = qcells.join(F.broadcast(sketch), ["r", "c"], "left").select(
+        item_col, F.coalesce("cnt", F.lit(0)).alias("cell_cnt")
+    )
+    return joined.groupBy(item_col).agg(
+        F.min("cell_cnt").cast("bigint").alias("est")
+    )
+
+
+_CMS_EPS, _CMS_DELTA = 1e-3, 0.01
+
+
+@register(
+    "q_agg_cms",
+    oracle=None,  # cell layout is xxhash64-specific → rows-only check; the
+    # overestimate-only invariant and the ε·N bound are pytest-gated, and
+    # the measured overcount is an output column (same honesty convention
+    # as q_agg_approx_quantile's rel_err)
+    tags=("D4", "sketch", "J5"),
+    demoted=True,
+)
+def q_agg_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the documents token stream, validated against
+    the exact counts of the 20 most frequent tokens: (token, exact, est,
+    overcount, within_bound). At 100 TB the exact groupBy shuffles the
+    vocabulary; the sketch ships ≤ d·w cells per task and answers any
+    point query — the trade this query measures instead of assuming."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    sketch = cms_sketch(toks, "token", _CMS_EPS, _CMS_DELTA)
+    from bayesiandatafusion_jl_spark.session import checkpoint_df
+
+    # sketch feeds the estimate join AND the N readout; one materialization
+    sketch = checkpoint_df(sketch)
+    n_total = F.broadcast(
+        sketch.filter(F.col("r") == 0).agg(F.sum("cnt").alias("__n"))
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .orderBy(F.desc("exact"), F.asc("token"))
+        .limit(20)
+    )
+    est = cms_estimate(sketch, top.select("token"), "token", _CMS_EPS, _CMS_DELTA)
+    return (
+        top.join(est, "token")
+        .crossJoin(n_total)
+        .select(
+            "token",
+            "exact",
+            "est",
+            (F.col("est") - F.col("exact")).alias("overcount"),
+            (F.col("est") - F.col("exact") <= _CMS_EPS * F.col("__n")).alias(
+                "within_bound"
+            ),
+        )
+        .orderBy(F.desc("exact"), F.asc("token"))
+    )

@@ -243,6 +243,14 @@ NOTES = {
         " (span → (doc,span) → doc), no self-join; hash-the-span variant"
         " documented for the 100 TB string-shuffle case"
     ),
+    "q_agg_cms": (
+        "r11: count-min sketch = explode d seeded-xxhash64 cells +"
+        " groupBy(r,c) — map-side partial agg caps per-task output at d*w"
+        " cells, so data motion is the sketch size, not the stream;"
+        " checkpointed sketch feeds both the broadcast estimate join and"
+        " the N readout; validation top-20 groupBy is the measured-exact"
+        " leg, not the sketch path"
+    ),
     "q_agg_approx_quantile": (
         "r7: GK sketch (approx_percentile) vs full-buffer exact percentile"
         " with measured rel_err column — partial-agg sketch merge, one"
