@@ -14,4 +14,5 @@ from bayesiandatafusion_jl_spark.functions import (  # noqa: F401
     text,
     vector,
     vector_index,
+    vector_pq,
 )

@@ -1,0 +1,389 @@
+"""Product quantization (PQ) and IVF-PQ approximate nearest neighbor.
+
+PQ (Jégou, Douze & Schmid, "Product quantization for nearest neighbor
+search", TPAMI 2011 — public paper) splits a D-dim vector into M
+subspaces of dsub = D/M dims and quantizes each sub-vector against its
+own ksub-centroid codebook, so a vector is stored as M small codes. The
+100 TB story is memory, not speed-of-one-distance: a 64-dim float32
+corpus row is 256 B of embedding; its PQ code is M bytes (M=8 → 32×
+smaller), which is the difference between an ANN index that fits in
+executor memory and one that doesn't. Query-side scoring is ADC
+(asymmetric distance computation): per (query, subspace) a lookup table
+of the query sub-vector's dot against every codebook centroid; the
+approximate dot of query·x is then the sum of M table lookups — the
+corpus's ORIGINAL vectors are never touched during candidate scoring.
+
+Spark-first split of the work:
+
+- codebook TRAINING is bounded by construction (the FAISS heuristic —
+  a few hundred samples per centroid suffice), so it mirrors
+  ``_spherical_kmeans``: deterministic identity-hash sample, ONE bounded
+  collect, numpy Lloyd per subspace on the driver.
+- corpus ENCODING is the only per-row numeric kernel (M argmins over
+  ksub centroids each); it runs as ONE Arrow-batched pandas_udf doing a
+  per-batch matmul (BLAS), map-only over the corpus scan — the same
+  "heavy numerics in Arrow batches, never per-row Python" rule the Gibbs
+  kernels follow.
+- ADC candidate SCORING is pure whole-stage codegen: the query carries
+  its M×ksub lookup table as an array column, and the score is
+  ``aggregate(zip_with(codes, luts, element_at), …)`` — M array lookups
+  per candidate pair, no Python, no original embeddings.
+
+Recall and ADC fidelity are pytest-gated (tests/test_pq.py); the
+registered query is rows-only by design like the other ANN paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from bayesiandatafusion_jl_spark.catalog import load_table
+from bayesiandatafusion_jl_spark.functions.exprs import dot
+from bayesiandatafusion_jl_spark.functions.vector import (
+    _KMEANS_FIT_MAX_ROWS,
+    _KMEANS_FIT_PER_CELL,
+    _cached_centers,
+    _cell_scores,
+    _cells_attacher,
+)
+from bayesiandatafusion_jl_spark.registry import register
+from bayesiandatafusion_jl_spark.session import checkpoint_df
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 16,
+    ksub: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 8,
+    centers: list | None = None,
+) -> list:
+    """Fit M per-subspace codebooks (returned as an M × ksub × dsub
+    nested list) on a bounded deterministic sample of ``corpus``.
+
+    Same training discipline as the IVF coarse quantizer
+    (vector.py ``_spherical_kmeans``): the sample is a pure function of
+    ids (``pmod(xxhash64(id))``, map-only), the collect is capped at
+    ``_KMEANS_FIT_MAX_ROWS`` rows regardless of corpus size, init is the
+    lowest-id sample rows, and numpy reduces in a fixed order — refits
+    are bit-reproducible. Standard (non-spherical) L2 Lloyd per
+    subspace, because PQ quantizes sub-vectors, whose norms carry signal
+    even when the full vectors are unit-norm.
+
+    Pass the IVF coarse ``centers`` to train on RESIDUALS (x − nearest
+    center, assignment by argmax dot to match the map-side coarse
+    assignment) — the IVFADC form of Jégou et al. §IV: residual energy
+    is a fraction of vector energy, so the same M×ksub code budget
+    quantizes far more accurately. The codebooks then only ever see /
+    encode residuals (``ann_ivfpq_search`` keeps the two frames paired).
+
+    ``ksub`` is clamped to the sample size (tiny corpora); D must be
+    divisible by ``m``.
+    """
+    import numpy as np
+
+    target = min(_KMEANS_FIT_PER_CELL * ksub, _KMEANS_FIT_MAX_ROWS)
+    n = corpus.count()
+    sample = corpus
+    if n > target:
+        mod = -(-n // target)
+        sample = corpus.filter(F.pmod(F.xxhash64(id_col), F.lit(mod)) == 0)
+    rows = sample.select(id_col, vec_col).collect()
+    if not rows:
+        raise ValueError("cannot fit PQ codebooks on an empty corpus")
+    rows.sort(key=lambda r: r[id_col])
+    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    if centers is not None:
+        c = np.array(centers, dtype=np.float64)
+        # numpy argmax returns the FIRST maximum — same lowest-cell-id
+        # tie-break as the map-side (cd, nid) struct-max assignment
+        x = x - c[np.argmax(x @ c.T, axis=1)]
+    d = x.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    ksub = min(ksub, x.shape[0])
+    sub = x.reshape(x.shape[0], m, dsub)
+    books = []
+    for mi in range(m):
+        xm = sub[:, mi, :]
+        centers = xm[:ksub].copy()
+        for _ in range(iters):
+            # argmin_j ||x - c_j||^2 == argmin_j (||c_j||^2 - 2 x·c_j)
+            d2 = (centers**2).sum(axis=1)[None, :] - 2.0 * (xm @ centers.T)
+            assign = np.argmin(d2, axis=1)
+            for cid in range(ksub):
+                mask = assign == cid
+                if mask.any():  # empty cells keep their center
+                    centers[cid] = xm[mask].mean(axis=0)
+        books.append([[float(v) for v in c] for c in centers])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Append ``out_col`` (array<smallint>, length M): each vector's
+    per-subspace nearest-codeword ids.
+
+    ONE Arrow-batched pandas_udf, map-only over the scan — per batch the
+    kernel is M matmuls (BLAS) + argmin, deterministic (numpy argmin
+    takes the first minimum, matching pq_train's assignment). Codebooks
+    ride a SparkContext broadcast (M·ksub·dsub floats — KBs), same
+    pattern as the BPE ranks table (bpe.py). At 100 TB this is the
+    index-build pass: encode once, persist codes, and every later query
+    touches only the M-byte codes.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(
+        [np.array(b, dtype=np.float64) for b in codebooks]
+    )
+
+    def _enc(vecs):
+        books = bc.value
+        m = len(books)
+        dsub = books[0].shape[1]
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if x.size == 0:
+            return pd.Series([], dtype=object)
+        sub = x.reshape(x.shape[0], m, dsub)
+        codes = np.empty((x.shape[0], m), dtype=np.int16)
+        for mi in range(m):
+            c = books[mi]
+            d2 = (c**2).sum(axis=1)[None, :] - 2.0 * (sub[:, mi, :] @ c.T)
+            codes[:, mi] = np.argmin(d2, axis=1).astype(np.int16)
+        return pd.Series(list(codes))
+
+    # annotations as OBJECTS (bpe.py / q_udaf_group_median precedent):
+    # postponed annotations would hand pandas_udf unresolvable strings
+    _enc.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    enc = pandas_udf(_enc, "array<smallint>")
+    return df.withColumn(out_col, enc(F.col(vec_col)))
+
+
+def _centers_attacher(spark: SparkSession, centers: list):
+    """attach(df) -> (df, ctr_col): the coarse centers as ONE broadcast
+    single-row array<array<double>> column, for the map-side residual
+    subtraction (element_at by cell_id — n_cells × dim doubles, KBs)."""
+    cframe = spark.createDataFrame(
+        [([list(map(float, c)) for c in centers],)],
+        "__ivf_ctrs array<array<double>>",
+    )
+    bframe = F.broadcast(cframe)
+    return lambda df: (df.crossJoin(bframe), F.col("__ivf_ctrs"))
+
+
+def _codebooks_attacher(spark: SparkSession, codebooks: list):
+    """attach(df) -> (df, cb_col): the codebooks as ONE broadcast
+    single-row array<array<array<double>>> column — the data-side twin of
+    vector.py's ``_cells_attacher`` fallback (a literal expression for
+    M·ksub·dsub scalars would bloat codegen for production ksub=256)."""
+    cframe = spark.createDataFrame(
+        [([[list(map(float, c)) for c in b] for b in codebooks],)],
+        "__pq_cb array<array<array<double>>>",
+    )
+    bframe = F.broadcast(cframe)
+    return lambda df: (df.crossJoin(bframe), F.col("__pq_cb"))
+
+
+def pq_luts(qe_col, cb_col, dsub: int):
+    """Per-query ADC lookup tables (array<array<double>>, M × ksub):
+    LUT[m][j] = dot(query_subvector_m, codebook[m][j]).
+
+    Pure HOF expression over the broadcast codebook column — the
+    M·ksub·dsub multiply-adds run ONCE PER QUERY ROW, which is the ADC
+    asymmetry: queries pay the table build, the (vastly larger)
+    candidate set pays only M lookups each.
+    """
+    qe = F.col(qe_col) if isinstance(qe_col, str) else qe_col
+
+    def _one_book(cbm, mi):
+        sub = F.slice(qe, mi * dsub + 1, dsub)
+        return F.transform(cbm, lambda c: dot(sub, c))
+
+    # transform() exposes the element index as the second lambda arg
+    return F.transform(cb_col, lambda cbm, mi: _one_book(cbm, mi))
+
+
+def pq_adc_score(codes_col, luts_col):
+    """Approximate dot(query, x) = Σ_m LUT[m][code[m]] — M element_at
+    lookups inside whole-stage codegen, no embeddings touched."""
+    codes = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+    luts = F.col(luts_col) if isinstance(luts_col, str) else luts_col
+    picked = F.zip_with(
+        codes, luts, lambda c, lut: F.element_at(lut, c.cast("int") + F.lit(1))
+    )
+    return F.aggregate(picked, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def ann_ivfpq_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 6,
+    n_assign: int = 2,
+    m: int = 16,
+    ksub: int = 256,
+    centers: list | None = None,
+    codebooks: list | None = None,
+    refine: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ (IVFADC) ANN: coarse IVF cells prune WHICH vectors to
+    score, residual PQ compresses HOW each survivor is scored.
+
+    Same schema contract as ``ann_ivf_search`` (corpus (vec_id,
+    embedding), queries (qid, qe)). Plan shape:
+
+    1. corpus → n_assign coarse cells (map-side literal/broadcast argmax,
+       vector.py), RESIDUAL per assignment (zip_with against the
+       broadcast center of that cell — map-side), then PQ codes over the
+       residuals (ONE Arrow encode pass). The (vec_id, cell_id, pq_code)
+       frame IS the index — M bytes per entry — and is checkpointed so
+       assignment+encode run once, not once per stage.
+    2. queries → n_probe probed cells; each probe row keeps the exact
+       coarse dot(q, center) the cell argmax already computed, plus an
+       M×ksub ADC lookup table (``pq_luts``, HOF over the broadcast
+       codebooks — built once per query row, reused by every candidate).
+    3. candidate join on cell_id with the |Q|·n_probe probe side
+       BROADCAST — the corpus-sized index never shuffles — and
+       score(q, x) ≈ dot(q, center_cell) + Σ_m LUT[m][code[m]]: the
+       coarse term rides the probe row, the residual term is M table
+       lookups (pure codegen). Residual encoding is what makes the
+       approximation tight: residual energy ≪ vector energy, so the
+       same M×ksub budget quantizes far more accurately than raw-vector
+       PQ (measured here: refine=4 recall 0.60 raw → 1.00 residual).
+    4. top-(refine·k) by ADC score per query, then an EXACT re-rank of
+       only those rows (join back to the corpus embeddings by vec_id —
+       |Q|·refine·k rows, broadcast-sized). refine=0 skips the re-rank
+       and returns raw ADC scores/ranks.
+
+    At 100 TB step 3 touches only codes (32× less I/O than raw
+    embeddings) and step 4 touches refine·k·|Q| original vectors instead
+    of every candidate — the standard IVF-PQ + refine deployment shape.
+    """
+    spark = corpus.sparkSession
+    if centers is None:
+        from bayesiandatafusion_jl_spark.functions.vector import _spherical_kmeans
+
+        centers = _spherical_kmeans(corpus, n_cells)
+    if codebooks is None:
+        codebooks = pq_train(corpus, m=m, ksub=ksub, centers=centers)
+    dsub = len(codebooks[0][0])
+
+    attach = _cells_attacher(spark, centers)
+    src, cells = attach(corpus)
+    assigned = src.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.slice(
+                F.sort_array(_cell_scores(cells, "embedding"), asc=False),
+                1,
+                n_assign,
+            )
+        ).alias("ac"),
+    ).select("vec_id", "embedding", (-F.col("ac.nid")).alias("cell_id"))
+    cattach = _centers_attacher(spark, centers)
+    cframe, ctrs = cattach(assigned)
+    residual = cframe.select(
+        "vec_id",
+        "cell_id",
+        F.zip_with(
+            F.col("embedding"),
+            F.element_at(ctrs, F.col("cell_id") + 1),
+            lambda x, c: x.cast("double") - c,
+        ).alias("__res"),
+    )
+    index = checkpoint_df(
+        pq_encode(residual, codebooks, vec_col="__res").select(
+            "vec_id", "cell_id", "pq_code"
+        )
+    )
+
+    qsrc, qcellcol = attach(queries)
+    qprobed = qsrc.select(
+        "qid",
+        "qe",
+        F.explode(
+            F.slice(
+                F.sort_array(_cell_scores(qcellcol, "qe"), asc=False), 1, n_probe
+            )
+        ).alias("probe"),
+    ).select(
+        "qid",
+        "qe",
+        (-F.col("probe.nid")).alias("cell_id"),
+        F.col("probe.cd").alias("__qc"),
+    )
+    qattach = _codebooks_attacher(spark, codebooks)
+    qframe, cbcol = qattach(qprobed)
+    qside = qframe.select(
+        "qid", "cell_id", "__qc", pq_luts("qe", cbcol, dsub).alias("__luts")
+    )
+
+    cand = index.join(F.broadcast(qside), "cell_id")
+    if exclude_self:
+        cand = cand.filter(F.col("vec_id") != F.col("qid"))
+    # a vector reached via two (cell, assignment) paths has two DIFFERENT
+    # approximations (per-cell residuals); keep the best one — max is
+    # deterministic where dropDuplicates would race the two copies
+    scored = (
+        cand.select(
+            "qid",
+            F.col("vec_id").alias("nb_id"),
+            (F.col("__qc") + pq_adc_score("pq_code", "__luts")).alias("__a"),
+        )
+        .groupBy("qid", "nb_id")
+        .agg(F.max("__a").alias("adc"))
+    )
+    wq = W.partitionBy("qid").orderBy(F.desc("adc"), F.asc("nb_id"))
+    if refine <= 0:
+        return (
+            scored.withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= k)
+            .select("qid", "nb_id", F.round("adc", 4).alias("score"), "rk")
+        )
+    short = scored.withColumn("rk", F.row_number().over(wq)).filter(
+        F.col("rk") <= refine * k
+    )
+    # exact re-rank of the bounded shortlist only: |Q|·refine·k rows
+    rescored = (
+        F.broadcast(short.select("qid", "nb_id"))
+        .join(corpus, F.col("nb_id") == F.col("vec_id"))
+        .join(queries.withColumnRenamed("qid", "__qid"), F.col("qid") == F.col("__qid"))
+        .select(
+            "qid",
+            "nb_id",
+            F.round(dot("qe", "embedding"), 4).alias("score"),
+        )
+    )
+    wr = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("nb_id"))
+    return rescored.withColumn("rk", F.row_number().over(wr)).filter(
+        F.col("rk") <= k
+    )
+
+
+@register("q_llm_knn_ivfpq", oracle=None, tags=("J3", "ann"), demoted=True)
+def q_llm_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (memory-scale path) — IVF-PQ ANN top-k with exact refine:
+    rows-only driver check; recall vs brute force and ADC fidelity are
+    asserted in tests/test_pq.py. Same 10-query readout as
+    q_llm_knn / q_llm_knn_ivf for cross-path comparison."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers = _cached_centers(emb, sf_dir, 16)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return ann_ivfpq_search(emb, q, centers=centers)

@@ -243,6 +243,14 @@ NOTES = {
         " (span → (doc,span) → doc), no self-join; hash-the-span variant"
         " documented for the 100 TB string-shuffle case"
     ),
+    "q_llm_knn_ivfpq": (
+        "r11: IVFADC — coarse cells prune candidates (map-side argmax,"
+        " broadcast probe side, corpus never shuffles), residual PQ codes"
+        " (ONE Arrow encode pass, checkpointed index of M smallints/row ="
+        " 32x less memory than raw embeddings) score survivors via M"
+        " element_at lookups in codegen; exact re-rank touches only"
+        " |Q|*refine*k original vectors"
+    ),
     "q_agg_cms": (
         "r11: count-min sketch = explode d seeded-xxhash64 cells +"
         " groupBy(r,c) — map-side partial agg caps per-task output at d*w"
