@@ -243,6 +243,15 @@ NOTES = {
         " (span → (doc,span) → doc), no self-join; hash-the-span variant"
         " documented for the 100 TB string-shuffle case"
     ),
+    "q_join_bloom_pruned": (
+        "r11: Bloom semi-join pushdown — dim keys hashed into a"
+        " map<word,bits> built by groupBy(word).bit_or (two linear"
+        " passes), attached to the fact scan as a ONE-ROW broadcast, so"
+        " non-matching fact rows die map-side BEFORE the join exchange;"
+        " result is exactly the plain join (FPs removed by the real"
+        " join), plan-asserted fact-branch-exchange-free in"
+        " tests/test_bloom.py"
+    ),
     "q_llm_knn_ivfpq": (
         "r11: IVFADC — coarse cells prune candidates (map-side argmax,"
         " broadcast probe side, corpus never shuffles), residual PQ codes"

@@ -1,0 +1,105 @@
+"""Bloom-filter join pruning (operators/bloom.py): exactness of the
+pruned join vs the plain join, superset/fpp semantics of the raw prune,
+NULL-key handling, sizing, and the map-side plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bayesiandatafusion_jl_spark.catalog import load_table
+from bayesiandatafusion_jl_spark.operators.bloom import (
+    _bloom_params,
+    bloom_build,
+    bloom_pruned_join,
+    bloom_semi_join,
+)
+from bayesiandatafusion_jl_spark.plans.inspect import formatted_plan
+from tests.conftest import SF_DIR_TINY
+
+
+def test_bloom_params():
+    m, k = _bloom_params(1000, 0.01)
+    assert m % 64 == 0
+    # textbook sizing: ~9.6 bits/key and ~7 hashes at 1% fpp
+    assert 9 * 1000 <= m <= 11 * 1000
+    assert 6 <= k <= 8
+    with pytest.raises(ValueError):
+        _bloom_params(1000, 0.0)
+    with pytest.raises(ValueError):
+        _bloom_params(1000, 1.5)
+
+
+def test_bloom_words_bounded(spark):
+    keys = spark.range(5000).withColumnRenamed("id", "k")
+    row, m, k = bloom_build(keys, "k", fpp=0.01)
+    bm = row.collect()[0]["__bloom"]
+    assert len(bm) <= m // 64
+    # a filter over n keys at 1% fpp has roughly half its bits set —
+    # nearly every word is non-zero, so the sparse map is near-dense
+    assert len(bm) >= m // 64 // 2
+
+
+def test_bloom_semi_join_superset_and_fpp(spark):
+    # dim holds 1k of 50k fact keys; the prune must keep ALL true
+    # matches and at most ~fpp of the 49k non-matching rows
+    fact = spark.range(50_000).withColumnRenamed("id", "k")
+    dim = spark.range(1000).withColumnRenamed("id", "dk")
+    kept = bloom_semi_join(fact, dim, "k", "dk", fpp=0.01).collect()
+    kept_keys = {r["k"] for r in kept}
+    assert set(range(1000)) <= kept_keys  # zero false negatives, ever
+    fp = len(kept_keys) - 1000
+    assert fp / 49_000 <= 0.03  # ≤ 3× the 1% budget
+
+
+def test_bloom_null_fact_keys_never_pass(spark):
+    fact = spark.createDataFrame(
+        [(1,), (2,), (None,)], "k bigint"
+    )
+    dim = spark.createDataFrame([(1,), (None,)], "dk bigint")
+    kept = {r["k"] for r in bloom_semi_join(fact, dim, "k", "dk").collect()}
+    assert kept == {1}  # NULLs pruned on both sides (no NULL equi-match)
+
+
+def test_bloom_pruned_join_exact_vs_plain_join(spark):
+    li = load_table(spark, SF_DIR_TINY, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    orders = load_table(spark, SF_DIR_TINY, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    plain = {
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in li.join(orders, li.l_orderkey == orders.o_orderkey).collect()
+    }
+    for fpp in (0.3, 0.01):  # even a sloppy filter must stay exact
+        pruned = {
+            (r["l_orderkey"], r["l_linenumber"])
+            for r in bloom_pruned_join(
+                li, orders, "l_orderkey", "o_orderkey", fpp=fpp
+            ).collect()
+        }
+        assert pruned == plain
+
+
+def test_bloom_pruned_join_rejects_outer(spark):
+    li = load_table(spark, SF_DIR_TINY, "lineitem")
+    orders = load_table(spark, SF_DIR_TINY, "orders")
+    with pytest.raises(ValueError, match="inner/left_semi"):
+        bloom_pruned_join(li, orders, "l_orderkey", "o_orderkey", how="left")
+
+
+def test_bloom_probe_is_map_side(spark):
+    """The filter attaches via a one-row broadcast (BroadcastNestedLoopJoin
+    in the plan) and the fact side reaches it without any exchange — the
+    whole point is pruning BEFORE the shuffle."""
+    fact = spark.range(10_000).withColumnRenamed("id", "k")
+    dim = spark.range(100).withColumnRenamed("id", "dk")
+    pruned = bloom_semi_join(fact, dim, "k", "dk")
+    plan = formatted_plan(pruned)
+    assert "BroadcastNestedLoopJoin" in plan
+    # exchanges exist only under the filter BUILD aggregation, never on
+    # the fact branch: the fact Range leaf must sit directly under the
+    # BNLJ/filter stage, i.e. the plan section for the fact scan has no
+    # Exchange between it and the Filter
+    assert "Exchange" not in plan.split("BroadcastNestedLoopJoin")[0]
