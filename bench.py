@@ -57,6 +57,9 @@ HEADLINE = [
     "q_agg_heavy_hitters",  # r11: exact Misra-Gries 2-pass heavy hitters
     "q_text_unigram_nll",   # r11: pin the 3-scans->1 checkpoint rewrite
     "q_text_bigram_nll",    # r11: pin the 4-scans->1 tagged-stream rewrite
+    "q_join_bloom_pruned",  # r11: Bloom semi-join pushdown (map-side prune)
+    "q_llm_knn_ivfpq",      # r11: residual-PQ ADC + exact refine re-rank
+    "q_agg_cms",            # r11: count-min sketch build + top-20 validation
 ]
 
 
