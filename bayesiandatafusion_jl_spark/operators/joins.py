@@ -340,12 +340,26 @@ def _hashable_type(dt) -> bool:
     return True
 
 
+def detect_heavy_keys(fact: DataFrame, key: str, phi: float = 0.001) -> list:
+    """Join keys holding ≥ phi·N of the fact rows, via the exact bounded
+    Misra–Gries two-pass (aggregates.heavy_hitters) — the shuffle is
+    ⌈1/phi⌉·P candidate keys and the collect ≤ 1/phi values by
+    construction (phi=0.001 → ≤ 1000 keys), never data-scaled. Feeds
+    ``salted_join(..., heavy_keys=...)``; a pipeline profiles once and
+    reuses the list across joins on the same fact."""
+    from bayesiandatafusion_jl_spark.operators.aggregates import heavy_hitters
+
+    return [r[key] for r in heavy_hitters(fact.select(key), key, phi).collect()]
+
+
 def salted_join(
     fact: DataFrame,
     mid: DataFrame,
     on: list[str] | str,
     n_salt: int = 8,
     how: str = "inner",
+    heavy_keys: list | None = None,
+    phi: float | None = None,
 ) -> DataFrame:
     """Skew-resistant equi-join: pre-salt a hot-keyed fact side.
 
@@ -359,15 +373,24 @@ def salted_join(
     via a single in-task ``explode`` — a hot key's rows now spread over
     ``n_salt`` reducers at the cost of shuffling ``n_salt``× the mid side.
 
+    **Selective salting** (r11): pass ``heavy_keys`` (a known hot-key
+    list) or ``phi`` (run ``detect_heavy_keys`` at that threshold) and
+    only those keys salt and replicate — light fact rows keep salt 0 and
+    light mid rows stay single-copy, so the mid inflation is
+    |heavy mid rows|·(n_salt−1) instead of |mid|·(n_salt−1). Single-key
+    ``on`` only (heavy detection is per-column). With an empty detected
+    list the join degrades to the plain join — zero overhead.
+
     Row-identical to ``fact.join(mid, on, how)``: salting changes WHERE rows
     meet, never WHICH rows match. Only fact-preserving join types are legal
     — inner/left (mid replication can't duplicate fact rows: each fact row
     carries exactly one salt) and semi/anti (existence of a (key, salt)
-    match ≡ existence of a key match, since every salt replica holds all of
-    ``mid``); ``mid``-preserving types (right/full) would emit one
-    unmatched row per replica. The same two-phase idea, fused with partial
-    aggregation, drives the trainer's ``skew_salt`` path (ml/bpmf.py,
-    ml/kernels.py).
+    match ≡ existence of a key match: every salt replica of a heavy mid
+    row exists, and light/NULL fact rows carry salt 0 which is always the
+    replica a light mid row keeps); ``mid``-preserving types (right/full)
+    would emit one unmatched row per replica. The same two-phase idea,
+    fused with partial aggregation, drives the trainer's ``skew_salt``
+    path (ml/bpmf.py, ml/kernels.py).
     """
     allowed = (
         "inner", "left", "left_outer", "leftouter",
@@ -382,6 +405,13 @@ def salted_join(
     if n_salt < 1:
         raise ValueError("n_salt must be >= 1")
     keys = [on] if isinstance(on, str) else list(on)
+    selective = heavy_keys is not None or phi is not None
+    if selective and len(keys) != 1:
+        raise ValueError("selective salting supports a single join key")
+    if selective and heavy_keys is None:
+        heavy_keys = detect_heavy_keys(fact, keys[0], phi)
+    if selective and not heavy_keys:
+        return fact.join(mid, keys, how)
     salt = "__salt"
     while salt in fact.columns or salt in mid.columns:
         salt += "_"
@@ -393,12 +423,22 @@ def salted_join(
     hashable = [
         f.name for f in fact.schema.fields if _hashable_type(f.dataType)
     ]
-    salted_fact = fact.withColumn(
-        salt, F.pmod(F.xxhash64(*hashable), F.lit(n_salt)).cast("int")
-    )
-    replicated_mid = mid.withColumn(
-        salt, F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
-    )
+    row_salt = F.pmod(F.xxhash64(*hashable), F.lit(n_salt)).cast("int")
+    all_salts = F.array(*[F.lit(i) for i in range(n_salt)])
+    if selective:
+        is_heavy = F.array_contains(
+            F.array(*[F.lit(k) for k in heavy_keys]), F.col(keys[0])
+        )
+        salted_fact = fact.withColumn(
+            salt, F.when(is_heavy, row_salt).otherwise(F.lit(0))
+        )
+        replicated_mid = mid.withColumn(
+            salt,
+            F.explode(F.when(is_heavy, all_salts).otherwise(F.array(F.lit(0)))),
+        )
+    else:
+        salted_fact = fact.withColumn(salt, row_salt)
+        replicated_mid = mid.withColumn(salt, F.explode(all_salts))
     return salted_fact.join(replicated_mid, keys + [salt], how).drop(salt)
 
 
@@ -431,6 +471,52 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "q_join_salted_heavy",
+    oracle="""
+        WITH type_stats AS (
+            SELECT event_type AS t_type,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       / COUNT(value) AS type_avg
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id AS event_id,
+               e.event_type AS event_type,
+               CAST(e.value - ts.type_avg AS DECIMAL(18,6)) AS value_delta
+        FROM events e
+        JOIN type_stats ts ON e.event_type = ts.t_type
+        ORDER BY event_id
+    """,
+    tags=("C1", "skew", "scale"),
+    demoted=True,
+)
+def q_join_salted_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 (selective-salting path, r11) — events ⋈ per-type stats on
+    event_type, the canonical skewed key (5 values covering every row:
+    each is a Misra–Gries heavy hitter at phi=0.05, so detection routes
+    ALL of them through the salted path). The full DuckDB oracle
+    certifies the physical rewrite is exact. At 100 TB the hot key's
+    reducer shrinks n_salt-fold while a long-tail dim would stay
+    single-copy."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    stats = ev.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("value")
+        ).alias("type_avg")
+    )
+    joined = salted_join(ev, stats, "event_type", phi=0.05)
+    return joined.select(
+        "event_id",
+        "event_type",
+        (F.col("value") - F.col("type_avg"))
+        .cast("decimal(18,6)")
+        .alias("value_delta"),
+    ).orderBy("event_id")
 
 
 @register(

@@ -243,6 +243,13 @@ NOTES = {
         " (span → (doc,span) → doc), no self-join; hash-the-span variant"
         " documented for the 100 TB string-shuffle case"
     ),
+    "q_join_salted_heavy": (
+        "r11: SELECTIVE salting — Misra-Gries detection bounds the heavy"
+        " set (<=1/phi keys collected), only heavy fact keys hash-salt"
+        " and only heavy mid rows replicate n_salt-fold; light mid rows"
+        " single-copy, empty heavy set degrades to the plain join;"
+        " result oracle-identical to the unsalted join"
+    ),
     "q_join_bloom_pruned": (
         "r11: Bloom semi-join pushdown — dim keys hashed into a"
         " map<word,bits> built by groupBy(word).bit_or (two linear"

@@ -167,6 +167,53 @@ def test_salted_join_equals_plain_join(spark):
         salted_join(fact, mid, "k", n_salt=0)
 
 
+def test_selective_salted_join_equals_plain_join(spark):
+    """Selective salting (heavy_keys / phi): still result-invisible for
+    every fact-preserving how — including NULL fact keys and a heavy
+    list that covers only a subset of the keys — while light mid rows
+    stay single-copy and an empty heavy set degrades to the plain join."""
+    from pyspark.sql import functions as F
+
+    from bayesiandatafusion_jl_spark.operators.joins import (
+        detect_heavy_keys,
+        salted_join,
+    )
+    from bayesiandatafusion_jl_spark.plans.inspect import formatted_plan
+
+    fact = spark.range(5000).select(
+        F.when(F.col("id") % 50 == 0, None)      # NULL keys sprinkled in
+        .otherwise(F.col("id") % 7).alias("k"),  # key 0..6; ~86% of rows
+        (F.col("id") * 13 % 101).alias("payload"),
+    )
+    mid = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("mval")
+    )
+
+    # detection: every one of the 7 keys holds ~14% ≥ phi=0.05 of rows;
+    # the planted NULLs are excluded by the heavy-hitter contract
+    heavy = detect_heavy_keys(fact, "k", phi=0.05)
+    assert sorted(heavy) == [0, 1, 2, 3, 4, 5, 6]
+
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        plain = fact.join(mid, "k", how)
+        for hk in (heavy, [0, 3]):  # full set AND a partial subset
+            salted = salted_join(fact, mid, "k", how=how, heavy_keys=hk)
+            assert salted.columns == plain.columns
+            assert salted.exceptAll(plain).count() == 0
+            assert plain.exceptAll(salted).count() == 0
+        # phi path end-to-end
+        via_phi = salted_join(fact, mid, "k", how=how, phi=0.05)
+        assert via_phi.exceptAll(plain).count() == 0
+        assert plain.exceptAll(via_phi).count() == 0
+
+    # empty heavy set → plain join, no salt/replication machinery at all
+    degraded = salted_join(fact, mid, "k", heavy_keys=[])
+    assert "explode" not in formatted_plan(degraded).lower()
+
+    with pytest.raises(ValueError, match="single join key"):
+        salted_join(fact, mid, ["k", "payload"], heavy_keys=[0])
+
+
 @settings(max_examples=60, deadline=None)
 @given(
     seed=st.integers(0, 10**6),
