@@ -3,6 +3,7 @@ text/dedup (J1–J6 + text analysis)."""
 
 from bayesiandatafusion_jl_spark.functions import (  # noqa: F401
     bpe,
+    chunking,
     dedup,
     dedup_index,
     graph,

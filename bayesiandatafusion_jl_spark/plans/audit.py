@@ -243,6 +243,12 @@ NOTES = {
         " (span → (doc,span) → doc), no self-join; hash-the-span variant"
         " documented for the 100 TB string-shuffle case"
     ),
+    "q_llm_chunk_docs": (
+        "r11: RAG chunking — ONE map-side expression chain (split,"
+        " arithmetic chunk count, explode sequence, slice) in whole-stage"
+        " codegen; zero exchanges plan-asserted; fan-out bounded at"
+        " ceil(len/stride) rows/doc"
+    ),
     "q_join_salted_heavy": (
         "r11: SELECTIVE salting — Misra-Gries detection bounds the heavy"
         " set (<=1/phi keys collected), only heavy fact keys hash-salt"
