@@ -4,7 +4,7 @@
 production deployment builds the inverted file ONCE and serves query
 batches against it. The index under ``index_dir``:
 
-- ``postings`` — (vec_id, embedding) parquet PARTITIONED BY
+- ``postings`` — (vec_id, embedding[, pq_code]) parquet PARTITIONED BY
   (cell_id, __epoch): each cell is its own directory, so a probe of P
   cells is a partition-pruned scan that reads exactly those P directories
   and skips the rest of the corpus at file-listing time (the strongest
@@ -12,8 +12,13 @@ batches against it. The index under ``index_dir``:
   listed); the inner ``__epoch`` level (one per appended shard) makes
   shard appends replay-idempotent, exactly like the signature index;
 - ``centers``  — (cell_id, ce: array<double>) the fitted quantizer;
-- ``meta``     — one row pinning (n_cells, n_assign, dim); append-mode
-  writes and queries validate against it.
+- ``codebooks`` — (m, j, c) residual-PQ codewords, present when the index
+  was built with ``pq_m`` (r11): postings then carry a ``pq_code`` column
+  and ``ann_ivfpq_query_index`` serves ADC probes that PROJECT ONLY the
+  codes — parquet column pruning keeps the embedding bytes unread except
+  for the bounded exact-refine shortlist;
+- ``meta``     — one row pinning (n_cells, n_assign, dim[, pq_m,
+  pq_ksub]); append-mode writes and queries validate against it.
 
 ``write_ivf_index(..., mode="append")`` adds a NEW shard under the STORED
 centers — the incremental path: vectors of the daily shard are assigned
@@ -66,6 +71,52 @@ def _load_centers(spark: SparkSession, centers_path: str) -> list:
     return [list(r.ce) for r in rows]
 
 
+def _codebooks_path(index_dir: str) -> str:
+    (p,) = index_paths(index_dir, "codebooks")
+    return p
+
+
+def _load_codebooks(spark: SparkSession, index_dir: str) -> list:
+    rows = (
+        spark.read.parquet(_codebooks_path(index_dir))
+        .orderBy("m", "j")
+        .collect()
+    )
+    books: list = []
+    for r in rows:
+        if r["m"] == len(books):
+            books.append([])
+        books[r["m"]].append(list(r["c"]))
+    return books
+
+
+def _encode_postings(
+    assigned: DataFrame, centers: list, codebooks: list
+) -> DataFrame:
+    """Append ``pq_code`` to an assigned (cell_id, vec_id, embedding)
+    frame: residual against the row's own cell center (map-side zip_with
+    over the broadcast center array), then the Arrow batch encode — the
+    same residual-PQ construction as ``ann_ivfpq_search``."""
+    from bayesiandatafusion_jl_spark.functions.vector_pq import (
+        _centers_attacher,
+        pq_encode,
+    )
+
+    spark = assigned.sparkSession
+    cframe, ctrs = _centers_attacher(spark, centers)(assigned)
+    with_res = cframe.withColumn(
+        "__res",
+        F.zip_with(
+            F.col("embedding"),
+            F.element_at(ctrs, F.col("cell_id") + 1),
+            lambda x, c: x.cast("double") - c,
+        ),
+    )
+    return pq_encode(with_res, codebooks, vec_col="__res").select(
+        "cell_id", "vec_id", "embedding", "pq_code"
+    )
+
+
 # Drift-stat sample cap: the guard needs a mean, not a census — a few
 # thousand vectors bound its error far below any actionable threshold.
 _DRIFT_SAMPLE_MAX_ROWS = 50_000
@@ -101,6 +152,8 @@ def write_ivf_index(
     epoch: str = "base",
     max_drift: float = 0.15,
     on_drift: str = "error",
+    pq_m: int | None = None,
+    pq_ksub: int = 256,
 ) -> None:
     """Build (or append a shard to) the inverted file for a
     (vec_id, embedding) frame.
@@ -128,6 +181,16 @@ def write_ivf_index(
     names the numbers; ``"warn"`` appends anyway with a warning (the
     operator accepts degraded recall until the next scheduled refit).
     Indexes written before this stat existed skip the check.
+
+    PQ codes (r11): pass ``pq_m`` on a fresh build to also store
+    residual-PQ codes (``pq_code`` column, Jégou-style IVFADC — see
+    vector_pq) in the SAME postings file plus a ``codebooks`` dataset;
+    (pq_m, pq_ksub) are pinned in meta. Appends derive the PQ config
+    from META alone (the stored codebooks are tied to the stored
+    centers) and encode the shard identically. ADC probes project only
+    ``pq_code`` — parquet column pruning means they never READ the
+    embedding bytes, the 32× I/O cut — while exact re-rank and
+    ``refit_ivf_index`` still find the embeddings in the same file.
     """
     post_path, centers_path, meta_path = _paths(index_dir)
     spark = corpus.sparkSession
@@ -160,8 +223,16 @@ def write_ivf_index(
             n_assign=n_assign,
             dim=len(row["embedding"]),
         )
+        if pq_m is not None:
+            raise ValueError(
+                "append derives the PQ config from the index meta; pq_m is"
+                " a fresh-build (overwrite) parameter"
+            )
         centers = _load_centers(spark, centers_path)
         meta_row = read_meta(spark, meta_path).asDict()
+        codebooks = (
+            _load_codebooks(spark, index_dir) if "pq_m" in meta_row else None
+        )
         if "assign_ppm" in meta_row:
             base_mean = meta_row["assign_ppm"] / 1e6
             shard_mean = _assign_score_mean(corpus, centers, "embedding")
@@ -184,6 +255,11 @@ def write_ivf_index(
         centers = _spherical_kmeans(corpus, n_cells)
         if not centers:
             raise ValueError("cannot fit an IVF quantizer on an empty corpus")
+        codebooks = None
+        if pq_m is not None:
+            from bayesiandatafusion_jl_spark.functions.vector_pq import pq_train
+
+            codebooks = pq_train(corpus, m=pq_m, ksub=pq_ksub, centers=centers)
 
     attach = _cells_attacher(spark, centers)
     src, cells = attach(corpus)
@@ -198,6 +274,8 @@ def write_ivf_index(
             )
         ).alias("ac"),
     ).select((-F.col("ac.nid")).alias("cell_id"), "vec_id", "embedding")
+    if codebooks is not None:
+        assigned = _encode_postings(assigned, centers, codebooks)
     # explicit partitionOverwriteMode both ways, same rationale as
     # dedup_index._write_epoch: fresh build must wipe the whole directory
     # regardless of the session default; appends overwrite only their own
@@ -212,6 +290,17 @@ def write_ivf_index(
             [(i, [float(v) for v in c]) for i, c in enumerate(centers)],
             "cell_id int, ce array<double>",
         ).write.mode(mode).parquet(centers_path)
+        meta_extra: dict = {}
+        if codebooks is not None:
+            spark.createDataFrame(
+                [
+                    (mi, j, [float(v) for v in c])
+                    for mi, b in enumerate(codebooks)
+                    for j, c in enumerate(b)
+                ],
+                "m int, j int, c array<double>",
+            ).write.mode(mode).parquet(_codebooks_path(index_dir))
+            meta_extra = {"pq_m": len(codebooks), "pq_ksub": len(codebooks[0])}
         write_meta(
             spark,
             meta_path,
@@ -222,6 +311,7 @@ def write_ivf_index(
             assign_ppm=round(
                 _assign_score_mean(corpus, centers, "embedding") * 1e6
             ),
+            **meta_extra,
         )
         # fresh build = new incarnation, new epoch namespace: drop the old
         # incarnation's fold history (refit_ivf_index re-records what must
@@ -283,7 +373,16 @@ def refit_ivf_index(
         posts.select("vec_id", "embedding").dropDuplicates(["vec_id"])
     )
     n_vectors = corpus.count()
-    write_ivf_index(corpus, index_dir, n_cells=n_cells, n_assign=n_assign)
+    # a PQ-bearing index refits its codebooks too (they are tied to the
+    # centers being re-fitted); config carries over from meta
+    write_ivf_index(
+        corpus,
+        index_dir,
+        n_cells=n_cells,
+        n_assign=n_assign,
+        pq_m=meta.get("pq_m"),
+        pq_ksub=meta.get("pq_ksub", 256),
+    )
     rebased = sorted(
         {
             e
@@ -352,6 +451,124 @@ def ann_ivf_query_index(
     )
 
 
+def ann_ivfpq_query_index(
+    queries: DataFrame,
+    index_dir: str,
+    k: int = 5,
+    n_probe: int = 6,
+    refine: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k ANN for a (qid, qe) batch against a PQ-bearing stored index
+    — the ADC probe path.
+
+    Plan shape (the persisted twin of ``ann_ivfpq_search``):
+
+    1. probe cells map-side; the DISTINCT probed ids become the
+       ``cell_id IN (...)`` partition filter, same as the exact path.
+    2. the candidate scan projects ONLY (cell_id, vec_id, pq_code):
+       parquet column pruning never reads the embedding bytes —
+       plan-asserted in tests (ReadSchema without ``embedding``).
+    3. score(q, x) ≈ dot(q, center) + Σ_m LUT[m][code[m]] — the coarse
+       dot rides the probe row, the residual term is M ``element_at``
+       lookups in codegen against the per-query LUT built from the
+       stored codebooks.
+    4. exact re-rank (refine > 0): the top-(refine·k) shortlist's ids
+       (a bounded collect, |Q|·refine·k) re-read the postings with a
+       pushed ``vec_id IN (...)`` filter — the only touch of embedding
+       bytes in the whole query, proportional to the shortlist, not the
+       candidates.
+    """
+    post_path, centers_path, _ = _paths(index_dir)
+    spark = queries.sparkSession
+    centers = _load_centers(spark, centers_path)
+    codebooks = _load_codebooks(spark, index_dir)
+    dsub = len(codebooks[0][0])
+
+    from bayesiandatafusion_jl_spark.functions.vector_pq import (
+        _codebooks_attacher,
+        pq_adc_score,
+        pq_luts,
+    )
+
+    attach = _cells_attacher(spark, centers)
+    qsrc, qcellcol = attach(queries)
+    qprobed = qsrc.select(
+        "qid",
+        "qe",
+        F.explode(
+            F.slice(
+                F.sort_array(_cell_scores(qcellcol, "qe"), asc=False), 1, n_probe
+            )
+        ).alias("probe"),
+    ).select(
+        "qid",
+        "qe",
+        (-F.col("probe.nid")).alias("cell_id"),
+        F.col("probe.cd").alias("__qc"),
+    )
+    qframe, cbcol = _codebooks_attacher(spark, codebooks)(qprobed)
+    qside = checkpoint_df(
+        qframe.select(
+            "qid", "cell_id", "__qc", pq_luts("qe", cbcol, dsub).alias("__luts")
+        )
+    )
+
+    probed = [r.cell_id for r in qside.select("cell_id").distinct().collect()]
+    # ONLY codes projected: the embedding column is never read here
+    postings = (
+        spark.read.parquet(post_path)
+        .filter(F.col("cell_id").isin(probed))
+        .select("cell_id", "vec_id", "pq_code")
+    )
+    cand = postings.join(F.broadcast(qside), "cell_id")
+    if exclude_self:
+        cand = cand.filter(F.col("vec_id") != F.col("qid"))
+    scored = (
+        cand.select(
+            "qid",
+            F.col("vec_id").alias("nb_id"),
+            (F.col("__qc") + pq_adc_score("pq_code", "__luts")).alias("__a"),
+        )
+        .groupBy("qid", "nb_id")  # best path per multi-assigned vector
+        .agg(F.max("__a").alias("adc"))
+    )
+    wq = W.partitionBy("qid").orderBy(F.desc("adc"), F.asc("nb_id"))
+    if refine <= 0:
+        return (
+            scored.withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= k)
+            .select("qid", "nb_id", F.round("adc", 4).alias("score"), "rk")
+        )
+    short = checkpoint_df(
+        scored.withColumn("rk", F.row_number().over(wq)).filter(
+            F.col("rk") <= refine * k
+        )
+    )
+    ids = [r["nb_id"] for r in short.select("nb_id").distinct().collect()]
+    vecs = (
+        spark.read.parquet(post_path)
+        .filter(F.col("cell_id").isin(probed) & F.col("vec_id").isin(ids))
+        .select("vec_id", "embedding")
+        .dropDuplicates(["vec_id"])
+    )
+    rescored = (
+        F.broadcast(short.select("qid", "nb_id"))
+        .join(vecs, F.col("nb_id") == F.col("vec_id"))
+        .join(
+            queries.withColumnRenamed("qid", "__qid"),
+            F.col("qid") == F.col("__qid"),
+        )
+        .select(
+            "qid", "nb_id", F.round(dot("qe", "embedding"), 4).alias("score")
+        )
+    )
+    wr = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("nb_id"))
+    return rescored.withColumn("rk", F.row_number().over(wr)).filter(
+        F.col("rk") <= k
+    )
+
+
 @register(
     "q_llm_ann_index",
     oracle=None,  # approximate + engine-specific quantizer; recall vs the
@@ -370,3 +587,25 @@ def q_llm_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     return ann_ivf_query_index(q, index_dir, k=5, n_probe=6)
+
+
+@register(
+    "q_llm_ann_index_pq",
+    oracle=None,  # approximate + engine-specific quantizer/codebooks;
+    # recall, ADC fidelity, and the codes-only column-pruned probe are
+    # pytest-gated (tests/test_vector_index.py)
+    tags=("J3", "ann", "incremental", "pq"),
+    demoted=True,
+)
+def q_llm_ann_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (persisted IVF-PQ path) — build the PQ-bearing index once under
+    /tmp, then serve the first 10 vectors via the ADC probe + exact
+    refine. The candidate scan reads codes only (column pruning); the
+    embeddings are touched solely for the |Q|*refine*k shortlist."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    index_dir = f"/tmp/bdf_ivfpq_index/{sf_dir.strip('/').replace('/', '_')}"
+    write_ivf_index(emb, index_dir, n_cells=16, n_assign=2, pq_m=16)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return ann_ivfpq_query_index(q, index_dir, k=5, n_probe=6, refine=4)

@@ -243,6 +243,14 @@ NOTES = {
         " (span → (doc,span) → doc), no self-join; hash-the-span variant"
         " documented for the 100 TB string-shuffle case"
     ),
+    "q_llm_ann_index_pq": (
+        "r11: persisted IVF-PQ — pq_code column in the SAME postings"
+        " file; ADC probes project codes only, so parquet column pruning"
+        " (plan-asserted: ReadSchema without embedding) gives the 32x"
+        " I/O cut on top of cell_id partition pruning; embeddings read"
+        " only for the |Q|*refine*k shortlist; appends encode under the"
+        " META-pinned codebooks, refit retrains them with the centers"
+    ),
     "q_llm_chunk_docs": (
         "r11: RAG chunking — ONE map-side expression chain (split,"
         " arithmetic chunk count, explode sequence, slice) in whole-stage"

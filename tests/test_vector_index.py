@@ -193,3 +193,116 @@ def test_append_in_distribution_shard_passes_guard(spark, index_dir):
     )
     postings = spark.read.parquet(index_dir + "/postings")
     assert postings.filter(F.col("vec_id") >= 1000).count() == 10
+
+
+# ---------------------------------------------------------------- IVF-PQ
+
+
+def test_pq_index_recall_and_code_shape(spark, index_dir):
+    corpus = _clustered(spark)
+    write_ivf_index(corpus, index_dir, n_cells=8, n_assign=2, pq_m=4, pq_ksub=32)
+    posts = spark.read.parquet(f"{index_dir}/postings")
+    assert "pq_code" in posts.columns
+    codes = posts.select("pq_code").collect()
+    assert all(len(r["pq_code"]) == 4 for r in codes)
+    assert all(0 <= c < 32 for r in codes for c in r["pq_code"])
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        ann_ivfpq_query_index,
+    )
+
+    q = corpus.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    exact = {(r.qid, r.nb_id) for r in knn_topk(corpus, q, k=5).collect()}
+    got = {
+        (r.qid, r.nb_id)
+        for r in ann_ivfpq_query_index(
+            q, index_dir, k=5, n_probe=4, refine=4
+        ).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.9
+
+
+def test_pq_probe_reads_codes_only(spark, index_dir):
+    """The ADC candidate scan must project (cell_id, vec_id, pq_code) —
+    the embedding column pruned out of ReadSchema — and keep the
+    cell_id partition filter. refine=0 isolates the ADC leg (the exact
+    re-rank leg is the one place embeddings are legitimately read)."""
+    import re
+
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        ann_ivfpq_query_index,
+    )
+
+    corpus = _clustered(spark)
+    write_ivf_index(corpus, index_dir, n_cells=8, n_assign=1, pq_m=4, pq_ksub=32)
+    q = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    plan = formatted_plan(ann_ivfpq_query_index(q, index_dir, k=3, n_probe=2, refine=0))
+    # each detail section after "Scan parquet" carries Location/ReadSchema
+    # lines; pick the sections whose Location is the postings dataset
+    scans = [
+        s
+        for s in plan.split("Scan parquet")[1:]
+        if re.search(r"Location:.*postings", s)
+    ]
+    assert scans, plan
+    for s in scans:
+        schema = re.search(r"ReadSchema: ([^\n]+)", s)
+        assert schema and "embedding" not in schema.group(1), s[:500]
+    assert re.search(r"PartitionFilters: \[cell_id#\d+ IN \(", plan), plan
+
+
+def test_pq_append_encodes_shard_and_rejects_pq_param(spark, index_dir):
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        ann_ivfpq_query_index,
+    )
+
+    corpus = _clustered(spark)
+    write_ivf_index(corpus, index_dir, n_cells=8, n_assign=2, pq_m=4, pq_ksub=32)
+    shard = corpus.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="fresh-build"):
+        write_ivf_index(
+            shard, index_dir, n_cells=8, mode="append", epoch="s1", pq_m=4
+        )
+    write_ivf_index(shard, index_dir, n_cells=8, mode="append", epoch="s1")
+    posts = spark.read.parquet(f"{index_dir}/postings")
+    appended = posts.filter(F.col("vec_id") >= 1000).collect()
+    assert appended and all(len(r["pq_code"]) == 4 for r in appended)
+    # a near-copy's top-1 neighbor through the ADC+refine path is its twin
+    q = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    top = ann_ivfpq_query_index(q, index_dir, k=1, n_probe=4, refine=4).collect()
+    assert top[0]["nb_id"] == 1000
+
+
+def test_refit_preserves_pq(spark, index_dir):
+    from bayesiandatafusion_jl_spark.functions.index_meta import read_meta
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        ann_ivfpq_query_index,
+        refit_ivf_index,
+    )
+
+    corpus = _clustered(spark)
+    write_ivf_index(corpus, index_dir, n_cells=8, n_assign=2, pq_m=4, pq_ksub=32)
+    stats = refit_ivf_index(spark, index_dir).collect()[0]
+    assert stats["n_vectors"] == corpus.count()
+    meta = read_meta(spark, f"{index_dir}/meta").asDict()
+    assert meta["pq_m"] == 4 and meta["pq_ksub"] == 32
+    posts = spark.read.parquet(f"{index_dir}/postings")
+    assert "pq_code" in posts.columns
+    q = corpus.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    exact = {(r.qid, r.nb_id) for r in knn_topk(corpus, q, k=5).collect()}
+    got = {
+        (r.qid, r.nb_id)
+        for r in ann_ivfpq_query_index(
+            q, index_dir, k=5, n_probe=4, refine=4
+        ).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.9
