@@ -507,12 +507,13 @@ def ann_ivfpq_query_index(
         (-F.col("probe.nid")).alias("cell_id"),
         F.col("probe.cd").alias("__qc"),
     )
-    qframe, cbcol = _codebooks_attacher(spark, codebooks)(qprobed)
-    qside = checkpoint_df(
-        qframe.select(
-            "qid", "cell_id", "__qc", pq_luts("qe", cbcol, dsub).alias("__luts")
-        )
-    )
+    # LUTs are a pure function of the QUERY, not the probed cell: build
+    # them once per query row (|Q| rows, not |Q|·n_probe) and join
+    # candidates to them by qid — n_probe× less HOF work and an
+    # n_probe× smaller LUT broadcast
+    qside = checkpoint_df(qprobed.select("qid", "cell_id", "__qc"))
+    qframe, cbcol = _codebooks_attacher(spark, codebooks)(queries)
+    qluts = qframe.select("qid", pq_luts("qe", cbcol, dsub).alias("__luts"))
 
     probed = [r.cell_id for r in qside.select("cell_id").distinct().collect()]
     # ONLY codes projected: the embedding column is never read here
@@ -521,7 +522,9 @@ def ann_ivfpq_query_index(
         .filter(F.col("cell_id").isin(probed))
         .select("cell_id", "vec_id", "pq_code")
     )
-    cand = postings.join(F.broadcast(qside), "cell_id")
+    cand = postings.join(F.broadcast(qside), "cell_id").join(
+        F.broadcast(qluts), "qid"
+    )
     if exclude_self:
         cand = cand.filter(F.col("vec_id") != F.col("qid"))
     scored = (

@@ -323,17 +323,20 @@ def ann_ivfpq_search(
         ).alias("probe"),
     ).select(
         "qid",
-        "qe",
         (-F.col("probe.nid")).alias("cell_id"),
         F.col("probe.cd").alias("__qc"),
     )
+    # LUTs are a pure function of the QUERY, not the probed cell: build
+    # them once per query row (|Q| rows, not |Q|·n_probe) and join
+    # candidates to them by qid — n_probe× less HOF work and an
+    # n_probe× smaller LUT broadcast than riding them on the probe rows
     qattach = _codebooks_attacher(spark, codebooks)
-    qframe, cbcol = qattach(qprobed)
-    qside = qframe.select(
-        "qid", "cell_id", "__qc", pq_luts("qe", cbcol, dsub).alias("__luts")
-    )
+    qframe, cbcol = qattach(queries)
+    qluts = qframe.select("qid", pq_luts("qe", cbcol, dsub).alias("__luts"))
 
-    cand = index.join(F.broadcast(qside), "cell_id")
+    cand = index.join(F.broadcast(qprobed), "cell_id").join(
+        F.broadcast(qluts), "qid"
+    )
     if exclude_self:
         cand = cand.filter(F.col("vec_id") != F.col("qid"))
     # a vector reached via two (cell, assignment) paths has two DIFFERENT

@@ -132,6 +132,20 @@ def main() -> None:
         "ivf_index_probe", lambda: ann_ivf_query_index(q_batch, ivf_dir, k=5, n_probe=6)
     )
 
+    # r11: the PQ-bearing index's ADC probe leg — candidate scan reads
+    # codes only (column pruning); built once outside the timed loop
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        ann_ivfpq_query_index,
+    )
+
+    ivfpq_dir = "/tmp/bdf_bench_ivfpq_index"
+    shutil.rmtree(ivfpq_dir, ignore_errors=True)
+    write_ivf_index(emb, ivfpq_dir, n_cells=16, n_assign=2, pq_m=16)
+    time_probe(
+        "ivfpq_index_probe",
+        lambda: ann_ivfpq_query_index(q_batch, ivfpq_dir, k=5, n_probe=6, refine=4),
+    )
+
     # ML sweep throughput: one BPMF Gibbs sweep (I3 kernel both entities +
     # moments + NW) on the events-derived matrix, K=16 (BASELINE.md (c))
     from pyspark.sql import functions as F  # noqa: E402
