@@ -268,3 +268,82 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_shards(docs, ["doc_id"], _SHUF_N, _SHUF_SEED).select(
         "doc_id", "pos", "shard"
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    id_cols: list[str],
+    weight_col: str,
+    k: int,
+    strata_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exactly min(k, eligible) rows drawn WITHOUT replacement with
+    probability proportional to weight — the Efraimidis–Spirakis A-ES
+    reservoir scheme (Inf. Proc. Letters 2006), derandomized: each row's
+    uniform draw is the identity-hash ``_bucket`` (u = (bucket+0.5)/MOD),
+    its sort key is u^(1/w), and the k largest keys win. One expression
+    per row plus ONE global sort-limit (TakeOrdered — never a full sort)
+    or, with ``strata_cols``, a per-stratum window top-k: the standard
+    map-reduce shape for weighted data selection (e.g. picking k
+    documents proportional to a quality score).
+
+    Deterministic, partition-independent, engine-reproducible — the same
+    properties as every sampler in this module, and what makes the op
+    fully SQL-oracle-able. Rows with NULL or non-positive weight are
+    EXCLUDED (a zero-weight row has selection probability zero; a
+    negative weight is meaningless in A-ES). Ties (astronomically rare —
+    keys differ in the 10th+ digit) break toward the smaller ids for a
+    total order.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (_bucket(id_cols).cast("double") + F.lit(0.5)) / F.lit(float(_MOD))
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    eligible = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col).cast("double") > 0)
+    )
+    if strata_cols:
+        w = W.partitionBy(*strata_cols).orderBy(
+            key.desc(), *[F.col(c).asc() for c in id_cols]
+        )
+        rn = "__rn"
+        while rn in df.columns:
+            rn += "_"
+        return (
+            eligible.withColumn(rn, F.row_number().over(w))
+            .filter(F.col(rn) <= k)
+            .drop(rn)
+        )
+    return eligible.orderBy(
+        key.desc(), *[F.col(c).asc() for c in id_cols]
+    ).limit(k)
+
+
+_WSAMPLE_K = 50
+
+
+@register(
+    "q_sample_weighted",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+    ORDER BY POWER(({_sql_bucket(['o_orderkey'])} + 0.5) / {_MOD}.0,
+                   1.0 / o_totalprice) DESC,
+             o_orderkey ASC
+    LIMIT {_WSAMPLE_K}
+    """,
+    tags=("sampling", "weighted"),
+    demoted=True,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ES weighted sample: 50 orders drawn proportional to
+    o_totalprice, derandomized via the identity-hash uniform — the
+    quality-weighted data-selection primitive (DSIR-style pipelines
+    sample training docs by importance weight with exactly this shape).
+    Full oracle: the same key formula in SQL selects the same rows.
+    Demoted: see q_sample_bernoulli."""
+    o = load_table(spark, sf_dir, "orders")
+    return weighted_sample_k(o, ["o_orderkey"], "o_totalprice", _WSAMPLE_K).select(
+        "o_orderkey", "o_totalprice"
+    )

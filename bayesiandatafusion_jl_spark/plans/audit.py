@@ -243,6 +243,11 @@ NOTES = {
         " (span → (doc,span) → doc), no self-join; hash-the-span variant"
         " documented for the 100 TB string-shuffle case"
     ),
+    "q_sample_weighted": (
+        "r11: derandomized A-ES — map-side u^(1/w) key from the identity"
+        " hash, global TakeOrdered(k) (never a full sort) or per-stratum"
+        " window top-k; NULL/non-positive weights excluded"
+    ),
     "q_llm_ann_index_pq": (
         "r11: persisted IVF-PQ — pq_code column in the SAME postings"
         " file; ADC probes project codes only, so parquet column pruning"

@@ -464,3 +464,57 @@ def test_bigram_nll_penalizes_shuffled_token_order(spark):
     # sub-2-token docs are absent by contract
     one = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
     assert bigram_nll(one).count() == 0
+
+
+def test_weighted_sample_properties(spark):
+    """A-ES weighted sampling: exact k, partition invariance, dominance
+    of an overwhelming weight, positive-weight eligibility, stratified
+    quota, and k validation."""
+    import pytest as _pytest
+
+    from bayesiandatafusion_jl_spark.operators.sampling import (
+        weighted_sample_k,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7 + 1).cast("double").alias("w"),
+        (F.col("id") % 3).alias("s"),
+    )
+    picked = weighted_sample_k(df, ["k"], "w", 40).collect()
+    assert len(picked) == 40
+    # deterministic + partition-independent
+    again = weighted_sample_k(df.repartition(13), ["k"], "w", 40).collect()
+    assert sorted(r["k"] for r in picked) == sorted(r["k"] for r in again)
+
+    # an astronomically heavy row must always win a slot: its key
+    # u^(1/1e8) ≈ 1 beats every weight-1 row's key ≤ 0.99995
+    heavy = df.withColumn(
+        "w", F.when(F.col("k") == 123, 1e8).otherwise(F.lit(1.0))
+    )
+    assert 123 in {
+        r["k"] for r in weighted_sample_k(heavy, ["k"], "w", 5).collect()
+    }
+
+    # NULL / zero / negative weights are ineligible
+    bad = df.withColumn(
+        "w",
+        F.when(F.col("k") < 490, None)
+        .when(F.col("k") < 495, F.lit(0.0))
+        .when(F.col("k") < 498, F.lit(-3.0))
+        .otherwise(F.lit(1.0)),
+    )
+    kept = {r["k"] for r in weighted_sample_k(bad, ["k"], "w", 50).collect()}
+    assert kept == {498, 499}  # only the 2 positive-weight rows remain
+
+    # stratified: exactly k per stratum
+    per = (
+        weighted_sample_k(df, ["k"], "w", 10, strata_cols=["s"])
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    assert sorted((r["s"], r["count"]) for r in per) == [(0, 10), (1, 10), (2, 10)]
+
+    with _pytest.raises(ValueError, match="k must be"):
+        weighted_sample_k(df, ["k"], "w", 0)
