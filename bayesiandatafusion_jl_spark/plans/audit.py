@@ -270,12 +270,14 @@ NOTES = {
         " result oracle-identical to the unsalted join"
     ),
     "q_join_bloom_pruned": (
-        "r11: Bloom semi-join pushdown — dim keys hashed into a"
-        " map<word,bits> built by groupBy(word).bit_or (two linear"
-        " passes), attached to the fact scan as a ONE-ROW broadcast, so"
-        " non-matching fact rows die map-side BEFORE the join exchange;"
-        " result is exactly the plain join (FPs removed by the real"
-        " join), plan-asserted fact-branch-exchange-free in"
+        "r11: Bloom semi-join pushdown — dim keys hashed into a dense"
+        " bitmap by groupBy(word).bit_or (two linear passes, output"
+        " sized by the fpp budget), embedded as a LITERAL forall"
+        " predicate on the fact scan (the scalar-subquery shape of"
+        " Spark's injected runtime filter: no join, no per-row bitmap"
+        " copy), so non-matching fact rows die map-side BEFORE the join"
+        " exchange; result is exactly the plain join (FPs removed by"
+        " the real join), plan-asserted join-and-exchange-free in"
         " tests/test_bloom.py"
     ),
     "q_llm_knn_ivfpq": (

@@ -32,12 +32,12 @@ def test_bloom_params():
 
 def test_bloom_words_bounded(spark):
     keys = spark.range(5000).withColumnRenamed("id", "k")
-    row, m, k = bloom_build(keys, "k", fpp=0.01)
-    bm = row.collect()[0]["__bloom"]
-    assert len(bm) <= m // 64
+    bm, m, k = bloom_build(keys, "k", fpp=0.01)
+    assert len(bm) == m // 64  # dense bitmap: exactly m/64 words
     # a filter over n keys at 1% fpp has roughly half its bits set —
-    # nearly every word is non-zero, so the sparse map is near-dense
-    assert len(bm) >= m // 64 // 2
+    # nearly every word is non-zero
+    nonzero = sum(1 for w in bm if w != 0)
+    assert nonzero >= m // 64 // 2
 
 
 def test_bloom_semi_join_superset_and_fpp(spark):
@@ -90,16 +90,12 @@ def test_bloom_pruned_join_rejects_outer(spark):
 
 
 def test_bloom_probe_is_map_side(spark):
-    """The filter attaches via a one-row broadcast (BroadcastNestedLoopJoin
-    in the plan) and the fact side reaches it without any exchange — the
-    whole point is pruning BEFORE the shuffle."""
+    """The probe is a literal predicate over the fact scan: the plan
+    must contain NO join and NO exchange of any kind — pruning happens
+    strictly before any shuffle could."""
     fact = spark.range(10_000).withColumnRenamed("id", "k")
     dim = spark.range(100).withColumnRenamed("id", "dk")
     pruned = bloom_semi_join(fact, dim, "k", "dk")
     plan = formatted_plan(pruned)
-    assert "BroadcastNestedLoopJoin" in plan
-    # exchanges exist only under the filter BUILD aggregation, never on
-    # the fact branch: the fact Range leaf must sit directly under the
-    # BNLJ/filter stage, i.e. the plan section for the fact scan has no
-    # Exchange between it and the Filter
-    assert "Exchange" not in plan.split("BroadcastNestedLoopJoin")[0]
+    assert "Join" not in plan and "Exchange" not in plan, plan
+    assert "Filter" in plan
