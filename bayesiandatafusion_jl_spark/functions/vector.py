@@ -273,8 +273,13 @@ _KMEANS_CACHE: dict = {}
 
 
 def clear_quantizer_cache() -> None:
-    """Drop all cached coarse-quantizer centers (forces a refit)."""
+    """Drop all cached coarse-quantizer centers AND the PQ codebooks
+    derived from them (codebooks quantize residuals against specific
+    centers — stale centers imply stale codebooks)."""
     _KMEANS_CACHE.clear()
+    from bayesiandatafusion_jl_spark.functions.vector_pq import _PQ_CACHE
+
+    _PQ_CACHE.clear()
 
 
 def _corpus_fingerprint(sf_dir: str) -> tuple:

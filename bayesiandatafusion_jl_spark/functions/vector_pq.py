@@ -378,6 +378,26 @@ def ann_ivfpq_search(
     )
 
 
+# Fitted codebooks per (corpus snapshot, n_cells, m, ksub) — the same
+# build/query phase separation as vector.py's _KMEANS_CACHE (training is
+# deterministic, so caching never changes results in-process); keyed by
+# the corpus FILE-LISTING FINGERPRINT so in-place rewrites refit.
+_PQ_CACHE: dict = {}
+
+
+def _cached_codebooks(
+    emb: DataFrame, sf_dir: str, centers: list, n_cells: int, m: int, ksub: int
+) -> list:
+    from bayesiandatafusion_jl_spark.functions.vector import _corpus_fingerprint
+
+    key = (_corpus_fingerprint(sf_dir), n_cells, m, ksub)
+    books = _PQ_CACHE.get(key)
+    if books is None:
+        books = pq_train(emb, m=m, ksub=ksub, centers=centers)
+        _PQ_CACHE[key] = books
+    return books
+
+
 @register("q_llm_knn_ivfpq", oracle=None, tags=("J3", "ann"), demoted=True)
 def q_llm_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 (memory-scale path) — IVF-PQ ANN top-k with exact refine:
@@ -386,7 +406,8 @@ def q_llm_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_llm_knn / q_llm_knn_ivf for cross-path comparison."""
     emb = load_table(spark, sf_dir, "embeddings")
     centers = _cached_centers(emb, sf_dir, 16)
+    books = _cached_codebooks(emb, sf_dir, centers, 16, 16, 256)
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
-    return ann_ivfpq_search(emb, q, centers=centers)
+    return ann_ivfpq_search(emb, q, centers=centers, codebooks=books)
