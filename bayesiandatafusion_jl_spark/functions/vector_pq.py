@@ -49,7 +49,6 @@ from bayesiandatafusion_jl_spark.functions.vector import (
     _cells_attacher,
 )
 from bayesiandatafusion_jl_spark.registry import register
-from bayesiandatafusion_jl_spark.session import checkpoint_df
 
 
 def pq_train(
@@ -306,10 +305,11 @@ def ann_ivfpq_search(
             lambda x, c: x.cast("double") - c,
         ).alias("__res"),
     )
-    index = checkpoint_df(
-        pq_encode(residual, codebooks, vec_col="__res").select(
-            "vec_id", "cell_id", "pq_code"
-        )
+    # single consumer (the candidate join) and a deterministic encode —
+    # no checkpoint needed; the PERSISTED variant (vector_index) is where
+    # encode-once materialization lives (the parquet write itself)
+    index = pq_encode(residual, codebooks, vec_col="__res").select(
+        "vec_id", "cell_id", "pq_code"
     )
 
     qsrc, qcellcol = attach(queries)
