@@ -140,3 +140,60 @@ def test_cms_query_runs(spark):
     assert len(rows) == 20
     assert all(r["overcount"] >= 0 for r in rows)
     assert all(r["within_bound"] for r in rows)
+
+
+def test_cms_streaming_matches_batch(spark, tmp_path):
+    """The sketch construction is explode + groupBy-count, so pointing it
+    at a readStream gives an incrementally-maintained CMS with NO custom
+    operator: Spark's streaming state IS the sketch (mergeability ==
+    partial agg == state update). Two file drops; after each, the
+    complete-mode result must equal the batch sketch over everything
+    seen so far — including cross-batch merges of the same cell."""
+    import os
+
+    src = str(tmp_path / "toks_in")
+    os.makedirs(src, exist_ok=True)
+    schema = "token string"
+
+    def drop(words):
+        spark.createDataFrame([(w,) for w in words], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    eps, delta = 1e-2, 1e-3
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        cms_sketch(stream, "token", eps, delta)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cms_stream")
+        .start()
+    )
+
+    def frozen(df):
+        return sorted((r["r"], r["c"], r["cnt"]) for r in df.collect())
+
+    try:
+        batch1 = ["a", "b", "a", "c"] * 5
+        drop(batch1)
+        q.processAllAvailable()
+        assert frozen(spark.table("cms_stream")) == frozen(
+            cms_sketch(spark.createDataFrame([(w,) for w in batch1], schema), "token", eps, delta)
+        )
+        batch2 = ["a", "d"] * 7  # 'a' cells must MERGE across batches
+        drop(batch2)
+        q.processAllAvailable()
+        assert frozen(spark.table("cms_stream")) == frozen(
+            cms_sketch(
+                spark.createDataFrame([(w,) for w in batch1 + batch2], schema),
+                "token",
+                eps,
+                delta,
+            )
+        )
+    finally:
+        q.stop()
