@@ -443,8 +443,15 @@ def q_llm_scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       queries; quality = recall vs the exact brute-force cosine top-5
       (q_llm_knn); ``ivf_index`` serves from the persisted
       partition-pruned inverted file (functions/vector_index.py).
+    - ``ivfpq_knn`` / ``ivfpq_index`` (r11): the residual-PQ ADC paths
+      (functions/vector_pq.py / the PQ-bearing persisted index), same
+      recall metric — candidate scoring reads M-byte codes, never the
+      embeddings; the exact refine re-rank recovers plain-IVF recall.
     - ``approx_distinct``: HLL++ distinct users (D4); quality =
       approx/exact ratio (2% target precision).
+    - ``cms_bound`` (r11): count-min sketch point-frequency estimates
+      for the top-20 tokens; quality = fraction within the ε·N
+      overcount bound (guaranteed ≥ 1−δ).
 
     Each leg's plan stays linear (signature computation) + bucketed join
     (candidates); the only driver data are these scalar summaries."""
@@ -496,11 +503,20 @@ def q_llm_scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_brute = brute.count()
     from bayesiandatafusion_jl_spark.functions.vector_index import q_llm_ann_index
 
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        q_llm_ann_index_pq,
+    )
+    from bayesiandatafusion_jl_spark.functions.vector_pq import q_llm_knn_ivfpq
+
     for method, fn in (
         ("ivf_knn", q_llm_knn_ivf),
         ("mllib_brp", q_llm_knn_brp_mllib),
         # r8: same queries served from the PERSISTED partition-pruned index
         ("ivf_index", q_llm_ann_index),
+        # r11: residual-PQ ADC + exact refine, in-session and persisted —
+        # candidate scoring touches codes only (32× memory/I/O cut)
+        ("ivfpq_knn", q_llm_knn_ivfpq),
+        ("ivfpq_index", q_llm_ann_index_pq),
     ):
         ann = fn(spark, sf_dir).select("qid", "nb_id")
         hit = ann.join(brute, ["qid", "nb_id"], "left_semi").count()
@@ -516,6 +532,18 @@ def q_llm_scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("approx_distinct", int(exact_approx["approx"]),
          float(exact_approx["approx"]) / exact_approx["exact"])
     )
+
+    # r11: count-min sketch — quality = fraction of the top-20 exact
+    # token counts whose CMS estimate respects the ε·N overcount bound
+    # (guaranteed ≥ 1−δ; measured 1.0 on this corpus)
+    from bayesiandatafusion_jl_spark.operators.aggregates import q_agg_cms
+
+    cms = q_agg_cms(spark, sf_dir)
+    cms_row = cms.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col("within_bound").cast("double")).alias("q"),
+    ).first()
+    rows.append(("cms_bound", int(cms_row["n"]), float(cms_row["q"])))
     return spark.createDataFrame(rows, "method string, n_results long, quality double")
 
 
