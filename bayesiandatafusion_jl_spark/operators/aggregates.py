@@ -595,3 +595,87 @@ def q_agg_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact"), F.asc("token"))
     )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+    clamp: bool = True,
+) -> DataFrame:
+    """Equi-width histogram: (bucket, lo_edge, hi_edge, cnt) with EVERY
+    bucket present (empty ones emit cnt=0 — a histogram with silent holes
+    misleads every consumer that plots or diffs it).
+
+    Map-side bucket arithmetic (``floor((x-lo)/width)``, clamped to the
+    edge buckets so out-of-range values land in the first/last bin rather
+    than vanishing) + ONE groupBy over exactly n_buckets keys; the
+    dense-bucket completion is a broadcast join against a generated
+    ``spark.range(n_buckets)`` — nothing here scales with the data except
+    the single linear scan. Deterministic: the bucket id is one IEEE
+    double subtract/divide/floor, reproducible across engines (the SQL
+    oracle runs the same arithmetic). NULLs are excluded (no value, no
+    bucket); ``clamp=False`` drops out-of-range rows instead.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    width = (hi - lo) / n_buckets
+    x = F.col(col).cast("double")
+    raw = F.floor((x - F.lit(lo)) / F.lit(width)).cast("bigint")
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1))
+    src = df.filter(x.isNotNull())
+    if not clamp:
+        src = src.filter((x >= lo) & (x < hi))
+    counts = src.select(b.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    spark = df.sparkSession
+    all_b = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    return (
+        all_b.join(F.broadcast(counts), "bucket", "left")
+        .select(
+            "bucket",
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("lo_edge"),
+            (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("hi_edge"),
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_HIST_LO, _HIST_HI, _HIST_N = 0.0, 110_000.0, 22
+
+
+@register(
+    "q_agg_histogram",
+    oracle=f"""
+        WITH counts AS (
+            SELECT LEAST(GREATEST(CAST(FLOOR((l_extendedprice - {_HIST_LO})
+                         / {(_HIST_HI - _HIST_LO) / _HIST_N}) AS BIGINT), 0),
+                         {_HIST_N - 1}) AS bucket,
+                   COUNT(*) AS cnt
+            FROM lineitem WHERE l_extendedprice IS NOT NULL
+            GROUP BY 1
+        )
+        SELECT g.bucket AS bucket,
+               {_HIST_LO} + g.bucket * {(_HIST_HI - _HIST_LO) / _HIST_N} AS lo_edge,
+               {_HIST_LO} + (g.bucket + 1) * {(_HIST_HI - _HIST_LO) / _HIST_N} AS hi_edge,
+               COALESCE(c.cnt, 0) AS cnt
+        FROM (SELECT unnest(generate_series(0, {_HIST_N - 1})) AS bucket) g
+        LEFT JOIN counts c ON g.bucket = c.bucket
+        ORDER BY bucket
+    """,
+    tags=("D1", "histogram", "olap"),
+    demoted=True,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 (OLAP profile form) — 22-bin equi-width histogram of
+    l_extendedprice with dense (zero-filled) buckets; full DuckDB oracle
+    running the identical IEEE bucket arithmetic. One linear scan +
+    a groupBy over 22 keys — the data-profiling primitive."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return histogram(li, "l_extendedprice", _HIST_LO, _HIST_HI, _HIST_N)

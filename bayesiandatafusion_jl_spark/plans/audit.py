@@ -243,6 +243,12 @@ NOTES = {
         " (span → (doc,span) → doc), no self-join; hash-the-span variant"
         " documented for the 100 TB string-shuffle case"
     ),
+    "q_agg_histogram": (
+        "r11: equi-width histogram — map-side IEEE bucket arithmetic,"
+        " ONE groupBy over exactly n_buckets keys, dense zero-filled"
+        " completion via broadcast join against spark.range(n); nothing"
+        " data-scaled but the single linear scan"
+    ),
     "q_sample_weighted": (
         "r11: derandomized A-ES — map-side u^(1/w) key from the identity"
         " hash, global TakeOrdered(k) (never a full sort) or per-stratum"

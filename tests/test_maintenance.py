@@ -518,3 +518,33 @@ def test_weighted_sample_properties(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         weighted_sample_k(df, ["k"], "w", 0)
+
+
+def test_histogram_dense_clamped_deterministic(spark):
+    import pytest as _pytest
+
+    from bayesiandatafusion_jl_spark.operators.aggregates import histogram
+
+    df = spark.range(100).select((F.col("id").cast("double")).alias("x"))
+    h = histogram(df, "x", 0.0, 100.0, 10).collect()
+    assert [r["bucket"] for r in h] == list(range(10))
+    assert all(r["cnt"] == 10 for r in h)  # uniform 0..99 → 10/bin
+    assert h[0]["lo_edge"] == 0.0 and h[-1]["hi_edge"] == 100.0
+
+    # out-of-range values clamp to the edge bins (default) or drop
+    wide = spark.createDataFrame(
+        [(-5.0,), (250.0,), (50.0,), (None,)], "x double"
+    )
+    clamped = {r["bucket"]: r["cnt"] for r in histogram(wide, "x", 0, 100, 4).collect()}
+    assert clamped == {0: 1, 1: 0, 2: 1, 3: 1}  # NULL excluded
+    dropped = {r["bucket"]: r["cnt"] for r in histogram(wide, "x", 0, 100, 4, clamp=False).collect()}
+    assert dropped == {0: 0, 1: 0, 2: 1, 3: 0}
+
+    # empty input still yields the dense zero histogram
+    empty = histogram(spark.createDataFrame([], "x double"), "x", 0, 1, 3).collect()
+    assert [(r["bucket"], r["cnt"]) for r in empty] == [(0, 0), (1, 0), (2, 0)]
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        histogram(df, "x", 0, 1, 0)
+    with _pytest.raises(ValueError, match="hi > lo"):
+        histogram(df, "x", 5, 5, 3)
