@@ -291,6 +291,14 @@ def write_ivf_index(
             "cell_id int, ce array<double>",
         ).write.mode(mode).parquet(centers_path)
         meta_extra: dict = {}
+        if codebooks is None:
+            # a fresh non-PQ rebuild over a previously-PQ index must not
+            # leave stale codebooks on disk (meta no longer declares pq_m,
+            # so nothing would read them — but a later pq build in append
+            # mode or a human inspecting the directory would be misled)
+            import shutil
+
+            shutil.rmtree(_codebooks_path(index_dir), ignore_errors=True)
         if codebooks is not None:
             spark.createDataFrame(
                 [

@@ -306,3 +306,15 @@ def test_refit_preserves_pq(spark, index_dir):
         ).collect()
     }
     assert len(exact & got) / len(exact) >= 0.9
+
+
+def test_non_pq_rebuild_clears_stale_codebooks(spark, index_dir):
+    import os
+
+    corpus = _clustered(spark)
+    write_ivf_index(corpus, index_dir, n_cells=8, pq_m=4, pq_ksub=32)
+    assert os.path.isdir(f"{index_dir}/codebooks")
+    write_ivf_index(corpus, index_dir, n_cells=8)  # fresh build, no PQ
+    assert not os.path.isdir(f"{index_dir}/codebooks")
+    posts = spark.read.parquet(f"{index_dir}/postings")
+    assert "pq_code" not in posts.columns
