@@ -679,3 +679,89 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     a groupBy over 22 keys — the data-profiling primitive."""
     li = load_table(spark, sf_dir, "lineitem")
     return histogram(li, "l_extendedprice", _HIST_LO, _HIST_HI, _HIST_N)
+
+
+def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ONE-scan numeric profile: per column (col_name, n_rows, n_nulls,
+    n_distinct, min_v, max_v, mean_v) — the pre-training data audit every
+    pipeline runs before trusting a new table drop.
+
+    All metrics for all columns ride ONE aggregation over ONE scan (a
+    wide single-row agg unpivoted with ``stack``); the only multi-pass
+    cost is the exact ``countDistinct``, which Spark plans as an Expand
+    (the scan's rows duplicated once per column inside the exchange —
+    still one SCAN). At 100 TB swap the exact distinct for
+    ``approx_count_distinct`` if the ±2% HLL estimate suffices; the
+    column list, not the data, bounds the output. Mean uses the exact
+    decimal accumulation (exprs.dmean) so the numbers are
+    engine-reproducible.
+    """
+    if not cols:
+        raise ValueError("profile_numeric needs at least one column")
+    from bayesiandatafusion_jl_spark.functions.exprs import dmean
+
+    n_all = F.count(F.lit(1))
+    aggs = [n_all.alias("__n")]
+    for c in cols:
+        x = F.col(c)
+        aggs += [
+            F.sum(x.isNull().cast("bigint")).alias(f"__null_{c}"),
+            F.countDistinct(x).alias(f"__nd_{c}"),
+            F.min(x).cast("double").alias(f"__min_{c}"),
+            F.max(x).cast("double").alias(f"__max_{c}"),
+            dmean(x).alias(f"__mean_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __null_{c}, __nd_{c}, __min_{c}, __max_{c}, __mean_{c}"
+        for c in cols
+    )
+    return wide.selectExpr(
+        "__n as n_rows",
+        f"stack({len(cols)}, {stack_args})"
+        " as (col_name, n_nulls, n_distinct, min_v, max_v, mean_v)",
+    ).select(
+        "col_name", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v", "mean_v"
+    ).orderBy("col_name")
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "q_profile_numeric",
+    oracle=f"""
+        WITH wide AS (
+            SELECT COUNT(*) AS n_rows,
+                   {", ".join(
+                       f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_{c},"
+                       f" COUNT(DISTINCT {c}) AS nd_{c},"
+                       f" CAST(MIN({c}) AS DOUBLE) AS min_{c},"
+                       f" CAST(MAX({c}) AS DOUBLE) AS max_{c},"
+                       f" CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE)"
+                       f" / COUNT({c}) AS mean_{c}"
+                       for c in _PROFILE_COLS
+                   )}
+            FROM lineitem
+        )
+        SELECT u.col_name AS col_name, w.n_rows AS n_rows,
+               u.n_nulls AS n_nulls, u.n_distinct AS n_distinct,
+               u.min_v AS min_v, u.max_v AS max_v, u.mean_v AS mean_v
+        FROM wide w, LATERAL (
+            {" UNION ALL ".join(
+                f"SELECT '{c}' AS col_name, null_{c} AS n_nulls,"
+                f" nd_{c} AS n_distinct, min_{c} AS min_v,"
+                f" max_{c} AS max_v, mean_{c} AS mean_v"
+                for c in _PROFILE_COLS
+            )}
+        ) u
+        ORDER BY col_name
+    """,
+    tags=("D2", "profile", "olap"),
+    demoted=True,
+)
+def q_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 (profile form) — one-scan numeric audit of the four lineitem
+    measure columns; full DuckDB oracle (identical decimal-exact means)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_numeric(li, _PROFILE_COLS)

@@ -243,6 +243,13 @@ NOTES = {
         " (span → (doc,span) → doc), no self-join; hash-the-span variant"
         " documented for the 100 TB string-shuffle case"
     ),
+    "q_profile_numeric": (
+        "r11: one-scan numeric audit — all per-column metrics ride ONE"
+        " wide aggregation (exact countDistinct via Expand: rows"
+        " duplicated per column inside the exchange but the SCAN runs"
+        " once), unpivoted with stack; swap approx_count_distinct at"
+        " 100 TB if the HLL +-2% suffices"
+    ),
     "q_agg_histogram": (
         "r11: equi-width histogram — map-side IEEE bucket arithmetic,"
         " ONE groupBy over exactly n_buckets keys, dense zero-filled"

@@ -548,3 +548,29 @@ def test_histogram_dense_clamped_deterministic(spark):
         histogram(df, "x", 0, 1, 0)
     with _pytest.raises(ValueError, match="hi > lo"):
         histogram(df, "x", 5, 5, 3)
+
+
+def test_profile_numeric_metrics_and_one_scan(spark):
+    import pytest as _pytest
+
+    from bayesiandatafusion_jl_spark.operators.aggregates import profile_numeric
+    from bayesiandatafusion_jl_spark.plans.inspect import formatted_plan
+
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, None), (2.0, 30.0), (None, 30.0)], "a double, b double"
+    )
+    rows = {r["col_name"]: r for r in profile_numeric(df, ["a", "b"]).collect()}
+    assert rows["a"]["n_rows"] == 4 and rows["a"]["n_nulls"] == 1
+    assert rows["a"]["n_distinct"] == 2  # NULL not a distinct value
+    assert rows["a"]["min_v"] == 1.0 and rows["a"]["max_v"] == 2.0
+    assert abs(rows["a"]["mean_v"] - 5.0 / 3) < 1e-12
+    assert rows["b"]["n_nulls"] == 1 and rows["b"]["n_distinct"] == 2
+    # ONE scan: the plan reads the source exactly once (Expand handles
+    # the multi-distinct, not extra scans); formatted plans repeat node
+    # names in the detail section, so count the numbered detail headers
+    import re
+
+    plan = formatted_plan(profile_numeric(df, ["a", "b"]))
+    assert len(re.findall(r"\(\d+\) Scan ", plan)) == 1, plan
+    with _pytest.raises(ValueError, match="at least one"):
+        profile_numeric(df, [])
