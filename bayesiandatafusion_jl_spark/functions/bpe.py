@@ -99,11 +99,11 @@ def train_bpe_corpus(
 ) -> list[tuple[str, str]]:
     """Deterministic bounded-sample trainer over a DataFrame (see module
     docstring for why the sample, not the corpus, is the training set)."""
-    n = df.count()
-    sample = df
-    if n > _BPE_TRAIN_MAX_ROWS:
-        m = -(-n // _BPE_TRAIN_MAX_ROWS)
-        sample = df.filter(F.pmod(F.xxhash64(id_col), F.lit(m)) == 0)
+    from bayesiandatafusion_jl_spark.functions.vector import (
+        bounded_identity_sample,
+    )
+
+    sample = bounded_identity_sample(df, id_col, _BPE_TRAIN_MAX_ROWS)
     texts = [r[0] for r in sample.select(text_col).collect()]
     return train_bpe(texts, num_merges)
 

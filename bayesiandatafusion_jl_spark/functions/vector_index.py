@@ -129,11 +129,11 @@ def _assign_score_mean(df: DataFrame, centers: list, vec_col: str) -> float:
     convention as the quantizer fit) + one bounded aggregate; never
     corpus-scaled driver traffic."""
     spark = df.sparkSession
-    n = df.count()
-    sample = df
-    if n > _DRIFT_SAMPLE_MAX_ROWS:
-        m = -(-n // _DRIFT_SAMPLE_MAX_ROWS)
-        sample = df.filter(F.pmod(F.xxhash64("vec_id"), F.lit(m)) == 0)
+    from bayesiandatafusion_jl_spark.functions.vector import (
+        bounded_identity_sample,
+    )
+
+    sample = bounded_identity_sample(df, "vec_id", _DRIFT_SAMPLE_MAX_ROWS)
     attach = _cells_attacher(spark, centers)
     src, cells = attach(sample)
     best = F.array_max(_cell_scores(cells, vec_col))["cd"]
@@ -295,10 +295,14 @@ def write_ivf_index(
             # a fresh non-PQ rebuild over a previously-PQ index must not
             # leave stale codebooks on disk (meta no longer declares pq_m,
             # so nothing would read them — but a later pq build in append
-            # mode or a human inspecting the directory would be misled)
-            import shutil
+            # mode or a human inspecting the directory would be misled).
+            # Hadoop FS API, not shutil: index_dir may be HDFS/object-store
+            # (the same discipline as index_compact's directory swap)
+            from bayesiandatafusion_jl_spark.functions.index_compact import _fs
 
-            shutil.rmtree(_codebooks_path(index_dir), ignore_errors=True)
+            fs, hpath, _ = _fs(spark, _codebooks_path(index_dir))
+            if fs.exists(hpath):
+                fs.delete(hpath, True)
         if codebooks is not None:
             spark.createDataFrame(
                 [

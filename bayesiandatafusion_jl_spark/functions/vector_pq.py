@@ -47,6 +47,7 @@ from bayesiandatafusion_jl_spark.functions.vector import (
     _cached_centers,
     _cell_scores,
     _cells_attacher,
+    bounded_identity_sample,
 )
 from bayesiandatafusion_jl_spark.registry import register
 
@@ -85,11 +86,7 @@ def pq_train(
     import numpy as np
 
     target = min(_KMEANS_FIT_PER_CELL * ksub, _KMEANS_FIT_MAX_ROWS)
-    n = corpus.count()
-    sample = corpus
-    if n > target:
-        mod = -(-n // target)
-        sample = corpus.filter(F.pmod(F.xxhash64(id_col), F.lit(mod)) == 0)
+    sample = bounded_identity_sample(corpus, id_col, target)
     rows = sample.select(id_col, vec_col).collect()
     if not rows:
         raise ValueError("cannot fit PQ codebooks on an empty corpus")
@@ -109,16 +106,17 @@ def pq_train(
     books = []
     for mi in range(m):
         xm = sub[:, mi, :]
-        centers = xm[:ksub].copy()
+        cb = xm[:ksub].copy()  # NOT named `centers`: must not shadow the
+        # coarse-centers parameter (read above for the residuals)
         for _ in range(iters):
             # argmin_j ||x - c_j||^2 == argmin_j (||c_j||^2 - 2 x·c_j)
-            d2 = (centers**2).sum(axis=1)[None, :] - 2.0 * (xm @ centers.T)
+            d2 = (cb**2).sum(axis=1)[None, :] - 2.0 * (xm @ cb.T)
             assign = np.argmin(d2, axis=1)
             for cid in range(ksub):
                 mask = assign == cid
                 if mask.any():  # empty cells keep their center
-                    centers[cid] = xm[mask].mean(axis=0)
-        books.append([[float(v) for v in c] for c in centers])
+                    cb[cid] = xm[mask].mean(axis=0)
+        books.append([[float(v) for v in c] for c in cb])
     return books
 
 

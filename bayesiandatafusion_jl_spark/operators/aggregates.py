@@ -469,12 +469,20 @@ def _cms_dims(eps: float, delta: float) -> tuple[int, int]:
 def _cms_cells(item_col: str, w: int, d: int):
     """The d (row, col) cell coordinates of an item: row i's hash is
     xxhash64 seeded by i — d pairwise-independent-enough hash functions
-    from the one JVM-side hash family, zero Python in the path."""
+    from the one JVM-side hash family, zero Python in the path.
+
+    The item is hashed AS ITS STRING FORM: xxhash64 is type-sensitive
+    (an INT 5 and a BIGINT 5 hash differently), and sketch and estimate
+    are separate calls over frames whose column types the caller may
+    not have aligned — hashing the canonical string makes est ≥ true
+    hold whenever the VALUES agree, which is the contract a frequency
+    sketch is trusted for."""
+    item = F.col(item_col).cast("string")
     return F.array(
         *[
             F.struct(
                 F.lit(i).alias("r"),
-                F.pmod(F.xxhash64(F.lit(i), F.col(item_col)), F.lit(w)).alias("c"),
+                F.pmod(F.xxhash64(F.lit(i), item), F.lit(w)).alias("c"),
             )
             for i in range(d)
         ]
@@ -627,7 +635,11 @@ def histogram(
     x = F.col(col).cast("double")
     raw = F.floor((x - F.lit(lo)) / F.lit(width)).cast("bigint")
     b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1))
-    src = df.filter(x.isNotNull())
+    # NaN passes isNotNull but has no bucket — excluded like NULL (the
+    # clamp path would otherwise silently fold NaN rows into bucket 0
+    # while the drop path rejects them: two modes disagreeing about NaN
+    # beyond their documented difference)
+    src = df.filter(x.isNotNull() & ~F.isnan(x))
     if not clamp:
         src = src.filter((x >= lo) & (x < hi))
     counts = src.select(b.alias("bucket")).groupBy("bucket").agg(
@@ -658,7 +670,8 @@ _HIST_LO, _HIST_HI, _HIST_N = 0.0, 110_000.0, 22
                          / {(_HIST_HI - _HIST_LO) / _HIST_N}) AS BIGINT), 0),
                          {_HIST_N - 1}) AS bucket,
                    COUNT(*) AS cnt
-            FROM lineitem WHERE l_extendedprice IS NOT NULL
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
             GROUP BY 1
         )
         SELECT g.bucket AS bucket,

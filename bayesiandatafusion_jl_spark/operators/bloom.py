@@ -150,10 +150,23 @@ def bloom_semi_join(
     NULL fact keys never pass, matching semi-join semantics). The
     filter is a literal predicate evaluated at the fact scan, before
     any exchange — the plan is scan + filter, nothing else.
+
+    ``xxhash64`` is TYPE-sensitive (an INT 5 and a BIGINT 5 hash
+    differently), so the fact key is try_cast to the dim key's exact
+    dtype before hashing — otherwise a cross-type equi-join (which SQL
+    coerces) would silently lose every true match. try_cast (never a
+    plain cast: ANSI mode throws on overflow) can only err SAFE: a fact
+    value outside the dim type's range can never equi-join a dim row,
+    so the NULL it becomes is correctly dropped — no true match is
+    losable, and any mangling short of NULL is at worst a false
+    positive the real join removes.
     """
     dim_key = dim_key or fact_key
+    dim_type = dim_keys.schema[dim_key].dataType
     words, m, k = bloom_build(dim_keys.select(dim_key), dim_key, fpp, n_items)
-    return fact.filter(bloom_might_contain(F.col(fact_key), words, m, k))
+    return fact.filter(
+        bloom_might_contain(F.col(fact_key).try_cast(dim_type), words, m, k)
+    )
 
 
 def bloom_pruned_join(
@@ -176,6 +189,11 @@ def bloom_pruned_join(
         raise ValueError(f"bloom pruning preserves inner/left_semi only, got {how}")
     dim_key = dim_key or fact_key
     pruned = bloom_semi_join(fact, dim.select(dim_key), fact_key, dim_key, fpp, n_items)
+    if fact_key == dim_key:
+        # name-list join form coalesces the shared key column — matching
+        # fact.join(dim, [key]) exactly; the expression form would keep
+        # TWO same-named key columns and poison downstream references
+        return pruned.join(dim, [fact_key], how)
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)
 
 

@@ -99,3 +99,25 @@ def test_bloom_probe_is_map_side(spark):
     plan = formatted_plan(pruned)
     assert "Join" not in plan and "Exchange" not in plan, plan
     assert "Filter" in plan
+
+
+def test_bloom_cross_type_keys_lose_no_matches(spark):
+    """xxhash64 is type-sensitive: an INT fact key joined to a BIGINT dim
+    (SQL coerces, the raw hashes would not) must still keep every true
+    match — the probe casts the fact key to the dim key's dtype."""
+    fact = spark.range(1000).select(F.col("id").cast("int").alias("k"))
+    dim = spark.range(100).withColumnRenamed("id", "dk")  # bigint
+    kept = {r["k"] for r in bloom_semi_join(fact, dim, "k", "dk").collect()}
+    assert set(range(100)) <= kept
+    joined = bloom_pruned_join(fact, dim, "k", "dk").collect()
+    assert {r["k"] for r in joined} == set(range(100))
+
+
+def test_bloom_pruned_join_same_name_key_coalesces(spark):
+    """fact_key == dim_key must behave like fact.join(dim, [key]): ONE
+    key column, referenceable downstream without ambiguity."""
+    fact = spark.range(100).withColumnRenamed("id", "k")
+    dim = spark.range(10).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    out = bloom_pruned_join(fact, dim, "k")
+    assert out.columns.count("k") == 1
+    assert {r["k"] for r in out.select("k").collect()} == set(range(10))

@@ -197,3 +197,15 @@ def test_cms_streaming_matches_batch(spark, tmp_path):
         )
     finally:
         q.stop()
+
+
+def test_cms_cross_type_estimate_never_undercounts(spark):
+    """The sketch hashes the item's STRING form, so an estimate issued
+    with a differently-typed (but equal-valued) query column still
+    upholds est >= true — the guarantee a sketch is trusted for."""
+    items = spark.range(500).select((F.col("id") % 50).alias("k"))  # bigint
+    sketch = cms_sketch(items, "k", EPS, DELTA)
+    q_int = spark.range(50).select(F.col("id").cast("int").alias("k"))
+    rows = cms_estimate(sketch, q_int, "k", EPS, DELTA).collect()
+    assert len(rows) == 50
+    assert all(r["est"] >= 10 for r in rows)  # true count per key = 10
