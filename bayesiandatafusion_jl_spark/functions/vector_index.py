@@ -495,71 +495,35 @@ def ann_ivfpq_query_index(
     spark = queries.sparkSession
     centers = _load_centers(spark, centers_path)
     codebooks = _load_codebooks(spark, index_dir)
-    dsub = len(codebooks[0][0])
 
+    # the probe/LUT/score/dedup/top-k numerics are the SHARED helpers in
+    # vector_pq — only candidate SOURCING differs from ann_ivfpq_search:
+    # here the probed cells must be collected first (the partition filter)
     from bayesiandatafusion_jl_spark.functions.vector_pq import (
-        _codebooks_attacher,
-        pq_adc_score,
-        pq_luts,
+        pq_adc_candidates,
+        pq_adc_shortlist,
+        pq_adc_topk,
+        pq_exact_rerank,
+        pq_probe_frame,
+        pq_query_luts,
     )
 
-    attach = _cells_attacher(spark, centers)
-    qsrc, qcellcol = attach(queries)
-    qprobed = qsrc.select(
-        "qid",
-        "qe",
-        F.explode(
-            F.slice(
-                F.sort_array(_cell_scores(qcellcol, "qe"), asc=False), 1, n_probe
-            )
-        ).alias("probe"),
-    ).select(
-        "qid",
-        "qe",
-        (-F.col("probe.nid")).alias("cell_id"),
-        F.col("probe.cd").alias("__qc"),
-    )
-    # LUTs are a pure function of the QUERY, not the probed cell: build
-    # them once per query row (|Q| rows, not |Q|·n_probe) and join
-    # candidates to them by qid — n_probe× less HOF work and an
-    # n_probe× smaller LUT broadcast
-    qside = checkpoint_df(qprobed.select("qid", "cell_id", "__qc"))
-    qframe, cbcol = _codebooks_attacher(spark, codebooks)(queries)
-    qluts = qframe.select("qid", pq_luts("qe", cbcol, dsub).alias("__luts"))
-
-    probed = [r.cell_id for r in qside.select("cell_id").distinct().collect()]
+    # two consumers (probed-ids collect + candidate join) → checkpoint
+    qprobed = checkpoint_df(pq_probe_frame(queries, centers, n_probe))
+    probed = [r.cell_id for r in qprobed.select("cell_id").distinct().collect()]
     # ONLY codes projected: the embedding column is never read here
     postings = (
         spark.read.parquet(post_path)
         .filter(F.col("cell_id").isin(probed))
         .select("cell_id", "vec_id", "pq_code")
     )
-    cand = postings.join(F.broadcast(qside), "cell_id").join(
-        F.broadcast(qluts), "qid"
+    scored = pq_adc_candidates(
+        postings, qprobed, pq_query_luts(queries, codebooks), exclude_self
     )
-    if exclude_self:
-        cand = cand.filter(F.col("vec_id") != F.col("qid"))
-    scored = (
-        cand.select(
-            "qid",
-            F.col("vec_id").alias("nb_id"),
-            (F.col("__qc") + pq_adc_score("pq_code", "__luts")).alias("__a"),
-        )
-        .groupBy("qid", "nb_id")  # best path per multi-assigned vector
-        .agg(F.max("__a").alias("adc"))
-    )
-    wq = W.partitionBy("qid").orderBy(F.desc("adc"), F.asc("nb_id"))
     if refine <= 0:
-        return (
-            scored.withColumn("rk", F.row_number().over(wq))
-            .filter(F.col("rk") <= k)
-            .select("qid", "nb_id", F.round("adc", 4).alias("score"), "rk")
-        )
-    short = checkpoint_df(
-        scored.withColumn("rk", F.row_number().over(wq)).filter(
-            F.col("rk") <= refine * k
-        )
-    )
+        return pq_adc_topk(scored, k)
+    # two consumers (shortlist-ids collect + re-rank join) → checkpoint
+    short = checkpoint_df(pq_adc_shortlist(scored, k, refine))
     ids = [r["nb_id"] for r in short.select("nb_id").distinct().collect()]
     vecs = (
         spark.read.parquet(post_path)
@@ -567,21 +531,7 @@ def ann_ivfpq_query_index(
         .select("vec_id", "embedding")
         .dropDuplicates(["vec_id"])
     )
-    rescored = (
-        F.broadcast(short.select("qid", "nb_id"))
-        .join(vecs, F.col("nb_id") == F.col("vec_id"))
-        .join(
-            queries.withColumnRenamed("qid", "__qid"),
-            F.col("qid") == F.col("__qid"),
-        )
-        .select(
-            "qid", "nb_id", F.round(dot("qe", "embedding"), 4).alias("score")
-        )
-    )
-    wr = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("nb_id"))
-    return rescored.withColumn("rk", F.row_number().over(wr)).filter(
-        F.col("rk") <= k
-    )
+    return pq_exact_rerank(short, vecs, queries, k)
 
 
 @register(

@@ -223,6 +223,112 @@ def pq_adc_score(codes_col, luts_col):
     return F.aggregate(picked, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def pq_probe_frame(queries: DataFrame, centers: list, n_probe: int) -> DataFrame:
+    """(qid, cell_id, __qc): each query's n_probe nearest coarse cells,
+    keeping the exact dot(q, center) the cell argmax already computed —
+    the probe side every ADC path broadcasts. Map-side only."""
+    spark = queries.sparkSession
+    qsrc, qcellcol = _cells_attacher(spark, centers)(queries)
+    return qsrc.select(
+        "qid",
+        F.explode(
+            F.slice(
+                F.sort_array(_cell_scores(qcellcol, "qe"), asc=False), 1, n_probe
+            )
+        ).alias("probe"),
+    ).select(
+        "qid",
+        (-F.col("probe.nid")).alias("cell_id"),
+        F.col("probe.cd").alias("__qc"),
+    )
+
+
+def pq_query_luts(queries: DataFrame, codebooks: list) -> DataFrame:
+    """(qid, __luts) at QUERY grain: LUTs are a pure function of the
+    query, not the probed cell — building them once per query row
+    (|Q| rows, not |Q|·n_probe) and joining candidates by qid costs
+    n_probe× less HOF work and broadcast bytes than riding them on the
+    probe rows."""
+    spark = queries.sparkSession
+    dsub = len(codebooks[0][0])
+    qframe, cbcol = _codebooks_attacher(spark, codebooks)(queries)
+    return qframe.select("qid", pq_luts("qe", cbcol, dsub).alias("__luts"))
+
+
+def pq_adc_candidates(
+    index: DataFrame,
+    qprobed: DataFrame,
+    qluts: DataFrame,
+    exclude_self: bool,
+) -> DataFrame:
+    """(qid, nb_id, adc): candidates = index ⋈ broadcast probe rows on
+    cell_id ⋈ broadcast LUTs on qid; score = coarse dot + Σ_m
+    LUT[m][code[m]] (M element_at lookups in codegen). A vector reached
+    via two (cell, assignment) paths has two DIFFERENT approximations
+    (per-cell residuals); group-max keeps the best one — deterministic
+    where dropDuplicates would race the two copies."""
+    cand = index.join(F.broadcast(qprobed), "cell_id").join(
+        F.broadcast(qluts), "qid"
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("vec_id") != F.col("qid"))
+    return (
+        cand.select(
+            "qid",
+            F.col("vec_id").alias("nb_id"),
+            (F.col("__qc") + pq_adc_score("pq_code", "__luts")).alias("__a"),
+        )
+        .groupBy("qid", "nb_id")
+        .agg(F.max("__a").alias("adc"))
+    )
+
+
+def _adc_w():
+    # built lazily: a WindowSpec needs the JVM, which may not exist at
+    # module-import time
+    return W.partitionBy("qid").orderBy(F.desc("adc"), F.asc("nb_id"))
+
+
+def pq_adc_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Raw-ADC top-k readout (the refine=0 leg)."""
+    return (
+        scored.withColumn("rk", F.row_number().over(_adc_w()))
+        .filter(F.col("rk") <= k)
+        .select("qid", "nb_id", F.round("adc", 4).alias("score"), "rk")
+    )
+
+
+def pq_adc_shortlist(scored: DataFrame, k: int, refine: int) -> DataFrame:
+    """Top-(refine·k) ADC shortlist per query — the bounded set the
+    exact re-rank touches."""
+    return scored.withColumn("rk", F.row_number().over(_adc_w())).filter(
+        F.col("rk") <= refine * k
+    )
+
+
+def pq_exact_rerank(
+    short: DataFrame, vectors: DataFrame, queries: DataFrame, k: int
+) -> DataFrame:
+    """Exact top-k over the shortlist only: |Q|·refine·k (qid, nb_id)
+    rows broadcast against a (vec_id, embedding) lookup frame — the one
+    place original vectors are read in an ADC query."""
+    rescored = (
+        F.broadcast(short.select("qid", "nb_id"))
+        .join(vectors, F.col("nb_id") == F.col("vec_id"))
+        .join(
+            queries.withColumnRenamed("qid", "__qid"),
+            F.col("qid") == F.col("__qid"),
+        )
+        .select(
+            "qid", "nb_id", F.round(dot("qe", "embedding"), 4).alias("score")
+        )
+    )
+    wr = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("nb_id"))
+    return rescored.withColumn("rk", F.row_number().over(wr)).filter(
+        F.col("rk") <= k
+    )
+
+
 def ann_ivfpq_search(
     corpus: DataFrame,
     queries: DataFrame,
@@ -277,7 +383,6 @@ def ann_ivfpq_search(
         centers = _spherical_kmeans(corpus, n_cells)
     if codebooks is None:
         codebooks = pq_train(corpus, m=m, ksub=ksub, centers=centers)
-    dsub = len(codebooks[0][0])
 
     attach = _cells_attacher(spark, centers)
     src, cells = attach(corpus)
@@ -310,69 +415,17 @@ def ann_ivfpq_search(
         "vec_id", "cell_id", "pq_code"
     )
 
-    qsrc, qcellcol = attach(queries)
-    qprobed = qsrc.select(
-        "qid",
-        "qe",
-        F.explode(
-            F.slice(
-                F.sort_array(_cell_scores(qcellcol, "qe"), asc=False), 1, n_probe
-            )
-        ).alias("probe"),
-    ).select(
-        "qid",
-        (-F.col("probe.nid")).alias("cell_id"),
-        F.col("probe.cd").alias("__qc"),
+    scored = pq_adc_candidates(
+        index,
+        pq_probe_frame(queries, centers, n_probe),
+        pq_query_luts(queries, codebooks),
+        exclude_self,
     )
-    # LUTs are a pure function of the QUERY, not the probed cell: build
-    # them once per query row (|Q| rows, not |Q|·n_probe) and join
-    # candidates to them by qid — n_probe× less HOF work and an
-    # n_probe× smaller LUT broadcast than riding them on the probe rows
-    qattach = _codebooks_attacher(spark, codebooks)
-    qframe, cbcol = qattach(queries)
-    qluts = qframe.select("qid", pq_luts("qe", cbcol, dsub).alias("__luts"))
-
-    cand = index.join(F.broadcast(qprobed), "cell_id").join(
-        F.broadcast(qluts), "qid"
-    )
-    if exclude_self:
-        cand = cand.filter(F.col("vec_id") != F.col("qid"))
-    # a vector reached via two (cell, assignment) paths has two DIFFERENT
-    # approximations (per-cell residuals); keep the best one — max is
-    # deterministic where dropDuplicates would race the two copies
-    scored = (
-        cand.select(
-            "qid",
-            F.col("vec_id").alias("nb_id"),
-            (F.col("__qc") + pq_adc_score("pq_code", "__luts")).alias("__a"),
-        )
-        .groupBy("qid", "nb_id")
-        .agg(F.max("__a").alias("adc"))
-    )
-    wq = W.partitionBy("qid").orderBy(F.desc("adc"), F.asc("nb_id"))
     if refine <= 0:
-        return (
-            scored.withColumn("rk", F.row_number().over(wq))
-            .filter(F.col("rk") <= k)
-            .select("qid", "nb_id", F.round("adc", 4).alias("score"), "rk")
-        )
-    short = scored.withColumn("rk", F.row_number().over(wq)).filter(
-        F.col("rk") <= refine * k
-    )
-    # exact re-rank of the bounded shortlist only: |Q|·refine·k rows
-    rescored = (
-        F.broadcast(short.select("qid", "nb_id"))
-        .join(corpus, F.col("nb_id") == F.col("vec_id"))
-        .join(queries.withColumnRenamed("qid", "__qid"), F.col("qid") == F.col("__qid"))
-        .select(
-            "qid",
-            "nb_id",
-            F.round(dot("qe", "embedding"), 4).alias("score"),
-        )
-    )
-    wr = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("nb_id"))
-    return rescored.withColumn("rk", F.row_number().over(wr)).filter(
-        F.col("rk") <= k
+        return pq_adc_topk(scored, k)
+    short = pq_adc_shortlist(scored, k, refine)
+    return pq_exact_rerank(
+        short, corpus.select("vec_id", "embedding"), queries, k
     )
 
 
