@@ -11,6 +11,7 @@ from bayesiandatafusion_jl_spark.functions import (  # noqa: F401
     mllib_lsh,
     packing,
     pipeline,
+    rag,
     scalar,
     text,
     vector,

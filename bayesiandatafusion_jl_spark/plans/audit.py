@@ -269,6 +269,13 @@ NOTES = {
         " only for the |Q|*refine*k shortlist; appends encode under the"
         " META-pinned codebooks, refit retrains them with the centers"
     ),
+    "q_llm_rag_pipeline": (
+        "r11: chunk -> feature-hash embed -> IVF retrieve end-to-end —"
+        " chunking map-only, embedding two shrinking-key shuffles"
+        " ((chunk,bucket) counts -> per-chunk map) + map-side"
+        " densify/normalize, retrieval the IVF broadcast-probe join;"
+        " planted-twin top-1 hit rate 0.97 gated in tests/test_rag.py"
+    ),
     "q_llm_chunk_docs": (
         "r11: RAG chunking — ONE map-side expression chain (split,"
         " arithmetic chunk count, explode sequence, slice) in whole-stage"
