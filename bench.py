@@ -60,6 +60,7 @@ HEADLINE = [
     "q_join_bloom_pruned",  # r11: Bloom semi-join pushdown (map-side prune)
     "q_llm_knn_ivfpq",      # r11: residual-PQ ADC + exact refine re-rank
     "q_agg_cms",            # r11: count-min sketch build + top-20 validation
+    "q_llm_rag_pipeline",   # r11: chunk -> hash-embed -> IVF retrieve chain
 ]
 
 
