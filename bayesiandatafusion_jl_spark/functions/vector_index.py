@@ -518,7 +518,11 @@ def ann_ivfpq_query_index(
         .select("cell_id", "vec_id", "pq_code")
     )
     scored = pq_adc_candidates(
-        postings, qprobed, pq_query_luts(queries, codebooks), exclude_self
+        postings,
+        qprobed,
+        pq_query_luts(queries, codebooks),
+        exclude_self,
+        m=len(codebooks),
     )
     if refine <= 0:
         return pq_adc_topk(scored, k)

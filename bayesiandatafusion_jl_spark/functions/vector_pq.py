@@ -212,11 +212,25 @@ def pq_luts(qe_col, cb_col, dsub: int):
     return F.transform(cb_col, lambda cbm, mi: _one_book(cbm, mi))
 
 
-def pq_adc_score(codes_col, luts_col):
-    """Approximate dot(query, x) = Σ_m LUT[m][code[m]] — M element_at
-    lookups inside whole-stage codegen, no embeddings touched."""
+def pq_adc_score(codes_col, luts_col, m: int | None = None):
+    """Approximate dot(query, x) = Σ_m LUT[m][code[m]].
+
+    Pass ``m`` to UNROLL into m static element_at terms — static
+    expressions stay inside whole-stage codegen, while the zip_with +
+    aggregate HOF fallback (m unknown) is evaluated interpreted with two
+    array allocations PER CANDIDATE PAIR: at millions of pairs the
+    unrolled form is the difference between scan-speed scoring and a
+    scoring-bound stage."""
     codes = F.col(codes_col) if isinstance(codes_col, str) else codes_col
     luts = F.col(luts_col) if isinstance(luts_col, str) else luts_col
+    if m is not None:
+        total = F.lit(0.0)
+        for mi in range(m):
+            total = total + F.element_at(
+                F.element_at(luts, mi + 1),
+                F.element_at(codes, mi + 1).cast("int") + 1,
+            )
+        return total
     picked = F.zip_with(
         codes, luts, lambda c, lut: F.element_at(lut, c.cast("int") + F.lit(1))
     )
@@ -260,6 +274,7 @@ def pq_adc_candidates(
     qprobed: DataFrame,
     qluts: DataFrame,
     exclude_self: bool,
+    m: int | None = None,
 ) -> DataFrame:
     """(qid, nb_id, adc): candidates = index ⋈ broadcast probe rows on
     cell_id ⋈ broadcast LUTs on qid; score = coarse dot + Σ_m
@@ -276,7 +291,7 @@ def pq_adc_candidates(
         cand.select(
             "qid",
             F.col("vec_id").alias("nb_id"),
-            (F.col("__qc") + pq_adc_score("pq_code", "__luts")).alias("__a"),
+            (F.col("__qc") + pq_adc_score("pq_code", "__luts", m)).alias("__a"),
         )
         .groupBy("qid", "nb_id")
         .agg(F.max("__a").alias("adc"))
@@ -420,6 +435,7 @@ def ann_ivfpq_search(
         pq_probe_frame(queries, centers, n_probe),
         pq_query_luts(queries, codebooks),
         exclude_self,
+        m=len(codebooks),
     )
     if refine <= 0:
         return pq_adc_topk(scored, k)
