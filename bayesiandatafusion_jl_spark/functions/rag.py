@@ -21,6 +21,15 @@ Plan shape: chunking is map-only; embedding is two shrinking-key
 shuffles (token explode → (chunk, bucket) counts → per-chunk map) plus
 a map-side densify/normalize; retrieval is the IVF path's
 broadcast-probe candidate join. Nothing data-scaled crosses the driver.
+
+Two serving shapes (r12): ``rag_retrieve`` is the one-shot in-session
+form (fits the quantizer and encodes the corpus per call — fine for a
+single ad-hoc batch); ``rag_build_index`` + ``rag_retrieve_index`` is
+the deployment shape — the index is built and persisted ONCE
+(vector_index machinery: partition-pruned postings, PQ codes, meta
+pins, epoch appends, drift guard all apply), and every query batch
+after that is a probe that reads codes for the probed cells plus the
+refine shortlist's embeddings, never the corpus.
 """
 
 from __future__ import annotations
@@ -29,8 +38,47 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bayesiandatafusion_jl_spark.functions.chunking import chunk_documents
-from bayesiandatafusion_jl_spark.functions.exprs import dot
 from bayesiandatafusion_jl_spark.registry import register
+
+# Chunk lineage packs (doc_id, chunk_id) into one bigint vec_id as
+# doc_id << CHUNK_BITS | chunk_id. 20 bits = 1,048,576 chunks per
+# document (~25M whitespace tokens at the default 32/8 window) — far
+# past any real document — and the encode carries a RUNTIME guard
+# (``assert_true`` inside codegen, zero extra actions): a chunk_id at or
+# above the modulus fails the job loudly instead of silently aliasing
+# into the NEXT doc_id and returning a confidently-wrong source document
+# (the worst failure mode for a provenance feature).
+_CHUNK_BITS = 20
+_CHUNK_CAP = 1 << _CHUNK_BITS
+
+
+def _encode_lineage(doc_id="doc_id", chunk_id="chunk_id"):
+    """vec_id = doc_id << 20 | chunk_id, runtime-guarded on
+    chunk_id < 2^20 (raises in the executor, not a silent alias)."""
+    guard = F.assert_true(
+        F.col(chunk_id) < F.lit(_CHUNK_CAP),
+        F.concat(
+            F.lit(
+                f"RAG lineage encode: chunk_id >= {_CHUNK_CAP} would alias"
+                " into the next doc_id; re-chunk with a larger window or"
+                " raise _CHUNK_BITS — offending doc_id="
+            ),
+            F.col(doc_id).cast("string"),
+        ),
+    )
+    return F.when(
+        guard.isNull(),
+        F.shiftleft(F.col(doc_id).cast("bigint"), _CHUNK_BITS)
+        + F.col(chunk_id),
+    )
+
+
+def _decode_lineage(vec_id="nb_id"):
+    """(doc_id, chunk_id) columns decoded from a packed vec_id."""
+    return (
+        F.shiftright(F.col(vec_id), _CHUNK_BITS).alias("nb_doc_id"),
+        (F.col(vec_id) % F.lit(_CHUNK_CAP)).cast("int").alias("nb_chunk_id"),
+    )
 
 
 def hash_embed(
@@ -114,7 +162,8 @@ def rag_retrieve(
     """(qid, nb_id, score, rk, nb_doc_id, nb_chunk_id): top-k corpus
     CHUNKS per query document (the query is its own first chunk's
     embedding), via chunk → hash_embed → IVF-PQ ANN. Chunk vec_ids
-    encode lineage as doc_id·10000 + chunk_id, decoded in the output.
+    encode lineage as doc_id << 20 | chunk_id (runtime-guarded — see
+    ``_encode_lineage``), decoded in the output.
 
     Retrieval goes through the ADC path (``ann_ivfpq_search``), not the
     exact-dot IVF: with a real query batch (hundreds of queries × ~20%
@@ -128,7 +177,7 @@ def rag_retrieve(
     from bayesiandatafusion_jl_spark.session import checkpoint_df
 
     chunks = chunk_documents(docs, chunk_tokens, overlap)
-    cid = (F.col("doc_id") * 10_000 + F.col("chunk_id")).alias("doc_id")
+    cid = _encode_lineage().alias("doc_id")
     # checkpoint both embedding frames: the ANN path runs MANY actions
     # over them (quantizer count+sample, PQ fit count+sample, assignment,
     # encode, probe, LUTs) and each would otherwise re-run the whole
@@ -158,14 +207,131 @@ def rag_retrieve(
         refine=refine,
         exclude_self=False,  # query ids live in a different id space
     )
-    return hits.select(
-        "qid",
-        "nb_id",
-        "score",
-        "rk",
-        (F.col("nb_id") / 10_000).cast("bigint").alias("nb_doc_id"),
-        F.pmod(F.col("nb_id"), F.lit(10_000)).cast("int").alias("nb_chunk_id"),
+    return hits.select("qid", "nb_id", "score", "rk", *_decode_lineage())
+
+
+def rag_build_index(
+    docs: DataFrame,
+    index_dir: str,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    dim: int = 64,
+    n_cells: int = 16,
+    n_assign: int = 2,
+    pq_m: int = 16,
+    pq_ksub: int = 64,
+) -> None:
+    """Build the persisted retrieval index ONCE: chunk → hash_embed →
+    ``write_ivf_index(pq)``. The serving architecture at 100 TB — the
+    quantizer fit, assignment, and PQ encode are paid at BUILD time;
+    every retrieval after that is a probe (``rag_retrieve_index``) that
+    never re-reads or re-encodes the corpus.
+
+    The RAG-layer config (chunk window, embedding dim, lineage bits) is
+    pinned in a ``rag_meta`` row next to the index's own meta: a
+    retrieval with a mismatched chunker or embedder would produce
+    silently-wrong scores, so ``rag_retrieve_index`` derives its config
+    from the pin instead of trusting the caller."""
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        index_paths,
+        write_meta,
     )
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        write_ivf_index,
+    )
+    from bayesiandatafusion_jl_spark.session import checkpoint_df
+
+    spark = docs.sparkSession
+    chunks = chunk_documents(docs, chunk_tokens, overlap)
+    # checkpoint: write_ivf_index runs several actions over the corpus
+    # (quantizer sample, PQ fit sample, assignment stats, the write) —
+    # each would otherwise re-run the whole chunk+embed DAG
+    emb = checkpoint_df(
+        hash_embed(
+            chunks.select(
+                _encode_lineage().alias("doc_id"),
+                F.col("chunk_text").alias("text"),
+            ),
+            dim=dim,
+        ).select(F.col("doc_id").alias("vec_id"), "embedding")
+    )
+    write_ivf_index(
+        emb,
+        index_dir,
+        n_cells=n_cells,
+        n_assign=n_assign,
+        pq_m=pq_m,
+        pq_ksub=pq_ksub,
+    )
+    (rag_meta_path,) = index_paths(index_dir, "rag_meta")
+    write_meta(
+        spark,
+        rag_meta_path,
+        "overwrite",
+        chunk_tokens=chunk_tokens,
+        overlap=overlap,
+        dim=dim,
+        chunk_bits=_CHUNK_BITS,
+    )
+
+
+def rag_retrieve_index(
+    query_docs: DataFrame,
+    index_dir: str,
+    k: int = 3,
+    n_probe: int = 6,
+    refine: int = 4,
+) -> DataFrame:
+    """(qid, nb_id, score, rk, nb_doc_id, nb_chunk_id): probe-only
+    retrieval against a ``rag_build_index`` artifact — NO quantizer fit,
+    NO corpus encode, no corpus-sized read of any kind. The only work
+    per query batch: chunk+embed the QUERIES (map-side + two tiny
+    shuffles), the partition-pruned codes-only ADC scan over the probed
+    cells, and the exact re-rank of the |Q|·refine·k shortlist (the one
+    touch of embedding bytes — see ``ann_ivfpq_query_index``).
+
+    Chunk window and embedding dim come from the index's pinned
+    ``rag_meta`` (build-time config), and the lineage-bit pin refuses an
+    index whose vec_ids this module would mis-decode."""
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        check_meta,
+        index_paths,
+        read_meta,
+    )
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        ann_ivfpq_query_index,
+    )
+    from bayesiandatafusion_jl_spark.session import checkpoint_df
+
+    spark = query_docs.sparkSession
+    (rag_meta_path,) = index_paths(index_dir, "rag_meta")
+    check_meta(
+        spark,
+        rag_meta_path,
+        "this index packs chunk lineage with a different bit split —"
+        " decoding here would attribute hits to the wrong documents",
+        chunk_bits=_CHUNK_BITS,
+    )
+    meta = read_meta(spark, rag_meta_path).asDict()
+    q_first = chunk_documents(
+        query_docs, meta["chunk_tokens"], meta["overlap"]
+    ).filter(F.col("chunk_id") == 0)
+    # two+ consumers inside the probe path (probe frame, LUTs, re-rank)
+    q_emb = checkpoint_df(
+        hash_embed(
+            q_first.select("doc_id", F.col("chunk_text").alias("text")),
+            dim=meta["dim"],
+        ).select(F.col("doc_id").alias("qid"), F.col("embedding").alias("qe"))
+    )
+    hits = ann_ivfpq_query_index(
+        q_emb,
+        index_dir,
+        k=k,
+        n_probe=n_probe,
+        refine=refine,
+        exclude_self=False,  # query ids live in a different id space
+    )
+    return hits.select("qid", "nb_id", "score", "rk", *_decode_lineage())
 
 
 @register(
@@ -182,18 +348,23 @@ def q_llm_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     MUTATED TWINS' first chunks (doc_id % 7 == 0, first token dropped —
     the same ground truth the near-dup ops measure against). A correct
     pipeline retrieves a chunk of the twin's ORIGINAL document at rank
-    1: the ``hit`` column records it per query."""
-    from bayesiandatafusion_jl_spark.catalog import load_table
+    1: the ``hit`` column records it per query.
+
+    r12: composes the PERSISTED index machinery — ``rag_build_index``
+    (chunk → embed → write_ivf_index, the amortizable build) then
+    ``rag_retrieve_index`` (probe-only serving). This driver query pays
+    the build each call because it is self-contained; a deployment pays
+    it once — the probe leg alone is benched as ``rag_index_probe``."""
     from bayesiandatafusion_jl_spark.functions.dedup import _twin_corpus
 
     corpus = _twin_corpus(spark, sf_dir)
     docs = corpus.filter(F.col("doc_id") < 1_000_000)
     twins = corpus.filter(F.col("doc_id") >= 1_000_000)
     # measured sweep at sf0.1 (715 queries, 12k chunks): top-1 is flat
-    # 0.966-0.968 across (16,6)/(32,6)/(64,8); wall-clock is dominated by
-    # the per-call index build (fit + assign + encode — persisted in a
-    # real deployment), so the mid config wins on assignment cost
-    hits = rag_retrieve(docs, twins, n_cells=32, n_probe=6)
+    # 0.966-0.968 across (16,6)/(32,6)/(64,8) cells/probes
+    index_dir = f"/tmp/bdf_rag_index/{sf_dir.strip('/').replace('/', '_')}"
+    rag_build_index(docs, index_dir, n_cells=32)
+    hits = rag_retrieve_index(twins, index_dir, k=3, n_probe=6)
     return hits.withColumn(
         "hit",
         (F.col("nb_doc_id") == F.col("qid") - 1_000_000) & (F.col("rk") == 1),

@@ -147,6 +147,28 @@ def main() -> None:
         lambda: ann_ivfpq_query_index(q_batch, ivfpq_dir, k=5, n_probe=6, refine=4),
     )
 
+    # r12: RAG serving steady-state — the persisted-index probe leg of
+    # q_llm_rag_pipeline (whose own row still pays the per-call build,
+    # by design: it is the self-contained end-to-end form). Build once
+    # outside the timed loop; time chunk+embed(queries) + ADC probe +
+    # refine only.
+    from bayesiandatafusion_jl_spark.functions.rag import (
+        rag_build_index,
+        rag_retrieve_index,
+    )
+
+    twin_corpus = _twin_corpus(spark, sf_dir)
+    rag_dir = "/tmp/bdf_bench_rag_index"
+    shutil.rmtree(rag_dir, ignore_errors=True)
+    rag_build_index(
+        twin_corpus.filter(FF.col("doc_id") < 1_000_000), rag_dir, n_cells=32
+    )
+    rag_queries = twin_corpus.filter(FF.col("doc_id") >= 1_000_000)
+    time_probe(
+        "rag_index_probe",
+        lambda: rag_retrieve_index(rag_queries, rag_dir, k=3, n_probe=6),
+    )
+
     # ML sweep throughput: one BPMF Gibbs sweep (I3 kernel both entities +
     # moments + NW) on the events-derived matrix, K=16 (BASELINE.md (c))
     from pyspark.sql import functions as F  # noqa: E402

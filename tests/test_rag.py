@@ -10,6 +10,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from bayesiandatafusion_jl_spark.functions.rag import (
+    _CHUNK_BITS,
+    _CHUNK_CAP,
+    _decode_lineage,
+    _encode_lineage,
     hash_embed,
     q_llm_rag_pipeline,
 )
@@ -53,12 +57,123 @@ def test_hash_embed_invariants(spark):
         hash_embed(docs, dim=1)
 
 
+def test_lineage_roundtrip_and_overflow_guard(spark):
+    # round-trip at the edge of the modulus: chunk_id = cap-1 decodes
+    # losslessly; doc ids adjacent in the packed space never collide
+    edge = spark.createDataFrame(
+        [(7, 0), (7, _CHUNK_CAP - 1), (8, 0)], "doc_id long, chunk_id int"
+    )
+    rows = (
+        edge.select(_encode_lineage().alias("nb_id"))
+        .select("nb_id", *_decode_lineage())
+        .collect()
+    )
+    got = {(r["nb_doc_id"], r["nb_chunk_id"]) for r in rows}
+    assert got == {(7, 0), (7, _CHUNK_CAP - 1), (8, 0)}
+    assert len({r["nb_id"] for r in rows}) == 3
+    # a chunk_id AT the modulus fails the job loudly (executor-side
+    # assert), never silently aliasing into doc_id 8
+    bad = spark.createDataFrame(
+        [(7, _CHUNK_CAP)], "doc_id long, chunk_id int"
+    )
+    with pytest.raises(Exception, match="alias"):
+        bad.select(_encode_lineage().alias("v")).collect()
+
+
+def test_rag_index_probe_reads_no_corpus(spark, tmp_path):
+    """The probe-only serving path (rag_retrieve_index) must not touch
+    the corpus: no quantizer fit, no corpus encode, and — with refine=0
+    isolating the ADC leg — ZERO embedding bytes read (the postings
+    scans project codes only; the lineage-pinned rag_meta supplies the
+    chunk/embed config)."""
+    import re
+
+    from bayesiandatafusion_jl_spark.functions.rag import (
+        rag_build_index,
+        rag_retrieve_index,
+    )
+    from bayesiandatafusion_jl_spark.plans.inspect import formatted_plan
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"tok{i}w{j}" for j in range(40)))
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+    index_dir = str(tmp_path / "ragix")
+    rag_build_index(docs, index_dir, n_cells=4, pq_m=4, pq_ksub=16)
+    queries = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    plan = formatted_plan(
+        rag_retrieve_index(queries, index_dir, k=2, n_probe=2, refine=0)
+    )
+    # every postings scan projects codes only — embedding never read
+    scans = [
+        s
+        for s in plan.split("Scan parquet")[1:]
+        if re.search(r"Location:.*postings", s)
+    ]
+    assert scans, plan
+    for s in scans:
+        schema = re.search(r"ReadSchema: ([^\n]+)", s)
+        assert schema and "embedding" not in schema.group(1), s[:500]
+    # and the probed-cells partition filter survives the composition
+    assert re.search(r"PartitionFilters: \[cell_id#\d+ IN \(", plan), plan
+    # with refine>0 the ONLY embedding read is the shortlist re-read:
+    # a pushed vec_id IN (...) filter rides every embedding-bearing scan
+    plan_r = formatted_plan(
+        rag_retrieve_index(queries, index_dir, k=2, n_probe=2, refine=2)
+    )
+    emb_scans = [
+        s
+        for s in plan_r.split("Scan parquet")[1:]
+        if re.search(r"Location:.*postings", s)
+        and "embedding" in (re.search(r"ReadSchema: ([^\n]+)", s) or [""])[0]
+    ]
+    assert emb_scans, plan_r
+    for s in emb_scans:
+        assert re.search(r"PushedFilters: \[.*In\(vec_id", s), s[:800]
+    # lineage survives the round trip: qid space intact, decode lossless
+    rows = rag_retrieve_index(queries, index_dir, k=2, n_probe=2).collect()
+    assert rows
+    for r in rows:
+        assert (r["nb_doc_id"] << _CHUNK_BITS) + r["nb_chunk_id"] == r["nb_id"]
+        assert 0 <= r["nb_doc_id"] < 30
+
+
+def test_rag_index_refuses_mismatched_lineage_pin(spark, tmp_path):
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        index_paths,
+        write_meta,
+    )
+    from bayesiandatafusion_jl_spark.functions.rag import (
+        rag_build_index,
+        rag_retrieve_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}x{j}" for j in range(40))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    index_dir = str(tmp_path / "ragix2")
+    rag_build_index(docs, index_dir, n_cells=2, pq_m=4, pq_ksub=16)
+    (rag_meta_path,) = index_paths(index_dir, "rag_meta")
+    meta = spark.read.parquet(rag_meta_path).collect()[0].asDict()
+    write_meta(
+        spark, rag_meta_path, "overwrite", **{**meta, "chunk_bits": 10}
+    )
+    with pytest.raises(ValueError, match="lineage"):
+        rag_retrieve_index(docs.limit(2), index_dir)
+
+
 def test_rag_pipeline_retrieves_planted_twins(spark):
     rows = q_llm_rag_pipeline(spark, SF_DIR_TINY).collect()
     by_q: dict = {}
     for r in rows:
         # lineage decode is lossless
-        assert r["nb_doc_id"] * 10_000 + r["nb_chunk_id"] == r["nb_id"]
+        assert (r["nb_doc_id"] << _CHUNK_BITS) + r["nb_chunk_id"] == r["nb_id"]
         by_q.setdefault(r["qid"], []).append(r)
     n_q = len(by_q)
     assert n_q > 50  # every twin doc issues a query
