@@ -93,9 +93,9 @@ def reset_ledger(spark: SparkSession, index_dir: str) -> None:
     """Delete the folded-epoch ledger — a FRESH build (overwrite) starts a
     new index incarnation with a new epoch namespace, so the old
     incarnation's fold history must not reject its epochs. Rebuilds over
-    the SAME data (``refit_ivf_index``) re-record the old epochs after
-    the fresh write instead, because replaying one of those shards against
-    the rebuilt index WOULD duplicate its rows."""
+    the SAME data (``refit_ivf_index``) instead re-record the old epochs
+    BEFORE the fresh write via ``rewrite_ledger``, because replaying one
+    of those shards against the rebuilt index WOULD duplicate its rows."""
     (ledger_path,) = index_paths(index_dir, "folded")
     fs, hpath, _ = _fs(spark, ledger_path)
     if fs.exists(hpath):
@@ -113,6 +113,25 @@ def record_folded(
     spark.createDataFrame(
         [(e, gen) for e in sorted(set(epochs))], "epoch string, gen int"
     ).write.mode("append").parquet(ledger_path)
+
+
+def rewrite_ledger(
+    spark: SparkSession, index_dir: str, epochs: list[str], gen: int
+) -> None:
+    """Replace the ledger with exactly ``epochs`` at ``gen`` in ONE
+    overwrite write — the refit crash-ordering contract: the rebased
+    epochs must be on disk BEFORE the postings rebuild destroys the old
+    layout, so a crash anywhere between the two leaves replayed shards
+    REJECTED (the spurious-rejection direction this module prefers),
+    never silently accepted as duplicates. An empty list degenerates to
+    the fresh-incarnation reset (delete)."""
+    if not epochs:
+        reset_ledger(spark, index_dir)
+        return
+    (ledger_path,) = index_paths(index_dir, "folded")
+    spark.createDataFrame(
+        [(e, gen) for e in sorted(set(epochs))], "epoch string, gen int"
+    ).write.mode("overwrite").parquet(ledger_path)
 
 
 def check_not_folded(spark: SparkSession, index_dir: str, epoch: str) -> None:

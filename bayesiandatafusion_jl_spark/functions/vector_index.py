@@ -154,6 +154,7 @@ def write_ivf_index(
     on_drift: str = "error",
     pq_m: int | None = None,
     pq_ksub: int = 256,
+    rebase_epochs: tuple[str, ...] = (),
 ) -> None:
     """Build (or append a shard to) the inverted file for a
     (vec_id, embedding) frame.
@@ -191,6 +192,13 @@ def write_ivf_index(
     ``pq_code`` — parquet column pruning means they never READ the
     embedding bytes, the 32× I/O cut — while exact re-rank and
     ``refit_ivf_index`` still find the embeddings in the same file.
+
+    ``rebase_epochs`` (refit's crash-ordering hook, r12): epochs of the
+    OLD incarnation whose rows are baked into this rebuild. They are
+    written to a fresh folded-epoch ledger in one step BEFORE the
+    postings overwrite — a crash between the ledger write and the
+    rebuild leaves those epochs' replays rejected (spurious rejection),
+    never silently accepted as duplicates against a rebuilt base.
     """
     post_path, centers_path, meta_path = _paths(index_dir)
     spark = corpus.sparkSession
@@ -261,6 +269,19 @@ def write_ivf_index(
 
             codebooks = pq_train(corpus, m=pq_m, ksub=pq_ksub, centers=centers)
 
+    if mode != "append":
+        # ledger BEFORE the destructive postings overwrite, after every
+        # read-only step (fit, pq_train) that could still fail harmlessly:
+        # fresh build = new incarnation (reset); refit additionally
+        # re-records the rebased epochs so a crash between here and the
+        # rebuild below REJECTS replayed old shards instead of silently
+        # duplicating rows the rebuild baked into base (the
+        # index_compact crash-ordering rule)
+        from bayesiandatafusion_jl_spark.functions.index_compact import (
+            rewrite_ledger,
+        )
+
+        rewrite_ledger(spark, index_dir, list(rebase_epochs), 0)
     attach = _cells_attacher(spark, centers)
     src, cells = attach(corpus)
     assigned = src.select(
@@ -325,14 +346,6 @@ def write_ivf_index(
             ),
             **meta_extra,
         )
-        # fresh build = new incarnation, new epoch namespace: drop the old
-        # incarnation's fold history (refit_ivf_index re-records what must
-        # survive a same-data rebuild)
-        from bayesiandatafusion_jl_spark.functions.index_compact import (
-            reset_ledger,
-        )
-
-        reset_ledger(spark, index_dir)
 
 
 def refit_ivf_index(
@@ -357,7 +370,10 @@ def refit_ivf_index(
     baked into the rebuilt ``base`` epoch, so a replayed OLD shard append
     would duplicate its rows exactly like a post-compaction replay. The
     old incarnation's live epochs AND previously folded epochs are
-    re-recorded in the fresh ledger (generation 0) after the rebuild.
+    written to the fresh ledger (generation 0) BEFORE the rebuild
+    overwrites the postings (``write_ivf_index(rebase_epochs=...)``) —
+    a crash mid-rebuild therefore rejects replays (conservative), never
+    accepts them.
 
     Returns a 1-row stats frame (n_vectors, n_cells, n_assign,
     epochs_rebased).
@@ -365,7 +381,6 @@ def refit_ivf_index(
     from bayesiandatafusion_jl_spark.functions.index_compact import (
         COMPACT_PREFIX,
         folded_epochs,
-        record_folded,
     )
 
     post_path, _, meta_path = _paths(index_dir)
@@ -385,16 +400,6 @@ def refit_ivf_index(
         posts.select("vec_id", "embedding").dropDuplicates(["vec_id"])
     )
     n_vectors = corpus.count()
-    # a PQ-bearing index refits its codebooks too (they are tied to the
-    # centers being re-fitted); config carries over from meta
-    write_ivf_index(
-        corpus,
-        index_dir,
-        n_cells=n_cells,
-        n_assign=n_assign,
-        pq_m=meta.get("pq_m"),
-        pq_ksub=meta.get("pq_ksub", 256),
-    )
     rebased = sorted(
         {
             e
@@ -402,7 +407,19 @@ def refit_ivf_index(
             if e != "base" and not e.startswith(COMPACT_PREFIX)
         }
     )
-    record_folded(spark, index_dir, rebased, 0)
+    # a PQ-bearing index refits its codebooks too (they are tied to the
+    # centers being re-fitted); config carries over from meta. The
+    # rebased epochs ride INTO the build so the ledger lands before the
+    # postings overwrite (crash-ordering — see write_ivf_index).
+    write_ivf_index(
+        corpus,
+        index_dir,
+        n_cells=n_cells,
+        n_assign=n_assign,
+        pq_m=meta.get("pq_m"),
+        pq_ksub=meta.get("pq_ksub", 256),
+        rebase_epochs=tuple(rebased),
+    )
     return spark.createDataFrame(
         [(n_vectors, n_cells, n_assign, len(rebased))],
         "n_vectors long, n_cells int, n_assign int, epochs_rebased int",

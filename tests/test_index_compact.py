@@ -306,6 +306,43 @@ def test_refit_rebuilds_from_index_and_rebases_epochs(spark, ivf_dir):
     assert ann_ivf_query_index(q, ivf_dir, k=3, n_probe=4).count() > 0
 
 
+def test_refit_crash_before_rebuild_still_rejects_replays(
+    spark, ivf_dir, monkeypatch
+):
+    """Crash-ordering contract (r12): the rebased-epoch ledger is written
+    BEFORE the postings rebuild, so a crash between the two leaves old
+    shard replays REJECTED (spurious rejection — the conservative
+    direction), never silently duplicated into the rebuilt base."""
+    import pyspark.sql.readwriter as rw
+
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        refit_ivf_index,
+    )
+
+    corpus = _ivf_with_shards(spark, ivf_dir, n_shards=2)
+    orig = rw.DataFrameWriter.parquet
+
+    def boom(self, path, **kw):
+        if path.rstrip("/").endswith("postings"):
+            raise RuntimeError("injected crash before the postings rebuild")
+        return orig(self, path, **kw)
+
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        refit_ivf_index(spark, ivf_dir)
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", orig)
+    # the ledger already names the rebased epochs: a replayed old shard
+    # is refused even though the rebuild never completed
+    assert set(folded_epochs(spark, ivf_dir)) == {"day-0", "day-1"}
+    shard = corpus.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 900).alias("vec_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="folded into"):
+        write_ivf_index(
+            shard, ivf_dir, n_cells=8, n_assign=2, mode="append", epoch="day-0"
+        )
+
+
 def test_refit_unsticks_drift_guard(spark, ivf_dir):
     """The full lifecycle the drift guard prescribes: a drifted shard is
     warned in, the NEXT drifted shard refuses under the old quantizer,
