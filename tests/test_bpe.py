@@ -6,11 +6,16 @@ packing wiring."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from bayesiandatafusion_jl_spark.functions.bpe import (
+    _BYTE_SYM,
+    _symbolize,
     bpe_encode,
+    load_bpe,
     pretokenize,
+    save_bpe,
     train_bpe,
     train_bpe_corpus,
 )
@@ -95,6 +100,120 @@ def test_encode_partition_invariance(spark):
         for r in bpe_encode(df.repartition(7), merges).collect()
     )
     assert one == many
+
+
+MIXED = CORPUS + [
+    "naïve café ünïcode — 日本語 text with émojis",
+    "ascii only line stays byte identical",
+]
+
+
+def test_byte_grain_table_is_total_bijection():
+    # every byte value has a distinct single-char proxy (GPT-2 table)
+    assert len(_BYTE_SYM) == 256
+    assert len(set(_BYTE_SYM.values())) == 256
+    assert all(len(c) == 1 for c in _BYTE_SYM.values())
+    # identity on plain letters, remapped for space and non-ASCII
+    assert _symbolize("fox", "byte") == "fox"
+    assert _symbolize(" fox", "byte") != " fox"
+    assert len(_symbolize("café", "byte")) == len("café".encode("utf-8"))
+
+
+def test_byte_grain_counts_match_char_grain_on_ascii(spark):
+    """On pure ASCII the byte proxy is a per-char bijection, so merge
+    learning is isomorphic and token counts are identical; only the
+    token SPELLINGS differ (space → proxy char)."""
+    mc = train_bpe(CORPUS, 60, grain="char")
+    mb = train_bpe(CORPUS, 60, grain="byte")
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id int, text string"
+    )
+    nc = {r.doc_id: r.bpe_n_tokens for r in bpe_encode(df, mc).collect()}
+    nb = {
+        r.doc_id: r.bpe_n_tokens
+        for r in bpe_encode(df, mb, grain="byte").collect()
+    }
+    assert nc == nb
+
+
+def test_byte_grain_handles_mixed_scripts(spark):
+    merges = train_bpe(MIXED, 80, grain="byte")
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(MIXED)], "doc_id int, text string"
+    )
+    rows = bpe_encode(df, merges, grain="byte").collect()
+    for r in rows:
+        # lossless at the byte-proxy grain: concatenated tokens reproduce
+        # the symbolized pretoken stream
+        want = "".join(
+            _symbolize(w, "byte") for w in pretokenize(MIXED[r.doc_id])
+        )
+        assert "".join(r.bpe_tokens) == want
+    # partition invariance at the byte grain
+    one = sorted(
+        (r.doc_id, tuple(r.bpe_tokens))
+        for r in bpe_encode(df.repartition(1), merges, grain="byte").collect()
+    )
+    many = sorted(
+        (r.doc_id, tuple(r.bpe_tokens))
+        for r in bpe_encode(df.repartition(5), merges, grain="byte").collect()
+    )
+    assert one == many
+    with pytest.raises(ValueError, match="grain"):
+        train_bpe(CORPUS, 5, grain="word")
+
+
+def test_tokenizer_save_load_roundtrip(spark, tmp_path):
+    tok_dir = str(tmp_path / "tok")
+    merges = train_bpe(MIXED, 60, grain="byte")
+    save_bpe(spark, merges, tok_dir, grain="byte")
+    loaded, grain = load_bpe(spark, tok_dir)
+    assert loaded == merges and grain == "byte"
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(MIXED)], "doc_id int, text string"
+    )
+    via_dir = sorted(
+        (r.doc_id, tuple(r.bpe_tokens))
+        for r in bpe_encode(df, tokenizer_dir=tok_dir).collect()
+    )
+    via_merges = sorted(
+        (r.doc_id, tuple(r.bpe_tokens))
+        for r in bpe_encode(df, merges, grain="byte").collect()
+    )
+    assert via_dir == via_merges
+    # exactly one of merges / tokenizer_dir
+    with pytest.raises(ValueError, match="exactly one"):
+        bpe_encode(df, merges, tokenizer_dir=tok_dir)
+    with pytest.raises(ValueError, match="exactly one"):
+        bpe_encode(df)
+    with pytest.raises(ValueError, match="empty merge table"):
+        save_bpe(spark, [], tok_dir)
+
+
+def test_tokenizer_refuses_mixed_vocabulary(spark, tmp_path):
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        index_paths,
+        write_meta,
+    )
+
+    tok_dir = str(tmp_path / "tok2")
+    merges = train_bpe(CORPUS, 40)
+    save_bpe(spark, merges, tok_dir)
+    (meta_path,) = index_paths(tok_dir, "meta")
+    meta = spark.read.parquet(meta_path).collect()[0].asDict()
+    # a dir pinned to a DIFFERENT pretokenizer version is refused
+    write_meta(
+        spark, meta_path, "overwrite", **{**meta, "pretok_fp": 12345}
+    )
+    with pytest.raises(ValueError, match="DIFFERENT pretokenizer"):
+        load_bpe(spark, tok_dir)
+    # a merges frame that no longer matches its pinned fingerprint
+    # (torn/mixed write) is refused
+    write_meta(
+        spark, meta_path, "overwrite", **{**meta, "merges_fp": 999}
+    )
+    with pytest.raises(ValueError, match="fingerprint"):
+        load_bpe(spark, tok_dir)
 
 
 def test_corpus_trainer_and_pack_wiring(spark):
