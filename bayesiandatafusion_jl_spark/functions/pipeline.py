@@ -65,7 +65,9 @@ def pipeline_stage_counts(
 
     The dedup stage (r11) is prefix-fingerprint exact dedup: documents
     sharing the sha256 of their first ``_DEDUP_PREFIX_TOKENS`` lowercased
-    tokens keep only the lowest-doc_id representative — the cheap
+    tokens keep only the lowest-doc_id QUALITY-SURVIVING representative
+    (r12: electing over all docs let a quality-failing representative
+    erase its whole duplicate family) — the cheap
     boilerplate/prefix-duplicate heuristic a pipeline runs before the
     expensive near-dup pass (full-content exact dedup is
     ``q_llm_exact_dedup``; MinHash near-dup its own operator family). The
@@ -131,10 +133,18 @@ def pipeline_stage_counts(
         )
     )
     # prefix-dedup keep: one shuffle over the DOC-GRAIN frame on the
-    # fixed-width fingerprint — the text never reshuffles
+    # fixed-width fingerprint — the text never reshuffles. The
+    # representative is the lowest-id QUALITY SURVIVOR (r12): electing
+    # over all docs would let a quality-failing representative drag its
+    # whole duplicate family out of the corpus even though qualifying
+    # copies exist (the min is null-skipping, so a group with no
+    # survivor just keeps nothing at the dedup stage — correct, since
+    # quality already removed it)
     wd = W.partitionBy("__fp")
     flags = flags.withColumn(
-        "keep_dd", F.min("doc_id").over(wd) == F.col("doc_id")
+        "keep_dd",
+        F.min(F.when(F.col("keep_q"), F.col("doc_id"))).over(wd)
+        == F.col("doc_id"),
     )
     # flags is doc-grain (no text — tiny vs the corpus) and feeds BOTH the
     # stage aggregate and the packing leg; materialize once so the
@@ -214,7 +224,8 @@ def pipeline_stage_counts(
     flags AS (
       SELECT m.doc_id, m.n_tokens,
              ({_QF_REASON_SQL}) IS NULL AS keep_q,
-             (MIN(m.doc_id) OVER (PARTITION BY m.fp) = m.doc_id) AS keep_dd,
+             (MIN(CASE WHEN ({_QF_REASON_SQL}) IS NULL THEN m.doc_id END)
+                OVER (PARTITION BY m.fp) = m.doc_id) AS keep_dd,
              (c.doc_id IS NOT NULL) AS contam,
              ({_sql_bucket(['doc_id'])} <
               CASE {_MIX_CASE} ELSE {int(_MIX_DEFAULT * _MOD)} END)
