@@ -53,14 +53,39 @@ from bayesiandatafusion_jl_spark.catalog import load_table
 from bayesiandatafusion_jl_spark.registry import register
 
 
+# Size rails (r12). Below the literal cap the bitmap is embedded as a
+# plan literal (scan-speed codegen — the measured-best design); above it
+# the probe falls back to a SparkContext-broadcast bitmap consumed by an
+# Arrow-batched lookup (hashing stays JVM-side; only the k bit tests go
+# through numpy), so the driver never parses a multi-MB expression
+# string and the plan never serializes the bitmap per task. Beyond the
+# hard cap the build REFUSES with the sizing math — a 1B-key dim at 1%
+# fpp wants a ~1.2 GB bitmap, which is a partitioning problem, not a
+# driver-literal one.
+_BLOOM_LITERAL_MAX_WORDS = 1 << 18  # 2 MiB bitmap ≈ 1.7M keys @ 1%
+_BLOOM_MAX_WORDS = 1 << 27  # 1 GiB bitmap ≈ 900M keys @ 1%
+
+
 def _bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
     """(m bits, k hashes) for ``n_items`` keys at false-positive rate
-    ``fpp``. m is rounded up to a multiple of 64 (whole words)."""
+    ``fpp``. m is rounded up to a multiple of 64 (whole words). Raises
+    (with the sizing arithmetic spelled out) when the bitmap would
+    exceed the hard cap — the guard that turns a cluster-killer into a
+    config message."""
     if not (0 < fpp < 1):
         raise ValueError(f"fpp must be in (0, 1), got {fpp}")
     n = max(1, n_items)
     m = math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))
     m = ((m + 63) // 64) * 64
+    if m // 64 > _BLOOM_MAX_WORDS:
+        raise ValueError(
+            f"bloom filter too large: n_items={n_items} at fpp={fpp} sizes"
+            f" m = ceil(n*ln(1/p)/ln^2 2) = {m} bits ="
+            f" {m // 8 / 1024 / 1024:.0f} MiB, over the"
+            f" {_BLOOM_MAX_WORDS * 8 // (1024 * 1024)} MiB cap — raise fpp,"
+            " pre-aggregate/partition the dim keys, or use a partitioned"
+            " filter per join bucket"
+        )
     k = max(1, round(m / n * math.log(2)))
     return m, k
 
@@ -91,8 +116,10 @@ def bloom_build(
     100 TB pass the known/estimated distinct count instead. The build is
     two linear passes (count + explode/agg); the collect is the filter
     itself — m/8 bytes, sized by the fpp budget, never by the corpus
-    (10M keys at 1% ≈ 12 MB; pick fpp/n_items to fit the driver, the
-    same sizing call every Bloom deployment makes).
+    (10M keys at 1% ≈ 12 MB). Sizing is guard-railed (r12): the probe
+    auto-switches to a broadcast bitmap above the plan-literal
+    threshold, and a bitmap over the hard cap refuses with the sizing
+    math (see the module-level rails).
     """
     kf = keys.filter(F.col(key_col).isNotNull())
     if n_items is None:
@@ -115,26 +142,63 @@ def bloom_build(
 
 
 def bloom_might_contain(key: Column, bloom: list, m: int, k: int) -> Column:
-    """Membership predicate: all k bits set in the LITERAL dense bitmap.
+    """Membership predicate: all k bits set in the dense bitmap. NULL
+    keys never pass (semi-join semantics, structural — not left to hash
+    behavior on NULL).
+
+    Small bitmaps (≤ ``_BLOOM_LITERAL_MAX_WORDS``) embed as a LITERAL:
     k static O(1) ``element_at`` + bitwise-AND terms over a constant
-    array — pure codegen, no join, no per-row data movement. NULL keys
-    never pass (semi-join semantics, structural — not left to hash
-    behavior on NULL)."""
-    # ONE expr-string parse instead of len(bloom) individual F.lit py4j
-    # round-trips: predicate construction drops from ~2.2 s to ~50 ms for
-    # a 4.5k-word bitmap (the JVM parses the array literal in one call);
-    # Catalyst constant-folds it to a single array Literal. The k terms
-    # fold into ONE ``forall`` over the positions array so the bitmap
-    # literal appears once in the tree, not k times — k-fold smaller
-    # plan to fold/serialize/codegen.
-    lit_words = F.expr("array(" + ",".join(f"{w}L" for w in bloom) + ")")
-    hit = lambda p: (  # noqa: E731
-        F.element_at(lit_words, ((p / 64).cast("bigint") + 1).cast("int"))
-        .bitwiseAND(_bit(p)) != 0
+    array — pure codegen, no join, no per-row data movement. Large
+    bitmaps switch to a SparkContext broadcast consumed by an
+    Arrow-batched lookup: the k positions are STILL computed JVM-side
+    (``xxhash64`` — Python cannot replicate Spark's internal-row
+    hashing), and only the k bit tests run in numpy against the
+    per-executor broadcast array — the bitmap ships once per executor,
+    never through the expression tree."""
+    if len(bloom) <= _BLOOM_LITERAL_MAX_WORDS:
+        # ONE expr-string parse instead of len(bloom) individual F.lit py4j
+        # round-trips: predicate construction drops from ~2.2 s to ~50 ms
+        # for a 4.5k-word bitmap (the JVM parses the array literal in one
+        # call); Catalyst constant-folds it to a single array Literal. The
+        # k terms fold into ONE ``forall`` over the positions array so the
+        # bitmap literal appears once in the tree, not k times — k-fold
+        # smaller plan to fold/serialize/codegen.
+        lit_words = F.expr("array(" + ",".join(f"{w}L" for w in bloom) + ")")
+        hit = lambda p: (  # noqa: E731
+            F.element_at(lit_words, ((p / 64).cast("bigint") + 1).cast("int"))
+            .bitwiseAND(_bit(p)) != 0
+        )
+        return key.isNotNull() & F.forall(
+            F.array(*_positions(key, m, k)), hit
+        )
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    spark = SparkSession.getActiveSession()
+    # int64 view first: the words are SIGNED 64-bit (Spark bigint), and
+    # numpy refuses negative Python ints straight into uint64
+    bc = spark.sparkContext.broadcast(
+        np.array(bloom, dtype=np.int64).view(np.uint64)
     )
-    return key.isNotNull() & F.forall(
-        F.array(*_positions(key, m, k)), hit
-    )
+
+    def _member(positions):
+        words = bc.value
+        out = np.zeros(len(positions), dtype=bool)
+        for i, ps in enumerate(positions):
+            if ps is None:
+                continue
+            p = np.asarray(ps, dtype=np.int64)
+            out[i] = bool(
+                ((words[p // 64] >> (p % 64).astype(np.uint64)) & 1).all()
+            )
+        return pd.Series(out)
+
+    # annotations as OBJECTS (q_udaf_group_median precedent)
+    _member.__annotations__ = {"positions": pd.Series, "return": pd.Series}
+    member = pandas_udf(_member, "boolean")
+    return key.isNotNull() & member(F.array(*_positions(key, m, k)))
 
 
 def bloom_semi_join(
@@ -210,7 +274,6 @@ def bloom_pruned_join(
         ORDER BY orderkey, linenumber
     """,
     tags=("C1", "bloom", "scale"),
-    demoted=True,
 )
 def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1 (scale path) — lineitem ⋈ urgent orders with the lineitem side

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from bayesiandatafusion_jl_spark.catalog import load_table
+import bayesiandatafusion_jl_spark.operators.bloom as bloom_mod
 from bayesiandatafusion_jl_spark.operators.bloom import (
     _bloom_params,
     bloom_build,
@@ -111,6 +112,45 @@ def test_bloom_cross_type_keys_lose_no_matches(spark):
     assert set(range(100)) <= kept
     joined = bloom_pruned_join(fact, dim, "k", "dk").collect()
     assert {r["k"] for r in joined} == set(range(100))
+
+
+def test_bloom_size_cap_trips_with_sizing_math():
+    """Absurd n_items refuses BEFORE any cluster work, naming the
+    arithmetic — the guard that turns a 1.2 GB plan literal into a
+    config message."""
+    with pytest.raises(ValueError, match="bloom filter too large"):
+        _bloom_params(1_000_000_000_000, 0.01)
+    # the message carries the sizing numbers the operator needs
+    with pytest.raises(ValueError, match="raise fpp"):
+        _bloom_params(2_000_000_000, 0.001)
+    # just under the cap still sizes normally
+    m, k = _bloom_params(500_000_000, 0.01)
+    assert m // 64 <= bloom_mod._BLOOM_MAX_WORDS
+
+
+def test_bloom_broadcast_fallback_is_oracle_identical(spark, monkeypatch):
+    """Above the literal threshold the probe switches to the broadcast +
+    Arrow-batched lookup — same keys kept, same exact pruned-join result,
+    still no exchange before the filter."""
+    monkeypatch.setattr(bloom_mod, "_BLOOM_LITERAL_MAX_WORDS", 4)
+    fact = spark.range(20_000).withColumnRenamed("id", "k")
+    dim = spark.range(500).withColumnRenamed("id", "dk")
+    kept = {r["k"] for r in bloom_semi_join(fact, dim, "k", "dk").collect()}
+    assert set(range(500)) <= kept  # zero false negatives on the fallback
+    assert (len(kept) - 500) / 19_500 <= 0.03
+    # NULL keys still never pass
+    nf = spark.createDataFrame([(1,), (None,)], "k bigint")
+    nkept = {r["k"] for r in bloom_semi_join(nf, dim, "k", "dk").collect()}
+    assert None not in nkept
+    # pruned join stays exact through the fallback
+    plain = {r["k"] for r in fact.join(dim, fact.k == dim.dk).collect()}
+    pruned = {
+        r["k"] for r in bloom_pruned_join(fact, dim, "k", "dk").collect()
+    }
+    assert pruned == plain
+    # still no exchange/join in the probe plan (ArrowEvalPython is fine)
+    plan = formatted_plan(bloom_semi_join(fact, dim, "k", "dk"))
+    assert "Exchange" not in plan and "Join" not in plan, plan
 
 
 def test_bloom_pruned_join_same_name_key_coalesces(spark):
