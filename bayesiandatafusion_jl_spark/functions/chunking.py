@@ -107,7 +107,6 @@ _STRIDE = _CHUNK - _OVERLAP
         ORDER BY doc_id, chunk_id
     """,
     tags=("J5", "chunking", "rag"),
-    demoted=True,
 )
 def q_llm_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 (RAG-prep form) — overlapping 32-token windows with 8-token

@@ -35,20 +35,30 @@ from bayesiandatafusion_jl_spark.registry import register
       AND c_name LIKE '%5%'
       AND c_acctbal IS NOT NULL
       AND NOT (c_acctbal < 0)
+    UNION ALL
+    SELECT 'scan_project', l_orderkey, CAST(l_linenumber AS BIGINT),
+           CAST(l_partkey AS DOUBLE), l_extendedprice, CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM lineitem
+    WHERE l_discount > 0.02 AND l_quantity < 45
     """,
-    tags=("B1", "B2", "B3"),
+    tags=("A1", "A2", "B1", "B2", "B3"),
 )
 def q_filter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B1+B2+B3 consolidated (the ``q_set_ops`` pattern), op-tagged:
+    """A1+A2+B1+B2+B3 consolidated (the ``q_set_ops`` pattern), op-tagged:
 
     - ``range``: range predicates (train/test cell selection shape) +
       computed projection (the IC50 log-transform [api]) over lineitem —
       charge parenthesization matches the oracle exactly (bit-identical
       double arithmetic), ln float32-cast to absorb libm ulps;
     - ``in_like_null``: compound IN / LIKE / IS NULL / NOT predicate
-      algebra over customer.
+      algebra over customer;
+    - ``scan_project`` (r12, absorbs q_scan_project): parquet scan +
+      column projection + pushed predicates — ReadSchema lists exactly
+      the referenced columns, both filters land in PushedFilters, and
+      the surviving row count doubles as the A2 filtered-count check.
 
-    Both legs are map-only filter+project with the predicates pushed to
+    All legs are map-only filter+project with the predicates pushed to
     the scans; the UNION ALL is shuffle-free. Wide single forms stay
     demoted with identical local parity gates."""
     null_d = F.lit(None).cast("double")
@@ -89,7 +99,20 @@ def q_filter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("sv1"),
         F.col("c_mktsegment").alias("sv2"),
     )
-    return range_leg.unionByName(in_leg)
+    scan_leg = li.filter(
+        (F.col("l_discount") > 0.02) & (F.col("l_quantity") < 45)
+    ).select(
+        F.lit("scan_project").alias("op"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").cast("bigint").alias("k2"),
+        F.col("l_partkey").cast("double").alias("dv1"),
+        F.col("l_extendedprice").alias("dv2"),
+        null_d.alias("dv3"),
+        null_d.alias("dv4"),
+        null_s.alias("sv1"),
+        null_s.alias("sv2"),
+    )
+    return range_leg.unionByName(in_leg).unionByName(scan_leg)
 
 
 @register(

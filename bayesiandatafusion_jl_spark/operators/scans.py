@@ -25,13 +25,17 @@ from bayesiandatafusion_jl_spark.registry import register
     WHERE l_discount > 0.02 AND l_quantity < 45
     """,
     tags=("A1", "A2"),
+    demoted=True,
 )
 def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1+A2 — parquet scan + column projection + pushed predicates.
 
     Column pruning reaches the reader (ReadSchema lists exactly the six
     referenced columns) and both filters land in PushedFilters; the
-    driver's row-count check is the A2 filtered-count assertion."""
+    driver's row-count check is the A2 filtered-count assertion.
+    Demoted r12: driver coverage moved into q_filter_suite's
+    ``scan_project`` leg to free a driver slot; identical local parity
+    gate."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.filter((F.col("l_discount") > 0.02) & (F.col("l_quantity") < 45)).select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"

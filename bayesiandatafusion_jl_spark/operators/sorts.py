@@ -24,11 +24,14 @@ from bayesiandatafusion_jl_spark.registry import register
     LIMIT 100
     """,
     tags=("F1", "F2"),
+    demoted=True,
 )
 def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1+F2 — global top-k over a multi-column mixed-direction sort with
     full tiebreak keys (deterministic row *selection*, which is what the
-    order-insensitive hash checks)."""
+    order-insensitive hash checks). Demoted r12: driver coverage moved
+    into q_win_rank_topk_per_group's ``global_topk`` leg to free a
+    driver slot; identical local parity gate."""
     return (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_extendedprice")

@@ -22,7 +22,8 @@ from bayesiandatafusion_jl_spark.session import shuffle_partitions
 @register(
     "q_win_rank_topk_per_group",
     oracle="""
-    SELECT c_custkey, o_orderkey, o_totalprice, rn
+    SELECT 'topk_group' AS op, c_custkey AS k1, o_orderkey AS k2,
+           o_totalprice AS dv1, rn
     FROM (
       SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
              ROW_NUMBER() OVER (
@@ -32,22 +33,61 @@ from bayesiandatafusion_jl_spark.session import shuffle_partitions
       FROM orders
     ) t
     WHERE rn <= 3
+    UNION ALL
+    SELECT 'global_topk', l_orderkey, CAST(l_linenumber AS BIGINT),
+           l_extendedprice, CAST(NULL AS BIGINT)
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+      LIMIT 100
+    )
     """,
-    tags=("E1",),
+    tags=("E1", "F1", "F2"),
 )
 def q_win_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1 — top-k per group (top-k predictions per entity readout [api]).
-    row_number with an explicit unique tiebreak (o_orderkey) so the k rows
-    selected are deterministic across engines."""
+    """E1+F1+F2 consolidated (r12, the ``q_filter_suite`` pattern),
+    op-tagged:
+
+    - ``topk_group``: top-k per group (top-k predictions per entity
+      readout [api]) — row_number with an explicit unique tiebreak
+      (o_orderkey) so the k rows selected are deterministic across
+      engines; one exchange (the window partitioning).
+    - ``global_topk``: global multi-column mixed-direction sort + limit
+      over lineitem — compiles to TakeOrderedAndProject (per-partition
+      local top-k, k·P driver merge, NO global sort materializes), with
+      full tiebreak keys for deterministic row selection. Wide single
+      forms (q_sort_limit, q_sort_multicol) stay demoted with identical
+      local parity gates."""
     o = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
+    group_leg = (
         o.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select(
-            F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice", "rn"
+            F.lit("topk_group").alias("op"),
+            F.col("o_custkey").alias("k1"),
+            F.col("o_orderkey").alias("k2"),
+            F.col("o_totalprice").alias("dv1"),
+            F.col("rn"),
         )
     )
+    global_leg = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+        )
+        .limit(100)
+        .select(
+            F.lit("global_topk").alias("op"),
+            F.col("l_orderkey").alias("k1"),
+            F.col("l_linenumber").cast("bigint").alias("k2"),
+            F.col("l_extendedprice").alias("dv1"),
+            F.lit(None).cast("int").alias("rn"),
+        )
+    )
+    return group_leg.unionByName(global_leg)
 
 
 def auc_components(scored: DataFrame, n_buckets: int | None = None) -> DataFrame:
