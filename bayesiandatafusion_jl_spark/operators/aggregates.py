@@ -778,3 +778,171 @@ def q_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     measure columns; full DuckDB oracle (identical decimal-exact means)."""
     li = load_table(spark, sf_dir, "lineitem")
     return profile_numeric(li, _PROFILE_COLS)
+
+
+def profile_histograms(
+    df: DataFrame, cols: list[str], n_buckets: int = 20
+) -> DataFrame:
+    """Per-column equi-width histograms with PROFILED bounds — the
+    composition the "audit a new table drop" workflow actually runs
+    (``histogram`` alone needs caller-supplied lo/hi per column):
+    (col_name, bucket, lo_edge, hi_edge, cnt) with every bucket present
+    per column (zero-filled — same no-silent-holes rule as
+    ``histogram``).
+
+    Exactly TWO linear scans regardless of |cols|: one min/max agg for
+    all columns together (a bounded 1-row collect — the bounds must
+    reach the driver to become bucket literals), then one counting scan
+    where each row emits an array of (col, bucket) structs that explode
+    into a groupBy over |cols|·n_buckets keys (map-side partial agg —
+    the shuffle carries only the key grid, never the data). The dense
+    completion is a driver-built |cols|·n_buckets grid frame carrying
+    each column's (lo, width), so edges need no second lookup.
+
+    NULL/NaN values are excluded per column (no value, no bucket); an
+    all-NULL/NaN column raises by name (``profile_numeric`` is the tool
+    that reports null counts). A constant column widens its range to
+    [v, v+1) so every row lands in bucket 0 instead of dividing by zero.
+    """
+    if not cols:
+        raise ValueError("profile_histograms needs at least one column")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    spark = df.sparkSession
+
+    def _clean(c: str):
+        x = F.col(c).cast("double")
+        return F.when(~F.isnan(x), x)
+
+    bounds = df.agg(
+        *[
+            f
+            for c in cols
+            for f in (
+                F.min(_clean(c)).alias(f"__lo_{c}"),
+                F.max(_clean(c)).alias(f"__hi_{c}"),
+            )
+        ]
+    ).collect()[0]
+    meta: dict[str, tuple[float, float]] = {}
+    for c in cols:
+        lo, hi = bounds[f"__lo_{c}"], bounds[f"__hi_{c}"]
+        if lo is None:
+            raise ValueError(
+                f"column {c!r} is entirely NULL/NaN — no distribution to"
+                " profile; exclude it (profile_numeric reports null counts)"
+            )
+        if not hi > lo:
+            hi = lo + 1.0  # constant column: single-point distribution
+        meta[c] = (float(lo), (float(hi) - float(lo)) / n_buckets)
+
+    entries = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        lo, width = meta[c]
+        raw = F.floor((x - F.lit(lo)) / F.lit(width)).cast("bigint")
+        b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1))
+        entries.append(
+            F.when(
+                x.isNotNull() & ~F.isnan(x),
+                F.struct(F.lit(c).alias("col_name"), b.alias("bucket")),
+            )
+        )
+    counts = (
+        df.select(F.explode(F.array(*entries)).alias("e"))
+        .filter(F.col("e").isNotNull())
+        .select("e.col_name", "e.bucket")
+        .groupBy("col_name", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    grid = spark.createDataFrame(
+        [
+            (c, b, meta[c][0], meta[c][1])
+            for c in cols
+            for b in range(n_buckets)
+        ],
+        "col_name string, bucket bigint, __lo double, __width double",
+    )
+    return (
+        grid.join(F.broadcast(counts), ["col_name", "bucket"], "left")
+        .select(
+            "col_name",
+            "bucket",
+            (F.col("__lo") + F.col("bucket") * F.col("__width")).alias(
+                "lo_edge"
+            ),
+            (F.col("__lo") + (F.col("bucket") + 1) * F.col("__width")).alias(
+                "hi_edge"
+            ),
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+        .orderBy("col_name", "bucket")
+    )
+
+
+_PH_COLS = ["l_discount", "l_quantity"]
+_PH_N = 10
+
+
+def _ph_oracle() -> str:
+    counts = " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               LEAST(GREATEST(CAST(FLOOR((CAST({c} AS DOUBLE) - b.lo_{c})
+                     / ((b.hi_{c} - b.lo_{c}) / {_PH_N})) AS BIGINT), 0),
+                     {_PH_N - 1}) AS bucket,
+               COUNT(*) AS cnt
+        FROM lineitem, bounds b
+        WHERE {c} IS NOT NULL AND NOT isnan(CAST({c} AS DOUBLE))
+        GROUP BY 1, 2"""
+        for c in _PH_COLS
+    )
+    lo = " ".join(
+        f"WHEN '{c}' THEN b.lo_{c} + g.bucket * ((b.hi_{c} - b.lo_{c}) / {_PH_N})"
+        for c in _PH_COLS
+    )
+    hi = " ".join(
+        f"WHEN '{c}' THEN b.lo_{c} + (g.bucket + 1) * ((b.hi_{c} - b.lo_{c}) / {_PH_N})"
+        for c in _PH_COLS
+    )
+    vals = ", ".join(f"('{c}')" for c in _PH_COLS)
+    bounds_cols = ", ".join(
+        f"CAST(MIN(CASE WHEN NOT isnan(CAST({c} AS DOUBLE))"
+        f" THEN CAST({c} AS DOUBLE) END) AS DOUBLE) AS lo_{c},"
+        f" CAST(MAX(CASE WHEN NOT isnan(CAST({c} AS DOUBLE))"
+        f" THEN CAST({c} AS DOUBLE) END) AS DOUBLE) AS hi_{c}"
+        for c in _PH_COLS
+    )
+    return f"""
+        WITH bounds AS (SELECT {bounds_cols} FROM lineitem),
+        counts AS ({counts}),
+        grid AS (
+            SELECT c.col_name, g.bucket
+            FROM (VALUES {vals}) c(col_name),
+                 (SELECT unnest(generate_series(0, {_PH_N - 1})) AS bucket) g
+        )
+        SELECT g.col_name AS col_name, g.bucket AS bucket,
+               CASE g.col_name {lo} END AS lo_edge,
+               CASE g.col_name {hi} END AS hi_edge,
+               COALESCE(cn.cnt, 0) AS cnt
+        FROM grid g
+        CROSS JOIN bounds b
+        LEFT JOIN counts cn
+          ON g.col_name = cn.col_name AND g.bucket = cn.bucket
+        ORDER BY col_name, bucket
+    """
+
+
+@register(
+    "q_profile_histograms",
+    oracle=_ph_oracle(),
+    tags=("D1", "D2", "profile", "histogram", "olap"),
+    demoted=True,
+)
+def q_profile_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile→histogram composition (r12, closing the two-op gap): the
+    per-column bounds come from the data itself (one min/max scan), then
+    ONE more scan yields dense 10-bin histograms for every column —
+    identical IEEE bucket arithmetic replicated in the DuckDB oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_histograms(li, _PH_COLS, _PH_N)
