@@ -221,8 +221,22 @@ NOTES = {
         " grouping, never grow with the data"
     ),
     "q_filter_suite": (
-        "r11: B1+B2+B3 op-tagged legs — map-only filter+project, all"
-        " predicates pushed to the scans, zero exchanges"
+        "r12: A1+A2+B1+B2+B3 op-tagged legs (scan_project absorbed) —"
+        " map-only filter+project, all predicates pushed to the scans,"
+        " zero exchanges"
+    ),
+    "q_win_rank_topk_per_group": (
+        "r12: E1+F1+F2 legs — the window leg keeps its single"
+        " partitioning exchange; the global_topk leg is"
+        " TakeOrderedAndProject (per-partition local top-k, k*P driver"
+        " merge, no global sort materializes)"
+    ),
+    "q_profile_histograms": (
+        "r12: bounds-from-data histograms — one min/max scan collects"
+        " the per-column bounds (bounded 1-row collect), one counting"
+        " scan explodes per-row (col,bucket) structs into a groupBy over"
+        " the |cols|*n_buckets key grid (map-side partial agg); dense"
+        " completion is a driver-built grid frame broadcast-joined"
     ),
     "q_join_inner_left": (
         "r11: C1+C4 op-tagged legs — one shuffle per join key; the left"
@@ -270,11 +284,13 @@ NOTES = {
         " META-pinned codebooks, refit retrains them with the centers"
     ),
     "q_llm_rag_pipeline": (
-        "r11: chunk -> feature-hash embed -> IVF retrieve end-to-end —"
-        " chunking map-only, embedding two shrinking-key shuffles"
-        " ((chunk,bucket) counts -> per-chunk map) + map-side"
-        " densify/normalize, retrieval the IVF broadcast-probe join;"
-        " planted-twin top-1 hit rate 0.97 gated in tests/test_rag.py"
+        "r12: now composes the PERSISTED index — rag_build_index (chunk"
+        " -> hash-embed -> write_ivf_index, amortizable) then"
+        " rag_retrieve_index (probe-only: codes-only partition-pruned ADC"
+        " scan + shortlist refine, zero corpus re-read — plan-asserted in"
+        " tests/test_rag.py); this self-contained driver form still pays"
+        " the build per call, the steady-state probe is benched as"
+        " rag_index_probe; planted-twin top-1 0.97 gated in tests"
     ),
     "q_llm_chunk_docs": (
         "r11: RAG chunking — ONE map-side expression chain (split,"
@@ -298,7 +314,9 @@ NOTES = {
         " copy), so non-matching fact rows die map-side BEFORE the join"
         " exchange; result is exactly the plain join (FPs removed by"
         " the real join), plan-asserted join-and-exchange-free in"
-        " tests/test_bloom.py"
+        " tests/test_bloom.py; r12 adds size rails — broadcast-bitmap"
+        " Arrow fallback above the literal threshold, hard cap with"
+        " sizing math past 1 GiB"
     ),
     "q_llm_knn_ivfpq": (
         "r11: IVFADC — coarse cells prune candidates (map-side argmax,"
@@ -394,11 +412,24 @@ def audit_row(spark, name: str, fn, sf_dir: str) -> str:
     return f"| {name} | {ex} | {bhj} | {smj} | {arrow} | {scans} | {note} |"
 
 
+def audit_rows(spark, sf_dir: str, progress: bool = False) -> list[str]:
+    """All audit-table rows (sorted by query name) for one session +
+    SF — shared by the regenerating ``main()`` and the staleness-guard
+    pytest (tests/test_scale_audit.py), so the guard counts plans with
+    exactly the same code path that writes the committed artifact."""
+    from bayesiandatafusion_jl_spark.registry import specs
+
+    rows = []
+    for name, spec in sorted(specs(include_demoted=True).items()):
+        rows.append(audit_row(spark, name, spec.fn, sf_dir))
+        if progress:
+            print(rows[-1], flush=True)
+    return rows
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from pyspark.sql import SparkSession
-
-    from bayesiandatafusion_jl_spark.registry import specs
 
     # fail fast BEFORE the expensive Spark audit run: the rewrite below
     # needs the '| query |' header row to splice the table in place
@@ -428,10 +459,7 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    rows = []
-    for name, spec in sorted(specs(include_demoted=True).items()):
-        rows.append(audit_row(spark, name, spec.fn, sf_dir))
-        print(rows[-1], flush=True)
+    rows = audit_rows(spark, sf_dir, progress=True)
     spark.stop()
 
     # re-read just before splicing: the audit run takes minutes and edits
