@@ -275,6 +275,63 @@ def rag_build_index(
     )
 
 
+def rag_append_docs(
+    docs: DataFrame,
+    index_dir: str,
+    epoch: str,
+    max_drift: float = 0.15,
+    on_drift: str = "error",
+) -> None:
+    """Append a NEW document shard to a ``rag_build_index`` artifact —
+    the daily-ingest path: chunk and embed the shard under the index's
+    PINNED config (rag_meta), then ``write_ivf_index(mode="append")``,
+    which assigns map-side under the STORED quantizer, encodes under the
+    stored codebooks, runs the drift guard, and writes replay-idempotent
+    (cell_id, __epoch) partitions. The existing corpus is never re-read
+    or re-encoded; epoch compaction / refit compose unchanged."""
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        check_meta,
+        index_paths,
+        read_meta,
+    )
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        write_ivf_index,
+    )
+    from bayesiandatafusion_jl_spark.session import checkpoint_df
+
+    spark = docs.sparkSession
+    (rag_meta_path,) = index_paths(index_dir, "rag_meta")
+    check_meta(
+        spark,
+        rag_meta_path,
+        "a shard chunked/encoded under a different lineage split would"
+        " decode to the wrong documents",
+        chunk_bits=_CHUNK_BITS,
+    )
+    meta = read_meta(spark, rag_meta_path).asDict()
+    ivf_meta = read_meta(spark, index_paths(index_dir, "meta")[0]).asDict()
+    chunks = chunk_documents(docs, meta["chunk_tokens"], meta["overlap"])
+    emb = checkpoint_df(
+        hash_embed(
+            chunks.select(
+                _encode_lineage().alias("doc_id"),
+                F.col("chunk_text").alias("text"),
+            ),
+            dim=meta["dim"],
+        ).select(F.col("doc_id").alias("vec_id"), "embedding")
+    )
+    write_ivf_index(
+        emb,
+        index_dir,
+        n_cells=ivf_meta["n_cells"],
+        n_assign=ivf_meta["n_assign"],
+        mode="append",
+        epoch=epoch,
+        max_drift=max_drift,
+        on_drift=on_drift,
+    )
+
+
 def rag_retrieve_index(
     query_docs: DataFrame,
     index_dir: str,

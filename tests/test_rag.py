@@ -143,6 +143,59 @@ def test_rag_index_probe_reads_no_corpus(spark, tmp_path):
         assert 0 <= r["nb_doc_id"] < 30
 
 
+def test_rag_append_serves_new_docs_and_replays_idempotently(
+    spark, tmp_path
+):
+    """Incremental corpus growth: an appended shard's chunks are
+    retrievable through the same probe path (config from the pinned
+    rag_meta, assignment under the STORED quantizer — no refit), and a
+    replayed append does not duplicate candidates."""
+    from bayesiandatafusion_jl_spark.functions.rag import (
+        rag_append_docs,
+        rag_build_index,
+        rag_retrieve_index,
+    )
+
+    base = spark.createDataFrame(
+        [(i, " ".join(f"base{i}tok{j}" for j in range(40))) for i in range(25)],
+        "doc_id long, text string",
+    )
+    index_dir = str(tmp_path / "ragix3")
+    rag_build_index(base, index_dir, n_cells=4, pq_m=4, pq_ksub=16)
+    # in-distribution shard: near-twins of base docs (one token swapped)
+    # — drifted-vocabulary shards are the drift guard's job, tested in
+    # tests/test_vector_index.py; here the append must SUCCEED
+    fresh = spark.createDataFrame(
+        [
+            (
+                100 + i,
+                f"fresh{100 + i} "
+                + " ".join(f"base{i % 25}tok{j}" for j in range(1, 40)),
+            )
+            for i in range(5)
+        ],
+        "doc_id long, text string",
+    )
+    rag_append_docs(fresh, index_dir, epoch="day-0")
+    rag_append_docs(fresh, index_dir, epoch="day-0")  # replay: idempotent
+    # query WITH an appended doc's own text: its top hit is itself
+    hits = rag_retrieve_index(
+        fresh.select((F.col("doc_id") + 9000).alias("doc_id"), "text"),
+        index_dir,
+        k=2,
+        n_probe=4,
+    ).collect()
+    by_q: dict = {}
+    for r in hits:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert len(by_q) == 5
+    for qid, rs in by_q.items():
+        top = min(rs, key=lambda r: r["rk"])
+        assert top["nb_doc_id"] == qid - 9000, rs
+        # replayed shard did not duplicate: ranks are unique
+        assert sorted(r["rk"] for r in rs) == list(range(1, len(rs) + 1))
+
+
 def test_rag_index_refuses_mismatched_lineage_pin(spark, tmp_path):
     from bayesiandatafusion_jl_spark.functions.index_meta import (
         index_paths,
