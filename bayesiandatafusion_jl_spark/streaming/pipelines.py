@@ -408,3 +408,53 @@ def near_dup_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def rag_ingest_stream(
+    docs_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    max_drift: float = 0.15,
+    on_drift: str = "error",
+):
+    """Streaming RAG corpus ingestion (r12): every micro-batch of
+    (doc_id, text) is chunked + embedded under the persisted index's
+    PINNED config (rag_meta) and appended as ``__epoch=stream_<id>`` —
+    ``rag_retrieve_index`` then serves the growing corpus with no refit
+    and no old-corpus re-read, and the batch-side lifecycle (epoch
+    compaction, drift-guard refit) composes unchanged on the same index.
+
+    ``foreachBatch`` by design, same rationale as ``near_dup_stream``:
+    the retrieval index must outlive the stream, be shared with batch
+    jobs, and be compactable/refittable offline — an in-stream state
+    store gives none of that. Replay safety comes from the epoch
+    contract: the append is a dynamic-partition overwrite of the batch's
+    OWN ``(cell_id, __epoch)`` partitions and assignment under the
+    stored quantizer is deterministic, so a retried micro-batch rewrites
+    byte-identical partitions instead of duplicating vectors. The drift
+    guard runs per batch — a vocabulary-shifted stream fails loudly (or
+    warns, per ``on_drift``) instead of silently filling the wrong
+    cells. Caller contract (as everywhere in the index family): doc_ids
+    are globally unique across batches.
+
+    Returns the started query; drive with ``processAllAvailable()`` or a
+    trigger.
+    """
+    from bayesiandatafusion_jl_spark.functions.rag import rag_append_docs
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        rag_append_docs(
+            batch_df.select("doc_id", "text"),
+            index_dir,
+            epoch=f"stream_{batch_id}",
+            max_drift=max_drift,
+            on_drift=on_drift,
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

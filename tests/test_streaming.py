@@ -417,3 +417,90 @@ def test_near_dup_stream_across_microbatches(spark, tmp_path):
     assert (100, 3) in pairs  # stream vs pre-stream index
     assert (200, 101) in pairs  # batch 2 vs batch 1 — via the index append
     assert not any(a in (201,) for a, _ in pairs)
+
+
+def test_rag_ingest_stream_serves_growing_corpus(spark, tmp_path):
+    """Documents arrive as two file drops into a streaming RAG ingest;
+    retrieval through the SAME persisted index finds docs from both
+    micro-batches (probe-only — the stream never refits), and a second
+    stream over the same source (fresh checkpoint, replayed batches)
+    leaves the postings unchanged (epoch-overwrite idempotence)."""
+    from bayesiandatafusion_jl_spark.functions.rag import (
+        rag_build_index,
+        rag_retrieve_index,
+    )
+    from bayesiandatafusion_jl_spark.streaming import pipelines as P
+
+    src = str(tmp_path / "rag_in")
+    index_dir = str(tmp_path / "rag_ix")
+    ckpt = str(tmp_path / "rag_ckpt")
+    schema = "doc_id long, text string"
+
+    def doc(i):
+        # unique marker token + 39 in-vocabulary tokens: every doc's text
+        # is distinct (self-match strictly beats any near-twin) while the
+        # streamed shards stay in-distribution for the drift guard
+        return (
+            i,
+            f"doc{i} " + " ".join(f"base{i % 20}tok{j}" for j in range(1, 40)),
+        )
+
+    # seed: build the index on a pre-stream corpus (docs 0-19)
+    seed = spark.createDataFrame([doc(i) for i in range(20)], schema)
+    rag_build_index(seed, index_dir, n_cells=4, pq_m=4, pq_ksub=16)
+
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    # two file drops -> two micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame(
+        [doc(i) for i in range(100, 103)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = P.rag_ingest_stream(stream, index_dir, ckpt)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [doc(i) for i in range(200, 203)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    posts = spark.read.parquet(index_dir + "/postings")
+    rows_after_stream = posts.count()
+    epochs = {r["__epoch"] for r in posts.select("__epoch").distinct().collect()}
+    assert {"base", "stream_0", "stream_1"} <= epochs
+
+    # retrieval finds streamed docs from BOTH batches: query with each
+    # streamed doc's own text; its top hit is itself
+    from pyspark.sql import functions as FX
+
+    queries = spark.createDataFrame(
+        [(9000 + i, doc(i)[1]) for i in (100, 200)], schema
+    )
+    hits = rag_retrieve_index(queries, index_dir, k=1, n_probe=4).collect()
+    got = {r["qid"]: r["nb_doc_id"] for r in hits if r["rk"] == 1}
+    assert got == {9100: 100, 9200: 200}
+
+    # replay: a second stream over the same source with a FRESH
+    # checkpoint re-processes both batches; epoch overwrite keeps the
+    # postings byte-count identical (no duplicated vectors)
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = P.rag_ingest_stream(stream2, index_dir, str(tmp_path / "ckpt2"))
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert (
+        spark.read.parquet(index_dir + "/postings").count()
+        == rows_after_stream
+    )
