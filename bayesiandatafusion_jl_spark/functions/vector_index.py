@@ -426,6 +426,55 @@ def refit_ivf_index(
     )
 
 
+def ivf_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """One-row health report for a persisted IVF index — the numbers an
+    operator reads before deciding to compact (file bloat) or refit
+    (cell imbalance): (n_vectors, n_cells_used, n_cells, n_epochs,
+    n_files, max_cell, mean_cell, imbalance, assign_ppm).
+
+    ``imbalance`` = max cell posting count / mean — a balanced quantizer
+    sits near 1; a drifted corpus piles into few cells, probe cost grows
+    toward a full scan (probing P of C cells stops cutting work when one
+    cell holds most postings). Everything derives from ONE postings scan
+    projecting only partition/id columns (the embedding bytes are never
+    read — column pruning) plus the meta row; output is a single row.
+    """
+    post_path, _, meta_path = _paths(index_dir)
+    meta = read_meta(spark, meta_path).asDict()
+    posts = spark.read.parquet(post_path)
+    n_files = len(posts.inputFiles())
+    per_cell = (
+        posts.select("cell_id", "vec_id", "__epoch")
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row = per_cell.agg(
+        F.sum("n").alias("n_vectors"),
+        F.count(F.lit(1)).alias("n_cells_used"),
+        F.max("n").alias("max_cell"),
+        F.avg("n").alias("mean_cell"),
+    ).collect()[0]
+    n_epochs = posts.select("__epoch").distinct().count()
+    return spark.createDataFrame(
+        [
+            (
+                int(row["n_vectors"]),
+                int(row["n_cells_used"]),
+                int(meta["n_cells"]),
+                int(n_epochs),
+                int(n_files),
+                int(row["max_cell"]),
+                float(row["mean_cell"]),
+                round(float(row["max_cell"]) / float(row["mean_cell"]), 4),
+                int(meta.get("assign_ppm", 0)),
+            )
+        ],
+        "n_vectors long, n_cells_used int, n_cells int, n_epochs int,"
+        " n_files int, max_cell long, mean_cell double, imbalance double,"
+        " assign_ppm long",
+    )
+
+
 def ann_ivf_query_index(
     queries: DataFrame,
     index_dir: str,

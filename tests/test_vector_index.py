@@ -318,3 +318,42 @@ def test_non_pq_rebuild_clears_stale_codebooks(spark, index_dir):
     assert not os.path.isdir(f"{index_dir}/codebooks")
     posts = spark.read.parquet(f"{index_dir}/postings")
     assert "pq_code" not in posts.columns
+
+
+def test_ivf_index_stats_reports_health(spark, index_dir):
+    """The stats row matches ground truth computed independently, and
+    the stats scan never reads the embedding bytes (codes/ids only)."""
+    import re
+
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        ivf_index_stats,
+    )
+    from bayesiandatafusion_jl_spark.plans.inspect import formatted_plan
+
+    corpus = _clustered(spark)
+    write_ivf_index(corpus, index_dir, n_cells=8, n_assign=2)
+    shard = corpus.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    write_ivf_index(
+        shard, index_dir, n_cells=8, n_assign=2, mode="append", epoch="s1"
+    )
+    row = ivf_index_stats(spark, index_dir).collect()[0]
+    posts = spark.read.parquet(f"{index_dir}/postings")
+    assert row["n_vectors"] == posts.count()  # n_assign-fold postings
+    assert row["n_epochs"] == 2 and row["n_cells"] == 8
+    assert 1 <= row["n_cells_used"] <= 8
+    per_cell = posts.groupBy("cell_id").count().collect()
+    mx = max(r["count"] for r in per_cell)
+    assert row["max_cell"] == mx
+    assert row["imbalance"] >= 1.0
+    assert row["assign_ppm"] > 0
+    # embedding column pruned out of the stats scan
+    plan = formatted_plan(
+        spark.read.parquet(f"{index_dir}/postings")
+        .select("cell_id", "vec_id", "__epoch")
+        .groupBy("cell_id")
+        .count()
+    )
+    schema = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert schema and "embedding" not in schema.group(1)
