@@ -196,6 +196,41 @@ def test_rag_append_serves_new_docs_and_replays_idempotently(
         assert sorted(r["rk"] for r in rs) == list(range(1, len(rs) + 1))
 
 
+def test_one_shot_and_persisted_paths_agree(spark, tmp_path):
+    """The in-session form (rag_retrieve, fits+encodes per call) and the
+    persisted form (build once, probe) are the same math — same
+    quantizer-fit sample, same PQ construction — so on a fixed corpus
+    they must return the same top-1 per query."""
+    from bayesiandatafusion_jl_spark.functions.rag import (
+        rag_build_index,
+        rag_retrieve,
+        rag_retrieve_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"c{i % 6}tok{j}" for j in range(40))) for i in range(24)],
+        "doc_id long, text string",
+    )
+    queries = docs.filter(F.col("doc_id") < 4).select(
+        (F.col("doc_id") + 500).alias("doc_id"), "text"
+    )
+    one_shot = {
+        r["qid"]: r["nb_id"]
+        for r in rag_retrieve(
+            docs, queries, k=1, n_cells=4, n_probe=3, m=4, ksub=16
+        ).collect()
+        if r["rk"] == 1
+    }
+    index_dir = str(tmp_path / "ragix4")
+    rag_build_index(docs, index_dir, n_cells=4, pq_m=4, pq_ksub=16)
+    persisted = {
+        r["qid"]: r["nb_id"]
+        for r in rag_retrieve_index(queries, index_dir, k=1, n_probe=3).collect()
+        if r["rk"] == 1
+    }
+    assert one_shot == persisted and len(one_shot) == 4
+
+
 def test_rag_index_refuses_mismatched_lineage_pin(spark, tmp_path):
     from bayesiandatafusion_jl_spark.functions.index_meta import (
         index_paths,
