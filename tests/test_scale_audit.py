@@ -44,6 +44,12 @@ self-consistent at its own SF.
 
 
 def test_scale_audit_tiny_in_sync(spark):
+    # earlier tests may leave DataFrames persisted over the same parquet
+    # (e.g. test_pq's cached embeddings fixture); Spark's cache manager
+    # then substitutes InMemoryTableScan into any matching later plan,
+    # silently changing node counts. Audit plans must be cache-free —
+    # evicted fixtures just recompute lazily.
+    spark.catalog.clearCache()
     rows = audit_rows(spark, SF_DIR_TINY)
     if os.environ.get("SPARK_GRAFT_REGEN_AUDIT") == "1":
         TINY_PATH.write_text(_HEADER + "\n".join(rows) + "\n")
