@@ -69,6 +69,22 @@ def r4(col: Column) -> Column:
     return F.round(col, 4)
 
 
+def int_in_list(col_name: str, values) -> Column:
+    """``col IN (...)`` over driver-side INTEGER ids as ONE parsed
+    expression. ``F.col(...).isin(vals)`` builds a literal expression
+    per value through py4j — measured 5.7 s to construct (plus slower
+    plan serialization) for an 8.6k-id shortlist, vs ~10 ms for a single
+    ``F.expr`` parse of the same predicate. Same Catalyst ``In`` node,
+    so parquet pushdown is identical. Empty list → false (matches
+    ``isin([])``)."""
+    vals = [int(v) for v in values]
+    if not vals:
+        return F.lit(False)
+    return F.expr(
+        f"`{col_name}` IN (" + ",".join(f"{v}L" for v in vals) + ")"
+    )
+
+
 # --- DuckDB-side equivalents (string templates for oracle SQL) -----------
 
 def sql_dsum(expr: str, scale: str = DEC) -> str:

@@ -293,15 +293,15 @@ def clear_quantizer_cache() -> None:
     _PQ_CACHE.clear()
 
 
-def _corpus_fingerprint(sf_dir: str) -> tuple:
-    """(relpath, mtime_ns, size) per file of the embeddings dataset.
+def _corpus_fingerprint(sf_dir: str, table: str = "embeddings") -> tuple:
+    """(relpath, mtime_ns, size) per file of one table's dataset.
 
     Local-filesystem stat walk; on object stores (no os.stat) it degrades
     to the bare path — callers there must version the path or call
     ``clear_quantizer_cache`` on rewrite (documented on _KMEANS_CACHE)."""
     import os
 
-    root = os.path.join(sf_dir, "embeddings.parquet")
+    root = os.path.join(sf_dir, f"{table}.parquet")
     # the path itself is ALWAYS part of the key: on object stores / HDFS
     # nothing below is stat-able (os.walk silently yields nothing for a
     # non-local path), and without the path two distinct remote corpora

@@ -595,9 +595,16 @@ def ann_ivfpq_query_index(
     # two consumers (shortlist-ids collect + re-rank join) → checkpoint
     short = checkpoint_df(pq_adc_shortlist(scored, k, refine))
     ids = [r["nb_id"] for r in short.select("nb_id").distinct().collect()]
+    # int_in_list, not isin: |Q|·refine·k ids as one parsed IN (isin
+    # builds a py4j literal per id — 5.7 s at 8.6k ids); same Catalyst
+    # In node, so the parquet pushdown below is unchanged
+    from bayesiandatafusion_jl_spark.functions.exprs import int_in_list
+
     vecs = (
         spark.read.parquet(post_path)
-        .filter(F.col("cell_id").isin(probed) & F.col("vec_id").isin(ids))
+        .filter(
+            F.col("cell_id").isin(probed) & int_in_list("vec_id", ids)
+        )
         .select("vec_id", "embedding")
         .dropDuplicates(["vec_id"])
     )

@@ -180,38 +180,6 @@ def _centers_attacher(spark: SparkSession, centers: list):
     return lambda df: (df.crossJoin(bframe), F.col("__ivf_ctrs"))
 
 
-def _codebooks_attacher(spark: SparkSession, codebooks: list):
-    """attach(df) -> (df, cb_col): the codebooks as ONE broadcast
-    single-row array<array<array<double>>> column — the data-side twin of
-    vector.py's ``_cells_attacher`` fallback (a literal expression for
-    M·ksub·dsub scalars would bloat codegen for production ksub=256)."""
-    cframe = spark.createDataFrame(
-        [([[list(map(float, c)) for c in b] for b in codebooks],)],
-        "__pq_cb array<array<array<double>>>",
-    )
-    bframe = F.broadcast(cframe)
-    return lambda df: (df.crossJoin(bframe), F.col("__pq_cb"))
-
-
-def pq_luts(qe_col, cb_col, dsub: int):
-    """Per-query ADC lookup tables (array<array<double>>, M × ksub):
-    LUT[m][j] = dot(query_subvector_m, codebook[m][j]).
-
-    Pure HOF expression over the broadcast codebook column — the
-    M·ksub·dsub multiply-adds run ONCE PER QUERY ROW, which is the ADC
-    asymmetry: queries pay the table build, the (vastly larger)
-    candidate set pays only M lookups each.
-    """
-    qe = F.col(qe_col) if isinstance(qe_col, str) else qe_col
-
-    def _one_book(cbm, mi):
-        sub = F.slice(qe, mi * dsub + 1, dsub)
-        return F.transform(cbm, lambda c: dot(sub, c))
-
-    # transform() exposes the element index as the second lambda arg
-    return F.transform(cb_col, lambda cbm, mi: _one_book(cbm, mi))
-
-
 def pq_adc_score(codes_col, luts_col, m: int | None = None):
     """Approximate dot(query, x) = Σ_m LUT[m][code[m]].
 
@@ -261,12 +229,43 @@ def pq_query_luts(queries: DataFrame, codebooks: list) -> DataFrame:
     """(qid, __luts) at QUERY grain: LUTs are a pure function of the
     query, not the probed cell — building them once per query row
     (|Q| rows, not |Q|·n_probe) and joining candidates by qid costs
-    n_probe× less HOF work and broadcast bytes than riding them on the
-    probe rows."""
+    n_probe× less work and broadcast bytes than riding them on the
+    probe rows.
+
+    Arrow/numpy kernel (r12), not the ``pq_luts`` HOF: the HOF form is
+    interpreted per element — M·ksub transform slots per query row,
+    each an aggregate-HOF dot — measured 3.3 s for 715 queries at
+    (M=16, ksub=64); one einsum over the Arrow batch is ~60× less
+    (the same heavy-numerics-in-Arrow rule as ``pq_encode``). The LUT
+    frame is broadcast into the candidate join, so this cost sits on
+    the critical path of EVERY ADC query batch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     spark = queries.sparkSession
-    dsub = len(codebooks[0][0])
-    qframe, cbcol = _codebooks_attacher(spark, codebooks)(queries)
-    return qframe.select("qid", pq_luts("qe", cbcol, dsub).alias("__luts"))
+    bc = spark.sparkContext.broadcast(
+        np.array(codebooks, dtype=np.float64)  # M × ksub × dsub
+    )
+
+    def _luts(vecs):
+        books = bc.value
+        m, ksub, dsub = books.shape
+        out = []
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        sub = x.reshape(x.shape[0], m, dsub)
+        # LUT[q, m, j] = dot(sub[q, m], books[m, j])
+        luts = np.einsum("qmd,mjd->qmj", sub, books)
+        for row in luts:
+            out.append([r.tolist() for r in row])
+        return pd.Series(out)
+
+    # annotations as OBJECTS (bpe.py / q_udaf_group_median precedent)
+    _luts.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    lut_udf = pandas_udf(_luts, "array<array<double>>")
+    return queries.select("qid", lut_udf(F.col("qe")).alias("__luts"))
 
 
 def pq_adc_candidates(
@@ -372,8 +371,9 @@ def ann_ivfpq_search(
        assignment+encode run once, not once per stage.
     2. queries → n_probe probed cells; each probe row keeps the exact
        coarse dot(q, center) the cell argmax already computed, plus an
-       M×ksub ADC lookup table (``pq_luts``, HOF over the broadcast
-       codebooks — built once per query row, reused by every candidate).
+       M×ksub ADC lookup table (``pq_query_luts``, one Arrow einsum
+       over the query batch — built once per query row, reused by every
+       candidate).
     3. candidate join on cell_id with the |Q|·n_probe probe side
        BROADCAST — the corpus-sized index never shuffles — and
        score(q, x) ≈ dot(q, center_cell) + Σ_m LUT[m][code[m]]: the
