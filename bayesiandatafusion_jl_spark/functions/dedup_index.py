@@ -180,6 +180,53 @@ def write_signature_index(
         reset_ledger(spark, index_dir)
 
 
+def signature_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """One-row health report for the signature index — the LSH twin of
+    ``ivf_index_stats``: (n_docs, n_epochs, n_files, n_buckets_used,
+    max_bucket, mean_bucket, bucket_skew).
+
+    ``bucket_skew`` = max (band,bucket) population / mean — the number
+    that predicts probe cost: candidate pairs inside one bucket grow
+    QUADRATICALLY with its population, so one hot bucket (boilerplate
+    shingles, near-constant docs) dominates every incremental probe.
+    Skew ≫ band count says re-shingle (larger k) or band differently;
+    file count says compact. One buckets scan + one sigs scan, both
+    projecting ids only; single-row output."""
+    sig_path, bucket_path, _ = _paths(index_dir)
+    sigs = spark.read.parquet(sig_path)
+    buckets = spark.read.parquet(bucket_path)
+    n_files = len(sigs.inputFiles()) + len(buckets.inputFiles())
+    base = sigs.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("__epoch").alias("n_epochs"),
+    ).collect()[0]
+    b = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("used"),
+            F.max("n").alias("mx"),
+            F.avg("n").alias("mean"),
+        )
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(base["n_docs"]),
+                int(base["n_epochs"]),
+                int(n_files),
+                int(b["used"]),
+                int(b["mx"]),
+                float(b["mean"]),
+                round(float(b["mx"]) / float(b["mean"]), 4),
+            )
+        ],
+        "n_docs long, n_epochs int, n_files int, n_buckets_used long,"
+        " max_bucket long, mean_bucket double, bucket_skew double",
+    )
+
+
 def dedup_incremental(
     new_docs: DataFrame,
     index_dir: str,

@@ -694,7 +694,9 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram(li, "l_extendedprice", _HIST_LO, _HIST_HI, _HIST_N)
 
 
-def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
+def profile_numeric(
+    df: DataFrame, cols: list[str], approx_distinct: bool = False
+) -> DataFrame:
     """ONE-scan numeric profile: per column (col_name, n_rows, n_nulls,
     n_distinct, min_v, max_v, mean_v) — the pre-training data audit every
     pipeline runs before trusting a new table drop.
@@ -703,23 +705,25 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
     wide single-row agg unpivoted with ``stack``); the only multi-pass
     cost is the exact ``countDistinct``, which Spark plans as an Expand
     (the scan's rows duplicated once per column inside the exchange —
-    still one SCAN). At 100 TB swap the exact distinct for
-    ``approx_count_distinct`` if the ±2% HLL estimate suffices; the
-    column list, not the data, bounds the output. Mean uses the exact
-    decimal accumulation (exprs.dmean) so the numbers are
-    engine-reproducible.
+    still one SCAN). ``approx_distinct=True`` is the 100 TB form (r12):
+    ``approx_count_distinct`` (HLL++, ±~2%) replaces the Expand with a
+    plain partial-agg — no row duplication, one narrow sketch per
+    column crosses the exchange. The column list, not the data, bounds
+    the output. Mean uses the exact decimal accumulation (exprs.dmean)
+    so the numbers are engine-reproducible.
     """
     if not cols:
         raise ValueError("profile_numeric needs at least one column")
     from bayesiandatafusion_jl_spark.functions.exprs import dmean
 
+    nd = F.approx_count_distinct if approx_distinct else F.countDistinct
     n_all = F.count(F.lit(1))
     aggs = [n_all.alias("__n")]
     for c in cols:
         x = F.col(c)
         aggs += [
             F.sum(x.isNull().cast("bigint")).alias(f"__null_{c}"),
-            F.countDistinct(x).alias(f"__nd_{c}"),
+            nd(x).alias(f"__nd_{c}"),
             F.min(x).cast("double").alias(f"__min_{c}"),
             F.max(x).cast("double").alias(f"__max_{c}"),
             dmean(x).alias(f"__mean_{c}"),

@@ -172,3 +172,23 @@ def test_plan_never_recomputes_old_signatures(spark, index_dir):
     # and the old side carries no shingle/minhash recompute: the only
     # xxhash64 calls in the plan hash the NEW shard's shingles/bands
     assert "collect_set" not in plan
+
+
+def test_signature_index_stats_reports_health(spark, index_dir):
+    from bayesiandatafusion_jl_spark.functions.dedup_index import (
+        signature_index_stats,
+    )
+
+    write_signature_index(_corpus(spark, range(15)), index_dir)
+    write_signature_index(
+        _corpus(spark, range(100, 105)), index_dir, mode="append", epoch="s1"
+    )
+    row = signature_index_stats(spark, index_dir).collect()[0]
+    assert row["n_docs"] == 20 and row["n_epochs"] == 2
+    assert row["n_files"] >= 2 and row["n_buckets_used"] > 0
+    # distinctive corpora: no shared shingles, so every (band,bucket) is
+    # near-singleton — skew sits at/near 1
+    assert 1.0 <= row["bucket_skew"] <= 2.0
+    buckets = spark.read.parquet(f"{index_dir}/buckets")
+    per = buckets.groupBy("band", "bucket").count().collect()
+    assert row["max_bucket"] == max(r["count"] for r in per)

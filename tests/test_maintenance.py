@@ -574,3 +574,30 @@ def test_profile_numeric_metrics_and_one_scan(spark):
     assert len(re.findall(r"\(\d+\) Scan ", plan)) == 1, plan
     with _pytest.raises(ValueError, match="at least one"):
         profile_numeric(df, [])
+
+
+def test_profile_numeric_approx_distinct_drops_expand(spark):
+    """The 100 TB form: HLL distinct replaces the Expand (no per-column
+    row duplication through the exchange) and stays accurate on a
+    cardinality where HLL++ is near-exact."""
+    import re
+
+    from bayesiandatafusion_jl_spark.operators.aggregates import profile_numeric
+    from bayesiandatafusion_jl_spark.plans.inspect import formatted_plan
+
+    df = spark.range(5000).selectExpr(
+        "CAST(id % 700 AS DOUBLE) AS a", "CAST(id % 13 AS DOUBLE) AS b"
+    )
+    exact = {
+        r["col_name"]: r["n_distinct"]
+        for r in profile_numeric(df, ["a", "b"]).collect()
+    }
+    approx_df = profile_numeric(df, ["a", "b"], approx_distinct=True)
+    approx = {r["col_name"]: r["n_distinct"] for r in approx_df.collect()}
+    assert exact == {"a": 700, "b": 13}
+    for c in ("a", "b"):
+        assert abs(approx[c] - exact[c]) <= max(2, 0.05 * exact[c]), approx
+    plan_exact = formatted_plan(profile_numeric(df, ["a", "b"]))
+    plan_approx = formatted_plan(approx_df)
+    assert re.search(r"\(\d+\) Expand", plan_exact)
+    assert not re.search(r"\(\d+\) Expand", plan_approx), plan_approx
