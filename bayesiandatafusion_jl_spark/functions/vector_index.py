@@ -121,6 +121,13 @@ def _encode_postings(
 # thousand vectors bound its error far below any actionable threshold.
 _DRIFT_SAMPLE_MAX_ROWS = 50_000
 
+# Refine-shortlist sourcing regimes (r12): below this many distinct
+# shortlist ids the re-read uses a one-parse IN literal (parquet
+# row-group skipping on vec_id); above it — huge query batches — a
+# broadcast semi-join, so neither the driver round-trip nor the plan
+# grows with |Q|.
+_REFINE_IN_MAX_IDS = 100_000
+
 
 def _assign_score_mean(df: DataFrame, centers: list, vec_col: str) -> float:
     """Mean best-cell cosine of a deterministic identity-hash sample of
@@ -592,22 +599,30 @@ def ann_ivfpq_query_index(
     )
     if refine <= 0:
         return pq_adc_topk(scored, k)
-    # two consumers (shortlist-ids collect + re-rank join) → checkpoint
+    # two consumers (shortlist-ids collect/count + re-rank join) → checkpoint
     short = checkpoint_df(pq_adc_shortlist(scored, k, refine))
-    ids = [r["nb_id"] for r in short.select("nb_id").distinct().collect()]
-    # int_in_list, not isin: |Q|·refine·k ids as one parsed IN (isin
-    # builds a py4j literal per id — 5.7 s at 8.6k ids); same Catalyst
-    # In node, so the parquet pushdown below is unchanged
-    from bayesiandatafusion_jl_spark.functions.exprs import int_in_list
+    sids = short.select("nb_id").distinct()
+    n_short = sids.count()
+    base = spark.read.parquet(post_path).filter(F.col("cell_id").isin(probed))
+    if n_short <= _REFINE_IN_MAX_IDS:
+        # int_in_list, not isin: |Q|·refine·k ids as one parsed IN (isin
+        # builds a py4j literal per id — 5.7 s at 8.6k ids); same Catalyst
+        # In node, so the shortlist filter pushes into the parquet scan
+        # (row-group skipping on vec_id stats)
+        from bayesiandatafusion_jl_spark.functions.exprs import int_in_list
 
-    vecs = (
-        spark.read.parquet(post_path)
-        .filter(
-            F.col("cell_id").isin(probed) & int_in_list("vec_id", ids)
+        ids = [r["nb_id"] for r in sids.collect()]
+        vecs = base.filter(int_in_list("vec_id", ids))
+    else:
+        # huge query batches: a driver round-trip + plan literal that
+        # grows with |Q| is the bloom-literal failure shape — source the
+        # re-read by broadcast semi-join instead (no pushdown, but the
+        # scan is already partition-pruned to the probed cells and the
+        # shortlist frame is broadcast-sized by construction)
+        vecs = base.join(
+            F.broadcast(sids), base["vec_id"] == sids["nb_id"], "left_semi"
         )
-        .select("vec_id", "embedding")
-        .dropDuplicates(["vec_id"])
-    )
+    vecs = vecs.select("vec_id", "embedding").dropDuplicates(["vec_id"])
     return pq_exact_rerank(short, vecs, queries, k)
 
 

@@ -357,3 +357,30 @@ def test_ivf_index_stats_reports_health(spark, index_dir):
     )
     schema = re.search(r"ReadSchema: ([^\n]+)", plan)
     assert schema and "embedding" not in schema.group(1)
+
+
+def test_pq_refine_semijoin_fallback_is_identical(spark, index_dir, monkeypatch):
+    """Above the IN-literal threshold the shortlist re-read switches to a
+    broadcast semi-join — results must be identical to the literal path
+    (the bloom-rail two-regime pattern applied to query batches)."""
+    import bayesiandatafusion_jl_spark.functions.vector_index as vi
+
+    corpus = _clustered(spark)
+    write_ivf_index(corpus, index_dir, n_cells=8, n_assign=2, pq_m=4, pq_ksub=32)
+    q = corpus.filter(F.col("vec_id") % 11 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    lit_path = {
+        (r.qid, r.nb_id, r.rk)
+        for r in vi.ann_ivfpq_query_index(
+            q, index_dir, k=3, n_probe=4, refine=4
+        ).collect()
+    }
+    monkeypatch.setattr(vi, "_REFINE_IN_MAX_IDS", 0)
+    join_path = {
+        (r.qid, r.nb_id, r.rk)
+        for r in vi.ann_ivfpq_query_index(
+            q, index_dir, k=3, n_probe=4, refine=4
+        ).collect()
+    }
+    assert lit_path == join_path and lit_path
