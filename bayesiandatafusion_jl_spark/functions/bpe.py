@@ -207,7 +207,7 @@ def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
 # the r11 shape — was rebuilt per batch, defeating the Zipf
 # amortization the docstring promises). Bounded: cleared when it
 # outgrows the cap (Zipf means the head re-fills instantly).
-_PRETOKEN_CACHE: dict[int, dict[str, tuple]] = {}
+_PRETOKEN_CACHE: dict[str, dict[str, tuple]] = {}
 _PRETOKEN_CACHE_MAX = 1 << 17
 
 
@@ -225,8 +225,22 @@ def _pretok_fp() -> int:
     return _fingerprint("lower|" + _PRETOKEN_PAT.pattern)
 
 
+def _merges_content(merges: list[tuple[str, str]], grain: str) -> str:
+    return grain + "|" + ";".join(repr(p) for p in merges)
+
+
 def _merges_fp(merges: list[tuple[str, str]], grain: str) -> int:
-    return _fingerprint(grain + "|" + ";".join(repr(p) for p in merges))
+    return _fingerprint(_merges_content(merges, grain))
+
+
+def _merges_key(merges: list[tuple[str, str]], grain: str) -> str:
+    """Full sha256 hex of the merge table — the CACHE key. The 28-bit
+    ``_merges_fp`` exists only to fit the int meta row (drift guard);
+    a cache keyed on 28 bits could collide two vocabularies in one
+    process and silently serve wrong tokens."""
+    return hashlib.sha256(
+        _merges_content(merges, grain).encode("utf-8")
+    ).hexdigest()
 
 
 def bpe_encode(
@@ -262,7 +276,7 @@ def bpe_encode(
     bc = spark.sparkContext.broadcast(
         {(a, b): i for i, (a, b) in enumerate(merges)}
     )
-    fp = _merges_fp(merges, grain)
+    fp = _merges_key(merges, grain)
 
     def _enc(texts):
         ranks = bc.value

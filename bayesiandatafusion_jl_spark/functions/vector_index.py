@@ -436,8 +436,11 @@ def refit_ivf_index(
 def ivf_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     """One-row health report for a persisted IVF index — the numbers an
     operator reads before deciding to compact (file bloat) or refit
-    (cell imbalance): (n_vectors, n_cells_used, n_cells, n_epochs,
-    n_files, max_cell, mean_cell, imbalance, assign_ppm).
+    (cell imbalance): (n_postings, n_cells_used, n_cells, n_epochs,
+    n_files, max_cell, mean_cell, imbalance, assign_ppm). n_postings
+    counts posting ENTRIES (each vector appears n_assign times); the
+    distinct-vector count is a dedup away but not needed for either
+    maintenance decision.
 
     ``imbalance`` = max cell posting count / mean — a balanced quantizer
     sits near 1; a drifted corpus piles into few cells, probe cost grows
@@ -456,7 +459,7 @@ def ivf_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     row = per_cell.agg(
-        F.sum("n").alias("n_vectors"),
+        F.sum("n").alias("n_postings"),
         F.count(F.lit(1)).alias("n_cells_used"),
         F.max("n").alias("max_cell"),
         F.avg("n").alias("mean_cell"),
@@ -465,7 +468,7 @@ def ivf_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [
             (
-                int(row["n_vectors"]),
+                int(row["n_postings"]),
                 int(row["n_cells_used"]),
                 int(meta["n_cells"]),
                 int(n_epochs),
@@ -476,7 +479,7 @@ def ivf_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
                 int(meta.get("assign_ppm", 0)),
             )
         ],
-        "n_vectors long, n_cells_used int, n_cells int, n_epochs int,"
+        "n_postings long, n_cells_used int, n_cells int, n_epochs int,"
         " n_files int, max_cell long, mean_cell double, imbalance double,"
         " assign_ppm long",
     )

@@ -435,7 +435,13 @@ def rag_ingest_stream(
     guard runs per batch — a vocabulary-shifted stream fails loudly (or
     warns, per ``on_drift``) instead of silently filling the wrong
     cells. Caller contract (as everywhere in the index family): doc_ids
-    are globally unique across batches.
+    are globally unique across batches, and ONE (source, checkpoint)
+    pair drives an index for its lifetime — a fresh checkpoint
+    re-numbers batches from 0 and re-OVERWRITES the earlier stream_N
+    epochs: byte-idempotent when it replays the same source (the
+    recovery story), data loss if pointed at a DIFFERENT one (ingest
+    new sources via a new index, or batch `rag_append_docs` with
+    explicit epoch names).
 
     Returns the started query; drive with ``processAllAvailable()`` or a
     trigger.

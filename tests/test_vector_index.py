@@ -340,7 +340,7 @@ def test_ivf_index_stats_reports_health(spark, index_dir):
     )
     row = ivf_index_stats(spark, index_dir).collect()[0]
     posts = spark.read.parquet(f"{index_dir}/postings")
-    assert row["n_vectors"] == posts.count()  # n_assign-fold postings
+    assert row["n_postings"] == posts.count()  # n_assign-fold entries
     assert row["n_epochs"] == 2 and row["n_cells"] == 8
     assert 1 <= row["n_cells_used"] <= 8
     per_cell = posts.groupBy("cell_id").count().collect()
