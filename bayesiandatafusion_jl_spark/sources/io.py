@@ -39,6 +39,21 @@ def read_json(spark: SparkSession, path: str, schema: str | None = None, **optio
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (r12) — the other columnar at-rest format Spark ships
+    natively (vectorized reader, predicate pushdown, column pruning —
+    the same scan contract as parquet, so every operator here consumes
+    it unchanged). Exists for interop with ORC-resident warehouses; new
+    data should keep landing in parquet."""
+    configure_runtime(spark)
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (r12) — interop twin of ``read_orc``."""
+    df.write.mode(mode).orc(path)
+
+
 def read_coo(spark: SparkSession, path: str) -> DataFrame:
     """Sparse COO relation from parquet: (i1, i2[, i3…], value) long format
     — the engine's representation of the reference's Relation cells."""

@@ -40,6 +40,30 @@ def test_csv_json_roundtrip(spark, tmp_path):
     assert {tuple(r) for r in j.collect()} == {tuple(r) for r in df.collect()}
 
 
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC interop: values round-trip exactly, and the scan honors the
+    same pushdown contract as parquet (filter reaches PushedFilters,
+    projection prunes the read schema)."""
+    import re
+
+    from bayesiandatafusion_jl_spark.plans.inspect import formatted_plan
+
+    df = spark.createDataFrame(
+        [(i, f"s{i}", i * 1.5) for i in range(100)],
+        schema="id long, s string, v double",
+    )
+    path = str(tmp_path / "orc")
+    io.write_orc(df, path)
+    back = io.read_orc(spark, path)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+    q = back.filter(F.col("id") < 10).select("id", "v")
+    assert q.count() == 10
+    plan = formatted_plan(q)
+    assert re.search(r"PushedFilters: \[.*id", plan), plan
+    schema = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert schema and "s:" not in schema.group(1), plan
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """The IndexedDF-equivalent layout (SURVEY §4): two tables bucketed on
     the join key sort-merge-join with ZERO exchanges — the property that
