@@ -332,6 +332,45 @@ def rag_append_docs(
     )
 
 
+def rag_delete_docs(
+    spark: SparkSession, index_dir: str, doc_ids: list[int]
+) -> None:
+    """Logically delete whole DOCUMENTS from a RAG index — the
+    right-to-be-forgotten op. Resolves the docs' chunk vec_ids from the
+    postings themselves (one column-pruned scan filtered on the lineage
+    high bits; the resulting frame never routes through the driver) and
+    tombstones them: retrieval stops returning any chunk of those docs
+    immediately, and the next ``refit_ivf_index`` removes them
+    physically (see ``delete_from_ivf_index``)."""
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        check_meta,
+        index_paths,
+    )
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        delete_from_ivf_index,
+    )
+
+    if not doc_ids:
+        return
+    (rag_meta_path,) = index_paths(index_dir, "rag_meta")
+    check_meta(
+        spark,
+        rag_meta_path,
+        "deleting by decoded doc_id under a different lineage split would"
+        " tombstone the WRONG documents' chunks",
+        chunk_bits=_CHUNK_BITS,
+    )
+    (post_path,) = index_paths(index_dir, "postings")
+    doc_set = [int(d) for d in doc_ids]
+    vec_ids = (
+        spark.read.parquet(post_path)
+        .select("vec_id")
+        .filter(F.shiftright(F.col("vec_id"), _CHUNK_BITS).isin(doc_set))
+        .distinct()
+    )
+    delete_from_ivf_index(spark, index_dir, vec_ids)
+
+
 def rag_retrieve_index(
     query_docs: DataFrame,
     index_dir: str,

@@ -353,6 +353,11 @@ def write_ivf_index(
             ),
             **meta_extra,
         )
+        # fresh build = new id namespace: stale tombstones from the old
+        # incarnation could silently hide reused ids. Cleared AFTER the
+        # successful write (see clear_tombstones for the crash ordering);
+        # refit's corpus already excluded them before this point.
+        clear_tombstones(spark, index_dir)
 
 
 def refit_ivf_index(
@@ -402,9 +407,15 @@ def refit_ivf_index(
     prior = list(folded_epochs(spark, index_dir))
     # eager checkpoint BEFORE the overwrite: the rebuild deletes the very
     # files this frame reads (same materialize-before-overwrite rule as
-    # dedup_incremental's pair frame)
+    # dedup_incremental's pair frame). Tombstoned vectors are excluded
+    # HERE — the refit is where logical deletes become physical.
     corpus = checkpoint_df(
-        posts.select("vec_id", "embedding").dropDuplicates(["vec_id"])
+        _without_tombstones(
+            spark,
+            index_dir,
+            posts.select("vec_id", "embedding").dropDuplicates(["vec_id"]),
+            "vec_id",
+        )
     )
     n_vectors = corpus.count()
     rebased = sorted(
@@ -430,6 +441,72 @@ def refit_ivf_index(
     return spark.createDataFrame(
         [(n_vectors, n_cells, n_assign, len(rebased))],
         "n_vectors long, n_cells int, n_assign int, epochs_rebased int",
+    )
+
+
+def _tombstones_path(index_dir: str) -> str:
+    (p,) = index_paths(index_dir, "tombstones")
+    return p
+
+
+def delete_from_ivf_index(spark: SparkSession, index_dir: str, vec_ids) -> None:
+    """Logically delete vectors from the index — the GDPR-shaped
+    lifecycle op: appends the ids to a ``tombstones`` dataset that every
+    probe path anti-joins (deleted vectors stop being retrievable
+    IMMEDIATELY, with zero postings rewrite), and the next
+    ``refit_ivf_index`` applies them PHYSICALLY (its corpus read
+    excludes tombstoned rows) and clears the set. Epoch compaction
+    preserves postings rows exactly, so tombstones stay active across
+    it — rebuild-time application is the standard tombstone design: the
+    delete is O(|deleted ids|) now, the rewrite amortizes into
+    maintenance the index already schedules.
+
+    ``vec_ids`` is a list of ints or a 1-column DataFrame of vec_id —
+    the frame form never routes ids through the driver (the
+    ``rag_delete_docs`` path feeds a postings-derived frame directly).
+    Appending the same ids twice is harmless (probes read DISTINCT)."""
+    if isinstance(vec_ids, DataFrame):
+        frame = vec_ids.toDF("vec_id").select(F.col("vec_id").cast("bigint"))
+    else:
+        ids = [(int(v),) for v in vec_ids]
+        if not ids:
+            return
+        frame = spark.createDataFrame(ids, "vec_id bigint")
+    frame.write.mode("append").parquet(_tombstones_path(index_dir))
+
+
+def clear_tombstones(spark: SparkSession, index_dir: str) -> None:
+    """Drop the tombstone set — called AFTER a successful fresh build or
+    refit (whose corpus already excluded the ids). Clearing after, not
+    before, gives the safe crash direction both ways: a crash
+    mid-rebuild leaves the tombstones filtering the still-live old
+    postings; a crash after the rebuild but before the clear leaves
+    tombstones naming ids that no longer exist — a no-op anti-join."""
+    from bayesiandatafusion_jl_spark.functions.index_compact import _fs
+
+    path = _tombstones_path(index_dir)
+    fs, hpath, _ = _fs(spark, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
+def _without_tombstones(
+    spark: SparkSession, index_dir: str, df: DataFrame, id_col: str
+) -> DataFrame:
+    """``df`` minus tombstoned ids (broadcast anti-join — the tombstone
+    set is bounded by deletes since the last refit, never corpus-sized);
+    no-op when the index has no tombstones."""
+    from bayesiandatafusion_jl_spark.functions.index_compact import _fs
+
+    path = _tombstones_path(index_dir)
+    fs, hpath, _ = _fs(spark, path)
+    if not fs.exists(hpath):
+        return df
+    tombs = spark.read.parquet(path).select("vec_id").distinct()
+    return df.join(
+        F.broadcast(tombs),
+        df[id_col] == tombs["vec_id"],
+        "left_anti",
     )
 
 
@@ -533,6 +610,8 @@ def ann_ivf_query_index(
         F.col("vec_id").alias("nb_id"),
         F.round(dot("qe", "embedding"), 4).alias("score"),
     ).dropDuplicates(["qid", "nb_id"])
+    # logically-deleted vectors never reach the top-k (tombstone design)
+    rescored = _without_tombstones(spark, index_dir, rescored, "nb_id")
     wq = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("nb_id"))
     return rescored.withColumn("rk", F.row_number().over(wq)).filter(
         F.col("rk") <= k
@@ -600,6 +679,9 @@ def ann_ivfpq_query_index(
         exclude_self,
         m=len(codebooks),
     )
+    # tombstone exclusion BEFORE the shortlist: a logically-deleted
+    # vector must neither occupy a shortlist slot nor be re-ranked
+    scored = _without_tombstones(spark, index_dir, scored, "nb_id")
     if refine <= 0:
         return pq_adc_topk(scored, k)
     # two consumers (shortlist-ids collect/count + re-rank join) → checkpoint

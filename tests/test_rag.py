@@ -231,6 +231,42 @@ def test_one_shot_and_persisted_paths_agree(spark, tmp_path):
     assert one_shot == persisted and len(one_shot) == 4
 
 
+def test_rag_delete_docs_hides_every_chunk(spark, tmp_path):
+    """Doc-level right-to-be-forgotten: after rag_delete_docs, no chunk
+    of the deleted document is retrievable — even by a query that IS
+    that document's text — and other docs are unaffected."""
+    from bayesiandatafusion_jl_spark.functions.rag import (
+        rag_build_index,
+        rag_delete_docs,
+        rag_retrieve_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"doc{i} " + " ".join(f"g{i % 5}tok{j}" for j in range(1, 40)))
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    index_dir = str(tmp_path / "ragdel")
+    rag_build_index(docs, index_dir, n_cells=4, pq_m=4, pq_ksub=16)
+    queries = docs.filter(F.col("doc_id").isin(2, 3)).select(
+        (F.col("doc_id") + 800).alias("doc_id"), "text"
+    )
+    before = {
+        r["qid"]: r["nb_doc_id"]
+        for r in rag_retrieve_index(queries, index_dir, k=1, n_probe=4).collect()
+        if r["rk"] == 1
+    }
+    assert before == {802: 2, 803: 3}  # self-match wins pre-delete
+    rag_delete_docs(spark, index_dir, [2])
+    after = rag_retrieve_index(queries, index_dir, k=3, n_probe=4).collect()
+    assert all(r["nb_doc_id"] != 2 for r in after)
+    top = {r["qid"]: r["nb_doc_id"] for r in after if r["rk"] == 1}
+    assert top[803] == 3  # untouched doc unaffected
+    assert top[802] != 2 and top[802] % 5 == 2  # falls back to a near-twin
+
+
 def test_rag_index_refuses_mismatched_lineage_pin(spark, tmp_path):
     from bayesiandatafusion_jl_spark.functions.index_meta import (
         index_paths,

@@ -384,3 +384,49 @@ def test_pq_refine_semijoin_fallback_is_identical(spark, index_dir, monkeypatch)
         ).collect()
     }
     assert lit_path == join_path and lit_path
+
+
+def test_tombstone_delete_hides_then_refit_applies(spark, index_dir):
+    """Lifecycle of a logical delete: immediately invisible to BOTH
+    probe paths (ADC and exact), physically removed and cleared by the
+    next refit, and a fresh build clears stale tombstones."""
+    import os
+
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        ann_ivfpq_query_index,
+        delete_from_ivf_index,
+        refit_ivf_index,
+    )
+
+    corpus = _clustered(spark)
+    write_ivf_index(corpus, index_dir, n_cells=8, n_assign=2, pq_m=4, pq_ksub=32)
+    q = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+
+    def hits(fn):
+        return {
+            r.nb_id
+            for r in fn(q, index_dir, k=5, n_probe=4).collect()
+        }
+
+    before_exact = hits(ann_ivf_query_index)
+    before_adc = hits(ann_ivfpq_query_index)
+    victim = sorted(before_exact & before_adc)[0]
+    delete_from_ivf_index(spark, index_dir, [victim])
+    delete_from_ivf_index(spark, index_dir, [victim])  # idempotent
+    assert victim not in hits(ann_ivf_query_index)
+    assert victim not in hits(ann_ivfpq_query_index)
+    # k slots are still filled from the survivors
+    assert len(hits(ann_ivfpq_query_index)) == 5
+    # refit applies physically and clears the tombstone set
+    refit_ivf_index(spark, index_dir)
+    posts = spark.read.parquet(f"{index_dir}/postings")
+    assert posts.filter(F.col("vec_id") == victim).count() == 0
+    assert not os.path.exists(f"{index_dir}/tombstones")
+    assert victim not in hits(ann_ivfpq_query_index)
+    # a fresh build over a new corpus clears stale tombstones too
+    delete_from_ivf_index(spark, index_dir, [3])
+    write_ivf_index(corpus, index_dir, n_cells=8, n_assign=2)
+    assert not os.path.exists(f"{index_dir}/tombstones")
+    assert 3 in hits(ann_ivf_query_index) or 3 not in before_exact
