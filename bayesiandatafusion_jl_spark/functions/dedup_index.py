@@ -172,12 +172,36 @@ def write_signature_index(
             shingle_k=shingle_k,
         )
         # fresh build = new incarnation, new epoch namespace (matches
-        # write_ivf_index; see index_compact.reset_ledger)
+        # write_ivf_index; see index_compact.reset_ledger) — and a new
+        # doc-id namespace, so stale tombstones are cleared AFTER the
+        # successful write (index_meta.clear_tombstones crash ordering)
         from bayesiandatafusion_jl_spark.functions.index_compact import (
             reset_ledger,
         )
+        from bayesiandatafusion_jl_spark.functions.index_meta import (
+            clear_tombstones,
+        )
 
         reset_ledger(spark, index_dir)
+        clear_tombstones(spark, index_dir)
+
+
+def delete_from_signature_index(
+    spark: SparkSession, index_dir: str, doc_ids
+) -> None:
+    """Logically delete documents from the signature index (tombstone
+    design, shared with the vector index — see index_meta): deleted docs
+    immediately stop surfacing as ``new_index`` pair partners in
+    ``dedup_incremental`` / the streaming probe, with zero index
+    rewrite. Tombstones survive epoch compaction (rows are preserved,
+    the filter stays active); the physical purge is a fresh
+    ``write_signature_index`` over the retained corpus, which clears
+    the set. ``doc_ids``: list of ints or a 1-column DataFrame."""
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        append_tombstones,
+    )
+
+    append_tombstones(spark, index_dir, doc_ids)
 
 
 def signature_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -316,8 +340,20 @@ def dedup_incremental(
             scan = scan.filter(F.col("__epoch") != epoch)
         return scan
 
-    old_buckets = _index_scan(bucket_path).select(
-        "band", "bucket", F.col("doc_id").alias("doc_b")
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        anti_join_tombstones,
+    )
+
+    # tombstoned (logically deleted) docs never surface as pair partners;
+    # filtering the bucket side is sufficient — a pair needs the bucket
+    # match — and keeps the anti-join on the small candidate stream
+    old_buckets = anti_join_tombstones(
+        spark,
+        index_dir,
+        _index_scan(bucket_path).select(
+            "band", "bucket", F.col("doc_id").alias("doc_b")
+        ),
+        "doc_b",
     )
     cross = (
         new_bands.withColumnRenamed("doc_id", "doc_a")

@@ -444,11 +444,6 @@ def refit_ivf_index(
     )
 
 
-def _tombstones_path(index_dir: str) -> str:
-    (p,) = index_paths(index_dir, "tombstones")
-    return p
-
-
 def delete_from_ivf_index(spark: SparkSession, index_dir: str, vec_ids) -> None:
     """Logically delete vectors from the index — the GDPR-shaped
     lifecycle op: appends the ids to a ``tombstones`` dataset that every
@@ -465,49 +460,30 @@ def delete_from_ivf_index(spark: SparkSession, index_dir: str, vec_ids) -> None:
     the frame form never routes ids through the driver (the
     ``rag_delete_docs`` path feeds a postings-derived frame directly).
     Appending the same ids twice is harmless (probes read DISTINCT)."""
-    if isinstance(vec_ids, DataFrame):
-        frame = vec_ids.toDF("vec_id").select(F.col("vec_id").cast("bigint"))
-    else:
-        ids = [(int(v),) for v in vec_ids]
-        if not ids:
-            return
-        frame = spark.createDataFrame(ids, "vec_id bigint")
-    frame.write.mode("append").parquet(_tombstones_path(index_dir))
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        append_tombstones,
+    )
+
+    append_tombstones(spark, index_dir, vec_ids)
 
 
 def clear_tombstones(spark: SparkSession, index_dir: str) -> None:
-    """Drop the tombstone set — called AFTER a successful fresh build or
-    refit (whose corpus already excluded the ids). Clearing after, not
-    before, gives the safe crash direction both ways: a crash
-    mid-rebuild leaves the tombstones filtering the still-live old
-    postings; a crash after the rebuild but before the clear leaves
-    tombstones naming ids that no longer exist — a no-op anti-join."""
-    from bayesiandatafusion_jl_spark.functions.index_compact import _fs
+    """See ``index_meta.clear_tombstones`` (shared primitive)."""
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        clear_tombstones as _clear,
+    )
 
-    path = _tombstones_path(index_dir)
-    fs, hpath, _ = _fs(spark, path)
-    if fs.exists(hpath):
-        fs.delete(hpath, True)
+    _clear(spark, index_dir)
 
 
 def _without_tombstones(
     spark: SparkSession, index_dir: str, df: DataFrame, id_col: str
 ) -> DataFrame:
-    """``df`` minus tombstoned ids (broadcast anti-join — the tombstone
-    set is bounded by deletes since the last refit, never corpus-sized);
-    no-op when the index has no tombstones."""
-    from bayesiandatafusion_jl_spark.functions.index_compact import _fs
-
-    path = _tombstones_path(index_dir)
-    fs, hpath, _ = _fs(spark, path)
-    if not fs.exists(hpath):
-        return df
-    tombs = spark.read.parquet(path).select("vec_id").distinct()
-    return df.join(
-        F.broadcast(tombs),
-        df[id_col] == tombs["vec_id"],
-        "left_anti",
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        anti_join_tombstones,
     )
+
+    return anti_join_tombstones(spark, index_dir, df, id_col)
 
 
 def ivf_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:

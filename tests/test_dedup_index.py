@@ -192,3 +192,36 @@ def test_signature_index_stats_reports_health(spark, index_dir):
     buckets = spark.read.parquet(f"{index_dir}/buckets")
     per = buckets.groupBy("band", "bucket").count().collect()
     assert row["max_bucket"] == max(r["count"] for r in per)
+
+
+def test_signature_tombstones_hide_deleted_partners(spark, index_dir):
+    """Right-to-be-forgotten on the dedup index: a tombstoned doc stops
+    appearing as a new_index pair partner immediately; other partners
+    and intra-shard pairs are unaffected; a fresh build clears the set."""
+    import os
+
+    from bayesiandatafusion_jl_spark.functions.dedup_index import (
+        delete_from_signature_index,
+    )
+
+    write_signature_index(_corpus(spark, range(10)), index_dir)
+    # twins of indexed docs 3 and 7 arrive as a probe shard
+    shard = _corpus(spark, [3, 7], mutate=[3, 7]).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    before = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_incremental(shard, index_dir).collect()
+    }
+    assert (1003, 3) in before and (1007, 7) in before
+    delete_from_signature_index(spark, index_dir, [3])
+    delete_from_signature_index(spark, index_dir, [3])  # idempotent
+    after = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_incremental(shard, index_dir).collect()
+    }
+    assert not any(b == 3 for _, b in after)
+    assert (1007, 7) in after  # untouched partner unaffected
+    # fresh rebuild over the retained corpus clears the tombstones
+    write_signature_index(_corpus(spark, [i for i in range(10) if i != 3]), index_dir)
+    assert not os.path.exists(f"{index_dir}/tombstones")
