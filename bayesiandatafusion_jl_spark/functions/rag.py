@@ -377,6 +377,7 @@ def rag_retrieve_index(
     k: int = 3,
     n_probe: int = 6,
     refine: int = 4,
+    query_mode: str = "first",
 ) -> DataFrame:
     """(qid, nb_id, score, rk, nb_doc_id, nb_chunk_id): probe-only
     retrieval against a ``rag_build_index`` artifact — NO quantizer fit,
@@ -386,9 +387,23 @@ def rag_retrieve_index(
     cells, and the exact re-rank of the |Q|·refine·k shortlist (the one
     touch of embedding bytes — see ``ann_ivfpq_query_index``).
 
+    ``query_mode`` (r12):
+
+    - ``"first"`` — each query is its first chunk's embedding (the
+      cheapest form; right when queries are short prompts).
+    - ``"max"`` — EVERY query chunk retrieves independently and a
+      neighbor's score is the MAX over the query's chunks (the
+      late-interaction-lite form): a long query whose relevant passage
+      sits past the first window still finds its target. Probe cost
+      scales with the query's chunk count — each chunk is its own
+      (qid, qe) row through the same ADC path — then one small
+      (query, neighbor) max-aggregate + re-rank restores query grain.
+
     Chunk window and embedding dim come from the index's pinned
     ``rag_meta`` (build-time config), and the lineage-bit pin refuses an
     index whose vec_ids this module would mis-decode."""
+    from pyspark.sql import Window as W
+
     from bayesiandatafusion_jl_spark.functions.index_meta import (
         check_meta,
         index_paths,
@@ -399,6 +414,8 @@ def rag_retrieve_index(
     )
     from bayesiandatafusion_jl_spark.session import checkpoint_df
 
+    if query_mode not in ("first", "max"):
+        raise ValueError(f"query_mode must be 'first' or 'max', got {query_mode!r}")
     spark = query_docs.sparkSession
     (rag_meta_path,) = index_paths(index_dir, "rag_meta")
     check_meta(
@@ -409,13 +426,21 @@ def rag_retrieve_index(
         chunk_bits=_CHUNK_BITS,
     )
     meta = read_meta(spark, rag_meta_path).asDict()
-    q_first = chunk_documents(
-        query_docs, meta["chunk_tokens"], meta["overlap"]
-    ).filter(F.col("chunk_id") == 0)
+    q_chunks = chunk_documents(query_docs, meta["chunk_tokens"], meta["overlap"])
+    if query_mode == "first":
+        q_src = q_chunks.filter(F.col("chunk_id") == 0).select(
+            F.col("doc_id"), F.col("chunk_text")
+        )
+    else:
+        # qids carry the SAME lineage packing as the corpus side so the
+        # per-chunk hits decode back to their query document
+        q_src = q_chunks.select(
+            _encode_lineage().alias("doc_id"), F.col("chunk_text")
+        )
     # two+ consumers inside the probe path (probe frame, LUTs, re-rank)
     q_emb = checkpoint_df(
         hash_embed(
-            q_first.select("doc_id", F.col("chunk_text").alias("text")),
+            q_src.select("doc_id", F.col("chunk_text").alias("text")),
             dim=meta["dim"],
         ).select(F.col("doc_id").alias("qid"), F.col("embedding").alias("qe"))
     )
@@ -427,7 +452,25 @@ def rag_retrieve_index(
         refine=refine,
         exclude_self=False,  # query ids live in a different id space
     )
-    return hits.select("qid", "nb_id", "score", "rk", *_decode_lineage())
+    if query_mode == "first":
+        return hits.select("qid", "nb_id", "score", "rk", *_decode_lineage())
+    # max over the query's chunks, then re-rank to top-k per query DOC;
+    # both steps run on |Q_chunks|·k rows — tiny next to the ADC scan
+    doc_hits = (
+        hits.select(
+            F.shiftright(F.col("qid"), _CHUNK_BITS).alias("qid"),
+            "nb_id",
+            "score",
+        )
+        .groupBy("qid", "nb_id")
+        .agg(F.max("score").alias("score"))
+    )
+    wq = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("nb_id"))
+    return (
+        doc_hits.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= k)
+        .select("qid", "nb_id", "score", "rk", *_decode_lineage())
+    )
 
 
 # Built rag indexes per (documents fingerprint, params) — the same

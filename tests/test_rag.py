@@ -231,6 +231,48 @@ def test_one_shot_and_persisted_paths_agree(spark, tmp_path):
     assert one_shot == persisted and len(one_shot) == 4
 
 
+def test_rag_query_mode_max_finds_buried_passages(spark, tmp_path):
+    """A long query whose FIRST chunk is unrelated noise but whose later
+    chunks quote a corpus document: query_mode='first' misses the
+    target, query_mode='max' ranks it top-1 (late-interaction-lite)."""
+    from bayesiandatafusion_jl_spark.functions.rag import (
+        rag_build_index,
+        rag_retrieve_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (i, " ".join(f"c{i}tok{j}" for j in range(40)))
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    index_dir = str(tmp_path / "ragmax")
+    rag_build_index(corpus, index_dir, n_cells=4, pq_m=4, pq_ksub=16)
+    # 64-token query: 32 tokens of noise, then doc 5's first 32 tokens
+    noise = " ".join(f"zz{j}" for j in range(32))
+    quote = " ".join(f"c5tok{j}" for j in range(32))
+    queries = spark.createDataFrame(
+        [(900, noise + " " + quote)], "doc_id long, text string"
+    )
+    first = rag_retrieve_index(
+        queries, index_dir, k=1, n_probe=4, query_mode="first"
+    ).collect()
+    # first-chunk-only: the noise chunk retrieves something, but not doc 5
+    assert all(r["nb_doc_id"] != 5 for r in first)
+    best = rag_retrieve_index(
+        queries, index_dir, k=3, n_probe=4, query_mode="max"
+    ).collect()
+    by_rank = {r["rk"]: r for r in best}
+    assert by_rank[1]["nb_doc_id"] == 5, best
+    assert by_rank[1]["qid"] == 900  # query grain restored
+    assert sorted(r["rk"] for r in best) == [1, 2, 3]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="query_mode"):
+        rag_retrieve_index(queries, index_dir, query_mode="mean")
+
+
 def test_rag_delete_docs_hides_every_chunk(spark, tmp_path):
     """Doc-level right-to-be-forgotten: after rag_delete_docs, no chunk
     of the deleted document is retrievable — even by a query that IS
