@@ -196,7 +196,9 @@ def delete_from_signature_index(
     rewrite. Tombstones survive epoch compaction (rows are preserved,
     the filter stays active); the physical purge is a fresh
     ``write_signature_index`` over the retained corpus, which clears
-    the set. ``doc_ids``: list of ints or a 1-column DataFrame."""
+    the set. ``doc_ids``: list of ints or a 1-column DataFrame. A
+    deleted id must not be re-appended before that rebuild — the live
+    tombstone would keep hiding the new rows (hide, never resurface)."""
     from bayesiandatafusion_jl_spark.functions.index_meta import (
         append_tombstones,
     )

@@ -341,7 +341,13 @@ def rag_delete_docs(
     high bits; the resulting frame never routes through the driver) and
     tombstones them: retrieval stops returning any chunk of those docs
     immediately, and the next ``refit_ivf_index`` removes them
-    physically (see ``delete_from_ivf_index``)."""
+    physically (see ``delete_from_ivf_index``).
+
+    Deleted doc_ids must NOT be re-ingested before that rebuild: a
+    re-appended doc reuses its chunk vec_ids, so the live tombstones
+    would keep hiding the new rows (the deliberate failure direction —
+    hide, never resurface). Re-ingest under a new doc_id, or refit
+    first."""
     from bayesiandatafusion_jl_spark.functions.index_meta import (
         check_meta,
         index_paths,
