@@ -9,6 +9,7 @@ from bayesiandatafusion_jl_spark.operators import (  # noqa: F401
     filters,
     joins,
     maintenance,
+    matview,
     sampling,
     scans,
     setops,
