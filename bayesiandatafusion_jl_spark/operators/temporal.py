@@ -150,3 +150,107 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
     )
 
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user ORDERED funnel timestamps: one row per user who reached
+    step 1, with ``t1..tn`` = the earliest time step i happened STRICTLY
+    AFTER the user's step i-1 time (null once the chain breaks). The
+    strict-order semantics product analytics means by "funnel": a
+    purchase logged before the signup does not convert the signup.
+
+    Shape: step 1 is one hash aggregate over the step-1 slice; each later
+    step joins the (|users-in-funnel|)-row frame against that step's
+    filtered slice and re-aggregates — every frame after the first scan
+    is USER-grain, so per-step cost is a join keyed on user_id between
+    one shrinking frame and one selective slice, never an all-events
+    window sort. len(steps) is small and fixed (3–6 in practice); at
+    100 TB each slice join is AQE-broadcastable whenever the funnel
+    population fits, and all steps reuse the same user_id partitioning.
+    """
+    u, ty, ts = user_col, type_col, ts_col
+    per_user = (
+        events.filter(F.col(ty) == steps[0])
+        .groupBy(u)
+        .agg(F.min(ts).alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        sl = events.filter(F.col(ty) == step).select(u, ts)
+        per_user = (
+            per_user.join(sl, u, "left")
+            .groupBy(u)
+            .agg(
+                *[F.max(f"t{j}").alias(f"t{j}") for j in range(1, i)],
+                F.min(
+                    F.when(F.col(ts) > F.col(f"t{i - 1}"), F.col(ts))
+                ).alias(f"t{i}"),
+            )
+        )
+    return per_user
+
+
+@register(
+    "q_events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT s1.user_id, MIN(CASE WHEN e.ts > s1.t1 THEN e.ts END) AS t2
+      FROM s1 LEFT JOIN events e
+        ON e.user_id = s1.user_id AND e.event_type = 'view'
+      GROUP BY s1.user_id
+    ),
+    s3 AS (
+      SELECT s2.user_id, MIN(CASE WHEN e.ts > s2.t2 THEN e.ts END) AS t3
+      FROM s2 LEFT JOIN events e
+        ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+      GROUP BY s2.user_id
+    ),
+    c AS (
+      SELECT COUNT(s1.t1) AS n1, COUNT(s2.t2) AS n2, COUNT(s3.t3) AS n3
+      FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+    )
+    SELECT 1 AS step, 'signup' AS event_type, n1 AS users,
+           ROUND(CAST(n1 AS DOUBLE) / n1, 4) AS conv FROM c
+    UNION ALL
+    SELECT 2, 'view', n2, ROUND(CAST(n2 AS DOUBLE) / n1, 4) FROM c
+    UNION ALL
+    SELECT 3, 'purchase', n3, ROUND(CAST(n3 AS DOUBLE) / n1, 4) FROM c
+    """,
+    tags=("E3", "J9", "funnel"),
+    demoted=True,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → view → purchase: users reaching
+    each step (in strict time order within a user) and the conversion
+    rate vs step 1. The per-user frame comes from ``funnel_steps``; the
+    readout is one user-grain aggregate unpivoted with ``stack``."""
+    steps = ["signup", "view", "purchase"]
+    ev = load_table(spark, sf_dir, "events")
+    per_user = funnel_steps(ev, steps)
+    counts = per_user.agg(
+        *[F.count(f"t{i}").alias(f"n{i}") for i in range(1, len(steps) + 1)]
+    )
+    stack_args = []
+    for i, s in enumerate(steps, start=1):
+        stack_args += [F.lit(i), F.lit(s), F.col(f"n{i}")]
+    return (
+        counts.select(
+            F.stack(F.lit(len(steps)), *stack_args).alias(
+                "step", "event_type", "users"
+            ),
+            F.col("n1").alias("__n1"),
+        )
+        .withColumn(
+            "conv", F.round(F.col("users").cast("double") / F.col("__n1"), 4)
+        )
+        .drop("__n1")
+    )

@@ -1,0 +1,64 @@
+"""Constructed-frame semantics for the ordered funnel: strict time
+ordering within a user, chain breaks, out-of-order events, and recovery
+by a later in-order occurrence — branches the sf-data parity check
+(q_events_funnel) can't isolate."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from bayesiandatafusion_jl_spark.operators.temporal import funnel_steps
+
+
+def _ts(m):
+    return datetime(2024, 1, 1, 0, m)
+
+
+def test_funnel_strict_order_semantics(spark):
+    rows = []
+    # u1: A@1 B@2 C@3 — full conversion
+    rows += [(1, "A", _ts(1)), (1, "B", _ts(2)), (1, "C", _ts(3))]
+    # u2: A@1 only — stops at step 1
+    rows += [(2, "A", _ts(1))]
+    # u3: B@1 A@2 — B happened BEFORE A: step 2 not reached
+    rows += [(3, "B", _ts(1)), (3, "A", _ts(2))]
+    # u4: B@1 A@2 B@3 — the later B recovers the chain
+    rows += [(4, "B", _ts(1)), (4, "A", _ts(2)), (4, "B", _ts(3))]
+    # u5: A@1 C@2 B@3 — C precedes B, so step 3 unreached (C strictly
+    # after the user's B is required), step 2 reached
+    rows += [(5, "A", _ts(1)), (5, "C", _ts(2)), (5, "B", _ts(3))]
+    # u6: never did A — absent from the funnel entirely
+    rows += [(6, "B", _ts(1)), (6, "C", _ts(2))]
+    # u7: simultaneous A and B (same ts) — strict > means B not counted
+    rows += [(7, "A", _ts(1)), (7, "B", _ts(1))]
+    ev = spark.createDataFrame(
+        rows, "user_id int, event_type string, ts timestamp"
+    )
+    got = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"])
+        for r in funnel_steps(ev, ["A", "B", "C"]).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5, 7}
+    assert got[1] == (_ts(1), _ts(2), _ts(3))
+    assert got[2] == (_ts(1), None, None)
+    assert got[3] == (_ts(2), None, None)
+    assert got[4] == (_ts(2), _ts(3), None)
+    assert got[5] == (_ts(1), _ts(3), None)
+    assert got[7] == (_ts(1), None, None)
+
+
+def test_funnel_earliest_qualifying_step_time(spark):
+    """Repeated step events: t_i is the EARLIEST occurrence after
+    t_{i-1}, not the latest and not a pre-chain one."""
+    rows = [
+        (1, "A", _ts(5)),
+        (1, "B", _ts(2)),  # before A — ignored
+        (1, "B", _ts(7)),  # first qualifying B
+        (1, "B", _ts(9)),  # later B — ignored
+        (1, "C", _ts(8)),  # before t2=7? no: 8 > 7 — qualifies
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id int, event_type string, ts timestamp"
+    )
+    (r,) = funnel_steps(ev, ["A", "B", "C"]).collect()
+    assert (r["t1"], r["t2"], r["t3"]) == (_ts(5), _ts(7), _ts(8))
