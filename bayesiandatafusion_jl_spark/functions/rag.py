@@ -384,6 +384,8 @@ def rag_retrieve_index(
     n_probe: int = 6,
     refine: int = 4,
     query_mode: str = "first",
+    mmr_lambda: float | None = None,
+    mmr_pool: int = 4,
 ) -> DataFrame:
     """(qid, nb_id, score, rk, nb_doc_id, nb_chunk_id): probe-only
     retrieval against a ``rag_build_index`` artifact — NO quantizer fit,
@@ -405,6 +407,15 @@ def rag_retrieve_index(
       (qid, qe) row through the same ADC path — then one small
       (query, neighbor) max-aggregate + re-rank restores query grain.
 
+    ``mmr_lambda`` (r12): when set, the top-(k·mmr_pool) shortlist is
+    re-ranked with Maximal Marginal Relevance (``vector.mmr_rerank``) so
+    near-duplicate chunks don't crowd out a second relevant source —
+    the output keeps top-k per query by the MMR order and gains an
+    ``mmr`` column. The extra cost is bounded by construction: one
+    pushed-filter read of the pool's embeddings (|Q|·k·mmr_pool rows)
+    and a per-qid pandas kernel over that pool — the corpus is still
+    never re-read.
+
     Chunk window and embedding dim come from the index's pinned
     ``rag_meta`` (build-time config), and the lineage-bit pin refuses an
     index whose vec_ids this module would mis-decode."""
@@ -415,6 +426,7 @@ def rag_retrieve_index(
         index_paths,
         read_meta,
     )
+    from bayesiandatafusion_jl_spark.functions.vector import mmr_rerank
     from bayesiandatafusion_jl_spark.functions.vector_index import (
         ann_ivfpq_query_index,
     )
@@ -450,33 +462,78 @@ def rag_retrieve_index(
             dim=meta["dim"],
         ).select(F.col("doc_id").alias("qid"), F.col("embedding").alias("qe"))
     )
+    if mmr_lambda is not None and mmr_pool < 1:
+        raise ValueError(f"mmr_pool must be >= 1, got {mmr_pool}")
+    k_pool = k * mmr_pool if mmr_lambda is not None else k
     hits = ann_ivfpq_query_index(
         q_emb,
         index_dir,
-        k=k,
+        k=k_pool,
         n_probe=n_probe,
         refine=refine,
         exclude_self=False,  # query ids live in a different id space
     )
-    if query_mode == "first":
-        return hits.select("qid", "nb_id", "score", "rk", *_decode_lineage())
-    # max over the query's chunks, then re-rank to top-k per query DOC;
-    # both steps run on |Q_chunks|·k rows — tiny next to the ADC scan
-    doc_hits = (
-        hits.select(
-            F.shiftright(F.col("qid"), _CHUNK_BITS).alias("qid"),
-            "nb_id",
-            "score",
+    if query_mode == "max":
+        # max over the query's chunks, then re-rank to pool grain per
+        # query DOC; both steps run on |Q_chunks|·k_pool rows — tiny
+        # next to the ADC scan
+        doc_hits = (
+            hits.select(
+                F.shiftright(F.col("qid"), _CHUNK_BITS).alias("qid"),
+                "nb_id",
+                "score",
+            )
+            .groupBy("qid", "nb_id")
+            .agg(F.max("score").alias("score"))
         )
-        .groupBy("qid", "nb_id")
-        .agg(F.max("score").alias("score"))
+        wq = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("nb_id"))
+        hits = (
+            doc_hits.withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= k_pool)
+        )
+    if mmr_lambda is None:
+        return hits.select("qid", "nb_id", "score", "rk", *_decode_lineage())
+    pool = checkpoint_df(hits.select("qid", "nb_id", "score"))
+    diversified = mmr_rerank(
+        pool.join(
+            _pool_embeddings(spark, index_dir, pool), "nb_id"
+        ),
+        k=k,
+        lam=mmr_lambda,
     )
-    wq = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("nb_id"))
-    return (
-        doc_hits.withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= k)
-        .select("qid", "nb_id", "score", "rk", *_decode_lineage())
+    return diversified.select(
+        "qid", "nb_id", "score", "mmr", "rk", *_decode_lineage()
     )
+
+
+def _pool_embeddings(
+    spark: SparkSession, index_dir: str, pool: DataFrame
+) -> DataFrame:
+    """(nb_id, nb_emb) for a bounded re-rank pool: the same two-regime
+    shortlist re-read as the ADC exact refine — a one-parse ``IN`` list
+    pushed into the postings scan for normal batches, a broadcast
+    semi-join when the id list itself would bloat the plan. Bounded by
+    construction (|Q|·k·mmr_pool ids), never a corpus read."""
+    from bayesiandatafusion_jl_spark.functions.exprs import int_in_list
+    from bayesiandatafusion_jl_spark.functions.index_meta import index_paths
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        _REFINE_IN_MAX_IDS,
+    )
+
+    (post_path,) = index_paths(index_dir, "postings")
+    base = spark.read.parquet(post_path)
+    ids_df = pool.select("nb_id").distinct()
+    n_ids = ids_df.count()
+    if n_ids <= _REFINE_IN_MAX_IDS:
+        ids = [r["nb_id"] for r in ids_df.collect()]
+        vecs = base.filter(int_in_list("vec_id", ids))
+    else:
+        vecs = base.join(
+            F.broadcast(ids_df), base["vec_id"] == ids_df["nb_id"], "left_semi"
+        )
+    return vecs.select(
+        F.col("vec_id").alias("nb_id"), F.col("embedding").alias("nb_emb")
+    ).dropDuplicates(["nb_id"])
 
 
 # Built rag indexes per (documents fingerprint, params) — the same

@@ -604,3 +604,88 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centers = _cached_centers(emb, sf_dir, 16)
     return semdedup(emb, n_clusters=16, threshold=0.4, centers=centers)
+
+
+def mmr_rerank(
+    cands: DataFrame,
+    k: int,
+    lam: float = 0.5,
+    max_pool_rows: int = 10_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR
+    1998) of a per-query candidate pool: greedily select k candidates
+    maximizing ``lam·relevance − (1−lam)·max cosine to the already
+    selected`` — the standard diversity pass a retrieval stack runs on
+    its shortlist so near-duplicate passages don't crowd out a second
+    relevant source.
+
+    ``cands`` carries (qid, nb_id, score, nb_emb): one row per
+    (query, candidate), relevance already computed upstream (exact dot
+    on unit-norm embeddings — this module's contract — so the same
+    numbers serve as the similarity kernel). MMR is inherently
+    sequential IN k, but k is tiny and the pool is the ANN shortlist —
+    the kernel runs per-qid via ``applyInPandas`` (queries parallelize;
+    per-group work is O(pool·k·d) on a ≤``max_pool_rows`` frame, guarded
+    in-kernel the way ``semdedup`` guards cluster size).
+
+    Determinism: candidates enter relevance-ordered with an nb_id
+    tiebreak; numpy argmax returns the FIRST maximum, so float-equal MMR
+    scores resolve to the higher-relevance / lower-nb_id candidate —
+    output is independent of input partitioning. ``lam=1.0`` reduces
+    exactly to the plain relevance top-k (pinned in tests).
+
+    Returns (qid, nb_id, score, mmr, rk≤k): ``score`` the original
+    relevance, ``mmr`` the marginal score that won the slot (rounded
+    4dp; the rank-1 pick keeps mmr = lam·relevance — no selected set to
+    repel from yet).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    kk, ll, cap = int(k), float(lam), int(max_pool_rows)
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > cap:
+            raise ValueError(
+                f"mmr_rerank pool for qid {int(pdf['qid'].iloc[0])} has "
+                f"{len(pdf)} rows > max_pool_rows={cap}; shrink the ANN "
+                "shortlist (pool·k) feeding the re-rank"
+            )
+        pdf = pdf.sort_values(
+            ["score", "nb_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        n = len(pdf)
+        rel = pdf["score"].to_numpy(dtype=np.float64)
+        x = np.array(pdf["nb_emb"].tolist(), dtype=np.float64)
+        picked: list[int] = []
+        mmr_won = np.zeros(min(kk, n), dtype=np.float64)
+        # max-sim-to-selected, updated incrementally: O(pool) per pick
+        max_sim = np.full(n, -np.inf)
+        avail = np.ones(n, dtype=bool)
+        for slot in range(min(kk, n)):
+            if slot == 0:
+                scores = ll * rel  # nothing selected yet to repel from
+            else:
+                scores = ll * rel - (1.0 - ll) * max_sim
+            scores = np.where(avail, scores, -np.inf)
+            j = int(np.argmax(scores))
+            picked.append(j)
+            mmr_won[slot] = scores[j]
+            avail[j] = False
+            np.maximum(max_sim, x @ x[j], out=max_sim)
+        sel = pdf.iloc[picked]
+        return pd.DataFrame(
+            {
+                "qid": sel["qid"].to_numpy(),
+                "nb_id": sel["nb_id"].to_numpy(),
+                "score": sel["score"].to_numpy(),
+                "mmr": np.round(mmr_won, 4),
+                "rk": np.arange(1, len(picked) + 1, dtype=np.int32),
+            }
+        )
+
+    return cands.groupBy("qid").applyInPandas(
+        _mmr, "qid bigint, nb_id bigint, score double, mmr double, rk int"
+    )

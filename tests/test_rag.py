@@ -353,3 +353,124 @@ def test_rag_pipeline_retrieves_planted_twins(spark):
     )
     assert top1 / n_q >= 0.9
     assert in3 / n_q >= 0.97
+
+
+def test_mmr_lambda_one_matches_plain_topk(spark, tmp_path):
+    """lam=1.0 is pure relevance — MMR must reproduce the plain top-k
+    ranking exactly (same ids, same order, same scores)."""
+    from bayesiandatafusion_jl_spark.functions.rag import (
+        rag_build_index,
+        rag_retrieve_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}w{j}" for j in range(40))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    index_dir = str(tmp_path / "ragix_mmr1")
+    rag_build_index(docs, index_dir, n_cells=4, pq_m=4, pq_ksub=16)
+    queries = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    # the MMR path probes at pool grain (k·mmr_pool), so the honest
+    # relevance baseline is the plain k·mmr_pool run truncated to k —
+    # same candidate pool, relevance-only selection
+    plain = {
+        (r["qid"], r["rk"]): (r["nb_id"], r["score"])
+        for r in rag_retrieve_index(
+            queries, index_dir, k=12, n_probe=3
+        ).collect()
+        if r["rk"] <= 3
+    }
+    mmr = {
+        (r["qid"], r["rk"]): (r["nb_id"], r["score"])
+        for r in rag_retrieve_index(
+            queries, index_dir, k=3, n_probe=3, mmr_lambda=1.0, mmr_pool=4
+        ).collect()
+    }
+    assert mmr == plain
+
+
+def test_mmr_diversifies_duplicate_chunks(spark, tmp_path):
+    """Planted duplicates: docs 0 and 1 are identical, doc 2 overlaps
+    the query half-way. Plain top-2 returns the two clones; MMR's
+    second slot must escape to the diverse relevant doc."""
+    from bayesiandatafusion_jl_spark.functions.rag import (
+        rag_build_index,
+        rag_retrieve_index,
+    )
+
+    # two-aspect query: A-tokens + B-tokens. docs 0/1 are duplicate
+    # A-docs (each fully covers aspect A), doc 2 covers aspect B.
+    # Relevance ranks the A-docs first (16 vs 14 shared tokens), so the
+    # plain top-2 is the clone pair; MMR's second slot must escape to
+    # the B-doc: the duplicate's sim-to-selected is 1.0 while the
+    # B-doc is orthogonal to the already-picked A-doc.
+    a = " ".join(f"aspa{j}" for j in range(16))
+    b = " ".join(f"aspb{j}" for j in range(14))
+    rows = [(0, a), (1, a), (2, b)] + [
+        (i, " ".join(f"noise{i}w{j}" for j in range(30))) for i in range(3, 20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    index_dir = str(tmp_path / "ragix_mmr_div")
+    rag_build_index(docs, index_dir, n_cells=2, pq_m=4, pq_ksub=16)
+    queries = spark.createDataFrame(
+        [(1000, a + " " + b)], "doc_id long, text string"
+    )
+
+    plain = [
+        r["nb_doc_id"]
+        for r in rag_retrieve_index(
+            queries, index_dir, k=2, n_probe=2
+        ).orderBy("rk").collect()
+    ]
+    assert sorted(plain) == [0, 1]  # the clones crowd the top-2
+    mmr = [
+        r["nb_doc_id"]
+        for r in rag_retrieve_index(
+            queries, index_dir, k=2, n_probe=2, mmr_lambda=0.5
+        ).orderBy("rk").collect()
+    ]
+    assert mmr[0] in (0, 1)  # rank 1 is still pure relevance
+    assert mmr[1] == 2  # rank 2 escaped the clone pair
+    # lineage decode still holds on the MMR output
+    got = rag_retrieve_index(
+        queries, index_dir, k=2, n_probe=2, mmr_lambda=0.5
+    ).collect()
+    for r in got:
+        assert (r["nb_doc_id"] << _CHUNK_BITS) + r["nb_chunk_id"] == r["nb_id"]
+
+
+def test_mmr_rerank_partition_invariance_and_guards(spark):
+    """Unit gates on the generic kernel: output independent of input
+    partitioning; pool cap raises; lam validated."""
+    import numpy as np
+
+    from bayesiandatafusion_jl_spark.functions.vector import mmr_rerank
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for qid in (1, 2):
+        for nb in range(12):
+            v = rng.normal(size=8)
+            v /= np.linalg.norm(v)
+            rows.append((qid, nb, round(1.0 - 0.01 * nb, 4), [float(x) for x in v]))
+    df = spark.createDataFrame(
+        rows, "qid long, nb_id long, score double, nb_emb array<double>"
+    )
+    a = sorted(map(tuple, mmr_rerank(df.repartition(1), k=4, lam=0.3).collect()))
+    b = sorted(map(tuple, mmr_rerank(df.repartition(13), k=4, lam=0.3).collect()))
+    assert a == b
+    assert len(a) == 8  # 2 qids × k
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(df, k=4, lam=1.5)
+    import re as _re
+
+    from py4j.protocol import Py4JJavaError
+
+    try:
+        mmr_rerank(df, k=4, lam=0.3, max_pool_rows=5).collect()
+        raised = False
+    except Exception as e:  # Spark wraps the kernel's ValueError
+        raised = bool(_re.search("max_pool_rows", str(e)))
+    assert raised
