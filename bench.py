@@ -61,6 +61,8 @@ HEADLINE = [
     "q_llm_knn_ivfpq",      # r11: residual-PQ ADC + exact refine re-rank
     "q_agg_cms",            # r11: count-min sketch build + top-20 validation
     "q_llm_rag_pipeline",   # r11: chunk -> hash-embed -> IVF retrieve chain
+    "q_matview_rollup",     # r12: incremental matview split-merge refresh
+    "q_events_funnel",      # r12: ordered funnel join cascade over events
 ]
 
 
@@ -167,6 +169,14 @@ def main() -> None:
     time_probe(
         "rag_index_probe",
         lambda: rag_retrieve_index(rag_queries, rag_dir, k=3, n_probe=6),
+    )
+    # r12: the MMR-diversified serving leg — same probe plus the
+    # k·pool shortlist embedding re-read and the per-qid pandas kernel
+    time_probe(
+        "rag_index_probe_mmr",
+        lambda: rag_retrieve_index(
+            rag_queries, rag_dir, k=3, n_probe=6, mmr_lambda=0.5
+        ),
     )
 
     # ML sweep throughput: one BPMF Gibbs sweep (I3 kernel both entities +
