@@ -32,6 +32,21 @@ Scale shapes:
   ``minmax=False`` and raises otherwise — loudly, instead of serving a
   stale min.
 
+Two further pieces round out the deployment shape:
+
+- ``distinct_cols`` stores a Datasketches HLL sketch per key per column
+  (``hll_sketch_agg`` / ``hll_union_agg`` — register-max merge, so the
+  merged estimate is EXACTLY the one-shot-sketch estimate at any merge
+  tree): mergeable approx-distinct, the uniques rollup COUNT(DISTINCT)'s
+  Expand can never provide incrementally.
+- the persisted lifecycle (``write_matview`` / ``matview_append`` /
+  ``read_matview`` / ``compact_matview`` + streaming ingestion via
+  ``streaming.pipelines.matview_ingest_stream``): epoch-partitioned
+  partials with config pinning, replay-idempotent appends, a
+  folded-epoch ledger written before the compaction swap, and CDC
+  retraction epochs — the same durability contract as the vector and
+  signature indexes.
+
 No reference analogue (upstream is a batch ML library); this is the
 warehouse-side machinery a training pipeline needs to keep corpus
 statistics current without rescanning the corpus.
@@ -47,10 +62,15 @@ from bayesiandatafusion_jl_spark.functions.exprs import DEC, sql_dmean, sql_dsum
 from bayesiandatafusion_jl_spark.registry import register
 
 
-def _state_cols(measures: list[str], minmax: bool) -> list[str]:
+def _state_cols(
+    measures: list[str],
+    minmax: bool,
+    distinct_cols: list[str] | None = None,
+) -> list[str]:
     out = []
     for m in measures:
         out += [f"{m}_sum", f"{m}_cnt"] + ([f"{m}_min", f"{m}_max"] if minmax else [])
+    out += [f"{c}_hll" for c in distinct_cols or []]
     return out + ["n_rows"]
 
 
@@ -59,10 +79,19 @@ def rollup_state(
     keys: list[str],
     measures: list[str],
     minmax: bool = True,
+    distinct_cols: list[str] | None = None,
+    lg_k: int = 12,
 ) -> DataFrame:
     """Key-grain mergeable state for ``df`` (one hash aggregate,
     map-side combinable). Build it once on the base, then once per
-    delta batch; combine with ``rollup_merge``."""
+    delta batch; combine with ``rollup_merge``.
+
+    ``distinct_cols`` adds a Datasketches HLL sketch per listed column
+    (``F.hll_sketch_agg``) — the mergeable approx-distinct the exact
+    ``COUNT(DISTINCT)`` Expand can never be at 100 TB: register-max
+    merge is associative/commutative/idempotent, so the merged
+    estimate is EXACTLY the estimate a one-shot sketch of the whole
+    table would give, at any merge tree and ~(2^lg_k) bytes per key."""
     aggs = []
     for m in measures:
         aggs.append(F.sum(F.col(m).cast(DEC)).alias(f"{m}_sum"))
@@ -70,6 +99,8 @@ def rollup_state(
         if minmax:
             aggs.append(F.min(m).alias(f"{m}_min"))
             aggs.append(F.max(m).alias(f"{m}_max"))
+    for c in distinct_cols or []:
+        aggs.append(F.hll_sketch_agg(F.col(c), F.lit(int(lg_k))).alias(f"{c}_hll"))
     aggs.append(F.count(F.lit(1)).alias("n_rows"))
     return df.groupBy(*keys).agg(*aggs)
 
@@ -79,13 +110,15 @@ def rollup_merge(
     keys: list[str],
     measures: list[str],
     minmax: bool = True,
+    distinct_cols: list[str] | None = None,
 ) -> DataFrame:
     """Merge any number of key-grain states into one (union + one hash
     aggregate over key cardinality; never touches fact rows). Decimal
-    sums make the result independent of merge order and tree shape."""
+    sums make the result independent of merge order and tree shape;
+    HLL register-max union is order-independent by construction."""
     if not states:
         raise ValueError("rollup_merge needs at least one state")
-    cols = keys + _state_cols(measures, minmax)
+    cols = keys + _state_cols(measures, minmax, distinct_cols)
     merged = states[0].select(*cols)
     for s in states[1:]:
         merged = merged.unionByName(s.select(*cols))
@@ -97,6 +130,8 @@ def rollup_merge(
         if minmax:
             aggs.append(F.min(f"{m}_min").alias(f"{m}_min"))
             aggs.append(F.max(f"{m}_max").alias(f"{m}_max"))
+    for c in distinct_cols or []:
+        aggs.append(F.hll_union_agg(F.col(f"{c}_hll")).alias(f"{c}_hll"))
     aggs.append(F.sum("n_rows").alias("n_rows"))
     return merged.groupBy(*keys).agg(*aggs)
 
@@ -111,15 +146,17 @@ def rollup_retract(
     negated partials (CDC delete / correction path). Keys whose count
     drops to zero disappear from the view.
 
-    Requires a ``minmax=False`` state: a retracted row that WAS the
-    minimum leaves min/max unrecoverable without re-reading the base,
-    and serving a silently-stale extremum is worse than refusing."""
-    bad = [c for c in state.columns if c.endswith(("_min", "_max"))]
+    Requires a ``minmax=False`` state without HLL columns: a retracted
+    row that WAS the minimum leaves min/max unrecoverable without
+    re-reading the base, and HLL registers are max-merged (insert-only)
+    — serving a silently-stale extremum or uniques count is worse than
+    refusing."""
+    bad = [c for c in state.columns if c.endswith(("_min", "_max", "_hll"))]
     if bad:
         raise ValueError(
-            "rollup_retract needs a state built with minmax=False — "
-            f"min/max are not retractable (found {bad}); rebuild the "
-            "affected keys from the base instead"
+            "rollup_retract needs a state built with minmax=False and no "
+            f"distinct_cols — min/max/HLL are not retractable (found {bad});"
+            " rebuild the affected keys from the base instead"
         )
     neg = rollup_state(retracted, keys, measures, minmax=False)
     flipped = neg.select(
@@ -144,10 +181,12 @@ def rollup_read(
     measures: list[str],
 ) -> DataFrame:
     """Serve the view: per measure sum (double), count, avg (one IEEE
-    division of identical operands in any engine), and min/max when the
-    state carries them."""
+    division of identical operands in any engine), min/max when the
+    state carries them, and ``approx_distinct_<col>`` per stored HLL
+    sketch."""
     has_minmax = any(c.endswith("_min") for c in state.columns)
-    state_names = set(_state_cols(measures, True))
+    hll_cols = [c[: -len("_hll")] for c in state.columns if c.endswith("_hll")]
+    state_names = set(_state_cols(measures, True, hll_cols))
     out = [F.col(c) for c in state.columns if c not in state_names]
     for m in measures:
         out.append(F.col(f"{m}_sum").cast("double").alias(f"sum_{m}"))
@@ -158,6 +197,10 @@ def rollup_read(
         if has_minmax:
             out.append(F.col(f"{m}_min").alias(f"min_{m}"))
             out.append(F.col(f"{m}_max").alias(f"max_{m}"))
+    for c in hll_cols:
+        out.append(
+            F.hll_sketch_estimate(F.col(f"{c}_hll")).alias(f"approx_distinct_{c}")
+        )
     out.append(F.col("n_rows"))
     return state.select(*out)
 
@@ -203,3 +246,306 @@ def q_matview_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         measures,
     )
     return rollup_read(state, measures)
+
+
+# --- persisted matview (r12): the deployment lifecycle -------------------
+#
+# A matview that outlives one session is a directory, same discipline as
+# the vector/signature indexes (functions/vector_index.py):
+#
+#   <view_dir>/meta                 pinned config (fingerprint + lg_k +
+#                                   flags) — a delta aggregated under a
+#                                   DIFFERENT (keys, measures) config
+#                                   would merge garbage, so appends check
+#   <view_dir>/state/__epoch=<e>/   one key-grain partial state per
+#                                   ingested batch (dynamic-partition
+#                                   overwrite: a replayed batch REWRITES
+#                                   its own epoch instead of
+#                                   double-counting — byte-idempotent)
+#   <view_dir>/folded               replay ledger (functions/index_compact
+#                                   primitives): epochs folded by a past
+#                                   compaction are REJECTED on re-append,
+#                                   written BEFORE the swap so a crash
+#                                   between the two spuriously rejects,
+#                                   never silently duplicates
+#
+# Serving merges the epoch partials (|epochs|·|keys| rows — never fact
+# rows); compaction folds them back to one epoch when the epoch count
+# grows. Retraction batches append NEGATED partials as their own epochs
+# (sum/count-only views), so CDC deletes flow through the same
+# idempotent epoch contract.
+
+_COMPACT_EPOCH_PREFIX = "compact-"  # index_compact.COMPACT_PREFIX
+
+
+def _config_fp(
+    keys: list[str],
+    measures: list[str],
+    minmax: bool,
+    distinct_cols: list[str] | None,
+    lg_k: int,
+) -> int:
+    """28-bit config fingerprint (sha256 prefix — the bpe.py artifact
+    discipline): pins column sets + flags into index_meta's int rows."""
+    import hashlib
+
+    canon = "|".join(
+        [
+            ",".join(keys),
+            ",".join(measures),
+            str(int(minmax)),
+            ",".join(distinct_cols or []),
+            str(int(lg_k)),
+        ]
+    )
+    return int.from_bytes(hashlib.sha256(canon.encode()).digest()[:4], "big") >> 4
+
+
+def _view_paths(view_dir: str):
+    from bayesiandatafusion_jl_spark.functions.index_meta import index_paths
+
+    return index_paths(view_dir, "meta", "state")
+
+
+def write_matview(
+    base: DataFrame,
+    view_dir: str,
+    keys: list[str],
+    measures: list[str],
+    minmax: bool = True,
+    distinct_cols: list[str] | None = None,
+    lg_k: int = 12,
+) -> None:
+    """Fresh view build: aggregate ``base`` to state, write it as the
+    ``base`` epoch, pin the config, reset the replay ledger (a new
+    incarnation owns a new epoch namespace)."""
+    from bayesiandatafusion_jl_spark.functions.index_compact import reset_ledger
+    from bayesiandatafusion_jl_spark.functions.index_meta import write_meta
+
+    spark = base.sparkSession
+    meta_path, state_path = _view_paths(view_dir)
+    reset_ledger(spark, view_dir)
+    state = rollup_state(base, keys, measures, minmax, distinct_cols, lg_k)
+    (
+        state.withColumn("__epoch", F.lit("base"))
+        .write.mode("overwrite")
+        .partitionBy("__epoch")
+        .option("partitionOverwriteMode", "static")
+        .parquet(state_path)
+    )
+    write_meta(
+        spark,
+        meta_path,
+        "overwrite",
+        config_fp=_config_fp(keys, measures, minmax, distinct_cols, lg_k),
+        minmax=int(minmax),
+        lg_k=int(lg_k),
+        retract_ok=int(not minmax and not distinct_cols),
+    )
+
+
+def _check_view(spark: SparkSession, view_dir: str, keys, measures, minmax,
+                distinct_cols, lg_k) -> None:
+    from bayesiandatafusion_jl_spark.functions.index_meta import check_meta
+
+    meta_path, _ = _view_paths(view_dir)
+    check_meta(
+        spark,
+        meta_path,
+        "a state aggregated under a different (keys, measures, minmax,"
+        " distinct_cols, lg_k) config would merge into garbage — rebuild"
+        " the view or match its pinned config",
+        config_fp=_config_fp(keys, measures, minmax, distinct_cols, lg_k),
+    )
+
+
+def matview_append(
+    delta: DataFrame,
+    view_dir: str,
+    keys: list[str],
+    measures: list[str],
+    epoch: str,
+    minmax: bool = True,
+    distinct_cols: list[str] | None = None,
+    lg_k: int = 12,
+    retract: bool = False,
+) -> None:
+    """Ingest one delta batch: aggregate it to key grain and write it as
+    its own ``__epoch`` partition. Replay-idempotent (the epoch is
+    dynamically overwritten), config-pinned, and ledger-checked (an
+    epoch folded by a past compaction is rejected — re-ingest genuinely
+    new data under a NEW epoch name). ``retract=True`` negates the
+    partials (CDC delete/correction), allowed only on views pinned
+    ``retract_ok`` (minmax=False, no distinct_cols)."""
+    from bayesiandatafusion_jl_spark.functions.index_compact import (
+        check_not_folded,
+    )
+    from bayesiandatafusion_jl_spark.functions.index_meta import read_meta
+
+    spark = delta.sparkSession
+    meta_path, state_path = _view_paths(view_dir)
+    _check_view(spark, view_dir, keys, measures, minmax, distinct_cols, lg_k)
+    check_not_folded(spark, view_dir, epoch)
+    if epoch == "base":
+        raise ValueError(
+            "epoch 'base' is reserved for the initial build; append under"
+            " a batch-specific name"
+        )
+    state = rollup_state(delta, keys, measures, minmax, distinct_cols, lg_k)
+    if retract:
+        if not read_meta(spark, meta_path)["retract_ok"]:
+            raise ValueError(
+                "retraction needs a view built with minmax=False and no"
+                " distinct_cols — min/max/HLL partials cannot subtract"
+            )
+        state = state.select(
+            *keys,
+            *[
+                c
+                for m in measures
+                for c in (
+                    (-F.col(f"{m}_sum")).cast(DEC).alias(f"{m}_sum"),
+                    (-F.col(f"{m}_cnt")).alias(f"{m}_cnt"),
+                )
+            ],
+            (-F.col("n_rows")).alias("n_rows"),
+        )
+    (
+        state.withColumn("__epoch", F.lit(epoch))
+        .write.mode("overwrite")
+        .partitionBy("__epoch")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(state_path)
+    )
+
+
+def read_matview(
+    spark: SparkSession,
+    view_dir: str,
+    keys: list[str],
+    measures: list[str],
+    minmax: bool = True,
+    distinct_cols: list[str] | None = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Serve the view: merge every epoch's partials down to one state
+    and read it out. Cost is |epochs|·|keys| state rows — fact rows are
+    never re-read; fully-retracted keys (n_rows <= 0) disappear."""
+    _check_view(spark, view_dir, keys, measures, minmax, distinct_cols, lg_k)
+    _, state_path = _view_paths(view_dir)
+    state = spark.read.parquet(state_path).drop("__epoch")
+    merged = rollup_merge([state], keys, measures, minmax, distinct_cols)
+    return rollup_read(merged.filter(F.col("n_rows") > 0), measures)
+
+
+def compact_matview(
+    spark: SparkSession,
+    view_dir: str,
+    keys: list[str],
+    measures: list[str],
+    minmax: bool = True,
+    distinct_cols: list[str] | None = None,
+    lg_k: int = 12,
+) -> list[str]:
+    """Fold every epoch partial into one compacted epoch, so serve-time
+    merge cost stays |keys| no matter how many batches ever ingested.
+    Crash ordering follows the index_compact contract: the folded
+    epochs hit the replay ledger BEFORE the state swap — a crash
+    between the two leaves replays spuriously rejected, never silently
+    double-counted. Returns the folded epoch names."""
+    from bayesiandatafusion_jl_spark.functions.index_compact import (
+        _swap_dir,
+        folded_epochs,
+        record_folded,
+    )
+
+    _check_view(spark, view_dir, keys, measures, minmax, distinct_cols, lg_k)
+    _, state_path = _view_paths(view_dir)
+    state = spark.read.parquet(state_path)
+    epochs = [r["__epoch"] for r in state.select("__epoch").distinct().collect()]
+    gen = max(list(folded_epochs(spark, view_dir).values()) or [0]) + 1
+    new_epoch = f"{_COMPACT_EPOCH_PREFIX}{gen}"
+    merged = rollup_merge(
+        [state.drop("__epoch")], keys, measures, minmax, distinct_cols
+    )
+    tmp_path = state_path.rstrip("/") + ".__compact_tmp"
+    (
+        merged.withColumn("__epoch", F.lit(new_epoch))
+        .write.mode("overwrite")
+        .partitionBy("__epoch")
+        .parquet(tmp_path)
+    )
+    # ledger BEFORE swap (the refit_ivf_index lesson, ADVICE r11)
+    record_folded(
+        spark,
+        view_dir,
+        [e for e in epochs if not e.startswith(_COMPACT_EPOCH_PREFIX)],
+        gen,
+    )
+    _swap_dir(spark, tmp_path, state_path)
+    return sorted(epochs)
+
+
+@register(
+    "q_matview_persisted",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_l_quantity,
+           COUNT(l_quantity) AS cnt_l_quantity,
+           {sql_dmean('l_quantity')} AS avg_l_quantity,
+           MIN(l_quantity) AS min_l_quantity,
+           MAX(l_quantity) AS max_l_quantity,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_orderkey % 10 < 9
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("D1", "matview", "maintenance", "streaming"),
+    demoted=True,
+)
+def q_matview_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-view lifecycle, end-to-end and hash-exact: build
+    from an 80% base, append one delta epoch, compact, append a second
+    delta, then RETRACT it again (negated-partial epoch) — the served
+    readout must equal a one-shot GROUP BY over exactly base+delta1.
+    Decimal partials make every step bit-deterministic, so this
+    side-effecting pipeline still carries a full DuckDB oracle.
+
+    min/max note: the retractable view pins minmax=False, so min/max
+    for the oracle's column list come from a second, append-only
+    minmax view over the same 90% slice — the composition a deployment
+    would actually run (retractable sums + monotone extrema views)."""
+    import shutil
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = ["l_returnflag", "l_linestatus"]
+    measures = ["l_quantity"]
+    base = li.filter(F.col("l_orderkey") % 10 < 8)
+    d1 = li.filter(F.col("l_orderkey") % 10 == 8)
+    d2 = li.filter(F.col("l_orderkey") % 10 == 9)
+    vd = f"/tmp/bdf_matview/{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(vd, ignore_errors=True)
+    write_matview(base, vd, keys, measures, minmax=False)
+    matview_append(d1, vd, keys, measures, "d1", minmax=False)
+    compact_matview(spark, vd, keys, measures, minmax=False)
+    matview_append(d2, vd, keys, measures, "d2", minmax=False)
+    matview_append(d2, vd, keys, measures, "undo-d2", minmax=False, retract=True)
+    sums = read_matview(spark, vd, keys, measures, minmax=False)
+
+    mmvd = vd + "_minmax"
+    shutil.rmtree(mmvd, ignore_errors=True)
+    write_matview(base, mmvd, keys, measures, minmax=True)
+    matview_append(d1, mmvd, keys, measures, "d1", minmax=True)
+    minmax = read_matview(spark, mmvd, keys, measures, minmax=True).select(
+        *keys, "min_l_quantity", "max_l_quantity"
+    )
+    return sums.join(minmax, keys).select(
+        *keys,
+        "sum_l_quantity",
+        "cnt_l_quantity",
+        "avg_l_quantity",
+        "min_l_quantity",
+        "max_l_quantity",
+        "n_rows",
+    )

@@ -464,3 +464,57 @@ def rag_ingest_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def matview_ingest_stream(
+    facts_stream: DataFrame,
+    view_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    measures: list[str],
+    minmax: bool = True,
+    distinct_cols: list[str] | None = None,
+    lg_k: int = 12,
+):
+    """Streaming materialized-view maintenance (r12): every micro-batch
+    of fact rows is aggregated to key grain and appended to a persisted
+    matview (operators/matview.py) as its own ``__epoch=stream_<id>``
+    partial — the view serves merged results mid-stream, batch jobs
+    share it, and compaction folds the epoch partials offline.
+
+    ``foreachBatch`` for the same reasons as ``rag_ingest_stream``: the
+    view outlives the stream and composes with the batch lifecycle
+    (append/retract/compact/config pin). Replay safety is the epoch
+    contract — a retried micro-batch dynamically overwrites its OWN
+    epoch partition with byte-identical partials (the batch aggregate is
+    deterministic), never double-counts. Same caller contract as the
+    index streams: ONE (source, checkpoint) pair drives a view for its
+    lifetime; a fresh checkpoint renumbers batches from 0 and rewrites
+    the stream_N epochs (recovery = byte-idempotent; pointing it at a
+    different source = data corruption, use batch ``matview_append``
+    with explicit epochs instead).
+
+    Returns the started query; drive with ``processAllAvailable()`` or
+    a trigger.
+    """
+    from bayesiandatafusion_jl_spark.operators.matview import matview_append
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        matview_append(
+            batch_df,
+            view_dir,
+            keys,
+            measures,
+            epoch=f"stream_{batch_id}",
+            minmax=minmax,
+            distinct_cols=distinct_cols,
+            lg_k=lg_k,
+        )
+
+    return (
+        facts_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -98,3 +98,182 @@ def test_persisted_state_refresh_roundtrip(spark, tmp_path):
     assert _rows(rollup_read(refreshed, MEAS)) == _rows(
         rollup_read(direct, MEAS)
     )
+
+
+def test_hll_distinct_merge_equals_one_shot(spark):
+    """HLL register-max merge is exact w.r.t. the sketch: the merged
+    estimate equals the one-shot whole-table sketch estimate, and both
+    land within 5% of the exact distinct count."""
+    li = load_table(spark, SF_DIR_TINY, "lineitem")
+    parts = [
+        rollup_state(
+            li.filter(F.col("l_orderkey") % 3 == i),
+            ["l_returnflag"],
+            ["l_quantity"],
+            distinct_cols=["l_suppkey"],
+        )
+        for i in range(3)
+    ]
+    merged = rollup_read(
+        rollup_merge(
+            parts, ["l_returnflag"], ["l_quantity"], distinct_cols=["l_suppkey"]
+        ),
+        ["l_quantity"],
+    )
+    direct = rollup_read(
+        rollup_state(
+            li, ["l_returnflag"], ["l_quantity"], distinct_cols=["l_suppkey"]
+        ),
+        ["l_quantity"],
+    )
+    m = {r["l_returnflag"]: r["approx_distinct_l_suppkey"] for r in merged.collect()}
+    d = {r["l_returnflag"]: r["approx_distinct_l_suppkey"] for r in direct.collect()}
+    assert m == d
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_suppkey").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(m[k] - n) <= max(1, 0.05 * n), (k, m[k], n)
+
+
+def test_hll_state_refuses_retraction(spark):
+    li = load_table(spark, SF_DIR_TINY, "lineitem").limit(20)
+    state = rollup_state(
+        li, KEYS, MEAS, minmax=False, distinct_cols=["l_suppkey"]
+    )
+    with pytest.raises(ValueError, match="_hll"):
+        rollup_retract(state, li, KEYS, MEAS)
+
+
+def test_persisted_matview_lifecycle(spark, tmp_path):
+    """build → append ×2 → serve ≡ direct recompute; replayed epoch is
+    idempotent; compaction preserves the readout and the ledger rejects
+    re-appending a folded epoch; config pin refuses a mismatched
+    append."""
+    from bayesiandatafusion_jl_spark.operators.matview import (
+        compact_matview,
+        matview_append,
+        read_matview,
+        write_matview,
+    )
+
+    li = load_table(spark, SF_DIR_TINY, "lineitem")
+    vd = str(tmp_path / "view")
+    base = li.filter(F.col("l_orderkey") % 10 < 8)
+    d1 = li.filter(F.col("l_orderkey") % 10 == 8)
+    d2 = li.filter(F.col("l_orderkey") % 10 == 9)
+    write_matview(base, vd, KEYS, MEAS, distinct_cols=["l_suppkey"])
+    matview_append(d1, vd, KEYS, MEAS, "b1", distinct_cols=["l_suppkey"])
+    matview_append(d2, vd, KEYS, MEAS, "b2", distinct_cols=["l_suppkey"])
+    direct = _rows(
+        rollup_read(
+            rollup_state(li, KEYS, MEAS, distinct_cols=["l_suppkey"]), MEAS
+        )
+    )
+    got = _rows(read_matview(spark, vd, KEYS, MEAS, distinct_cols=["l_suppkey"]))
+    assert got == direct
+
+    # replayed batch: same epoch, same data — byte-idempotent
+    matview_append(d1, vd, KEYS, MEAS, "b1", distinct_cols=["l_suppkey"])
+    assert _rows(
+        read_matview(spark, vd, KEYS, MEAS, distinct_cols=["l_suppkey"])
+    ) == direct
+
+    # compaction: readout unchanged, folded epoch rejected on re-append
+    folded = compact_matview(spark, vd, KEYS, MEAS, distinct_cols=["l_suppkey"])
+    assert "b1" in folded and "b2" in folded and "base" in folded
+    assert _rows(
+        read_matview(spark, vd, KEYS, MEAS, distinct_cols=["l_suppkey"])
+    ) == direct
+    with pytest.raises(ValueError, match="folded"):
+        matview_append(d1, vd, KEYS, MEAS, "b1", distinct_cols=["l_suppkey"])
+    # but a NEW epoch still appends fine after compaction
+    matview_append(d1, vd, KEYS, MEAS, "b3", distinct_cols=["l_suppkey"])
+
+    # config pin: different measures → refused
+    with pytest.raises(ValueError, match="config"):
+        matview_append(d1, vd, KEYS, ["l_quantity"], "b4")
+
+    # fresh rebuild resets the ledger: the old epoch names are usable
+    write_matview(base, vd, KEYS, MEAS, distinct_cols=["l_suppkey"])
+    matview_append(d1, vd, KEYS, MEAS, "b1", distinct_cols=["l_suppkey"])
+
+
+def test_persisted_matview_retraction_epochs(spark, tmp_path):
+    """CDC deletes as negated-partial epochs on a retract_ok view; a
+    retract append on a minmax view is refused."""
+    from bayesiandatafusion_jl_spark.operators.matview import (
+        matview_append,
+        read_matview,
+        write_matview,
+    )
+
+    li = load_table(spark, SF_DIR_TINY, "lineitem")
+    extra = li.filter(F.col("l_orderkey") % 10 == 9)
+    vd = str(tmp_path / "rview")
+    write_matview(li, vd, KEYS, MEAS, minmax=False)
+    matview_append(extra, vd, KEYS, MEAS, "undo9", minmax=False, retract=True)
+    want = _rows(
+        rollup_read(
+            rollup_state(
+                li.filter(F.col("l_orderkey") % 10 < 9), KEYS, MEAS, minmax=False
+            ),
+            MEAS,
+        )
+    )
+    assert _rows(read_matview(spark, vd, KEYS, MEAS, minmax=False)) == want
+
+    vd2 = str(tmp_path / "mview")
+    write_matview(li, vd2, KEYS, MEAS, minmax=True)
+    with pytest.raises(ValueError, match="retract"):
+        matview_append(extra, vd2, KEYS, MEAS, "undo", minmax=True, retract=True)
+
+
+def test_matview_ingest_stream(spark, tmp_path):
+    """Micro-batches land as stream_<id> epochs; the served view equals
+    a direct recompute over everything ingested."""
+    from bayesiandatafusion_jl_spark.streaming.pipelines import (
+        matview_ingest_stream,
+    )
+    from bayesiandatafusion_jl_spark.operators.matview import (
+        read_matview,
+        write_matview,
+    )
+
+    li = load_table(spark, SF_DIR_TINY, "lineitem")
+    src = str(tmp_path / "src")
+    base = li.filter(F.col("l_orderkey") % 4 == 0)
+    write_matview(base, str(tmp_path / "sview"), KEYS, MEAS)
+    for i in (1, 2):
+        li.filter(F.col("l_orderkey") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = matview_ingest_stream(
+        stream,
+        str(tmp_path / "sview"),
+        str(tmp_path / "ckpt"),
+        KEYS,
+        MEAS,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    want = _rows(
+        rollup_read(
+            rollup_state(
+                li.filter(F.col("l_orderkey") % 4 <= 2), KEYS, MEAS
+            ),
+            MEAS,
+        )
+    )
+    got = _rows(read_matview(spark, str(tmp_path / "sview"), KEYS, MEAS))
+    assert got == want
