@@ -589,3 +589,53 @@ def q_llm_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hit",
         (F.col("nb_doc_id") == F.col("qid") - 1_000_000) & (F.col("rk") == 1),
     ).orderBy("qid", "rk")
+
+
+def rag_fetch_chunks(
+    hits: DataFrame,
+    docs: DataFrame,
+    index_dir: str,
+) -> DataFrame:
+    """Resolve retrieval hits back to their chunk TEXT — the serving
+    step after ``rag_retrieve_index``: the index stores only codes and
+    embeddings, so the prompt-assembly side needs (doc_id, chunk_id) →
+    chunk_text, re-derived from the source documents under the index's
+    PINNED chunk config (a different window/overlap would hand back the
+    wrong spans — the meta check refuses that).
+
+    Bounded by construction: the hit frame is |Q|·k rows, so only the
+    HIT documents are re-read and re-chunked — ``docs`` is pruned with
+    a broadcast semi-join on the hit doc ids before the map-only
+    chunking expression runs, and the final attach is a broadcast hash
+    join of the hits against those documents' chunks. The corpus is
+    never scanned.
+    """
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        check_meta,
+        index_paths,
+        read_meta,
+    )
+
+    spark = hits.sparkSession
+    (rag_meta_path,) = index_paths(index_dir, "rag_meta")
+    check_meta(
+        spark,
+        rag_meta_path,
+        "this index packs chunk lineage with a different bit split —"
+        " fetched spans would come from the wrong documents",
+        chunk_bits=_CHUNK_BITS,
+    )
+    meta = read_meta(spark, rag_meta_path).asDict()
+    hit_ids = hits.select(F.col("nb_doc_id").alias("doc_id")).distinct()
+    hit_docs = docs.join(F.broadcast(hit_ids), "doc_id", "left_semi")
+    chunks = chunk_documents(hit_docs, meta["chunk_tokens"], meta["overlap"])
+    return hits.join(
+        F.broadcast(
+            chunks.select(
+                F.col("doc_id").alias("nb_doc_id"),
+                F.col("chunk_id").alias("nb_chunk_id"),
+                "chunk_text",
+            )
+        ),
+        ["nb_doc_id", "nb_chunk_id"],
+    )

@@ -158,6 +158,7 @@ def funnel_steps(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_gap: str | None = None,
 ) -> DataFrame:
     """Per-user ORDERED funnel timestamps: one row per user who reached
     step 1, with ``t1..tn`` = the earliest time step i happened STRICTLY
@@ -173,6 +174,12 @@ def funnel_steps(
     window sort. len(steps) is small and fixed (3–6 in practice); at
     100 TB each slice join is AQE-broadcastable whenever the funnel
     population fits, and all steps reuse the same user_id partitioning.
+
+    ``max_gap`` (e.g. ``"30 minutes"``) bounds each transition: step i
+    must land within that interval AFTER step i-1 or the chain breaks —
+    the conversion-window semantics real funnels are defined with (a
+    purchase six months after the signup email is not that campaign's
+    conversion).
     """
     u, ty, ts = user_col, type_col, ts_col
     per_user = (
@@ -182,14 +189,17 @@ def funnel_steps(
     )
     for i, step in enumerate(steps[1:], start=2):
         sl = events.filter(F.col(ty) == step).select(u, ts)
+        qualifies = F.col(ts) > F.col(f"t{i - 1}")
+        if max_gap is not None:
+            qualifies = qualifies & (
+                F.col(ts) <= F.col(f"t{i - 1}") + F.expr(f"INTERVAL {max_gap}")
+            )
         per_user = (
             per_user.join(sl, u, "left")
             .groupBy(u)
             .agg(
                 *[F.max(f"t{j}").alias(f"t{j}") for j in range(1, i)],
-                F.min(
-                    F.when(F.col(ts) > F.col(f"t{i - 1}"), F.col(ts))
-                ).alias(f"t{i}"),
+                F.min(F.when(qualifies, F.col(ts))).alias(f"t{i}"),
             )
         )
     return per_user

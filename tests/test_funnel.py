@@ -62,3 +62,34 @@ def test_funnel_earliest_qualifying_step_time(spark):
     )
     (r,) = funnel_steps(ev, ["A", "B", "C"]).collect()
     assert (r["t1"], r["t2"], r["t3"]) == (_ts(5), _ts(7), _ts(8))
+
+
+def test_funnel_max_gap_conversion_window(spark):
+    """max_gap bounds each transition: a step landing outside the window
+    breaks the chain; an in-window occurrence converts even when an
+    out-of-window one also exists."""
+    rows = [
+        # u1: B 90 min after A — outside a 30-minute window
+        (1, "A", _ts(0)), (1, "B", datetime(2024, 1, 1, 1, 30)),
+        # u2: B at +10 min (in window), C at +50 min after B (outside)
+        (2, "A", _ts(0)), (2, "B", _ts(10)), (2, "C", datetime(2024, 1, 1, 1, 0)),
+        # u3: one B inside the window, another outside — converts on the
+        # in-window one; the qualifying min ignores the stray
+        (3, "A", _ts(0)), (3, "B", _ts(20)), (3, "B", datetime(2024, 1, 1, 1, 30)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id int, event_type string, ts timestamp"
+    )
+    got = {
+        r["user_id"]: (r["t2"], r["t3"])
+        for r in funnel_steps(ev, ["A", "B", "C"], max_gap="30 minutes").collect()
+    }
+    assert got[1] == (None, None)
+    assert got[2] == (_ts(10), None)
+    assert got[3] == (_ts(20), None)
+    # without the window, u1 converts on its late B
+    loose = {
+        r["user_id"]: r["t2"]
+        for r in funnel_steps(ev, ["A", "B", "C"]).collect()
+    }
+    assert loose[1] is not None

@@ -474,3 +474,34 @@ def test_mmr_rerank_partition_invariance_and_guards(spark):
     except Exception as e:  # Spark wraps the kernel's ValueError
         raised = bool(_re.search("max_pool_rows", str(e)))
     assert raised
+
+
+def test_rag_fetch_chunks_resolves_hit_text(spark, tmp_path):
+    """Every retrieval hit resolves to EXACTLY the chunk text the index
+    was built from (pinned chunk config), and only hit documents are
+    re-chunked."""
+    from bayesiandatafusion_jl_spark.functions.chunking import chunk_documents
+    from bayesiandatafusion_jl_spark.functions.rag import (
+        rag_build_index,
+        rag_fetch_chunks,
+        rag_retrieve_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}w{j}" for j in range(80))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    index_dir = str(tmp_path / "ragix_fetch")
+    rag_build_index(docs, index_dir, n_cells=4, pq_m=4, pq_ksub=16)
+    queries = docs.filter(F.col("doc_id") < 4).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    hits = rag_retrieve_index(queries, index_dir, k=2, n_probe=3)
+    fetched = rag_fetch_chunks(hits, docs, index_dir)
+    assert fetched.count() == hits.count()  # every hit resolved, no dupes
+    truth = {
+        (r["doc_id"], r["chunk_id"]): r["chunk_text"]
+        for r in chunk_documents(docs, 32, 8).collect()
+    }
+    for r in fetched.collect():
+        assert r["chunk_text"] == truth[(r["nb_doc_id"], r["nb_chunk_id"])]
