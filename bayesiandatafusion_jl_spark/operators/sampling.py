@@ -347,3 +347,127 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_k(o, ["o_orderkey"], "o_totalprice", _WSAMPLE_K).select(
         "o_orderkey", "o_totalprice"
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    len_col: str,
+    id_cols: list[str],
+    by: list[str] | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Fill a TOKEN budget (not a row count) per group: rows enter in
+    the deterministic identity-hash order (``_bucket`` — the same
+    partition- and engine-independent contract as ``hash_sample``) and
+    are kept while the group's inclusive running token total stays
+    ≤ ``budget``. The selection a mixture recipe actually specifies —
+    "200B tokens of web, 30B of code" — where doc-count sampling
+    over-represents short documents.
+
+    Scale shape: the naive form is one window per group, which ships an
+    ENTIRE source to one task. This uses the ``pack_sequences`` two-phase
+    prefix scan instead, generalized by the group key: range-partition on
+    (group, hash-order), pid-local running sums, one bounded
+    (pid × group) totals collect, exclusive group prefixes rejoined by
+    broadcast. Exact and bit-identical at any partition count; no task
+    ever sees more than its range slice.
+
+    Keeps hash_sample's nesting property per group (a smaller budget's
+    selection ⊂ a larger one's) because the order is budget-independent.
+    """
+    from bayesiandatafusion_jl_spark.session import (
+        checkpoint_df,
+        shuffle_partitions,
+    )
+
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    sess = df.sparkSession
+    grp = list(by or [])
+    if n_partitions is None:
+        n_partitions = shuffle_partitions(sess)
+    staged = df.select("*", _bucket(id_cols).alias("__ord")).repartitionByRange(
+        n_partitions, *grp, F.col("__ord"), *[F.col(c) for c in id_cols]
+    )
+    # materialize ONCE: the totals collect and the returned plan must
+    # read the same sampled range boundaries (pack_sequences discipline)
+    pid = checkpoint_df(staged.withColumn("__pid", F.spark_partition_id()))
+    w = (
+        W.partitionBy("__pid", *grp)
+        .orderBy(F.col("__ord").asc(), *[F.col(c).asc() for c in id_cols])
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = pid.withColumn(
+        "__cum_local", F.sum(F.col(len_col)).over(w).cast("long")
+    )
+    # bounded collect: n_partitions × |groups| rows (mixture sources are
+    # few by construction)
+    totals = (
+        pid.groupBy("__pid", *grp)
+        .agg(F.sum(F.col(len_col)).cast("long").alias("t"))
+        .collect()
+    )
+    prefix_rows = []
+    acc: dict = {}
+    for r in sorted(totals, key=lambda r: (tuple(str(r[g]) for g in grp), r["__pid"])):
+        key = tuple(r[g] for g in grp)
+        prefix_rows.append((*key, r["__pid"], acc.get(key, 0)))
+        acc[key] = acc.get(key, 0) + r["t"]
+    schema_parts = [f"{g} {dict(df.dtypes)[g]}" for g in grp]
+    offsets = sess.createDataFrame(
+        prefix_rows, ", ".join(schema_parts + ["__pid int", "__prefix long"])
+    )
+    return (
+        local.join(F.broadcast(offsets), ["__pid", *grp])
+        .filter(F.col("__prefix") + F.col("__cum_local") <= F.lit(int(budget)))
+        .drop("__ord", "__pid", "__cum_local", "__prefix")
+    )
+
+
+@register(
+    "q_llm_token_budget",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 3 AS source,
+             len(string_split(text, ' ')) AS n_tokens,
+             {_sql_bucket(['doc_id'])} AS ord
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM d
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_taken,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM c WHERE cum <= 5000
+    GROUP BY source
+    """,
+    tags=("llm-sampling", "mixture"),
+    demoted=True,
+)
+def q_llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture fill over documents: 5k whitespace tokens
+    per synthetic source (doc_id % 3), identity-hash order — per-source
+    doc counts, tokens taken (always ≤ budget), and id-range readout,
+    hash-exact vs the oracle's window formulation."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 3).alias("source"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    kept = token_budget_sample(
+        docs, budget=5000, len_col="n_tokens", id_cols=["doc_id"], by=["source"]
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_taken"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

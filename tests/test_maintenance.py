@@ -601,3 +601,50 @@ def test_profile_numeric_approx_distinct_drops_expand(spark):
     plan_approx = formatted_plan(approx_df)
     assert re.search(r"\(\d+\) Expand", plan_exact)
     assert not re.search(r"\(\d+\) Expand", plan_approx), plan_approx
+
+
+def test_token_budget_sample_invariants(spark):
+    """Partition invariance, budget-nesting, per-group budget respect,
+    and the empty-budget edge — the contracts the oracle row-check
+    can't isolate."""
+    from bayesiandatafusion_jl_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, i % 3, 10 + (i * 7) % 50) for i in range(200)],
+        "doc_id long, source int, n_tokens int",
+    )
+
+    def ids(budget, nparts, by=["source"]):
+        got = token_budget_sample(
+            docs.repartition(nparts),
+            budget,
+            "n_tokens",
+            ["doc_id"],
+            by=by,
+            n_partitions=nparts,
+        )
+        return {r["doc_id"] for r in got.collect()}
+
+    a = ids(1000, 3)
+    b = ids(1000, 17)
+    assert a == b and a  # identical selection at any partitioning
+    small = ids(300, 5)
+    assert small < a  # nesting: smaller budget is a strict subset
+    assert ids(0, 5) == set()
+    # per-group totals never exceed the budget
+    kept = token_budget_sample(
+        docs, 1000, "n_tokens", ["doc_id"], by=["source"]
+    )
+    from pyspark.sql import functions as FF
+
+    for r in kept.groupBy("source").agg(FF.sum("n_tokens").alias("t")).collect():
+        assert r["t"] <= 1000
+    # global form (no group): one budget over everything
+    tot = (
+        token_budget_sample(docs, 777, "n_tokens", ["doc_id"])
+        .agg(FF.sum("n_tokens").alias("t"))
+        .collect()[0]["t"]
+    )
+    assert tot is not None and tot <= 777
