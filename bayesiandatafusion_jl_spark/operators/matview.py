@@ -54,7 +54,7 @@ statistics current without rescanning the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from bayesiandatafusion_jl_spark.catalog import load_table
@@ -66,12 +66,24 @@ def _state_cols(
     measures: list[str],
     minmax: bool,
     distinct_cols: list[str] | None = None,
+    hist_cols: dict | None = None,
 ) -> list[str]:
     out = []
     for m in measures:
         out += [f"{m}_sum", f"{m}_cnt"] + ([f"{m}_min", f"{m}_max"] if minmax else [])
     out += [f"{c}_hll" for c in distinct_cols or []]
+    out += [f"{c}_hist" for c in hist_cols or {}]
     return out + ["n_rows"]
+
+
+def _hist_bucket(col: str, lo: float, hi: float, nb: int) -> F.Column:
+    """Same clamped IEEE bucket arithmetic as ``aggregates.histogram`` —
+    the two must agree or a matview histogram and a one-shot histogram
+    of the same data would disagree."""
+    width = (hi - lo) / nb
+    x = F.col(col).cast("double")
+    raw = F.floor((x - F.lit(lo)) / F.lit(width)).cast("bigint")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(nb - 1))
 
 
 def rollup_state(
@@ -81,6 +93,7 @@ def rollup_state(
     minmax: bool = True,
     distinct_cols: list[str] | None = None,
     lg_k: int = 12,
+    hist_cols: dict | None = None,
 ) -> DataFrame:
     """Key-grain mergeable state for ``df`` (one hash aggregate,
     map-side combinable). Build it once on the base, then once per
@@ -91,7 +104,16 @@ def rollup_state(
     ``COUNT(DISTINCT)`` Expand can never be at 100 TB: register-max
     merge is associative/commutative/idempotent, so the merged
     estimate is EXACTLY the estimate a one-shot sketch of the whole
-    table would give, at any merge tree and ~(2^lg_k) bytes per key."""
+    table would give, at any merge tree and ~(2^lg_k) bytes per key.
+
+    ``hist_cols`` ({col: (lo, hi, n_buckets)}) adds a dense equi-width
+    histogram per key per column — exact counts (so mergeable AND
+    retractable by element-wise array arithmetic) built as n_buckets
+    conditional sums inside the same hash aggregate, same clamped IEEE
+    bucket arithmetic as ``aggregates.histogram``. The quantile readout
+    (``histogram_quantiles``) interpolates within buckets — mergeable
+    approximate percentiles, the piece exact-percentile windows can't
+    provide incrementally."""
     aggs = []
     for m in measures:
         aggs.append(F.sum(F.col(m).cast(DEC)).alias(f"{m}_sum"))
@@ -101,6 +123,20 @@ def rollup_state(
             aggs.append(F.max(m).alias(f"{m}_max"))
     for c in distinct_cols or []:
         aggs.append(F.hll_sketch_agg(F.col(c), F.lit(int(lg_k))).alias(f"{c}_hll"))
+    for c, (lo, hi, nb) in (hist_cols or {}).items():
+        b = _hist_bucket(c, lo, hi, nb)
+        x = F.col(c).cast("double")
+        valid = x.isNotNull() & ~F.isnan(x)  # histogram()'s NULL/NaN rule
+        aggs.append(
+            F.array(
+                *[
+                    F.sum(
+                        F.when(valid & (b == i), F.lit(1)).otherwise(F.lit(0))
+                    ).cast("long")
+                    for i in range(nb)
+                ]
+            ).alias(f"{c}_hist")
+        )
     aggs.append(F.count(F.lit(1)).alias("n_rows"))
     return df.groupBy(*keys).agg(*aggs)
 
@@ -111,14 +147,16 @@ def rollup_merge(
     measures: list[str],
     minmax: bool = True,
     distinct_cols: list[str] | None = None,
+    hist_cols: dict | None = None,
 ) -> DataFrame:
     """Merge any number of key-grain states into one (union + one hash
     aggregate over key cardinality; never touches fact rows). Decimal
     sums make the result independent of merge order and tree shape;
-    HLL register-max union is order-independent by construction."""
+    HLL register-max union is order-independent by construction;
+    histogram arrays merge by per-bucket long sums."""
     if not states:
         raise ValueError("rollup_merge needs at least one state")
-    cols = keys + _state_cols(measures, minmax, distinct_cols)
+    cols = keys + _state_cols(measures, minmax, distinct_cols, hist_cols)
     merged = states[0].select(*cols)
     for s in states[1:]:
         merged = merged.unionByName(s.select(*cols))
@@ -132,34 +170,29 @@ def rollup_merge(
             aggs.append(F.max(f"{m}_max").alias(f"{m}_max"))
     for c in distinct_cols or []:
         aggs.append(F.hll_union_agg(F.col(f"{c}_hll")).alias(f"{c}_hll"))
+    for c, (_, _, nb) in (hist_cols or {}).items():
+        aggs.append(
+            F.array(
+                *[
+                    F.sum(F.element_at(F.col(f"{c}_hist"), i + 1)).cast("long")
+                    for i in range(nb)
+                ]
+            ).alias(f"{c}_hist")
+        )
     aggs.append(F.sum("n_rows").alias("n_rows"))
     return merged.groupBy(*keys).agg(*aggs)
 
 
-def rollup_retract(
+def _negate_partials(
     state: DataFrame,
-    retracted: DataFrame,
     keys: list[str],
     measures: list[str],
+    hist_cols: dict | None = None,
 ) -> DataFrame:
-    """Remove previously-ingested rows from a state by merging their
-    negated partials (CDC delete / correction path). Keys whose count
-    drops to zero disappear from the view.
-
-    Requires a ``minmax=False`` state without HLL columns: a retracted
-    row that WAS the minimum leaves min/max unrecoverable without
-    re-reading the base, and HLL registers are max-merged (insert-only)
-    — serving a silently-stale extremum or uniques count is worse than
-    refusing."""
-    bad = [c for c in state.columns if c.endswith(("_min", "_max", "_hll"))]
-    if bad:
-        raise ValueError(
-            "rollup_retract needs a state built with minmax=False and no "
-            f"distinct_cols — min/max/HLL are not retractable (found {bad});"
-            " rebuild the affected keys from the base instead"
-        )
-    neg = rollup_state(retracted, keys, measures, minmax=False)
-    flipped = neg.select(
+    """Flip a retractable (minmax-free, HLL-free) state's signs: decimal
+    sums, counts, n_rows, and per-bucket histogram counts all subtract
+    exactly."""
+    return state.select(
         *keys,
         *[
             c
@@ -169,11 +202,45 @@ def rollup_retract(
                 (-F.col(f"{m}_cnt")).alias(f"{m}_cnt"),
             )
         ],
+        *[
+            F.transform(F.col(f"{c}_hist"), lambda x: -x).alias(f"{c}_hist")
+            for c in hist_cols or {}
+        ],
         (-F.col("n_rows")).alias("n_rows"),
     )
-    return rollup_merge([state, flipped], keys, measures, minmax=False).filter(
-        F.col("n_rows") > 0
+
+
+def rollup_retract(
+    state: DataFrame,
+    retracted: DataFrame,
+    keys: list[str],
+    measures: list[str],
+    hist_cols: dict | None = None,
+) -> DataFrame:
+    """Remove previously-ingested rows from a state by merging their
+    negated partials (CDC delete / correction path). Keys whose count
+    drops to zero disappear from the view.
+
+    Requires a ``minmax=False`` state without HLL columns: a retracted
+    row that WAS the minimum leaves min/max unrecoverable without
+    re-reading the base, and HLL registers are max-merged (insert-only)
+    — serving a silently-stale extremum or uniques count is worse than
+    refusing. Histogram partials ARE retractable (exact per-bucket
+    counts subtract)."""
+    bad = [c for c in state.columns if c.endswith(("_min", "_max", "_hll"))]
+    if bad:
+        raise ValueError(
+            "rollup_retract needs a state built with minmax=False and no "
+            f"distinct_cols — min/max/HLL are not retractable (found {bad});"
+            " rebuild the affected keys from the base instead"
+        )
+    neg = rollup_state(
+        retracted, keys, measures, minmax=False, hist_cols=hist_cols
     )
+    flipped = _negate_partials(neg, keys, measures, hist_cols)
+    return rollup_merge(
+        [state, flipped], keys, measures, minmax=False, hist_cols=hist_cols
+    ).filter(F.col("n_rows") > 0)
 
 
 def rollup_read(
@@ -186,7 +253,8 @@ def rollup_read(
     sketch."""
     has_minmax = any(c.endswith("_min") for c in state.columns)
     hll_cols = [c[: -len("_hll")] for c in state.columns if c.endswith("_hll")]
-    state_names = set(_state_cols(measures, True, hll_cols))
+    hist_names = [c for c in state.columns if c.endswith("_hist")]
+    state_names = set(_state_cols(measures, True, hll_cols)) | set(hist_names)
     out = [F.col(c) for c in state.columns if c not in state_names]
     for m in measures:
         out.append(F.col(f"{m}_sum").cast("double").alias(f"sum_{m}"))
@@ -201,9 +269,78 @@ def rollup_read(
         out.append(
             F.hll_sketch_estimate(F.col(f"{c}_hll")).alias(f"approx_distinct_{c}")
         )
+    for c in hist_names:
+        out.append(F.col(c))  # raw mergeable counts; see histogram_quantiles
     out.append(F.col("n_rows"))
     return state.select(*out)
 
+
+def histogram_quantiles(
+    state: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    probs: list[float],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Approximate per-key quantiles from a ``hist_cols`` state column:
+    linear interpolation inside the bucket where the cumulative count
+    crosses p·total (the classic histogram-quantile estimator — error
+    bounded by one bucket width). Runs on |keys|·n_buckets exploded
+    rows — state grain, never data grain. Output: keys + one ``p<prob>``
+    column per requested quantile (``p0.5`` → ``p50``)."""
+    keys = list(keys or [])
+    hist = f"{col}_hist"
+    base = state.select(
+        *keys,
+        F.posexplode(F.col(hist)).alias("__b", "__cnt"),
+        F.size(F.col(hist)).alias("__nb"),
+    )
+    pw = W.partitionBy(*keys) if keys else W.partitionBy(F.lit(1))
+    cum = base.withColumn(
+        "__cum",
+        F.sum("__cnt").over(
+            pw.orderBy("__b").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    ).withColumn(
+        "__total",
+        F.sum("__cnt").over(
+            pw.orderBy("__b").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ),
+    )
+    bucket_w = (F.lit(float(hi)) - F.lit(float(lo))) / F.col("__nb")
+    outs = []
+    for p in probs:
+        pct = float(p) * 100
+        name = f"p{int(round(pct))}" if abs(pct - round(pct)) < 1e-9 else (
+            "p" + f"{pct:g}".replace(".", "_")
+        )
+        target = F.lit(float(p)) * F.col("__total")
+        frac = (target - (F.col("__cum") - F.col("__cnt"))) / F.col("__cnt")
+        hit = (
+            cum.filter((F.col("__cum") >= target) & (F.col("__cnt") > 0))
+            .withColumn("__rk", F.row_number().over(pw.orderBy("__b")))
+            .filter(F.col("__rk") == 1)
+        )
+        outs.append(
+            hit.select(
+                *keys,
+                (
+                    F.lit(float(lo))
+                    + (
+                        F.col("__b")
+                        + F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+                    )
+                    * bucket_w
+                ).alias(name),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.join(o, keys) if keys else res.crossJoin(o)
+    return res
 
 @register(
     "q_matview_rollup",
@@ -284,6 +421,7 @@ def _config_fp(
     minmax: bool,
     distinct_cols: list[str] | None,
     lg_k: int,
+    hist_cols: dict | None = None,
 ) -> int:
     """28-bit config fingerprint (sha256 prefix — the bpe.py artifact
     discipline): pins column sets + flags into index_meta's int rows."""
@@ -296,6 +434,10 @@ def _config_fp(
             str(int(minmax)),
             ",".join(distinct_cols or []),
             str(int(lg_k)),
+            ",".join(
+                f"{c}:{lo!r}:{hi!r}:{nb}"
+                for c, (lo, hi, nb) in sorted((hist_cols or {}).items())
+            ),
         ]
     )
     return int.from_bytes(hashlib.sha256(canon.encode()).digest()[:4], "big") >> 4
@@ -315,6 +457,7 @@ def write_matview(
     minmax: bool = True,
     distinct_cols: list[str] | None = None,
     lg_k: int = 12,
+    hist_cols: dict | None = None,
 ) -> None:
     """Fresh view build: aggregate ``base`` to state, write it as the
     ``base`` epoch, pin the config, reset the replay ledger (a new
@@ -325,7 +468,9 @@ def write_matview(
     spark = base.sparkSession
     meta_path, state_path = _view_paths(view_dir)
     reset_ledger(spark, view_dir)
-    state = rollup_state(base, keys, measures, minmax, distinct_cols, lg_k)
+    state = rollup_state(
+        base, keys, measures, minmax, distinct_cols, lg_k, hist_cols
+    )
     (
         state.withColumn("__epoch", F.lit("base"))
         .write.mode("overwrite")
@@ -337,7 +482,9 @@ def write_matview(
         spark,
         meta_path,
         "overwrite",
-        config_fp=_config_fp(keys, measures, minmax, distinct_cols, lg_k),
+        config_fp=_config_fp(
+            keys, measures, minmax, distinct_cols, lg_k, hist_cols
+        ),
         minmax=int(minmax),
         lg_k=int(lg_k),
         retract_ok=int(not minmax and not distinct_cols),
@@ -345,7 +492,7 @@ def write_matview(
 
 
 def _check_view(spark: SparkSession, view_dir: str, keys, measures, minmax,
-                distinct_cols, lg_k) -> None:
+                distinct_cols, lg_k, hist_cols=None) -> None:
     from bayesiandatafusion_jl_spark.functions.index_meta import check_meta
 
     meta_path, _ = _view_paths(view_dir)
@@ -355,7 +502,9 @@ def _check_view(spark: SparkSession, view_dir: str, keys, measures, minmax,
         "a state aggregated under a different (keys, measures, minmax,"
         " distinct_cols, lg_k) config would merge into garbage — rebuild"
         " the view or match its pinned config",
-        config_fp=_config_fp(keys, measures, minmax, distinct_cols, lg_k),
+        config_fp=_config_fp(
+            keys, measures, minmax, distinct_cols, lg_k, hist_cols
+        ),
     )
 
 
@@ -368,6 +517,7 @@ def matview_append(
     minmax: bool = True,
     distinct_cols: list[str] | None = None,
     lg_k: int = 12,
+    hist_cols: dict | None = None,
     retract: bool = False,
 ) -> None:
     """Ingest one delta batch: aggregate it to key grain and write it as
@@ -384,32 +534,26 @@ def matview_append(
 
     spark = delta.sparkSession
     meta_path, state_path = _view_paths(view_dir)
-    _check_view(spark, view_dir, keys, measures, minmax, distinct_cols, lg_k)
+    _check_view(
+        spark, view_dir, keys, measures, minmax, distinct_cols, lg_k, hist_cols
+    )
     check_not_folded(spark, view_dir, epoch)
     if epoch == "base":
         raise ValueError(
             "epoch 'base' is reserved for the initial build; append under"
             " a batch-specific name"
         )
-    state = rollup_state(delta, keys, measures, minmax, distinct_cols, lg_k)
+    state = rollup_state(
+        delta, keys, measures, minmax, distinct_cols, lg_k, hist_cols
+    )
     if retract:
         if not read_meta(spark, meta_path)["retract_ok"]:
             raise ValueError(
                 "retraction needs a view built with minmax=False and no"
                 " distinct_cols — min/max/HLL partials cannot subtract"
+                " (histogram partials subtract fine and are allowed)"
             )
-        state = state.select(
-            *keys,
-            *[
-                c
-                for m in measures
-                for c in (
-                    (-F.col(f"{m}_sum")).cast(DEC).alias(f"{m}_sum"),
-                    (-F.col(f"{m}_cnt")).alias(f"{m}_cnt"),
-                )
-            ],
-            (-F.col("n_rows")).alias("n_rows"),
-        )
+        state = _negate_partials(state, keys, measures, hist_cols)
     (
         state.withColumn("__epoch", F.lit(epoch))
         .write.mode("overwrite")
@@ -427,14 +571,19 @@ def read_matview(
     minmax: bool = True,
     distinct_cols: list[str] | None = None,
     lg_k: int = 12,
+    hist_cols: dict | None = None,
 ) -> DataFrame:
     """Serve the view: merge every epoch's partials down to one state
     and read it out. Cost is |epochs|·|keys| state rows — fact rows are
     never re-read; fully-retracted keys (n_rows <= 0) disappear."""
-    _check_view(spark, view_dir, keys, measures, minmax, distinct_cols, lg_k)
+    _check_view(
+        spark, view_dir, keys, measures, minmax, distinct_cols, lg_k, hist_cols
+    )
     _, state_path = _view_paths(view_dir)
     state = spark.read.parquet(state_path).drop("__epoch")
-    merged = rollup_merge([state], keys, measures, minmax, distinct_cols)
+    merged = rollup_merge(
+        [state], keys, measures, minmax, distinct_cols, hist_cols
+    )
     return rollup_read(merged.filter(F.col("n_rows") > 0), measures)
 
 
@@ -446,6 +595,7 @@ def compact_matview(
     minmax: bool = True,
     distinct_cols: list[str] | None = None,
     lg_k: int = 12,
+    hist_cols: dict | None = None,
 ) -> list[str]:
     """Fold every epoch partial into one compacted epoch, so serve-time
     merge cost stays |keys| no matter how many batches ever ingested.
@@ -459,14 +609,16 @@ def compact_matview(
         record_folded,
     )
 
-    _check_view(spark, view_dir, keys, measures, minmax, distinct_cols, lg_k)
+    _check_view(
+        spark, view_dir, keys, measures, minmax, distinct_cols, lg_k, hist_cols
+    )
     _, state_path = _view_paths(view_dir)
     state = spark.read.parquet(state_path)
     epochs = [r["__epoch"] for r in state.select("__epoch").distinct().collect()]
     gen = max(list(folded_epochs(spark, view_dir).values()) or [0]) + 1
     new_epoch = f"{_COMPACT_EPOCH_PREFIX}{gen}"
     merged = rollup_merge(
-        [state.drop("__epoch")], keys, measures, minmax, distinct_cols
+        [state.drop("__epoch")], keys, measures, minmax, distinct_cols, hist_cols
     )
     tmp_path = state_path.rstrip("/") + ".__compact_tmp"
     (

@@ -277,3 +277,129 @@ def test_matview_ingest_stream(spark, tmp_path):
     )
     got = _rows(read_matview(spark, str(tmp_path / "sview"), KEYS, MEAS))
     assert got == want
+
+
+def test_hist_state_merges_and_matches_one_shot(spark):
+    """Histogram partials are exact counts: merged state ≡ direct state
+    ≡ aggregates.histogram over the same slice, bucket by bucket."""
+    from bayesiandatafusion_jl_spark.operators.aggregates import histogram
+
+    li = load_table(spark, SF_DIR_TINY, "lineitem")
+    hc = {"l_extendedprice": (0.0, 110_000.0, 11)}
+    parts = [
+        rollup_state(
+            li.filter(F.col("l_orderkey") % 3 == i), KEYS, MEAS, hist_cols=hc
+        )
+        for i in range(3)
+    ]
+    merged = rollup_merge(parts, KEYS, MEAS, hist_cols=hc)
+    direct = rollup_state(li, KEYS, MEAS, hist_cols=hc)
+    get = lambda df: {
+        (r["l_returnflag"], r["l_linestatus"]): list(r["l_extendedprice_hist"])
+        for r in df.collect()
+    }
+    assert get(merged) == get(direct)
+    # one key's array == the standalone histogram of that key's slice
+    k = next(iter(get(direct)))
+    sl = li.filter(
+        (F.col("l_returnflag") == k[0]) & (F.col("l_linestatus") == k[1])
+    )
+    want = [
+        r["cnt"]
+        for r in histogram(sl, "l_extendedprice", 0.0, 110_000.0, 11)
+        .orderBy("bucket")
+        .collect()
+    ]
+    assert get(direct)[k] == want
+
+
+def test_hist_state_retracts_exactly(spark):
+    li = load_table(spark, SF_DIR_TINY, "lineitem")
+    hc = {"l_quantity": (0.0, 50.0, 10)}
+    base = li.filter(F.col("l_orderkey") % 10 < 9)
+    extra = li.filter(F.col("l_orderkey") % 10 == 9)
+    grown = rollup_merge(
+        [
+            rollup_state(d, KEYS, MEAS, minmax=False, hist_cols=hc)
+            for d in (base, extra)
+        ],
+        KEYS,
+        MEAS,
+        minmax=False,
+        hist_cols=hc,
+    )
+    shrunk = rollup_retract(grown, extra, KEYS, MEAS, hist_cols=hc)
+    want = rollup_state(base, KEYS, MEAS, minmax=False, hist_cols=hc)
+    get = lambda df: {
+        (r["l_returnflag"], r["l_linestatus"]): list(r["l_quantity_hist"])
+        for r in df.collect()
+    }
+    assert get(shrunk) == get(want)
+
+
+def test_histogram_quantiles_bounded_error(spark):
+    """The interpolated quantile lands within one bucket width of the
+    exact percentile, per key."""
+    from bayesiandatafusion_jl_spark.operators.matview import (
+        histogram_quantiles,
+    )
+
+    li = load_table(spark, SF_DIR_TINY, "lineitem")
+    lo, hi, nb = 0.0, 110_000.0, 55
+    width = (hi - lo) / nb
+    hc = {"l_extendedprice": (lo, hi, nb)}
+    state = rollup_state(li, ["l_returnflag"], MEAS, hist_cols=hc)
+    got = {
+        r["l_returnflag"]: (r["p25"], r["p50"], r["p90"])
+        for r in histogram_quantiles(
+            state, "l_extendedprice", lo, hi, [0.25, 0.5, 0.9],
+            keys=["l_returnflag"],
+        ).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["q"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile_approx(l_extendedprice, array(0.25, 0.5, 0.9), 100000)"
+            ).alias("q")
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, (p25, p50, p90) in got.items():
+        for est, ex in zip((p25, p50, p90), exact[k]):
+            assert abs(est - ex) <= width + 1e-6, (k, est, ex)
+
+
+def test_persisted_matview_hist_config_pin(spark, tmp_path):
+    from bayesiandatafusion_jl_spark.operators.matview import (
+        matview_append,
+        read_matview,
+        write_matview,
+    )
+
+    li = load_table(spark, SF_DIR_TINY, "lineitem")
+    hc = {"l_quantity": (0.0, 50.0, 10)}
+    vd = str(tmp_path / "hview")
+    write_matview(
+        li.filter(F.col("l_orderkey") % 2 == 0), vd, KEYS, MEAS, hist_cols=hc
+    )
+    matview_append(
+        li.filter(F.col("l_orderkey") % 2 == 1),
+        vd, KEYS, MEAS, "odd", hist_cols=hc,
+    )
+    served = read_matview(spark, vd, KEYS, MEAS, hist_cols=hc)
+    assert "l_quantity_hist" in served.columns
+    direct = rollup_read(rollup_state(li, KEYS, MEAS, hist_cols=hc), MEAS)
+    get = lambda df: {
+        (r["l_returnflag"], r["l_linestatus"]): list(r["l_quantity_hist"])
+        for r in df.collect()
+    }
+    assert get(served) == get(direct)
+    # a different hist config is a different view — refused
+    with pytest.raises(ValueError, match="config"):
+        matview_append(
+            li.limit(5), vd, KEYS, MEAS, "bad",
+            hist_cols={"l_quantity": (0.0, 50.0, 20)},
+        )
