@@ -6,6 +6,7 @@ Importing this package registers every relational query in the registry.
 from bayesiandatafusion_jl_spark.operators import (  # noqa: F401
     aggregates,
     bloom,
+    checks,
     filters,
     joins,
     maintenance,
