@@ -67,10 +67,13 @@ def _state_cols(
     minmax: bool,
     distinct_cols: list[str] | None = None,
     hist_cols: dict | None = None,
+    sumsq: bool = False,
 ) -> list[str]:
     out = []
     for m in measures:
-        out += [f"{m}_sum", f"{m}_cnt"] + ([f"{m}_min", f"{m}_max"] if minmax else [])
+        out += [f"{m}_sum", f"{m}_cnt"]
+        out += [f"{m}_sum2"] if sumsq else []
+        out += [f"{m}_min", f"{m}_max"] if minmax else []
     out += [f"{c}_hll" for c in distinct_cols or []]
     out += [f"{c}_hist" for c in hist_cols or {}]
     return out + ["n_rows"]
@@ -94,6 +97,7 @@ def rollup_state(
     distinct_cols: list[str] | None = None,
     lg_k: int = 12,
     hist_cols: dict | None = None,
+    sumsq: bool = False,
 ) -> DataFrame:
     """Key-grain mergeable state for ``df`` (one hash aggregate,
     map-side combinable). Build it once on the base, then once per
@@ -118,6 +122,15 @@ def rollup_state(
     for m in measures:
         aggs.append(F.sum(F.col(m).cast(DEC)).alias(f"{m}_sum"))
         aggs.append(F.count(F.col(m)).alias(f"{m}_cnt"))
+        if sumsq:
+            # decimal squares: exact, mergeable, retractable — the extra
+            # partial that makes variance/std (and drift z-scores)
+            # derivable from state alone
+            aggs.append(
+                F.sum((F.col(m).cast(DEC) * F.col(m).cast(DEC)).cast(DEC)).alias(
+                    f"{m}_sum2"
+                )
+            )
         if minmax:
             aggs.append(F.min(m).alias(f"{m}_min"))
             aggs.append(F.max(m).alias(f"{m}_max"))
@@ -148,6 +161,7 @@ def rollup_merge(
     minmax: bool = True,
     distinct_cols: list[str] | None = None,
     hist_cols: dict | None = None,
+    sumsq: bool = False,
 ) -> DataFrame:
     """Merge any number of key-grain states into one (union + one hash
     aggregate over key cardinality; never touches fact rows). Decimal
@@ -156,7 +170,7 @@ def rollup_merge(
     histogram arrays merge by per-bucket long sums."""
     if not states:
         raise ValueError("rollup_merge needs at least one state")
-    cols = keys + _state_cols(measures, minmax, distinct_cols, hist_cols)
+    cols = keys + _state_cols(measures, minmax, distinct_cols, hist_cols, sumsq)
     merged = states[0].select(*cols)
     for s in states[1:]:
         merged = merged.unionByName(s.select(*cols))
@@ -165,6 +179,8 @@ def rollup_merge(
         # sum over decimal(38,6) partials stays decimal(38,6): exact
         aggs.append(F.sum(f"{m}_sum").cast(DEC).alias(f"{m}_sum"))
         aggs.append(F.sum(f"{m}_cnt").alias(f"{m}_cnt"))
+        if sumsq:
+            aggs.append(F.sum(f"{m}_sum2").cast(DEC).alias(f"{m}_sum2"))
         if minmax:
             aggs.append(F.min(f"{m}_min").alias(f"{m}_min"))
             aggs.append(F.max(f"{m}_max").alias(f"{m}_max"))
@@ -188,18 +204,26 @@ def _negate_partials(
     keys: list[str],
     measures: list[str],
     hist_cols: dict | None = None,
+    sumsq: bool = False,
 ) -> DataFrame:
     """Flip a retractable (minmax-free, HLL-free) state's signs: decimal
-    sums, counts, n_rows, and per-bucket histogram counts all subtract
-    exactly."""
+    sums (and squares), counts, n_rows, and per-bucket histogram counts
+    all subtract exactly."""
     return state.select(
         *keys,
         *[
             c
             for m in measures
             for c in (
-                (-F.col(f"{m}_sum")).cast(DEC).alias(f"{m}_sum"),
-                (-F.col(f"{m}_cnt")).alias(f"{m}_cnt"),
+                [
+                    (-F.col(f"{m}_sum")).cast(DEC).alias(f"{m}_sum"),
+                    (-F.col(f"{m}_cnt")).alias(f"{m}_cnt"),
+                ]
+                + (
+                    [(-F.col(f"{m}_sum2")).cast(DEC).alias(f"{m}_sum2")]
+                    if sumsq
+                    else []
+                )
             )
         ],
         *[
@@ -216,6 +240,7 @@ def rollup_retract(
     keys: list[str],
     measures: list[str],
     hist_cols: dict | None = None,
+    sumsq: bool = False,
 ) -> DataFrame:
     """Remove previously-ingested rows from a state by merging their
     negated partials (CDC delete / correction path). Keys whose count
@@ -235,11 +260,12 @@ def rollup_retract(
             " rebuild the affected keys from the base instead"
         )
     neg = rollup_state(
-        retracted, keys, measures, minmax=False, hist_cols=hist_cols
+        retracted, keys, measures, minmax=False, hist_cols=hist_cols, sumsq=sumsq
     )
-    flipped = _negate_partials(neg, keys, measures, hist_cols)
+    flipped = _negate_partials(neg, keys, measures, hist_cols, sumsq)
     return rollup_merge(
-        [state, flipped], keys, measures, minmax=False, hist_cols=hist_cols
+        [state, flipped], keys, measures, minmax=False, hist_cols=hist_cols,
+        sumsq=sumsq,
     ).filter(F.col("n_rows") > 0)
 
 
@@ -252,16 +278,29 @@ def rollup_read(
     state carries them, and ``approx_distinct_<col>`` per stored HLL
     sketch."""
     has_minmax = any(c.endswith("_min") for c in state.columns)
+    has_sumsq = any(c.endswith("_sum2") for c in state.columns)
     hll_cols = [c[: -len("_hll")] for c in state.columns if c.endswith("_hll")]
     hist_names = [c for c in state.columns if c.endswith("_hist")]
-    state_names = set(_state_cols(measures, True, hll_cols)) | set(hist_names)
+    state_names = set(
+        _state_cols(measures, True, hll_cols, sumsq=True)
+    ) | set(hist_names)
     out = [F.col(c) for c in state.columns if c not in state_names]
     for m in measures:
         out.append(F.col(f"{m}_sum").cast("double").alias(f"sum_{m}"))
         out.append(F.col(f"{m}_cnt").alias(f"cnt_{m}"))
-        out.append(
-            (F.col(f"{m}_sum").cast("double") / F.col(f"{m}_cnt")).alias(f"avg_{m}")
-        )
+        mean = F.col(f"{m}_sum").cast("double") / F.col(f"{m}_cnt")
+        out.append(mean.alias(f"avg_{m}"))
+        if has_sumsq:
+            # population variance from the mergeable partials:
+            # E[x²] − E[x]² (clamped — decimal truncation can leave a
+            # tiny negative for near-constant columns)
+            var = (
+                F.col(f"{m}_sum2").cast("double") / F.col(f"{m}_cnt")
+                - mean * mean
+            )
+            out.append(
+                F.sqrt(F.greatest(var, F.lit(0.0))).alias(f"std_{m}")
+            )
         if has_minmax:
             out.append(F.col(f"{m}_min").alias(f"min_{m}"))
             out.append(F.col(f"{m}_max").alias(f"max_{m}"))
@@ -422,6 +461,7 @@ def _config_fp(
     distinct_cols: list[str] | None,
     lg_k: int,
     hist_cols: dict | None = None,
+    sumsq: bool = False,
 ) -> int:
     """28-bit config fingerprint (sha256 prefix — the bpe.py artifact
     discipline): pins column sets + flags into index_meta's int rows."""
@@ -438,6 +478,7 @@ def _config_fp(
                 f"{c}:{lo!r}:{hi!r}:{nb}"
                 for c, (lo, hi, nb) in sorted((hist_cols or {}).items())
             ),
+            str(int(sumsq)),
         ]
     )
     return int.from_bytes(hashlib.sha256(canon.encode()).digest()[:4], "big") >> 4
@@ -458,6 +499,7 @@ def write_matview(
     distinct_cols: list[str] | None = None,
     lg_k: int = 12,
     hist_cols: dict | None = None,
+    sumsq: bool = False,
 ) -> None:
     """Fresh view build: aggregate ``base`` to state, write it as the
     ``base`` epoch, pin the config, reset the replay ledger (a new
@@ -469,7 +511,7 @@ def write_matview(
     meta_path, state_path = _view_paths(view_dir)
     reset_ledger(spark, view_dir)
     state = rollup_state(
-        base, keys, measures, minmax, distinct_cols, lg_k, hist_cols
+        base, keys, measures, minmax, distinct_cols, lg_k, hist_cols, sumsq
     )
     (
         state.withColumn("__epoch", F.lit("base"))
@@ -483,16 +525,17 @@ def write_matview(
         meta_path,
         "overwrite",
         config_fp=_config_fp(
-            keys, measures, minmax, distinct_cols, lg_k, hist_cols
+            keys, measures, minmax, distinct_cols, lg_k, hist_cols, sumsq
         ),
         minmax=int(minmax),
+        sumsq=int(sumsq),
         lg_k=int(lg_k),
         retract_ok=int(not minmax and not distinct_cols),
     )
 
 
 def _check_view(spark: SparkSession, view_dir: str, keys, measures, minmax,
-                distinct_cols, lg_k, hist_cols=None) -> None:
+                distinct_cols, lg_k, hist_cols=None, sumsq=False) -> None:
     from bayesiandatafusion_jl_spark.functions.index_meta import check_meta
 
     meta_path, _ = _view_paths(view_dir)
@@ -503,7 +546,7 @@ def _check_view(spark: SparkSession, view_dir: str, keys, measures, minmax,
         " distinct_cols, lg_k) config would merge into garbage — rebuild"
         " the view or match its pinned config",
         config_fp=_config_fp(
-            keys, measures, minmax, distinct_cols, lg_k, hist_cols
+            keys, measures, minmax, distinct_cols, lg_k, hist_cols, sumsq
         ),
     )
 
@@ -518,6 +561,7 @@ def matview_append(
     distinct_cols: list[str] | None = None,
     lg_k: int = 12,
     hist_cols: dict | None = None,
+    sumsq: bool = False,
     retract: bool = False,
 ) -> None:
     """Ingest one delta batch: aggregate it to key grain and write it as
@@ -535,7 +579,8 @@ def matview_append(
     spark = delta.sparkSession
     meta_path, state_path = _view_paths(view_dir)
     _check_view(
-        spark, view_dir, keys, measures, minmax, distinct_cols, lg_k, hist_cols
+        spark, view_dir, keys, measures, minmax, distinct_cols, lg_k,
+        hist_cols, sumsq,
     )
     check_not_folded(spark, view_dir, epoch)
     if epoch == "base":
@@ -544,7 +589,7 @@ def matview_append(
             " a batch-specific name"
         )
     state = rollup_state(
-        delta, keys, measures, minmax, distinct_cols, lg_k, hist_cols
+        delta, keys, measures, minmax, distinct_cols, lg_k, hist_cols, sumsq
     )
     if retract:
         if not read_meta(spark, meta_path)["retract_ok"]:
@@ -553,7 +598,7 @@ def matview_append(
                 " distinct_cols — min/max/HLL partials cannot subtract"
                 " (histogram partials subtract fine and are allowed)"
             )
-        state = _negate_partials(state, keys, measures, hist_cols)
+        state = _negate_partials(state, keys, measures, hist_cols, sumsq)
     (
         state.withColumn("__epoch", F.lit(epoch))
         .write.mode("overwrite")
@@ -572,17 +617,19 @@ def read_matview(
     distinct_cols: list[str] | None = None,
     lg_k: int = 12,
     hist_cols: dict | None = None,
+    sumsq: bool = False,
 ) -> DataFrame:
     """Serve the view: merge every epoch's partials down to one state
     and read it out. Cost is |epochs|·|keys| state rows — fact rows are
     never re-read; fully-retracted keys (n_rows <= 0) disappear."""
     _check_view(
-        spark, view_dir, keys, measures, minmax, distinct_cols, lg_k, hist_cols
+        spark, view_dir, keys, measures, minmax, distinct_cols, lg_k,
+        hist_cols, sumsq,
     )
     _, state_path = _view_paths(view_dir)
     state = spark.read.parquet(state_path).drop("__epoch")
     merged = rollup_merge(
-        [state], keys, measures, minmax, distinct_cols, hist_cols
+        [state], keys, measures, minmax, distinct_cols, hist_cols, sumsq
     )
     return rollup_read(merged.filter(F.col("n_rows") > 0), measures)
 
@@ -596,6 +643,7 @@ def compact_matview(
     distinct_cols: list[str] | None = None,
     lg_k: int = 12,
     hist_cols: dict | None = None,
+    sumsq: bool = False,
 ) -> list[str]:
     """Fold every epoch partial into one compacted epoch, so serve-time
     merge cost stays |keys| no matter how many batches ever ingested.
@@ -610,7 +658,8 @@ def compact_matview(
     )
 
     _check_view(
-        spark, view_dir, keys, measures, minmax, distinct_cols, lg_k, hist_cols
+        spark, view_dir, keys, measures, minmax, distinct_cols, lg_k,
+        hist_cols, sumsq,
     )
     _, state_path = _view_paths(view_dir)
     state = spark.read.parquet(state_path)
@@ -618,7 +667,8 @@ def compact_matview(
     gen = max(list(folded_epochs(spark, view_dir).values()) or [0]) + 1
     new_epoch = f"{_COMPACT_EPOCH_PREFIX}{gen}"
     merged = rollup_merge(
-        [state.drop("__epoch")], keys, measures, minmax, distinct_cols, hist_cols
+        [state.drop("__epoch")], keys, measures, minmax, distinct_cols,
+        hist_cols, sumsq,
     )
     tmp_path = state_path.rstrip("/") + ".__compact_tmp"
     (
@@ -701,3 +751,97 @@ def q_matview_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_l_quantity",
         "n_rows",
     )
+
+
+def matview_drift(
+    delta: DataFrame,
+    view_dir: str,
+    keys: list[str],
+    measures: list[str],
+    z_thresh: float = 4.0,
+    min_rows: int = 30,
+    minmax: bool = True,
+    distinct_cols: list[str] | None = None,
+    lg_k: int = 12,
+    hist_cols: dict | None = None,
+) -> DataFrame:
+    """Distributional drift report for a delta batch against the
+    persisted view's history — the OTHER half of the ingest gate:
+    ``checks.expect`` rejects contract violations (nulls, domains,
+    orphan keys); this flags a batch whose VALUES went sideways while
+    every row individually passes (a sensor stuck at 0, a price feed
+    that switched currency).
+
+    Per (key, measure): z = |delta_mean − view_mean| / (view_std /
+    √n_delta), the standard error of a mean of n_delta draws from the
+    view's distribution. ``status``: ``drift`` (z > z_thresh with
+    n_delta ≥ min_rows), ``new_key`` (no history), ``low_n`` (too few
+    delta rows to call), else ``ok``. Requires a ``sumsq=True`` view
+    (std must be derivable from state — refused otherwise).
+
+    State-grain only: one key-grain aggregate over the delta, one
+    |keys|-sized join against the served view. The base is never read.
+    """
+    from bayesiandatafusion_jl_spark.functions.index_meta import read_meta
+
+    spark = delta.sparkSession
+    meta_path, _ = _view_paths(view_dir)
+    meta = read_meta(spark, meta_path).asDict()
+    if not meta.get("sumsq"):
+        raise ValueError(
+            "matview_drift needs a view built with sumsq=True — the"
+            " view's std is not derivable from its state"
+        )
+    _check_view(
+        spark, view_dir, keys, measures, minmax, distinct_cols, lg_k,
+        hist_cols, sumsq=True,
+    )
+    view = rollup_read(
+        # served state, not the raw epochs: retractions already applied
+        rollup_merge(
+            [
+                spark.read.parquet(_view_paths(view_dir)[1]).drop("__epoch")
+            ],
+            keys, measures, minmax, distinct_cols, hist_cols, sumsq=True,
+        ).filter(F.col("n_rows") > 0),
+        measures,
+    )
+    dstate = rollup_read(
+        rollup_state(delta, keys, measures, minmax=False, sumsq=False),
+        measures,
+    )
+    outs = []
+    for m in measures:
+        d = dstate.select(
+            *keys,
+            F.col(f"avg_{m}").alias("delta_mean"),
+            F.col(f"cnt_{m}").alias("n_delta"),
+        )
+        v = view.select(
+            *keys,
+            F.col(f"avg_{m}").alias("view_mean"),
+            F.col(f"std_{m}").alias("view_std"),
+        )
+        j = d.join(v, keys, "left")
+        se = F.col("view_std") / F.sqrt(F.col("n_delta"))
+        z = F.when(se > 0, F.abs(F.col("delta_mean") - F.col("view_mean")) / se)
+        outs.append(
+            j.select(
+                *keys,
+                F.lit(m).alias("measure"),
+                "view_mean",
+                "view_std",
+                "delta_mean",
+                "n_delta",
+                F.round(z, 4).alias("z"),
+                F.when(F.col("view_mean").isNull(), F.lit("new_key"))
+                .when(F.col("n_delta") < min_rows, F.lit("low_n"))
+                .when(z > F.lit(float(z_thresh)), F.lit("drift"))
+                .otherwise(F.lit("ok"))
+                .alias("status"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -403,3 +403,67 @@ def test_persisted_matview_hist_config_pin(spark, tmp_path):
             li.limit(5), vd, KEYS, MEAS, "bad",
             hist_cols={"l_quantity": (0.0, 50.0, 20)},
         )
+
+
+def test_sumsq_std_and_drift_detection(spark, tmp_path):
+    """sumsq partials: merged std == one-shot std; drift flags a shifted
+    delta, passes an in-distribution one, labels new keys and tiny
+    batches; non-sumsq views are refused."""
+    import math
+
+    from bayesiandatafusion_jl_spark.operators.matview import (
+        matview_drift,
+        write_matview,
+    )
+
+    li = load_table(spark, SF_DIR_TINY, "lineitem")
+    # merged std == direct std (both from decimal partials)
+    parts = [
+        rollup_state(
+            li.filter(F.col("l_orderkey") % 2 == i), KEYS, MEAS, sumsq=True
+        )
+        for i in range(2)
+    ]
+    merged = rollup_read(rollup_merge(parts, KEYS, MEAS, sumsq=True), MEAS)
+    direct = rollup_read(rollup_state(li, KEYS, MEAS, sumsq=True), MEAS)
+    g = lambda df: {
+        (r["l_returnflag"], r["l_linestatus"]): r["std_l_quantity"]
+        for r in df.collect()
+    }
+    gm, gd = g(merged), g(direct)
+    assert set(gm) == set(gd)
+    for k in gm:
+        assert abs(gm[k] - gd[k]) < 1e-9
+    # sanity vs Spark's population stddev
+    ref = {
+        (r["l_returnflag"], r["l_linestatus"]): r["s"]
+        for r in li.groupBy(*KEYS)
+        .agg(F.stddev_pop("l_quantity").alias("s"))
+        .collect()
+    }
+    for k in gm:
+        assert math.isclose(gm[k], ref[k], rel_tol=1e-6), (k, gm[k], ref[k])
+
+    vd = str(tmp_path / "dview")
+    write_matview(li, vd, KEYS, MEAS, sumsq=True)
+    # in-distribution delta: another draw of the same data → ok
+    ok_delta = li.filter(F.col("l_orderkey") % 5 == 0)
+    rep = matview_drift(ok_delta, vd, KEYS, MEAS, z_thresh=6.0)
+    stats = {(r["l_returnflag"], r["l_linestatus"], r["measure"]): r["status"]
+             for r in rep.collect()}
+    assert set(stats.values()) <= {"ok", "low_n"}
+    # shifted delta: quantity scaled 3x → drift on l_quantity
+    shifted = ok_delta.withColumn("l_quantity", F.col("l_quantity") * 3)
+    rep2 = matview_drift(shifted, vd, KEYS, MEAS, z_thresh=6.0)
+    qty = [r for r in rep2.collect() if r["measure"] == "l_quantity"
+           and r["n_delta"] >= 30]
+    assert qty and all(r["status"] == "drift" for r in qty)
+    # a key with no history → new_key
+    novel = ok_delta.withColumn("l_returnflag", F.lit("Z"))
+    rep3 = matview_drift(novel, vd, KEYS, MEAS)
+    assert {r["status"] for r in rep3.collect()} == {"new_key"}
+    # refused on a view without sumsq
+    vd2 = str(tmp_path / "nosq")
+    write_matview(li, vd2, KEYS, MEAS)
+    with pytest.raises(ValueError, match="sumsq"):
+        matview_drift(li.limit(5), vd2, KEYS, MEAS)
