@@ -68,15 +68,20 @@ def _is_bad_null(col: str) -> F.Column:
     )
 
 
-def check_table(df: DataFrame, checks: list[dict]) -> DataFrame:
-    """(check, column, violations, passed) — one report row per check,
-    computed in a single aggregate pass (+ one broadcast anti-join per
-    foreign_key check)."""
+def check_table(
+    df: DataFrame, checks: list[dict], by: list[str] | None = None
+) -> DataFrame:
+    """(…by cols, check, column, violations, passed) — one report row
+    per check (per group when ``by`` is given: a global report can hide
+    a wholly-broken partition inside a big healthy table — per-day /
+    per-source grouping is how a 100 TB drop is actually audited).
+    One aggregate pass either way; each foreign_key check adds one
+    broadcast anti-join."""
     if not checks:
         raise ValueError("check_table needs at least one check")
     spark = df.sparkSession
-    aggs, labels = [], []
-    fk_checks = []
+    by = list(by or [])
+    aggs, labels, fk_checks = [], [], []
     for i, ck in enumerate(checks):
         kind = ck["kind"]
         if kind == "not_null":
@@ -108,9 +113,9 @@ def check_table(df: DataFrame, checks: list[dict]) -> DataFrame:
         else:
             raise ValueError(f"unknown check kind: {kind!r}")
 
-    rows = []
-    if aggs:
-        agg_row = df.agg(*aggs)
+    agg_row = df.groupBy(*by).agg(*aggs) if aggs else (
+        df.select(*by).distinct() if by else None
+    )
     for i, ck in fk_checks:
         cols, dim_cols = ck["cols"], ck["dim_cols"]
         dim_keys = (
@@ -123,34 +128,43 @@ def check_table(df: DataFrame, checks: list[dict]) -> DataFrame:
         orphans = (
             df.filter(cond)
             .join(F.broadcast(dim_keys), cols, "left_anti")
+            .groupBy(*by)
             .agg(F.count(F.lit(1)).alias(f"__v{i}"))
         )
-        agg_row = (
-            agg_row.crossJoin(F.broadcast(orphans)) if aggs or rows else orphans
-        )
-        aggs.append(None)  # mark present
+        if agg_row is None:
+            agg_row = orphans
+        elif by:
+            # left join keeps groups with ZERO orphans (absent from the
+            # anti-join side) in the report
+            agg_row = agg_row.join(orphans, by, "left").withColumn(
+                f"__v{i}", F.coalesce(F.col(f"__v{i}"), F.lit(0))
+            )
+        else:
+            agg_row = agg_row.crossJoin(F.broadcast(orphans))
     label_df = spark.createDataFrame(
         [(i, k, c) for i, k, c in labels], "__i int, check string, column string"
     )
     stacked = agg_row.select(
+        *by,
         F.stack(
             F.lit(len(labels)),
             *[
                 x
                 for i, _, _ in labels
-                for x in (F.lit(i), F.col(f"__v{i}").cast("long"))
+                for x in (F.lit(i), F.coalesce(F.col(f"__v{i}"), F.lit(0)).cast("long"))
             ],
-        ).alias("__i", "violations")
+        ).alias("__i", "violations"),
     )
     return (
         stacked.join(F.broadcast(label_df), "__i")
         .select(
+            *by,
             "check",
             "column",
             "violations",
             (F.col("violations") == 0).alias("passed"),
         )
-        .orderBy("check", "column")
+        .orderBy(*by, "check", "column")
     )
 
 

@@ -475,6 +475,9 @@ def matview_ingest_stream(
     minmax: bool = True,
     distinct_cols: list[str] | None = None,
     lg_k: int = 12,
+    sumsq: bool = False,
+    drift_z: float | None = None,
+    on_drift: str = "error",
 ):
     """Streaming materialized-view maintenance (r12): every micro-batch
     of fact rows is aggregated to key grain and appended to a persisted
@@ -494,14 +497,53 @@ def matview_ingest_stream(
     different source = data corruption, use batch ``matview_append``
     with explicit epochs instead).
 
+    ``drift_z`` (needs a ``sumsq=True`` view) runs ``matview_drift`` on
+    every micro-batch BEFORE it is appended — the same per-batch guard
+    discipline as ``rag_ingest_stream``'s vocabulary drift check: a
+    batch whose per-key means sit more than ``drift_z`` standard errors
+    from the view's history raises (``on_drift="error"``) or warns and
+    ingests anyway (``"warn"``); ``new_key``/``low_n`` rows never trip
+    the guard (new keys are growth, not drift).
+
     Returns the started query; drive with ``processAllAvailable()`` or
     a trigger.
     """
-    from bayesiandatafusion_jl_spark.operators.matview import matview_append
+    import warnings
+
+    from bayesiandatafusion_jl_spark.operators.matview import (
+        matview_append,
+        matview_drift,
+    )
+
+    if on_drift not in ("error", "warn"):
+        raise ValueError(f"on_drift must be 'error' or 'warn', got {on_drift!r}")
+    if drift_z is not None and not sumsq:
+        raise ValueError("drift_z needs sumsq=True (std from state)")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
+        if drift_z is not None:
+            bad = [
+                r
+                for r in matview_drift(
+                    batch_df, view_dir, keys, measures, z_thresh=drift_z,
+                    minmax=minmax, distinct_cols=distinct_cols, lg_k=lg_k,
+                ).collect()
+                if r["status"] == "drift"
+            ]
+            if bad:
+                detail = "; ".join(
+                    f"{tuple(r[k] for k in keys)}/{r['measure']}: z={r['z']}"
+                    for r in bad[:5]
+                )
+                msg = (
+                    f"matview stream batch {batch_id}: {len(bad)} "
+                    f"(key, measure) cells drifted past z={drift_z} — {detail}"
+                )
+                if on_drift == "error":
+                    raise ValueError(msg)
+                warnings.warn(msg, stacklevel=2)
         matview_append(
             batch_df,
             view_dir,
@@ -511,6 +553,7 @@ def matview_ingest_stream(
             minmax=minmax,
             distinct_cols=distinct_cols,
             lg_k=lg_k,
+            sumsq=sumsq,
         )
 
     return (

@@ -81,3 +81,31 @@ def test_fk_only_checklist_and_arity_guard(spark):
         check_table(df, [])
     with pytest.raises(ValueError, match="unknown check"):
         check_table(df, [{"kind": "nope"}])
+
+
+def test_grouped_checks_isolate_broken_partition(spark):
+    """A per-group report surfaces the one broken partition a global
+    report would average away; groups with zero FK orphans still get a
+    passed row."""
+    df = spark.createDataFrame(
+        [
+            ("d1", 1, 1.0),
+            ("d1", 2, 2.0),
+            ("d2", 3, None),   # the broken day: null + orphan
+            ("d2", 9, 4.0),    # 9 not in dim
+        ],
+        "day string, k int, qty double",
+    )
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "dk int")
+    rep = {
+        (r["day"], r["check"]): (r["violations"], r["passed"])
+        for r in check_table(
+            df,
+            [not_null("qty"), foreign_key(["k"], dim, ["dk"])],
+            by=["day"],
+        ).collect()
+    }
+    assert rep[("d1", "not_null")] == (0, True)
+    assert rep[("d1", "foreign_key")] == (0, True)  # zero-orphan group kept
+    assert rep[("d2", "not_null")] == (1, False)
+    assert rep[("d2", "foreign_key")] == (1, False)

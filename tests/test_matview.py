@@ -467,3 +467,67 @@ def test_sumsq_std_and_drift_detection(spark, tmp_path):
     write_matview(li, vd2, KEYS, MEAS)
     with pytest.raises(ValueError, match="sumsq"):
         matview_drift(li.limit(5), vd2, KEYS, MEAS)
+
+
+def test_matview_stream_drift_guard(spark, tmp_path):
+    """The streaming ingest guard: an in-distribution batch appends; a
+    shifted batch raises (on_drift='error') BEFORE it pollutes the
+    view."""
+    from bayesiandatafusion_jl_spark.operators.matview import (
+        read_matview,
+        write_matview,
+    )
+    from bayesiandatafusion_jl_spark.streaming.pipelines import (
+        matview_ingest_stream,
+    )
+
+    li = load_table(spark, SF_DIR_TINY, "lineitem")
+    vd = str(tmp_path / "gview")
+    write_matview(
+        li.filter(F.col("l_orderkey") % 4 != 3), vd, KEYS, MEAS, sumsq=True
+    )
+    src = str(tmp_path / "gsrc")
+    ok_batch = li.filter(F.col("l_orderkey") % 4 == 3)
+    bad_batch = ok_batch.withColumn("l_quantity", F.col("l_quantity") * 5)
+    ok_batch.coalesce(1).write.mode("append").parquet(src)
+    bad_batch.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = matview_ingest_stream(
+        stream, vd, str(tmp_path / "gckpt"), KEYS, MEAS,
+        sumsq=True, drift_z=8.0,
+    )
+    try:
+        with pytest.raises(Exception, match="drifted past"):
+            q.processAllAvailable()
+            if q.exception():
+                raise q.exception()
+    finally:
+        q.stop()
+    # the clean batch (whichever order the two files triggered in, at
+    # least the guard stopped ingestion at the shifted one): the view
+    # still serves, and never absorbed the 5x rows at full strength
+    served = read_matview(spark, vd, KEYS, MEAS, sumsq=True)
+    direct_all_bad = rollup_read(
+        rollup_state(
+            li.withColumn("l_quantity", F.col("l_quantity") * 5),
+            KEYS, MEAS, sumsq=True,
+        ),
+        MEAS,
+    )
+    s_avg = {r[0:2]: r["avg_l_quantity"] for r in served.collect()}
+    bad_avg = {r[0:2]: r["avg_l_quantity"] for r in direct_all_bad.collect()}
+    assert all(s_avg[k] < bad_avg[k] for k in s_avg)
+    # guard misconfiguration is refused up front
+    with pytest.raises(ValueError, match="sumsq"):
+        matview_ingest_stream(
+            stream, vd, str(tmp_path / "x"), KEYS, MEAS, drift_z=4.0
+        )
+    with pytest.raises(ValueError, match="on_drift"):
+        matview_ingest_stream(
+            stream, vd, str(tmp_path / "y"), KEYS, MEAS,
+            sumsq=True, drift_z=4.0, on_drift="ignore",
+        )
