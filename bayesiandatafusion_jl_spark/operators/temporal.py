@@ -264,3 +264,92 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("__n1")
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    grain: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by the period of their
+    FIRST event (the cohort), then counted in every later period they
+    were active — the third leg of the events-analytics triad
+    (sessionize → funnel → retention).
+
+    Shape: one (user, period) distinct aggregate over events (the only
+    data-scaled motion, map-side combinable), one user-grain min to form
+    cohorts, one shrinking join + count. Cohort sizes rejoin by
+    broadcast — everything after the first aggregate is user- or
+    cohort-grain.
+
+    Returns (cohort, period_n, users, cohort_size, retention):
+    ``period_n`` = whole ``grain`` periods since the cohort period
+    (0 = the cohort period itself, retention 1.0 by construction).
+    """
+    u, ts = user_col, ts_col
+    active = (
+        events.select(u, F.date_trunc(grain, F.col(ts)).alias("__p"))
+        .distinct()
+    )
+    cohorts = active.groupBy(u).agg(F.min("__p").alias("cohort"))
+    step_days = {"week": 7, "day": 1}.get(grain)
+    if step_days is None:
+        raise ValueError(f"grain must be 'week' or 'day', got {grain!r}")
+    joined = active.join(cohorts, u).select(
+        u,
+        "cohort",
+        (
+            F.datediff(F.col("__p"), F.col("cohort")) / F.lit(step_days)
+        ).cast("int").alias("period_n"),
+    )
+    counts = joined.groupBy("cohort", "period_n").agg(
+        F.count_distinct(F.col(u)).alias("users")
+    )
+    sizes = cohorts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return counts.join(F.broadcast(sizes), "cohort").select(
+        "cohort",
+        "period_n",
+        "users",
+        "cohort_size",
+        F.round(
+            F.col("users").cast("double") / F.col("cohort_size"), 4
+        ).alias("retention"),
+    )
+
+
+@register(
+    "q_events_retention",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, MIN(p) AS cohort FROM active GROUP BY user_id
+    ),
+    joined AS (
+      SELECT a.user_id, c.cohort,
+             CAST(datediff('day', c.cohort, a.p) / 7 AS INT) AS period_n
+      FROM active a JOIN cohorts c USING (user_id)
+    ),
+    counts AS (
+      SELECT cohort, period_n, COUNT(DISTINCT user_id) AS users
+      FROM joined GROUP BY cohort, period_n
+    ),
+    sizes AS (
+      SELECT cohort, COUNT(*) AS cohort_size FROM cohorts GROUP BY cohort
+    )
+    SELECT co.cohort AS cohort, co.period_n AS period_n,
+           co.users AS users, s.cohort_size AS cohort_size,
+           ROUND(CAST(co.users AS DOUBLE) / s.cohort_size, 4) AS retention
+    FROM counts co JOIN sizes s USING (cohort)
+    """,
+    tags=("J9", "retention", "events"),
+    demoted=True,
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over events (see ``cohort_retention``),
+    hash-exact vs the oracle's window-free CTE formulation."""
+    return cohort_retention(load_table(spark, sf_dir, "events"))

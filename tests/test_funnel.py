@@ -93,3 +93,40 @@ def test_funnel_max_gap_conversion_window(spark):
         for r in funnel_steps(ev, ["A", "B", "C"]).collect()
     }
     assert loose[1] is not None
+
+
+def test_cohort_retention_semantics(spark):
+    """Cohort = first-seen week; period_n counts whole weeks since; a
+    user absent in a period doesn't count; period 0 retention is 1.0."""
+    from bayesiandatafusion_jl_spark.operators.temporal import (
+        cohort_retention,
+    )
+
+    w0 = datetime(2024, 1, 1)   # a Monday
+    w1 = datetime(2024, 1, 8)
+    w2 = datetime(2024, 1, 15)
+    rows = [
+        # cohort w0: u1 active w0,w1,w2; u2 active w0 only; u3 w0,w2
+        (1, w0), (1, w1), (1, w2),
+        (2, w0),
+        (3, w0), (3, w2),
+        # cohort w1: u4 active w1 twice (distinct-period dedup), w2
+        (4, w1), (4, datetime(2024, 1, 9)), (4, w2),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    got = {
+        (r["cohort"].date().isoformat(), r["period_n"]): (
+            r["users"], r["cohort_size"], r["retention"]
+        )
+        for r in cohort_retention(ev).collect()
+    }
+    assert got[("2024-01-01", 0)] == (3, 3, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 3, round(1 / 3, 4))
+    assert got[("2024-01-01", 2)] == (2, 3, round(2 / 3, 4))
+    assert got[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert got[("2024-01-08", 1)] == (1, 1, 1.0)
+    assert len(got) == 5
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="grain"):
+        cohort_retention(ev, grain="month")
