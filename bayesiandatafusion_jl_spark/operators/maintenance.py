@@ -283,3 +283,109 @@ def q_table_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(frag)
     return compact_parquet(spark, frag, out, target_mb=512)
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    history: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """Attribute AS-OF the fact's own time: join each fact row to the
+    SCD2 interval containing its timestamp (``effective_from <= ts``
+    and ``ts < effective_to``, the current interval open-ended) — the
+    join a training run does to see "the attribute as it was at the
+    interaction", the whole reason the history exists.
+
+    Scale shape: the key equality makes this a sort-merge equi-join on
+    ``key_cols`` with the interval bounds as a post-join residual —
+    never a cartesian (the ``q_join_range`` argument). The history side
+    is versions-per-key (tiny next to facts) so AQE broadcasts it
+    outright when it fits. ``how="left"`` keeps facts that predate
+    their key's first version (attrs NULL); ``"inner"`` drops them.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    h = history.alias("__h")
+    f = facts.alias("__f")
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & (F.col(f"__f.{k}") == F.col(f"__h.{k}"))
+    ts = F.col(f"__f.{ts_col}")
+    cond = (
+        cond
+        & (F.col("__h.effective_from") <= ts)
+        & (
+            F.col("__h.effective_to").isNull()
+            | (ts < F.col("__h.effective_to"))
+        )
+    )
+    attr_cols = [
+        c
+        for c in history.columns
+        if c not in set(key_cols) | {"effective_from", "effective_to"}
+    ]
+    return f.join(h, cond, how).select(
+        "__f.*", *[F.col(f"__h.{c}").alias(c) for c in attr_cols]
+    )
+
+
+@register(
+    "q_scd2_asof",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev
+      FROM events
+    ),
+    chg AS (
+      SELECT user_id, ts, event_id, event_type FROM ordered
+      WHERE prev IS NULL OR prev <> event_type
+    ),
+    hist AS (
+      SELECT user_id, event_type,
+             ts AS effective_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS effective_to,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER)
+               AS version
+      FROM chg
+    )
+    SELECT f.event_id AS purchase_id, f.user_id AS user_id, f.ts AS ts,
+           h.event_type AS state_asof, h.version AS version
+    FROM events f
+    LEFT JOIN hist h
+      ON h.user_id = f.user_id
+     AND h.effective_from <= f.ts
+     AND (h.effective_to IS NULL OR f.ts < h.effective_to)
+    WHERE f.event_type = 'purchase'
+    """,
+    tags=("maintenance", "C7"),
+    demoted=True,
+)
+def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of attribute lookup against the SCD2 history: every purchase
+    event joined to the user's state interval containing its timestamp
+    (by construction that interval's attribute is 'purchase' — the
+    check is that version/interval RESOLUTION matches the oracle
+    exactly, ties and interval edges included)."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd2_history(
+        ev,
+        key_cols=["user_id"],
+        seq_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    ).drop("is_current")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    out = scd2_lookup(facts, hist, ["user_id"], "ts")
+    return out.select(
+        "purchase_id", "user_id", "ts",
+        F.col("event_type").alias("state_asof"), "version",
+    )

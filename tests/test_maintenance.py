@@ -648,3 +648,41 @@ def test_token_budget_sample_invariants(spark):
         .collect()[0]["t"]
     )
     assert tot is not None and tot <= 777
+
+
+def test_scd2_lookup_interval_edges(spark):
+    """As-of semantics at the edges: ts == effective_from is inside,
+    ts == effective_to belongs to the NEXT interval, the current
+    interval is open-ended, and pre-history facts go NULL (left) or
+    drop (inner)."""
+    from bayesiandatafusion_jl_spark.operators.maintenance import scd2_lookup
+
+    hist = spark.createDataFrame(
+        [
+            (1, "bronze", 10, 20, 1),
+            (1, "silver", 20, 30, 2),
+            (1, "gold", 30, None, 3),
+        ],
+        "k int, tier string, effective_from int, effective_to int, version int",
+    )
+    facts = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 20), (1, 29), (1, 30), (1, 999), (2, 15)],
+        "k int, t int",
+    )
+    got = {
+        (r["k"], r["t"]): (r["tier"], r["version"])
+        for r in scd2_lookup(facts, hist, ["k"], "t").collect()
+    }
+    assert got[(1, 5)] == (None, None)       # pre-history
+    assert got[(1, 10)] == ("bronze", 1)     # from-edge inside
+    assert got[(1, 20)] == ("silver", 2)     # to-edge -> next interval
+    assert got[(1, 29)] == ("silver", 2)
+    assert got[(1, 30)] == ("gold", 3)
+    assert got[(1, 999)] == ("gold", 3)      # current interval open
+    assert got[(2, 15)] == (None, None)      # unknown key kept on left
+    inner = scd2_lookup(facts, hist, ["k"], "t", how="inner")
+    assert inner.count() == 5                # pre-history + unknown dropped
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="how"):
+        scd2_lookup(facts, hist, ["k"], "t", how="full")
