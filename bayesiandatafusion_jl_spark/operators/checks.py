@@ -168,17 +168,24 @@ def check_table(
     )
 
 
-def expect(df: DataFrame, checks: list[dict]) -> None:
+def expect(
+    df: DataFrame, checks: list[dict], by: list[str] | None = None
+) -> None:
     """The gate form: run ``check_table`` and RAISE naming every failed
-    expectation — an ingest pipeline must stop on a bad drop, not log
-    past it."""
-    failed = [r for r in check_table(df, checks).collect() if not r["passed"]]
+    expectation (with its group when ``by`` is given) — an ingest
+    pipeline must stop on a bad drop, not log past it."""
+    by = list(by or [])
+    failed = [
+        r for r in check_table(df, checks, by=by).collect() if not r["passed"]
+    ]
     if failed:
         detail = "; ".join(
-            f"{r['check']}({r['column']}): {r['violations']} violations"
-            for r in failed
+            (f"[{', '.join(str(r[g]) for g in by)}] " if by else "")
+            + f"{r['check']}({r['column']}): {r['violations']} violations"
+            for r in failed[:20]
         )
-        raise ValueError(f"table expectations failed — {detail}")
+        more = f" (+{len(failed) - 20} more)" if len(failed) > 20 else ""
+        raise ValueError(f"table expectations failed — {detail}{more}")
 
 
 @register(

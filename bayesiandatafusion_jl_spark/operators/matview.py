@@ -816,15 +816,28 @@ def matview_drift(
             *keys,
             F.col(f"avg_{m}").alias("delta_mean"),
             F.col(f"cnt_{m}").alias("n_delta"),
+            (
+                1.0 - F.col(f"cnt_{m}").cast("double") / F.col("n_rows")
+            ).alias("delta_nullrate"),
+            F.col("n_rows").alias("n_delta_rows"),
         )
         v = view.select(
             *keys,
             F.col(f"avg_{m}").alias("view_mean"),
             F.col(f"std_{m}").alias("view_std"),
+            (
+                1.0 - F.col(f"cnt_{m}").cast("double") / F.col("n_rows")
+            ).alias("view_nullrate"),
         )
         j = d.join(v, keys, "left")
         se = F.col("view_std") / F.sqrt(F.col("n_delta"))
         z = F.when(se > 0, F.abs(F.col("delta_mean") - F.col("view_mean")) / se)
+        status = (
+            F.when(F.col("view_mean").isNull(), F.lit("new_key"))
+            .when(F.col("n_delta") < min_rows, F.lit("low_n"))
+            .when(z > F.lit(float(z_thresh)), F.lit("drift"))
+            .otherwise(F.lit("ok"))
+        )
         outs.append(
             j.select(
                 *keys,
@@ -834,11 +847,37 @@ def matview_drift(
                 "delta_mean",
                 "n_delta",
                 F.round(z, 4).alias("z"),
-                F.when(F.col("view_mean").isNull(), F.lit("new_key"))
-                .when(F.col("n_delta") < min_rows, F.lit("low_n"))
-                .when(z > F.lit(float(z_thresh)), F.lit("drift"))
-                .otherwise(F.lit("ok"))
-                .alias("status"),
+                status.alias("status"),
+            )
+        )
+        # null-rate leg: a field silently going null passes every mean
+        # test (nulls don't enter avg) — z-test the PROPORTION instead,
+        # se = sqrt(p(1-p)/n) from the view's historical rate
+        p = F.col("view_nullrate")
+        se_p = F.sqrt(p * (1.0 - p) / F.col("n_delta_rows"))
+        zp = F.when(
+            se_p > 0,
+            F.abs(F.col("delta_nullrate") - p) / se_p,
+        ).otherwise(
+            # view rate exactly 0 or 1: ANY deviation is drift-grade
+            F.when(F.abs(F.col("delta_nullrate") - p) > 0, F.lit(float("inf")))
+        )
+        status_p = (
+            F.when(p.isNull(), F.lit("new_key"))
+            .when(F.col("n_delta_rows") < min_rows, F.lit("low_n"))
+            .when(zp > F.lit(float(z_thresh)), F.lit("drift"))
+            .otherwise(F.lit("ok"))
+        )
+        outs.append(
+            j.select(
+                *keys,
+                F.lit(f"{m}__null_rate").alias("measure"),
+                p.alias("view_mean"),
+                F.lit(None).cast("double").alias("view_std"),
+                F.col("delta_nullrate").alias("delta_mean"),
+                F.col("n_delta_rows").alias("n_delta"),
+                F.round(zp, 4).alias("z"),
+                status_p.alias("status"),
             )
         )
     res = outs[0]

@@ -531,3 +531,28 @@ def test_matview_stream_drift_guard(spark, tmp_path):
             stream, vd, str(tmp_path / "y"), KEYS, MEAS,
             sumsq=True, drift_z=4.0, on_drift="ignore",
         )
+
+
+def test_drift_null_rate_leg(spark, tmp_path):
+    """A delta whose measure silently went null passes the mean test
+    (nulls never enter avg) but trips the null-rate proportion z-test."""
+    from bayesiandatafusion_jl_spark.operators.matview import (
+        matview_drift,
+        write_matview,
+    )
+
+    li = load_table(spark, SF_DIR_TINY, "lineitem")
+    vd = str(tmp_path / "nview")
+    write_matview(li, vd, KEYS, MEAS, sumsq=True)
+    # half the delta's quantities go null; surviving values unchanged
+    delta = li.filter(F.col("l_orderkey") % 5 == 0).withColumn(
+        "l_quantity",
+        F.when(F.col("l_linenumber") % 2 == 0, F.col("l_quantity")),
+    )
+    rep = matview_drift(delta, vd, KEYS, MEAS, z_thresh=6.0)
+    rows = {(r["measure"], r["l_returnflag"], r["l_linestatus"]): r["status"]
+            for r in rep.collect() if r["n_delta"] >= 30}
+    nr = [v for (m, _, _), v in rows.items() if m == "l_quantity__null_rate"]
+    mean_leg = [v for (m, _, _), v in rows.items() if m == "l_quantity"]
+    assert nr and all(v == "drift" for v in nr)       # proportion test fires
+    assert mean_leg and all(v == "ok" for v in mean_leg)  # mean test blind
