@@ -351,7 +351,7 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def token_budget_sample(
     df: DataFrame,
-    budget: int,
+    budget: int | dict,
     len_col: str,
     id_cols: list[str],
     by: list[str] | None = None,
@@ -375,16 +375,27 @@ def token_budget_sample(
 
     Keeps hash_sample's nesting property per group (a smaller budget's
     selection ⊂ a larger one's) because the order is budget-independent.
+
+    ``budget`` may be a dict keyed by the group value (single ``by``
+    column) or by a tuple of group values (multi-column ``by``) — the
+    literal shape of a mixture recipe ("200B of web, 30B of code");
+    groups absent from the dict contribute NOTHING (budget 0), which is
+    the recipe semantics (an unlisted source is not in the mixture).
     """
     from bayesiandatafusion_jl_spark.session import (
         checkpoint_df,
         shuffle_partitions,
     )
 
-    if budget < 0:
-        raise ValueError(f"budget must be >= 0, got {budget}")
     sess = df.sparkSession
     grp = list(by or [])
+    if isinstance(budget, dict):
+        if not grp:
+            raise ValueError("a budget dict needs `by` group columns")
+        if any(int(v) < 0 for v in budget.values()):
+            raise ValueError(f"budgets must be >= 0, got {budget}")
+    elif budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
     if n_partitions is None:
         n_partitions = shuffle_partitions(sess)
     staged = df.select("*", _bucket(id_cols).alias("__ord")).repartitionByRange(
@@ -418,10 +429,24 @@ def token_budget_sample(
     offsets = sess.createDataFrame(
         prefix_rows, ", ".join(schema_parts + ["__pid int", "__prefix long"])
     )
+    if isinstance(budget, dict):
+        rows = [
+            ((k,) if len(grp) == 1 else tuple(k)) + (int(v),)
+            for k, v in budget.items()
+        ]
+        budgets = sess.createDataFrame(
+            rows, ", ".join([f"{g} {dict(df.dtypes)[g]}" for g in grp])
+            + ", __budget long",
+        )
+        # inner join: unlisted groups get no budget and drop out
+        local = local.join(F.broadcast(budgets), grp)
+        cap = F.col("__budget")
+    else:
+        cap = F.lit(int(budget))
     return (
         local.join(F.broadcast(offsets), ["__pid", *grp])
-        .filter(F.col("__prefix") + F.col("__cum_local") <= F.lit(int(budget)))
-        .drop("__ord", "__pid", "__cum_local", "__prefix")
+        .filter(F.col("__prefix") + F.col("__cum_local") <= cap)
+        .drop("__ord", "__pid", "__cum_local", "__prefix", "__budget")
     )
 
 

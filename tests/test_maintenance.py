@@ -686,3 +686,46 @@ def test_scd2_lookup_interval_edges(spark):
 
     with _pt.raises(ValueError, match="how"):
         scd2_lookup(facts, hist, ["k"], "t", how="full")
+
+
+def test_token_budget_dict_per_source(spark):
+    """A budget dict caps each listed source independently; unlisted
+    sources contribute nothing; selections nest within a source."""
+    from pyspark.sql import functions as FF
+
+    from bayesiandatafusion_jl_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, i % 3, 10 + (i * 7) % 50) for i in range(300)],
+        "doc_id long, source int, n_tokens int",
+    )
+    kept = token_budget_sample(
+        docs, {0: 2000, 1: 500}, "n_tokens", ["doc_id"], by=["source"]
+    )
+    tot = {
+        r["source"]: r["t"]
+        for r in kept.groupBy("source").agg(FF.sum("n_tokens").alias("t")).collect()
+    }
+    assert set(tot) == {0, 1}          # source 2 unlisted -> absent
+    assert tot[0] <= 2000 and tot[0] > 1500
+    assert tot[1] <= 500
+    # dict selection for a source == scalar selection at that budget
+    ids_dict = {
+        r["doc_id"] for r in kept.filter(FF.col("source") == 1).collect()
+    }
+    ids_scalar = {
+        r["doc_id"]
+        for r in token_budget_sample(
+            docs.filter(FF.col("source") == 1), 500, "n_tokens", ["doc_id"],
+            by=["source"],
+        ).collect()
+    }
+    assert ids_dict == ids_scalar
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="by"):
+        token_budget_sample(docs, {0: 10}, "n_tokens", ["doc_id"])
+    with _pt.raises(ValueError, match=">= 0"):
+        token_budget_sample(docs, {0: -1}, "n_tokens", ["doc_id"], by=["source"])
