@@ -63,6 +63,11 @@ HEADLINE = [
     "q_llm_rag_pipeline",   # r11: chunk -> hash-embed -> IVF retrieve chain
     "q_matview_rollup",     # r12: incremental matview split-merge refresh
     "q_events_funnel",      # r12: ordered funnel join cascade over events
+    "q_matview_persisted",  # r12: build->append->compact->retract lifecycle
+    "q_events_retention",   # r12: cohort retention matrix
+    "q_scd2_asof",          # r12: as-of attribute lookup vs SCD2 history
+    "q_table_checks",       # r12: one-pass expectation gate + FK anti-join
+    "q_llm_token_budget",   # r12: grouped prefix-scan token-budget fill
 ]
 
 
