@@ -381,6 +381,7 @@ def histogram_quantiles(
         res = res.join(o, keys) if keys else res.crossJoin(o)
     return res
 
+
 @register(
     "q_matview_rollup",
     oracle=f"""
@@ -451,7 +452,11 @@ def q_matview_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (sum/count-only views), so CDC deletes flow through the same
 # idempotent epoch contract.
 
-_COMPACT_EPOCH_PREFIX = "compact-"  # index_compact.COMPACT_PREFIX
+# compaction output epochs share index_compact's reserved prefix — ONE
+# constant, imported, so the two modules cannot drift
+from bayesiandatafusion_jl_spark.functions.index_compact import (  # noqa: E402
+    COMPACT_PREFIX as _COMPACT_EPOCH_PREFIX,
+)
 
 
 def _config_fp(
