@@ -34,6 +34,9 @@ from bayesiandatafusion_jl_spark.registry import register
     FROM embeddings
     """,
     tags=("H4",),
+    demoted=True,  # r12: H4's dot kernel is hash-checked on every
+    # q_llm_knn pair (same sql_dot template); slot freed for
+    # q_events_funnel. Local parity gate unchanged.
 )
 def q_fn_array_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H4 — array ops + dot product (the u·v prediction kernel
@@ -118,6 +121,8 @@ def knn_topk(
     GROUP BY label, pos
     """,
     tags=("J4",),
+    demoted=True,  # r12: folded into q_agg_vector_sum's `c` column
+    # (identical grouping + /count); slot freed for q_matview_rollup.
 )
 def q_llm_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 — per-label embedding centroid (element-wise mean, the D9 moment

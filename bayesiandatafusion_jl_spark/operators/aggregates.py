@@ -248,7 +248,8 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label, pos,
            ROUND(SUM(CAST(v AS DOUBLE)), 4) AS s,
-           COUNT(*) AS n
+           COUNT(*) AS n,
+           ROUND(SUM(CAST(v AS DOUBLE)) / COUNT(*), 6) AS c
     FROM (
       SELECT label, UNNEST(embedding) AS v,
              generate_subscripts(embedding, 1) AS pos
@@ -272,7 +273,11 @@ def q_agg_vector_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", (F.col("pos0") + 1).alias("pos"), F.col("v").cast("double").alias("v")
     )
     return exploded.groupBy("label", "pos").agg(
-        F.round(F.sum("v"), 4).alias("s"), F.count(F.lit(1)).alias("n")
+        F.round(F.sum("v"), 4).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+        # r12: the J4 centroid readout rides the same aggregate (the
+        # demoted q_llm_centroid keeps the standalone form)
+        F.round(F.sum("v") / F.count(F.lit(1)), 6).alias("c"),
     )
 
 

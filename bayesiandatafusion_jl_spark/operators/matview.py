@@ -402,7 +402,6 @@ def histogram_quantiles(
     GROUP BY l_returnflag, l_linestatus
     """,
     tags=("D1", "matview", "maintenance"),
-    demoted=True,
 )
 def q_matview_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental rollup ≡ full recompute: lineitem split into a base

@@ -236,7 +236,6 @@ def funnel_steps(
     SELECT 3, 'purchase', n3, ROUND(CAST(n3 AS DOUBLE) / n1, 4) FROM c
     """,
     tags=("E3", "J9", "funnel"),
-    demoted=True,
 )
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel signup → view → purchase: users reaching
