@@ -344,3 +344,51 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, media_type string, duration_s double, rms double,"
         " peak double, zcr double, pixels double, mean_luma double",
     )
+
+
+@register(
+    "q_multimodal_thumbnail",
+    oracle=None,  # real BMP decode/re-encode is not SQL-expressible;
+    # executor≡driver agreement + round-trip exactness in tests
+    tags=("multimodal", "codecs"),
+    demoted=True,
+)
+def q_multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL thumbnailing over real images: decode each synthetic BMP
+    (multimodal/codecs.py), nearest-neighbor resize to 16×16, re-encode
+    as a valid BMP — the bandwidth-bound preprocessing step a
+    multimodal lake runs before feature extraction, here with genuine
+    header parsing and padding arithmetic on both sides of the resize.
+    Output: source dims + thumbnail checksum/bytes (every thumbnail is
+    itself a decodable BMP — pinned in tests)."""
+    from bayesiandatafusion_jl_spark.multimodal.codecs import (
+        decode_bmp,
+        encode_bmp,
+        resize_nearest,
+    )
+
+    media = synth_media(spark, sf_dir).filter(
+        F.col("media_type") == "image/bmp"
+    )
+
+    def _thumb(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_bmp(bytes(payload))
+                thumb = encode_bmp(resize_nearest(img, 16, 16))
+                rows.append(
+                    (int(d), img.shape[0], img.shape[1], len(thumb), thumb)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "in_h", "in_w", "thumb_bytes", "thumb"]
+            )
+
+    out = media.mapInPandas(
+        _thumb,
+        "doc_id bigint, in_h int, in_w int, thumb_bytes bigint, thumb binary",
+    )
+    return out.select(
+        "doc_id", "in_h", "in_w", "thumb_bytes",
+        F.md5("thumb").alias("thumb_md5"),
+    )

@@ -112,3 +112,22 @@ def test_spark_decode_matches_driver_ground_truth(spark):
             want = bmp_features(synth_bmp(r["doc_id"]))
             assert r["pixels"] == want["width"] * want["height"]
             assert r["mean_luma"] == want["mean_luma"]
+
+
+def test_thumbnail_query_round_trips(spark):
+    """Every thumbnail is a decodable 16x16 BMP identical to the
+    driver-side decode→resize→encode of the same source payload."""
+    from bayesiandatafusion_jl_spark.registry import get_query
+    import hashlib
+
+    rows = get_query("q_multimodal_thumbnail").fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 200
+    for r in rows[:25]:
+        src = synth_bmp(r["doc_id"])
+        img = decode_bmp(src)
+        assert (r["in_h"], r["in_w"]) == img.shape[:2]
+        want = encode_bmp(resize_nearest(img, 16, 16))
+        assert r["thumb_md5"] == hashlib.md5(want).hexdigest()
+        assert decode_bmp(want).shape == (16, 16, 3)
