@@ -116,9 +116,11 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Covers the metadata-scan capability (q_multimodal_meta, demoted) and
     the one-to-many mapInPandas shape (q_multimodal_framesample, demoted)
-    in one oracle row. The decode/resize steps (stubbed codecs —
-    deterministic fakes, no codec libs in this container) remain demoted
-    rows-only specs with pytest coverage. The join is on doc_id against a
+    in one oracle row. The decode/resize steps remain demoted rows-only
+    specs with pytest coverage — REAL codecs for the uncompressed
+    formats (q_multimodal_decode / q_multimodal_thumbnail over WAV/BMP,
+    multimodal/codecs.py), deterministic byte-fakes only where a format
+    genuinely needs absent libraries (JPEG/MP3). The join is on doc_id against a
     map-only metadata projection — at scale both sides are co-partitioned
     reads of the same table, so AQE plans a local join."""
     frames = q_multimodal_framesample(spark, sf_dir)
