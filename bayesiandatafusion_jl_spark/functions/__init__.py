@@ -13,6 +13,7 @@ from bayesiandatafusion_jl_spark.functions import (  # noqa: F401
     pipeline,
     rag,
     scalar,
+    sparse_retrieval,
     text,
     vector,
     vector_index,

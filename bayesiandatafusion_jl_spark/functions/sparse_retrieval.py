@@ -1,0 +1,307 @@
+"""Sparse (BM25) retrieval and dense+sparse hybrid fusion (RRF).
+
+The retrieval complement to the dense ANN family (functions/vector.py,
+vector_pq.py, rag.py): Okapi BM25 (Robertson & Spärck Jones probabilistic
+relevance weighting — public literature) scores a query's terms against a
+token posting list, and Reciprocal Rank Fusion (Cormack, Clarke &
+Buettcher, SIGIR 2009 — public paper) merges the BM25 ranking with a
+dense cosine ranking into one hybrid list. Together they form the
+standard two-tower retrieval stack: lexical recall from BM25 (exact rare
+terms — ids, names, codes — that hashing/embedding smears), semantic
+recall from the vector leg, RRF on top needing no score calibration
+because it consumes only RANKS.
+
+Plan shape (the part that must survive 100 TB):
+
+- Corpus statistics are three shrinking-key aggregations over ONE token
+  explode: (doc, term) tf, (doc) length, (term) df. All partial-agg
+  friendly; nothing is corpus² anywhere.
+- The query side is small in every real batch → query terms BROADCAST
+  against the posting table, so candidate generation is a map-side hash
+  probe of each posting partition: only documents sharing ≥1 query term
+  are ever materialized (exactly BM25's support — absent terms score 0).
+- Scoring is one more shrinking-key aggregation on (qid, doc) and a
+  per-qid top-k window. The df frame is |vocab|-sized (broadcast here;
+  swap to a shuffle join the day the vocabulary outgrows the driver —
+  the join key is already `token`).
+
+Cross-engine determinism: every per-term score is rounded to 6 digits
+and summed as decimal(38,6) (order-independent exact sum), scalar stats
+(N, avgdl) ride a broadcast 1-row cross join, floating literals are
+written in e-notation in the oracles so DuckDB types them DOUBLE (not
+DECIMAL) and both engines evaluate the identical expression tree; RRF
+works on integer ranks so its arithmetic is exactly reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from bayesiandatafusion_jl_spark.catalog import load_table
+from bayesiandatafusion_jl_spark.functions.text import tokens
+from bayesiandatafusion_jl_spark.registry import register
+
+# BM25 free parameters (the standard defaults from the literature).
+# Written as the SAME parsed literals in both engines' expression trees
+# (2.2 here, 2.2e0 in the oracle — NOT computed as k1+1, whose rounding
+# could differ from the parsed literal) — see module docstring.
+_K1 = 1.2
+_K1P1 = 2.2
+_B = 0.75
+_ONE_MINUS_B = 0.25
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """(qid, nb_id, score, rk): top-k corpus documents per query under
+    Okapi BM25 with k1=1.2, b=0.75.
+
+    ``corpus``: (doc_id, text); ``queries``: (qid, text). Query terms are
+    DISTINCT (set semantics — the standard choice for short queries;
+    repeated query terms do not multiply). A query term absent from the
+    corpus vocabulary simply never joins a posting row and contributes 0,
+    which is BM25's own semantics for df=0 terms. ``exclude_self`` drops
+    candidates whose doc_id equals the query's qid — right when queries
+    ARE corpus members; pass False for a foreign query id space.
+
+    IDF is the non-negative Lucene form ln(1 + (N-df+0.5)/(df+0.5)), so a
+    term in >half the corpus dampens toward 0 instead of going negative.
+    """
+    tok = tokens(corpus).select("doc_id", "token")
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # scalar stats: N over ALL corpus rows (token-less docs count toward
+    # N but can never be candidates), avgdl over docs with >=1 token —
+    # exact bigint sum / bigint count so both engines agree to the bit
+    scalars = corpus.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+        )
+    )
+    qterms = tokens(queries, "text").select(
+        F.col("qid"), F.col("token")
+    ).distinct()
+
+    cand = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "token")
+        .join(F.broadcast(qterms), "token")
+        .crossJoin(F.broadcast(scalars))
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("doc_id") != F.col("qid"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (F.col("tf") * F.lit(_K1P1)) / (
+        F.col("tf")
+        + F.lit(_K1)
+        * (F.lit(_ONE_MINUS_B) + F.lit(_B) * F.col("dl") / F.col("avgdl"))
+    )
+    terms = cand.select(
+        "qid",
+        F.col("doc_id").alias("nb_id"),
+        F.round(idf * tfn, 6).cast("decimal(38,6)").alias("t"),
+    )
+    scores = terms.groupBy("qid", "nb_id").agg(
+        F.sum("t").cast("double").alias("score")
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("nb_id"))
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    k0: int = 60,
+) -> DataFrame:
+    """(qid, nb_id, rrf, rk, rk_a, rk_b): Reciprocal Rank Fusion of two
+    per-query rankings — rrf = Σ_legs 1/(k0 + rank), a document missing
+    from a leg contributing 0 for it.
+
+    Inputs carry (qid, nb_id, rk); scores are deliberately IGNORED — RRF
+    is rank-only, which is what lets it fuse an uncalibrated BM25 score
+    with a cosine in [-1, 1] with no normalization step. k0=60 is the
+    value from the original paper. Each 1/(k0+rk) term is rounded to 6
+    digits and summed in decimal so the fusion is exactly reproducible
+    cross-engine; ties (e.g. a rank-r-only-dense doc vs a
+    rank-r-only-sparse doc) break on nb_id.
+
+    The fuse is a (qid, nb_id) full outer join of two ALREADY top-k'd
+    frames — |Q|·k rows a side, never corpus-scaled.
+    """
+    contrib = lambda c: F.coalesce(  # noqa: E731
+        F.round(F.lit(1.0) / (F.lit(k0) + F.col(c)), 6).cast("decimal(18,6)"),
+        F.lit(0).cast("decimal(18,6)"),
+    )
+    a = ranked_a.select("qid", "nb_id", F.col("rk").alias("rk_a"))
+    b = ranked_b.select("qid", "nb_id", F.col("rk").alias("rk_b"))
+    j = a.join(b, ["qid", "nb_id"], "full_outer")
+    scored = j.select(
+        "qid",
+        "nb_id",
+        (contrib("rk_a") + contrib("rk_b")).cast("double").alias("rrf"),
+        "rk_a",
+        "rk_b",
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("rrf"), F.asc("nb_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "nb_id", "rrf", "rk", "rk_a", "rk_b")
+    )
+
+
+_BM25_TERM_SQL = """
+      CAST(ROUND(
+        LN(1.0e0 + (n.n_docs - df.df + 0.5e0) / (df.df + 0.5e0))
+        * (tf.tf * 2.2e0)
+          / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl / ad.avgdl)),
+      6) AS DECIMAL(38,6))
+"""
+
+_BM25_CORE_SQL = f"""
+    tok AS (
+      SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS token
+      FROM documents
+    ),
+    tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok2 GROUP BY doc_id, token
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    q AS (
+      SELECT DISTINCT doc_id AS qid, token FROM tok2 WHERE doc_id % 50 = 0
+    ),
+    terms AS (
+      SELECT q.qid, tf.doc_id AS nb_id, {_BM25_TERM_SQL} AS t
+      FROM q
+      JOIN tf ON tf.token = q.token
+      JOIN df ON df.token = q.token
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN n CROSS JOIN ad
+      WHERE tf.doc_id <> q.qid
+    ),
+    sc AS (
+      SELECT qid, nb_id, CAST(SUM(t) AS DOUBLE) AS score
+      FROM terms GROUP BY qid, nb_id
+    ),
+    bm25 AS (
+      SELECT qid, nb_id, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY score DESC, nb_id ASC
+             ) AS rk
+      FROM sc
+    )
+"""
+
+
+@register(
+    "q_llm_bm25",
+    oracle=f"""
+    WITH {_BM25_CORE_SQL}
+    SELECT qid, nb_id, score, rk FROM bm25 WHERE rk <= 10
+    """,
+    tags=("J5", "J6", "retrieval"),
+    demoted=True,
+)
+def q_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical retrieval: BM25 top-10 per query over `documents`,
+    queries = every 50th document (its own text as the query), self
+    excluded — the lexical leg of the hybrid retrieval stack."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("qid"), "text"
+    )
+    return bm25_topk(docs, queries, k=10)
+
+
+def _hybrid_oracle() -> str:
+    """Hybrid oracle: q_llm_knn's dense CTE (sql_dot) + the BM25 core,
+    fused rank-only with the same rounded-decimal RRF terms."""
+    from bayesiandatafusion_jl_spark.functions.exprs import sql_dot
+
+    rrf_term = "CAST(ROUND(1.0e0 / (60 + {rk}), 6) AS DECIMAL(18,6))"
+    return f"""
+    WITH {_BM25_CORE_SQL},
+    sparse AS (SELECT qid, nb_id, rk FROM bm25 WHERE rk <= 20),
+    qv AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id % 50 = 0
+    ),
+    dpairs AS (
+      SELECT qv.qid, e.vec_id AS nb_id,
+             ROUND({sql_dot('qv.qe', 'e.embedding')}, 4) AS score
+      FROM qv JOIN embeddings e ON e.vec_id <> qv.qid
+    ),
+    dense AS (
+      SELECT qid, nb_id, rk FROM (
+        SELECT qid, nb_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qid ORDER BY score DESC, nb_id ASC
+               ) AS rk
+        FROM dpairs
+      ) WHERE rk <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(d.qid, s.qid) AS qid,
+             COALESCE(d.nb_id, s.nb_id) AS nb_id,
+             CAST(COALESCE({rrf_term.format(rk='d.rk')},
+                           CAST(0 AS DECIMAL(18,6)))
+                  + COALESCE({rrf_term.format(rk='s.rk')},
+                             CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS rrf,
+             d.rk AS rk_a, s.rk AS rk_b
+      FROM dense d
+      FULL OUTER JOIN sparse s ON d.qid = s.qid AND d.nb_id = s.nb_id
+    )
+    SELECT qid, nb_id, rrf, rk, rk_a, rk_b FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY rrf DESC, nb_id ASC
+      ) AS rk
+      FROM fused
+    ) WHERE rk <= 10
+    """
+
+
+@register(
+    "q_llm_hybrid_rrf",
+    oracle=_hybrid_oracle(),
+    tags=("J3", "J5", "retrieval", "hybrid"),
+    demoted=True,
+)
+def q_llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid dense+sparse retrieval: cosine top-20 over `embeddings` and
+    BM25 top-20 over `documents` (the two tables keyed by the same id
+    space), fused with Reciprocal Rank Fusion into a top-10 per query —
+    the standard two-tower serving stack, rank-only so no score
+    calibration is needed."""
+    from bayesiandatafusion_jl_spark.functions.vector import knn_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_dense = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    dense = knn_topk(emb, q_dense, k=20)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    q_sparse = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("qid"), "text"
+    )
+    sparse = bm25_topk(docs, q_sparse, k=20)
+    return rrf_fuse(dense, sparse, k=10)

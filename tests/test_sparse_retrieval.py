@@ -1,0 +1,127 @@
+"""BM25 + RRF hybrid fusion semantics (functions/sparse_retrieval.py).
+
+Oracle parity for q_llm_bm25 / q_llm_hybrid_rrf runs in
+test_oracle_parity.py like every registered spec; this file checks the
+SEMANTICS the oracle can't see: relevance ordering on constructed
+corpora, rank-only fusion, exclude_self, and partition invariance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+    bm25_topk,
+    rrf_fuse,
+)
+from tests.conftest import SF_DIR_SMALL
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    # docs 1..4 all contain the common term; only doc 1 has the rare one.
+    corpus = _corpus(
+        spark,
+        [
+            (1, "common rare filler1 filler2"),
+            (2, "common fillerA fillerB fillerC"),
+            (3, "common fillerD fillerE fillerF"),
+            (4, "common fillerG fillerH fillerI"),
+        ],
+    )
+    queries = spark.createDataFrame(
+        [(100, "common rare")], "qid bigint, text string"
+    )
+    hits = bm25_topk(corpus, queries, k=4).collect()
+    assert [r["nb_id"] for r in sorted(hits, key=lambda r: r["rk"])][0] == 1
+    # rare-term doc scores strictly higher, not tie-broken
+    by_id = {r["nb_id"]: r["score"] for r in hits}
+    assert by_id[1] > max(v for i, v in by_id.items() if i != 1)
+
+
+def test_bm25_length_normalization(spark):
+    # same tf for the query term; shorter doc wins under b=0.75
+    corpus = _corpus(
+        spark,
+        [
+            (1, "target a b"),
+            (2, "target a b c d e f g h i j k l m n o p"),
+            (3, "x y z"),
+        ],
+    )
+    queries = spark.createDataFrame(
+        [(100, "target")], "qid bigint, text string"
+    )
+    hits = {r["nb_id"]: r for r in bm25_topk(corpus, queries, k=5).collect()}
+    assert 3 not in hits  # shares no term -> never a candidate
+    assert hits[1]["score"] > hits[2]["score"]
+
+
+def test_bm25_exclude_self(spark):
+    corpus = _corpus(spark, [(1, "a b c"), (2, "a b d")])
+    queries = corpus.select(F.col("doc_id").alias("qid"), "text")
+    hits = bm25_topk(corpus, queries, k=5).collect()
+    assert all(r["qid"] != r["nb_id"] for r in hits)
+    hits_self = bm25_topk(corpus, queries, k=5, exclude_self=False).collect()
+    assert any(r["qid"] == r["nb_id"] for r in hits_self)
+
+
+def test_bm25_partition_invariance(spark):
+    docs = (
+        spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    queries = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("qid"), "text"
+    )
+    a = bm25_topk(docs, queries, k=5).collect()
+    b = bm25_topk(docs.repartition(13), queries, k=5).collect()
+    key = lambda r: (r["qid"], r["rk"])  # noqa: E731
+    assert sorted((r["qid"], r["rk"], r["nb_id"], r["score"]) for r in a) == (
+        sorted((r["qid"], r["rk"], r["nb_id"], r["score"]) for r in b)
+    )
+
+
+def _ranked(spark, rows):
+    return spark.createDataFrame(rows, "qid bigint, nb_id bigint, rk int")
+
+
+def test_rrf_both_legs_beat_single_leg(spark):
+    # doc 10 is rank 2 in BOTH legs; docs 11/12 are rank 1 in one leg
+    # only. 2/(60+2) > 1/(60+1), so consensus wins under RRF.
+    a = _ranked(spark, [(1, 11, 1), (1, 10, 2)])
+    b = _ranked(spark, [(1, 12, 1), (1, 10, 2)])
+    out = sorted(rrf_fuse(a, b, k=3).collect(), key=lambda r: r["rk"])
+    assert out[0]["nb_id"] == 10
+    assert out[0]["rk_a"] == 2 and out[0]["rk_b"] == 2
+    # single-leg docs tie on rrf and break on nb_id
+    assert [r["nb_id"] for r in out[1:]] == [11, 12]
+    assert out[1]["rrf"] == out[2]["rrf"]
+
+
+def test_rrf_is_rank_only(spark):
+    # wildly different scores, same ranks -> identical fusion
+    a1 = spark.createDataFrame(
+        [(1, 10, 999.0, 1), (1, 11, 0.5, 2)],
+        "qid bigint, nb_id bigint, score double, rk int",
+    )
+    a2 = spark.createDataFrame(
+        [(1, 10, 0.001, 1), (1, 11, -3.0, 2)],
+        "qid bigint, nb_id bigint, score double, rk int",
+    )
+    b = _ranked(spark, [(1, 11, 1)])
+    r1 = sorted(rrf_fuse(a1, b, k=5).collect())
+    r2 = sorted(rrf_fuse(a2, b, k=5).collect())
+    assert r1 == r2
+
+
+def test_rrf_missing_leg_contributes_zero(spark):
+    a = _ranked(spark, [(1, 10, 1)])
+    b = spark.createDataFrame([], "qid bigint, nb_id bigint, rk int")
+    (row,) = rrf_fuse(a, b, k=5).collect()
+    assert row["nb_id"] == 10 and row["rk_b"] is None
+    assert abs(row["rrf"] - round(1.0 / 61, 6)) < 1e-12
