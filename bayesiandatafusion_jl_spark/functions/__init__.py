@@ -6,6 +6,7 @@ from bayesiandatafusion_jl_spark.functions import (  # noqa: F401
     chunking,
     dedup,
     dedup_index,
+    fuzzy,
     graph,
     index_compact,
     mllib_lsh,

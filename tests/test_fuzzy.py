@@ -1,0 +1,92 @@
+"""Exact edit-distance join (functions/fuzzy.py).
+
+Oracle parity (q_text_fuzzy_join vs brute-force all-pairs DuckDB
+levenshtein) runs in test_oracle_parity.py; here: constructed-pair
+semantics, the short-string exactness guard, brute-force equivalence on
+a randomized corpus, and partition invariance.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from bayesiandatafusion_jl_spark.functions.fuzzy import edit_distance_join
+
+
+def _strings(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, s string")
+
+
+def test_known_distances(spark):
+    df = _strings(
+        spark,
+        [
+            (1, "abcdefghij"),
+            (2, "abcdefghij"),   # dist 0 to 1
+            (3, "abcdefghiX"),   # dist 1 to 1/2
+            (4, "XbcdeYghiZ"),   # dist 3 to 1/2
+            (5, "zzzzzzzzzz"),   # far from everything
+        ],
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_join(df, d=3, q=2).collect()
+    }
+    assert out[(1, 2)] == 0
+    assert out[(1, 3)] == 1 and out[(2, 3)] == 1
+    assert out[(1, 4)] == 3 and out[(2, 4)] == 3
+    assert all(v <= 3 for v in out.values())
+    assert not any(5 in pair for pair in out)
+
+
+def test_short_string_guard_raises(spark):
+    # q*(d+1) = 2*4 = 8; a 5-char string must fail the in-job guard
+    df = _strings(spark, [(1, "abcdefgh"), (2, "abcde")])
+    with pytest.raises(Exception, match="prefix-filter"):
+        edit_distance_join(df, d=3, q=2).collect()
+
+
+def test_matches_brute_force_random(spark):
+    rng = random.Random(7)
+    alphabet = "abcd"
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(12, 16))))
+        for i in range(120)
+    ]
+    df = _strings(spark, rows)
+    d = 4
+    fast = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_join(df, d=d, q=2).collect()
+    }
+    a = df.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
+    b = df.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    brute = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.levenshtein("s_a", "s_b").alias("dist"))
+        .filter(F.col("dist") <= d)
+        .collect()
+    }
+    assert fast == brute
+    assert len(brute) > 0  # the test corpus must actually exercise pairs
+
+
+def test_partition_invariance(spark):
+    rng = random.Random(11)
+    rows = [
+        (i, "".join(rng.choice("abc") for _ in range(10)))
+        for i in range(80)
+    ]
+    df = _strings(spark, rows)
+    one = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_join(df, d=3, q=2).collect()
+    )
+    many = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_join(df.repartition(13), d=3, q=2).collect()
+    )
+    assert one == many and len(one) > 0
