@@ -290,3 +290,136 @@ def dedup_keep_representatives(
         F.col("node").alias(id_col)
     )
     return docs.join(drop, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """(node, rank): PageRank (Brin & Page 1998) by power iteration over
+    a DIRECTED edge frame — fixed iteration count, so the result is a
+    pure deterministic function of the graph.
+
+    Determinism split: the only order-SENSITIVE operations — the
+    per-node gather and the dangling-mass total — are EXACT
+    ``decimal(38,18)`` sums, so the result is bit-identical at any
+    partition count and merge order (the matview-partials discipline).
+    Row-wise scalar arithmetic (rank/degree, the damping update) runs in
+    double and is rounded back to ``decimal(28,18)`` per row — per-row
+    ops are deterministic regardless of partitioning, and double keeps
+    ~1e-16 relative error where Spark's decimal division/multiplication
+    type rules would silently crush the scale to 6. Dangling nodes (no
+    out-edges) redistribute their mass uniformly, the standard
+    correction that keeps total rank at 1 instead of leaking it.
+
+    Plan per iteration: one broadcast-sized degree join is NOT needed —
+    out-degrees are joined once before the loop and ride along; each
+    round is ONE join (ranks → edges on src, shuffle on the edge
+    partitioning key) + ONE groupBy(dst) sum + a 1-row dangling-mass
+    cross join, with ``localCheckpoint`` truncating the loop-carried
+    lineage (the iterative-plan discipline shared with
+    ``connected_components`` and ml/bpmf.py). Nothing graph-sized ever
+    reaches the driver.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(None).cast("decimal(28,18)"))
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    # out-degree rides with the rank frame so the loop never re-joins it;
+    # deg is null for dangling nodes
+    state = (
+        nodes.join(deg, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.lit(1.0 / n).cast("decimal(28,18)").alias("rank"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        dangling = state.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0).cast("decimal(38,18)")).alias(
+                "dang"
+            )
+        )
+        contrib = (
+            state.filter(F.col("deg").isNotNull())
+            .join(e, state["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank").cast("double") / F.col("deg"))
+                .cast("decimal(28,18)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("gathered"))
+        )
+        state = (
+            state.select("node", "deg")
+            .join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(
+                            F.col("gathered").cast("double"), F.lit(0.0)
+                        )
+                        + F.col("dang").cast("double") / F.lit(float(n))
+                    )
+                )
+                .cast("decimal(28,18)")
+                .alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return state.select("node", "rank")
+
+
+@register(
+    "q_graph_pagerank",
+    oracle=None,  # iterative fixed-point — no SQL formulation; exactness
+    # vs a numpy power iteration + invariants gated in tests/test_graph.py
+    tags=("graph-pagerank",),
+    demoted=True,
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the same part co-occurrence graph as
+    ``q_graph_components`` (symmetrized, so every node has out-edges),
+    10 decimal-exact iterations, top-ranked parts first — the
+    "importance" readout an item graph actually serves (which parts
+    anchor the co-purchase structure)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    co = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") > 1)
+        .select(F.explode(F.expr(ordered_pairs("ps", "pa", "pb"))).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+    edges = co.select(F.col("pa").alias("u"), F.col("pb").alias("v")).union(
+        co.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    pr = pagerank(edges, n_iter=10)
+    return pr.select(
+        "node", F.col("rank").cast("double").alias("rank")
+    ).orderBy(F.desc("rank"), F.asc("node"))

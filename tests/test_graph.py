@@ -124,3 +124,100 @@ def test_dedup_keep_representatives(spark):
         r["doc_id"] for r in dedup_keep_representatives(docs, pairs).collect()
     )
     assert kept == [0, 3, 4, 5, 7, 8, 9]
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def test_pagerank_cycle_uniform(spark):
+    from bayesiandatafusion_jl_spark.functions.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "u long, v long"
+    )
+    out = {r["node"]: float(r["rank"]) for r in pagerank(e, n_iter=12).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert all(abs(v - 0.25) < 1e-15 for v in out.values())
+
+
+def test_pagerank_star_center_dominates_and_sums_to_one(spark):
+    from bayesiandatafusion_jl_spark.functions.graph import pagerank
+
+    # spokes all point at the hub; hub points back at one spoke
+    e = spark.createDataFrame(
+        [(1, 99), (2, 99), (3, 99), (4, 99), (99, 1)], "u long, v long"
+    )
+    out = {r["node"]: float(r["rank"]) for r in pagerank(e, n_iter=20).collect()}
+    assert out[99] == max(out.values())
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import random
+
+    import numpy as np
+
+    from bayesiandatafusion_jl_spark.functions.graph import pagerank
+
+    rng = random.Random(3)
+    edges = sorted({(rng.randint(0, 19), rng.randint(0, 19)) for _ in range(60)})
+    edges = [(a, b) for a, b in edges if a != b]
+    ef = spark.createDataFrame(edges, "u long, v long")
+    got = {r["node"]: float(r["rank"]) for r in pagerank(ef, n_iter=10).collect()}
+
+    nodes = sorted({x for pair in edges for x in pair})
+    idx = {nd: i for i, nd in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for a, b in edges:
+        deg[idx[a]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        dang = r[deg == 0].sum()
+        nr = np.zeros(n)
+        for a, b in edges:
+            nr[idx[b]] += r[idx[a]] / deg[idx[a]]
+        r = (1 - 0.85) / n + 0.85 * (nr + dang / n)
+    assert max(abs(got[nd] - r[idx[nd]]) for nd in nodes) < 1e-12
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    from bayesiandatafusion_jl_spark.functions.graph import pagerank
+
+    # node 2 dangles: without redistribution total rank leaks each round
+    e = spark.createDataFrame([(1, 2)], "u long, v long")
+    out = {r["node"]: float(r["rank"]) for r in pagerank(e, n_iter=15).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    assert out[2] > out[1]
+
+
+def test_pagerank_exact_partition_invariance(spark):
+    import random
+
+    from bayesiandatafusion_jl_spark.functions.graph import pagerank
+
+    rng = random.Random(5)
+    edges = sorted({(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(90)})
+    edges = [(a, b) for a, b in edges if a != b]
+    ef = spark.createDataFrame(edges, "u long, v long")
+    one = sorted((r["node"], r["rank"]) for r in pagerank(ef, n_iter=6).collect())
+    many = sorted(
+        (r["node"], r["rank"])
+        for r in pagerank(ef.repartition(17), n_iter=6).collect()
+    )
+    assert one == many  # decimal sums -> bit-identical, not just close
+
+
+def test_q_graph_pagerank_runs(spark):
+    from bayesiandatafusion_jl_spark.registry import specs
+
+    rows = (
+        specs(include_demoted=True)["q_graph_pagerank"]
+        .fn(spark, SF_DIR_TINY)
+        .collect()
+    )
+    assert len(rows) > 0
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) < 1e-9
+    ranks = [r["rank"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)  # top-ranked first
