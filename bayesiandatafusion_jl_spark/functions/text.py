@@ -1432,3 +1432,100 @@ def q_text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bigram_nll``): top-1000 unigram + top-4000 bigram models, λ = 0.5."""
     docs = load_table(spark, sf_dir, "documents")
     return bigram_nll(docs)
+
+
+@register(
+    "q_text_collocations",
+    oracle="""
+    WITH tok AS (
+      SELECT list_filter(string_split(LOWER(text), ' '), t -> t <> '') AS tk
+      FROM documents
+    ),
+    pr AS (
+      SELECT UNNEST(list_slice(tk, 1, len(tk) - 1)) AS prev,
+             UNNEST(list_slice(tk, 2, len(tk))) AS cur
+      FROM tok WHERE len(tk) >= 2
+    ),
+    cab AS (SELECT prev, cur, COUNT(*) AS pair_count FROM pr GROUP BY prev, cur),
+    cw AS (
+      SELECT w, COUNT(*) AS cw
+      FROM (SELECT UNNEST(tk) AS w FROM tok) GROUP BY w
+    ),
+    n AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_tokens FROM cw)
+    SELECT cab.prev, cab.cur, cab.pair_count,
+           CAST(LN((CAST(n.n_tokens AS DOUBLE) * cab.pair_count)
+                   / (CAST(ca.cw AS DOUBLE) * cb.cw)) AS REAL) AS pmi
+    FROM cab
+    JOIN cw ca ON ca.w = cab.prev
+    JOIN cw cb ON cb.w = cab.cur
+    CROSS JOIN n
+    WHERE cab.pair_count >= 10
+    ORDER BY pmi DESC, cab.prev ASC, cab.cur ASC
+    LIMIT 50
+    """,
+    tags=("text-collocations", "J5"),
+    demoted=True,
+)
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 adjacent-token bigrams by pointwise
+    mutual information, PMI = ln(N·c(a,b) / (c(a)·c(b))) with N the
+    corpus token count (Church & Hanks, "Word Association Norms, Mutual
+    Information, and Lexicography", 1990 — public paper). The
+    min-pair-count floor (≥ 10) is the standard guard against PMI's
+    rare-pair bias (a 1-occurrence pair of two rare words maximizes PMI).
+
+    Plan: the bigram stream is the same map-side prev/cur slice-zip as
+    ``bigram_nll``; counts are three shrinking-key aggs; the unigram
+    table joins back twice (broadcast — |vocab|-sized); N is a 1-row
+    cross join; top-50 is TakeOrdered (never a global sort). PMI is
+    float-cast with a full (pmi, prev, cur) total order so the top-50
+    boundary is deterministic cross-engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.expr("filter(split(lower(text), ' '), t -> t <> '')").alias("tk")
+    )
+    n1 = F.size("tk") - 1
+    pairs = (
+        tok.filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("tk", 1, n1),
+                    F.slice("tk", 2, n1),
+                    lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+                )
+            ).alias("pc")
+        )
+        .select("pc.prev", "pc.cur")
+    )
+    cab = pairs.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).alias("pair_count")
+    )
+    cw = (
+        tok.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    n_tokens = cw.agg(F.sum("cw").cast("bigint").alias("n_tokens"))
+    ca = cw.select(F.col("w").alias("prev"), F.col("cw").alias("ca"))
+    cb = cw.select(F.col("w").alias("cur"), F.col("cw").alias("cb"))
+    return (
+        cab.filter(F.col("pair_count") >= 10)
+        .join(F.broadcast(ca), "prev")
+        .join(F.broadcast(cb), "cur")
+        .crossJoin(F.broadcast(n_tokens))
+        .select(
+            "prev",
+            "cur",
+            "pair_count",
+            F.log(
+                (F.col("n_tokens").cast("double") * F.col("pair_count"))
+                / (F.col("ca").cast("double") * F.col("cb"))
+            )
+            .cast("float")
+            .alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("prev"), F.asc("cur"))
+        .limit(50)
+    )
