@@ -73,9 +73,18 @@ def bm25_topk(
     IDF is the non-negative Lucene form ln(1 + (N-df+0.5)/(df+0.5)), so a
     term in >half the corpus dampens toward 0 instead of going negative.
     """
+    from bayesiandatafusion_jl_spark.session import checkpoint_df
+
+    # ONE corpus token scan: tf is checkpointed and dl/df/avgdl all
+    # derive from it (dl = Σ tf per doc ≡ token count; df = row count
+    # per token) — the checkpointed-count-frame discipline of the LM
+    # scorers (functions/text.py), so the posting build never re-reads
+    # the corpus per consumer
     tok = tokens(corpus).select("doc_id", "token")
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = checkpoint_df(
+        tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # scalar stats: N over ALL corpus rows (token-less docs count toward
     # N but can never be candidates), avgdl over docs with >=1 token —

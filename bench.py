@@ -68,6 +68,11 @@ HEADLINE = [
     "q_scd2_asof",          # r12: as-of attribute lookup vs SCD2 history
     "q_table_checks",       # r12: one-pass expectation gate + FK anti-join
     "q_llm_token_budget",   # r12: grouped prefix-scan token-budget fill
+    "q_llm_bm25",           # r12: BM25 posting-list scoring (lexical leg)
+    "q_llm_hybrid_rrf",     # r12: dense+sparse RRF fusion
+    "q_text_fuzzy_join",    # r12: exact edit-distance join, prefix filter
+    "q_graph_pagerank",     # r12: decimal-exact power iteration
+    "q_text_collocations",  # r12: PMI bigram collocation mining
 ]
 
 
