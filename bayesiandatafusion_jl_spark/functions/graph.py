@@ -318,9 +318,15 @@ def pagerank(
     Plan per iteration: one broadcast-sized degree join is NOT needed —
     out-degrees are joined once before the loop and ride along; each
     round is ONE join (ranks → edges on src, shuffle on the edge
-    partitioning key) + ONE groupBy(dst) sum + a 1-row dangling-mass
-    cross join, with ``localCheckpoint`` truncating the loop-carried
-    lineage (the iterative-plan discipline shared with
+    partitioning key) + ONE groupBy(dst) sum. The dangling-mass
+    aggregate (an extra action + 1-row cross join per round) is paid
+    ONLY when the graph actually has dangling nodes — checked once
+    before the loop, and symmetrized graphs (every undirected
+    instantiation) skip it entirely. ``localCheckpoint`` truncates the
+    loop-carried lineage every ``ckpt_every`` rounds rather than every
+    round (each eager checkpoint is its own job; the plan grows only a
+    join+agg per round, so a small interval keeps planning cheap while
+    halving the job count — the iterative-plan discipline shared with
     ``connected_components`` and ml/bpmf.py). Nothing graph-sized ever
     reaches the driver.
     """
@@ -350,12 +356,13 @@ def pagerank(
         )
         .localCheckpoint()
     )
-    for _ in range(n_iter):
-        dangling = state.filter(F.col("deg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0).cast("decimal(38,18)")).alias(
-                "dang"
-            )
-        )
+    has_dangling = state.filter(F.col("deg").isNull()).limit(1).count() > 0
+    # with dangling nodes each round runs its own mass aggregate over
+    # `state`, so an unmaterialized state would recompute the tail of the
+    # lineage once per round — checkpoint every round there; without
+    # dangling nodes the only actions are the checkpoints themselves
+    ckpt_every = 1 if has_dangling else 3
+    for i in range(n_iter):
         contrib = (
             state.filter(F.col("deg").isNotNull())
             .join(e, state["node"] == e["src"])
@@ -368,28 +375,27 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("gathered"))
         )
-        state = (
-            state.select("node", "deg")
-            .join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                "deg",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(
-                            F.col("gathered").cast("double"), F.lit(0.0)
-                        )
-                        + F.col("dang").cast("double") / F.lit(float(n))
-                    )
-                )
-                .cast("decimal(28,18)")
-                .alias("rank"),
+        nxt = state.select("node", "deg").join(contrib, "node", "left")
+        gathered_d = F.coalesce(F.col("gathered").cast("double"), F.lit(0.0))
+        if has_dangling:
+            dangling = state.filter(F.col("deg").isNull()).agg(
+                F.coalesce(
+                    F.sum("rank"), F.lit(0).cast("decimal(38,18)")
+                ).alias("dang")
             )
-            .localCheckpoint()
+            nxt = nxt.crossJoin(F.broadcast(dangling))
+            gathered_d = gathered_d + F.col("dang").cast("double") / F.lit(
+                float(n)
+            )
+        state = nxt.select(
+            "node",
+            "deg",
+            (F.lit((1.0 - damping) / n) + F.lit(damping) * gathered_d)
+            .cast("decimal(28,18)")
+            .alias("rank"),
         )
+        if (i + 1) % ckpt_every == 0 or i == n_iter - 1:
+            state = state.localCheckpoint()
     return state.select("node", "rank")
 
 
