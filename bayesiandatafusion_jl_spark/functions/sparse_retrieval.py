@@ -314,3 +314,171 @@ def q_llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sparse = bm25_topk(docs, q_sparse, k=20)
     return rrf_fuse(dense, sparse, k=10)
+
+
+def retrieval_metrics(
+    hits: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """(qid, n_rel, hits_at_k, recall_at_k, mrr, ndcg): per-query
+    retrieval quality of a ranked hit list against a relevance set — the
+    evaluation harness every retrieval change (new embedder, new fusion,
+    new index) is judged with before it ships.
+
+    ``hits``: (qid, nb_id, rk) — any ranker's top-k (BM25, ANN, RRF);
+    ``truth``: (qid, rel_id) — the relevant ids per query. Metrics are
+    the standard IR trio with binary relevance:
+
+    - recall@k  = |top-k ∩ relevant| / |relevant|;
+    - MRR       = 1 / rank of the first relevant hit (0 if none);
+    - nDCG@k    = DCG@k / IDCG@k with gain 1/log2(rank+1) — IDCG is the
+      DCG of the ideal ranking (all relevant first), so nDCG = 1 iff
+      every relevant doc (up to k) is ranked before every irrelevant.
+
+    Queries with an empty relevance set are dropped (each metric is
+    undefined there, and emitting 0 would silently deflate averages).
+
+    Determinism: DCG/IDCG terms are rounded to 6 digits and summed as
+    decimal (per-query order-independent sums); recall and MRR are
+    single divisions of exact integers. Plan: one left join of hits
+    against truth on (qid, nb_id) + one groupBy(qid) — both keyed on
+    qid, broadcast-sized for any real eval batch; IDCG terms come from
+    a per-query ``sequence`` expansion, never a driver loop.
+    """
+    rel_counts = truth.groupBy("qid").agg(F.count(F.lit(1)).alias("n_rel"))
+    marked = (
+        hits.filter(F.col("rk") <= k)
+        .join(
+            truth.select(
+                "qid", F.col("rel_id").alias("nb_id"), F.lit(1).alias("rel")
+            ),
+            ["qid", "nb_id"],
+            "left",
+        )
+        .select(
+            "qid",
+            "rk",
+            F.coalesce(F.col("rel"), F.lit(0)).alias("rel"),
+        )
+    )
+    dcg_term = F.round(
+        F.col("rel") / F.log2(F.col("rk") + F.lit(1)), 6
+    ).cast("decimal(18,6)")
+    per_q = marked.groupBy("qid").agg(
+        F.sum("rel").alias("hits_at_k"),
+        F.min(F.when(F.col("rel") == 1, F.col("rk"))).alias("first_rel"),
+        F.sum(dcg_term).alias("dcg"),
+    )
+    idcg = rel_counts.select(
+        "qid",
+        "n_rel",
+        F.aggregate(
+            F.expr(f"sequence(1, least(n_rel, {k}))"),
+            F.lit(0).cast("decimal(18,6)"),
+            lambda acc, i: (
+                acc
+                + F.round(F.lit(1.0) / F.log2(i + F.lit(1)), 6).cast(
+                    "decimal(18,6)"
+                )
+            ).cast("decimal(18,6)"),
+        ).alias("idcg"),
+    )
+    return (
+        per_q.join(idcg, "qid")
+        .select(
+            "qid",
+            "n_rel",
+            "hits_at_k",
+            (F.col("hits_at_k").cast("double") / F.col("n_rel")).alias(
+                "recall_at_k"
+            ),
+            F.coalesce(
+                F.lit(1.0) / F.col("first_rel"), F.lit(0.0)
+            ).alias("mrr"),
+            F.when(F.col("idcg").cast("double") > 0, 
+                   F.col("dcg").cast("double") / F.col("idcg").cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("ndcg"),
+        )
+    )
+
+
+from bayesiandatafusion_jl_spark.functions.exprs import sql_dot as _sql_dot
+
+
+@register(
+    "q_llm_retrieval_eval",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    pairs AS (
+      SELECT q.qid, e.vec_id AS nb_id,
+             ROUND({_sql_dot('q.qe', 'e.embedding')}, 4) AS score
+      FROM q JOIN embeddings e ON e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, nb_id, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY score DESC, nb_id ASC
+             ) AS rk
+      FROM pairs
+    ),
+    truth AS (
+      SELECT q.qid, e.vec_id AS rel_id
+      FROM q JOIN embeddings e
+        ON e.label = q.qlabel AND e.vec_id <> q.qid
+    ),
+    rc AS (SELECT qid, COUNT(*) AS n_rel FROM truth GROUP BY qid),
+    marked AS (
+      SELECT r.qid, r.rk,
+             CASE WHEN t.rel_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM ranked r
+      LEFT JOIN truth t ON t.qid = r.qid AND t.rel_id = r.nb_id
+      WHERE r.rk <= 10
+    ),
+    pq AS (
+      SELECT qid,
+             SUM(rel) AS hits_at_k,
+             MIN(CASE WHEN rel = 1 THEN rk END) AS first_rel,
+             SUM(CAST(ROUND(rel / LOG2(rk + 1), 6) AS DECIMAL(18,6))) AS dcg
+      FROM marked GROUP BY qid
+    ),
+    ic AS (
+      SELECT rc.qid, rc.n_rel,
+             SUM(CAST(ROUND(1.0e0 / LOG2(i + 1), 6) AS DECIMAL(18,6)))
+               AS idcg
+      FROM rc, UNNEST(range(1, LEAST(rc.n_rel, 10) + 1)) AS t(i)
+      GROUP BY rc.qid, rc.n_rel
+    )
+    SELECT pq.qid, ic.n_rel, CAST(pq.hits_at_k AS BIGINT) AS hits_at_k,
+           CAST(pq.hits_at_k AS DOUBLE) / ic.n_rel AS recall_at_k,
+           COALESCE(1.0e0 / pq.first_rel, 0.0e0) AS mrr,
+           CASE WHEN CAST(ic.idcg AS DOUBLE) > 0
+                THEN CAST(pq.dcg AS DOUBLE) / CAST(ic.idcg AS DOUBLE)
+                ELSE 0.0e0 END AS ndcg
+    FROM pq JOIN ic ON pq.qid = ic.qid
+    """,
+    tags=("J3", "retrieval", "eval"),
+    demoted=True,
+)
+def q_llm_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation harness: brute-cosine top-10 over
+    `embeddings` scored against the label-match ground truth (relevant =
+    same-label corpus vectors) — per-query recall@10, MRR, nDCG@10."""
+    from bayesiandatafusion_jl_spark.functions.vector import knn_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    hits = knn_topk(emb, q.select("qid", "qe"), k=10)
+    truth = q.select("qid", "qlabel").join(
+        emb.select(F.col("vec_id").alias("rel_id"), "label"),
+        F.col("label") == F.col("qlabel"),
+    ).filter(F.col("rel_id") != F.col("qid")).select("qid", "rel_id")
+    return retrieval_metrics(hits, truth, k=10)

@@ -125,3 +125,70 @@ def test_rrf_missing_leg_contributes_zero(spark):
     (row,) = rrf_fuse(a, b, k=5).collect()
     assert row["nb_id"] == 10 and row["rk_b"] is None
     assert abs(row["rrf"] - round(1.0 / 61, 6)) < 1e-12
+
+
+# ------------------------------------------------------- retrieval_metrics
+
+
+def _hits(spark, rows):
+    return spark.createDataFrame(rows, "qid bigint, nb_id bigint, rk int")
+
+
+def _truth(spark, rows):
+    return spark.createDataFrame(rows, "qid bigint, rel_id bigint")
+
+
+def test_metrics_perfect_ranking(spark):
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        retrieval_metrics,
+    )
+
+    hits = _hits(spark, [(1, 10, 1), (1, 11, 2), (1, 99, 3)])
+    truth = _truth(spark, [(1, 10), (1, 11)])
+    (row,) = retrieval_metrics(hits, truth, k=3).collect()
+    assert row["n_rel"] == 2 and row["hits_at_k"] == 2
+    assert row["recall_at_k"] == 1.0 and row["mrr"] == 1.0
+    assert abs(row["ndcg"] - 1.0) < 1e-9  # all relevant ranked first
+
+
+def test_metrics_relevant_ranked_last(spark):
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        retrieval_metrics,
+    )
+
+    hits = _hits(spark, [(1, 98, 1), (1, 99, 2), (1, 10, 3)])
+    truth = _truth(spark, [(1, 10)])
+    (row,) = retrieval_metrics(hits, truth, k=3).collect()
+    assert row["hits_at_k"] == 1 and row["recall_at_k"] == 1.0
+    assert abs(row["mrr"] - 1.0 / 3) < 1e-9
+    # DCG = 1/log2(4), IDCG = 1/log2(2) = 1
+    import math
+
+    assert abs(row["ndcg"] - round(1.0 / math.log2(4), 6)) < 1e-6
+
+
+def test_metrics_miss_and_no_relevant_dropped(spark):
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        retrieval_metrics,
+    )
+
+    hits = _hits(
+        spark, [(1, 98, 1), (1, 99, 2), (2, 50, 1)]
+    )  # qid 2 has NO truth row
+    truth = _truth(spark, [(1, 10)])
+    rows = retrieval_metrics(hits, truth, k=3).collect()
+    assert [r["qid"] for r in rows] == [1]  # undefined-metric query dropped
+    (row,) = rows
+    assert row["hits_at_k"] == 0 and row["mrr"] == 0.0 and row["ndcg"] == 0.0
+
+
+def test_metrics_k_cutoff(spark):
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        retrieval_metrics,
+    )
+
+    # relevant doc at rank 4 is invisible at k=3
+    hits = _hits(spark, [(1, 97, 1), (1, 98, 2), (1, 99, 3), (1, 10, 4)])
+    truth = _truth(spark, [(1, 10)])
+    (row,) = retrieval_metrics(hits, truth, k=3).collect()
+    assert row["hits_at_k"] == 0 and row["recall_at_k"] == 0.0
