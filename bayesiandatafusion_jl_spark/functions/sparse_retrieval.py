@@ -104,6 +104,14 @@ def bm25_topk(
         .join(F.broadcast(qterms), "token")
         .crossJoin(F.broadcast(scalars))
     )
+    return _score_and_topk(cand, k, exclude_self)
+
+
+def _score_and_topk(cand: DataFrame, k: int, exclude_self: bool) -> DataFrame:
+    """Shared BM25 scoring tail: ``cand`` carries (qid, doc_id, tf, dl,
+    df, n_docs, avgdl) however it was assembled (in-session aggregates or
+    a persisted-index probe) — ONE expression tree for both paths, so the
+    index probe is exactly equal to the one-shot scorer by construction."""
     if exclude_self:
         cand = cand.filter(F.col("doc_id") != F.col("qid"))
     idf = F.log(
@@ -482,3 +490,377 @@ def q_llm_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label") == F.col("qlabel"),
     ).filter(F.col("rel_id") != F.col("qid")).select("qid", "rel_id")
     return retrieval_metrics(hits, truth, k=10)
+
+
+# ------------------------------------------------------ persisted BM25 index
+#
+# The serving architecture for the lexical leg, paralleling the vector
+# index family (functions/vector_index.py): the posting build — the one
+# corpus-sized cost — is paid ONCE at write time; every query batch after
+# that probes a token-bucketed parquet layout with partition pruning, so
+# probe I/O scales with the query vocabulary, not the corpus. Layout:
+#
+#   postings/   (token, doc_id, tf, dl) partitioned by (tok_bucket,
+#               __epoch) — dl is DENORMALIZED into the posting row so the
+#               probe never joins a corpus-sized doc-length table;
+#               tok_bucket = pmod(xxhash64(token), n_buckets) keeps each
+#               token's postings wholly inside one bucket directory, so a
+#               probe's bucket IN-list prunes to the query vocabulary.
+#   stats/      one row per __epoch: (n_docs, n_docs_tokened, sum_dl) —
+#               corpus stats SUM across epochs, so appends never rewrite
+#               them and IDF/avgdl at probe time reflect the full corpus.
+#   meta        pins n_buckets (a probe under a different bucketing would
+#               prune to the wrong directories and silently miss tokens).
+#
+# df is NOT stored: a token's document frequency is the row count of its
+# own posting list, and the probe has already read exactly those rows —
+# recomputing df from the pruned scan is free, always exact, and immune
+# to append-time staleness (the failure a stored df table would invite).
+# Appends are replay-idempotent ((tok_bucket, __epoch) dynamic-partition
+# overwrite — the vector_index discipline); the append contract is the
+# same as the IVF index's: a document belongs to exactly ONE epoch.
+
+
+def write_bm25_index(
+    corpus: DataFrame,
+    index_dir: str,
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+    epoch: str = "base",
+) -> None:
+    """Build (or append a shard to) the persisted BM25 posting index.
+
+    ``mode="overwrite"`` wipes and rebuilds; ``mode="append"`` adds the
+    shard under a NEW ``epoch`` label — replaying the same (shard, epoch)
+    overwrites its own partitions byte-identically.
+    """
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        check_meta,
+        index_paths,
+        write_meta,
+    )
+    from bayesiandatafusion_jl_spark.session import checkpoint_df
+
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    spark = corpus.sparkSession
+    post_path, stats_path, meta_path = index_paths(
+        index_dir, "postings", "stats", "meta"
+    )
+    if mode == "append":
+        check_meta(
+            spark,
+            meta_path,
+            "a probe prunes bucket directories by pmod(xxhash64(token),"
+            " n_buckets); a shard written under a different n_buckets"
+            " would land tokens in directories probes never read",
+            n_buckets=n_buckets,
+        )
+    tok = tokens(corpus).select("doc_id", "token")
+    tf = checkpoint_df(
+        tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    postings = (
+        tf.join(dl, "doc_id")
+        .select(
+            "token",
+            "doc_id",
+            "tf",
+            "dl",
+            F.pmod(F.xxhash64("token"), F.lit(n_buckets))
+            .cast("int")
+            .alias("tok_bucket"),
+        )
+        .withColumn("__epoch", F.lit(epoch))
+    )
+    postings.repartition("tok_bucket").write.mode("overwrite").partitionBy(
+        "tok_bucket", "__epoch"
+    ).option(
+        "partitionOverwriteMode", "static" if mode != "append" else "dynamic"
+    ).parquet(post_path)
+    n_docs = corpus.count()
+    stats_row = dl.agg(
+        F.count(F.lit(1)).alias("n_docs_tokened"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
+    ).select(
+        F.lit(n_docs).alias("n_docs"),
+        "n_docs_tokened",
+        "sum_dl",
+        F.lit(epoch).alias("__epoch"),
+    )
+    stats_row.write.mode("overwrite").partitionBy("__epoch").option(
+        "partitionOverwriteMode", "static" if mode != "append" else "dynamic"
+    ).parquet(stats_path)
+    if mode != "append":
+        write_meta(spark, meta_path, "overwrite", n_buckets=n_buckets)
+
+
+def bm25_query_index(
+    queries: DataFrame,
+    index_dir: str,
+    k: int = 10,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """(qid, nb_id, score, rk): BM25 top-k against a persisted index —
+    NO corpus scan of any kind. The postings read carries a static
+    ``tok_bucket IN (...)`` predicate (partition pruning, plan-asserted
+    in tests), df comes from the probed posting lists themselves, and
+    corpus stats sum across the epoch rows — so the result is EXACTLY
+    ``bm25_topk`` on the union of all epochs (equality pytest-gated, and
+    the registered query's oracle is the one-shot BM25 SQL verbatim).
+    """
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        index_paths,
+        read_meta,
+    )
+
+    spark = queries.sparkSession
+    post_path, stats_path, meta_path = index_paths(
+        index_dir, "postings", "stats", "meta"
+    )
+    n_buckets = read_meta(spark, meta_path)["n_buckets"]
+    qterms = (
+        tokens(queries, "text")
+        .select("qid", "token")
+        .distinct()
+        .withColumn(
+            "tok_bucket",
+            F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int"),
+        )
+    )
+    buckets = sorted(
+        r["tok_bucket"]
+        for r in qterms.select("tok_bucket").distinct().collect()
+    )
+    posts = spark.read.parquet(post_path).filter(
+        F.col("tok_bucket").isin(buckets)
+    )
+    # df = posting-list length, counted over ONLY the probed buckets (a
+    # token's list lives wholly in its bucket, so this is the exact
+    # corpus-wide df); semi-join first so unprobed tokens in a probed
+    # bucket don't inflate the frame
+    dfs = (
+        posts.join(
+            F.broadcast(qterms.select("token").distinct()), "token", "left_semi"
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    stats = spark.read.parquet(stats_path).agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        (
+            F.sum("sum_dl").cast("double")
+            / F.sum("n_docs_tokened").cast("double")
+        ).alias("avgdl"),
+    )
+    cand = (
+        posts.join(F.broadcast(qterms.select("qid", "token")), "token")
+        .join(F.broadcast(dfs), "token")
+        .crossJoin(F.broadcast(stats))
+    )
+    return _score_and_topk(cand, k, exclude_self)
+
+
+# built indexes per corpus fingerprint — the build/query phase separation
+# precedent of _RAG_INDEX_CACHE (functions/rag.py)
+_BM25_INDEX_CACHE: dict = {}
+
+
+@register(
+    "q_llm_bm25_index",
+    # the oracle is the ONE-SHOT BM25 SQL verbatim: the persisted-index
+    # probe must be exactly equal to scoring the corpus in-session
+    oracle=f"""
+    WITH {_BM25_CORE_SQL}
+    SELECT qid, nb_id, score, rk FROM bm25 WHERE rk <= 10
+    """,
+    tags=("J5", "J6", "retrieval", "index"),
+    demoted=True,
+)
+def q_llm_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index BM25 serving: build the token-bucketed posting
+    index once per corpus (cached per fingerprint), then answer the same
+    query batch as ``q_llm_bm25`` probe-only — partition-pruned posting
+    read, zero corpus scans. Hash-checked against the one-shot BM25
+    oracle, so build+probe ≡ in-session scoring exactly."""
+    import os
+
+    from bayesiandatafusion_jl_spark.functions.vector import (
+        _corpus_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index_dir = f"/tmp/bdf_bm25_index/{sf_dir.strip('/').replace('/', '_')}"
+    key = (_corpus_fingerprint(sf_dir, "documents"), 64)
+    if _BM25_INDEX_CACHE.get(index_dir) != key or not os.path.isdir(index_dir):
+        write_bm25_index(docs, index_dir, n_buckets=64)
+        _BM25_INDEX_CACHE[index_dir] = key
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("qid"), "text"
+    )
+    return bm25_query_index(queries, index_dir, k=10, exclude_self=True)
+
+
+def bm25_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """One-row health report for a persisted BM25 index — the numbers an
+    operator reads before deciding to compact epochs or re-bucket:
+    (n_postings, n_tokens, n_docs, n_epochs, n_files, n_buckets,
+    max_bucket, mean_bucket, bucket_skew, max_df).
+
+    ``bucket_skew`` = max bucket posting count / mean — hashing spreads
+    the vocabulary uniformly, so a skewed bucket means a pathological
+    token distribution and probe cost concentrating in few directories.
+    ``max_df`` is the hottest token's posting-list length — the per-term
+    candidate count a probe pays, the stopword-pruning signal. Derives
+    from ONE postings scan projecting only (token, tok_bucket, __epoch)
+    — tf/dl bytes never read — plus the tiny stats/meta frames.
+    """
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        index_paths,
+        read_meta,
+    )
+
+    post_path, stats_path, meta_path = index_paths(
+        index_dir, "postings", "stats", "meta"
+    )
+    n_buckets = read_meta(spark, meta_path)["n_buckets"]
+    posts = spark.read.parquet(post_path).select(
+        "token", "tok_bucket", "__epoch"
+    )
+    n_files = len(spark.read.parquet(post_path).inputFiles())
+    per_tok = posts.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("tok_bucket").alias("tok_bucket"),
+    )
+    per_bucket = per_tok.groupBy("tok_bucket").agg(F.sum("n").alias("n"))
+    row = per_bucket.agg(
+        F.sum("n").alias("n_postings"),
+        F.max("n").alias("max_bucket"),
+        F.avg("n").alias("mean_bucket"),
+    ).collect()[0]
+    tok_row = per_tok.agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.max("n").alias("max_df")
+    ).collect()[0]
+    st = (
+        spark.read.parquet(stats_path)
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_epochs"),
+        )
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(row["n_postings"]),
+                int(tok_row["n_tokens"]),
+                int(st["n_docs"]),
+                int(st["n_epochs"]),
+                int(n_files),
+                int(n_buckets),
+                int(row["max_bucket"]),
+                float(row["mean_bucket"]),
+                float(row["max_bucket"] / row["mean_bucket"]),
+                int(tok_row["max_df"]),
+            )
+        ],
+        "n_postings bigint, n_tokens bigint, n_docs bigint, n_epochs int,"
+        " n_files int, n_buckets int, max_bucket bigint, mean_bucket double,"
+        " bucket_skew double, max_df bigint",
+    )
+
+
+def hybrid_query_indexes(
+    queries_emb: DataFrame,
+    queries_text: DataFrame,
+    ivf_dir: str,
+    bm25_dir: str,
+    k: int = 10,
+    leg_k: int = 20,
+    n_probe: int = 6,
+    k0: int = 60,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Persisted-index hybrid serving: the deployment shape of
+    ``q_llm_hybrid_rrf`` — dense leg probed from a ``write_ivf_index``
+    artifact, sparse leg from a ``write_bm25_index`` artifact, fused
+    rank-only with RRF. NO corpus-sized work per query batch: the dense
+    probe partition-prunes to probed cells, the sparse probe to the
+    query vocabulary's token buckets.
+
+    ``queries_emb``: (qid, qe); ``queries_text``: (qid, text) — the same
+    qid space (a hybrid query carries both representations). With
+    ``n_probe >= n_cells`` the dense leg is exhaustive and the output is
+    EXACTLY the in-session ``rrf_fuse(knn_topk, bm25_topk)`` — the
+    registered form's oracle is the one-shot hybrid SQL verbatim.
+    """
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        ann_ivf_query_index,
+    )
+
+    dense = ann_ivf_query_index(
+        queries_emb, ivf_dir, k=leg_k, n_probe=n_probe,
+        exclude_self=exclude_self,
+    )
+    sparse = bm25_query_index(
+        queries_text, bm25_dir, k=leg_k, exclude_self=exclude_self
+    )
+    return rrf_fuse(dense, sparse, k=k, k0=k0)
+
+
+@register(
+    "q_llm_hybrid_index",
+    # the one-shot hybrid oracle verbatim: with an exhaustive dense probe
+    # the persisted-index serving path must equal in-session fusion
+    oracle=_hybrid_oracle(),
+    tags=("J3", "J5", "retrieval", "hybrid", "index"),
+    demoted=True,
+)
+def q_llm_hybrid_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval served from PERSISTED indexes (dense IVF +
+    sparse BM25, built once per corpus fingerprint and probed per query
+    batch), exhaustive dense probe so the driver hash-checks it against
+    the same one-shot hybrid SQL as ``q_llm_hybrid_rrf``."""
+    import os
+
+    from bayesiandatafusion_jl_spark.functions.vector import (
+        _corpus_fingerprint,
+    )
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        write_ivf_index,
+    )
+
+    base = sf_dir.strip("/").replace("/", "_")
+    bm25_dir = f"/tmp/bdf_bm25_index/{base}"
+    key_b = (_corpus_fingerprint(sf_dir, "documents"), 64)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if _BM25_INDEX_CACHE.get(bm25_dir) != key_b or not os.path.isdir(bm25_dir):
+        write_bm25_index(docs, bm25_dir, n_buckets=64)
+        _BM25_INDEX_CACHE[bm25_dir] = key_b
+
+    ivf_dir = f"/tmp/bdf_hybrid_ivf_index/{base}"
+    key_v = (_corpus_fingerprint(sf_dir, "embeddings"), 8)
+    emb = load_table(spark, sf_dir, "embeddings")
+    if _BM25_INDEX_CACHE.get(ivf_dir) != key_v or not os.path.isdir(ivf_dir):
+        write_ivf_index(
+            emb.select("vec_id", "embedding"), ivf_dir, n_cells=8, n_assign=1
+        )
+        _BM25_INDEX_CACHE[ivf_dir] = key_v
+
+    q_emb = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    q_text = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("qid"), "text"
+    )
+    return hybrid_query_indexes(
+        q_emb,
+        q_text,
+        ivf_dir,
+        bm25_dir,
+        k=10,
+        leg_k=20,
+        n_probe=8,  # == n_cells: exhaustive -> exactly the one-shot hybrid
+        exclude_self=True,
+    )

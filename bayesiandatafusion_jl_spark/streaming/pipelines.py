@@ -561,3 +561,54 @@ def matview_ingest_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def bm25_ingest_stream(
+    docs_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming BM25 corpus ingestion (r12): every micro-batch of
+    (doc_id, text) is tokenized under the index's PINNED bucketing and
+    appended as ``__epoch=stream_<id>`` — ``bm25_query_index`` then
+    serves the growing corpus with exact IDF/avgdl (per-epoch stats sum
+    at probe time; df is recomputed from the posting lists, so there is
+    nothing to go stale).
+
+    ``foreachBatch`` for the same reason as ``rag_ingest_stream`` /
+    ``near_dup_stream``: the index must outlive the stream and be shared
+    with batch jobs. Replay safety is the epoch contract — a retried
+    micro-batch dynamic-overwrites its own ``(tok_bucket, __epoch)``
+    partitions and its own stats row byte-identically. Caller contract:
+    doc_ids globally unique across batches; one (source, checkpoint)
+    pair per index lifetime.
+
+    Returns the started query; drive with ``processAllAvailable()`` or a
+    trigger.
+    """
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        write_bm25_index,
+    )
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        index_paths,
+        read_meta,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        (meta_path,) = index_paths(index_dir, "meta")
+        n_buckets = read_meta(batch_df.sparkSession, meta_path)["n_buckets"]
+        write_bm25_index(
+            batch_df.select("doc_id", "text"),
+            index_dir,
+            n_buckets=n_buckets,
+            mode="append",
+            epoch=f"stream_{batch_id}",
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

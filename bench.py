@@ -73,6 +73,8 @@ HEADLINE = [
     "q_text_fuzzy_join",    # r12: exact edit-distance join, prefix filter
     "q_graph_pagerank",     # r12: decimal-exact power iteration
     "q_text_collocations",  # r12: PMI bigram collocation mining
+    "q_llm_bm25_index",     # r12: persisted posting index, probe-only on iter 2
+    "q_llm_hybrid_index",   # r12: hybrid serving from persisted indexes
 ]
 
 

@@ -192,3 +192,146 @@ def test_metrics_k_cutoff(spark):
     truth = _truth(spark, [(1, 10)])
     (row,) = retrieval_metrics(hits, truth, k=3).collect()
     assert row["hits_at_k"] == 0 and row["recall_at_k"] == 0.0
+
+
+# ----------------------------------------------------- persisted BM25 index
+
+
+def _index_corpus(spark):
+    rows = [
+        (i, f"alpha{i % 7} beta{i % 5} gamma{i % 3} common word filler{i}")
+        for i in range(60)
+    ]
+    return _corpus(spark, rows)
+
+
+def test_bm25_index_probe_equals_oneshot(spark, tmp_path):
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        bm25_query_index,
+        write_bm25_index,
+    )
+
+    corpus = _index_corpus(spark)
+    queries = corpus.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("qid"), "text"
+    )
+    d = str(tmp_path / "bm25")
+    write_bm25_index(corpus, d, n_buckets=16)
+    probe = sorted(
+        (r["qid"], r["rk"], r["nb_id"], r["score"])
+        for r in bm25_query_index(queries, d, k=5, exclude_self=True).collect()
+    )
+    oneshot = sorted(
+        (r["qid"], r["rk"], r["nb_id"], r["score"])
+        for r in bm25_topk(corpus, queries, k=5).collect()
+    )
+    assert probe == oneshot and len(probe) > 0
+
+
+def test_bm25_index_append_equals_full_build(spark, tmp_path):
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        bm25_query_index,
+        write_bm25_index,
+    )
+
+    corpus = _index_corpus(spark)
+    first = corpus.filter(F.col("doc_id") < 30)
+    second = corpus.filter(F.col("doc_id") >= 30)
+    queries = corpus.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("qid"), "text"
+    )
+    d = str(tmp_path / "bm25_inc")
+    write_bm25_index(first, d, n_buckets=16)
+    write_bm25_index(second, d, n_buckets=16, mode="append", epoch="s2")
+    # df/avgdl/N at probe time must reflect BOTH epochs: equality with the
+    # one-shot scorer over the FULL corpus is the whole contract
+    probe = sorted(
+        (r["qid"], r["rk"], r["nb_id"], r["score"])
+        for r in bm25_query_index(queries, d, k=5, exclude_self=True).collect()
+    )
+    oneshot = sorted(
+        (r["qid"], r["rk"], r["nb_id"], r["score"])
+        for r in bm25_topk(corpus, queries, k=5).collect()
+    )
+    assert probe == oneshot
+
+    # replayed append (same shard, same epoch) overwrites its own
+    # partitions -> byte-idempotent, no double counting
+    write_bm25_index(second, d, n_buckets=16, mode="append", epoch="s2")
+    replay = sorted(
+        (r["qid"], r["rk"], r["nb_id"], r["score"])
+        for r in bm25_query_index(queries, d, k=5, exclude_self=True).collect()
+    )
+    assert replay == oneshot
+
+
+def test_bm25_index_probe_is_partition_pruned(spark, tmp_path):
+    import re
+
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        bm25_query_index,
+        write_bm25_index,
+    )
+    from bayesiandatafusion_jl_spark.plans.inspect import formatted_plan
+
+    corpus = _index_corpus(spark)
+    d = str(tmp_path / "bm25_prune")
+    write_bm25_index(corpus, d, n_buckets=16)
+    # a 2-token query touches at most 2 of 16 bucket directories
+    queries = spark.createDataFrame(
+        [(1000, "alpha1 beta2")], "qid bigint, text string"
+    )
+    df = bm25_query_index(queries, d, k=5)
+    plan = formatted_plan(df)
+    m = re.search(r"PartitionFilters: \[tok_bucket#\d+ IN \(([\d,\s]+)\)", plan)
+    assert m, f"no static tok_bucket IN partition filter:\n{plan}"
+    assert len(m.group(1).split(",")) <= 2, m.group(1)
+
+
+def test_bm25_index_meta_pin_refuses_mismatched_append(spark, tmp_path):
+    import pytest as _pytest
+
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        write_bm25_index,
+    )
+
+    corpus = _index_corpus(spark)
+    d = str(tmp_path / "bm25_pin")
+    write_bm25_index(corpus, d, n_buckets=16)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        write_bm25_index(corpus, d, n_buckets=32, mode="append", epoch="x")
+
+
+def test_bm25_index_stats(spark, tmp_path):
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        bm25_index_stats,
+        write_bm25_index,
+    )
+
+    corpus = _index_corpus(spark)
+    d = str(tmp_path / "bm25_stats")
+    write_bm25_index(corpus, d, n_buckets=8)
+    write_bm25_index(
+        corpus.select(F.col("doc_id") + 1000, "text").toDF("doc_id", "text"),
+        d,
+        n_buckets=8,
+        mode="append",
+        epoch="s2",
+    )
+    (row,) = bm25_index_stats(spark, d).collect()
+    assert row["n_epochs"] == 2 and row["n_buckets"] == 8
+    # ground truth recomputed from the corpus: postings = distinct
+    # (doc, token) pairs, doubled by the shifted-id append
+    import collections
+
+    toks = collections.Counter()
+    docs = 0
+    for r in corpus.collect():
+        docs += 1
+        for t in set(r["text"].lower().split()):
+            toks[t] += 1
+    assert row["n_postings"] == 2 * sum(toks.values())
+    assert row["n_tokens"] == len(toks)
+    assert row["n_docs"] == 2 * docs
+    assert row["max_df"] == 2 * max(toks.values())
+    assert row["bucket_skew"] >= 1.0

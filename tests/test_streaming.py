@@ -504,3 +504,83 @@ def test_rag_ingest_stream_serves_growing_corpus(spark, tmp_path):
         spark.read.parquet(index_dir + "/postings").count()
         == rows_after_stream
     )
+
+
+def test_bm25_ingest_stream_serves_growing_corpus(spark, tmp_path):
+    """Documents arrive as two file drops into a streaming BM25 ingest;
+    a probe against the SAME persisted index (a) retrieves docs from
+    both micro-batches and (b) EQUALS the one-shot scorer over the full
+    corpus (IDF/avgdl exact on the grown index); a replayed stream
+    (fresh checkpoint, same source) changes nothing."""
+    from pyspark.sql import functions as F
+
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        bm25_query_index,
+        bm25_topk,
+        write_bm25_index,
+    )
+    from bayesiandatafusion_jl_spark.streaming import pipelines as P
+
+    src = str(tmp_path / "bm_in")
+    index_dir = str(tmp_path / "bm_ix")
+    ckpt = str(tmp_path / "bm_ckpt")
+    schema = "doc_id long, text string"
+
+    def doc(i):
+        return (i, f"mark{i} " + " ".join(f"w{(i + j) % 9}" for j in range(8)))
+
+    seed_rows = [doc(i) for i in range(20)]
+    seed = spark.createDataFrame(seed_rows, schema)
+    write_bm25_index(seed, index_dir, n_buckets=8)
+
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    b1, b2 = [doc(i) for i in range(100, 103)], [doc(i) for i in range(200, 203)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = P.bm25_ingest_stream(stream, index_dir, ckpt)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    full = spark.createDataFrame(seed_rows + b1 + b2, schema)
+    queries = spark.createDataFrame(
+        [(9001, "mark101 w3"), (9002, "mark201 w5")], "qid long, text string"
+    )
+    probe = sorted(
+        (r["qid"], r["rk"], r["nb_id"], r["score"])
+        for r in bm25_query_index(queries, index_dir, k=5).collect()
+    )
+    oneshot = sorted(
+        (r["qid"], r["rk"], r["nb_id"], r["score"])
+        for r in bm25_topk(full, queries, k=5, exclude_self=False).collect()
+    )
+    assert probe == oneshot and len(probe) > 0
+    # the unique marker docs from both micro-batches rank first
+    by_q = {r[0]: r for r in probe if r[1] == 1}
+    assert by_q[9001][2] == 101 and by_q[9002][2] == 201
+
+    # replay: a second stream over the same source, fresh checkpoint
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = P.bm25_ingest_stream(stream2, index_dir, str(tmp_path / "bm_ckpt2"))
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    replay = sorted(
+        (r["qid"], r["rk"], r["nb_id"], r["score"])
+        for r in bm25_query_index(queries, index_dir, k=5).collect()
+    )
+    assert replay == probe
