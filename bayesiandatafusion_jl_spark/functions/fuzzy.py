@@ -149,7 +149,6 @@ def edit_distance_join(
     WHERE levenshtein(a.s, b.s) <= 8
     """,
     tags=("J2", "text", "fuzzy"),
-    demoted=True,
 )
 def q_text_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact fuzzy self-join: all document pairs whose 24-char text

@@ -676,7 +676,6 @@ _BM25_INDEX_CACHE: dict = {}
     SELECT qid, nb_id, score, rk FROM bm25 WHERE rk <= 10
     """,
     tags=("J5", "J6", "retrieval", "index"),
-    demoted=True,
 )
 def q_llm_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-index BM25 serving: build the token-bucketed posting
@@ -815,7 +814,6 @@ def hybrid_query_indexes(
     # the persisted-index serving path must equal in-session fusion
     oracle=_hybrid_oracle(),
     tags=("J3", "J5", "retrieval", "hybrid", "index"),
-    demoted=True,
 )
 def q_llm_hybrid_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval served from PERSISTED indexes (dense IVF +

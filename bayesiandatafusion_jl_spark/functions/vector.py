@@ -68,6 +68,11 @@ def q_fn_array_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT qid, nb_id, score, rk FROM ranked WHERE rk <= 5
     """,
     tags=("J3",),
+    demoted=True,
+    # r12: demoted to free a driver slot for q_llm_hybrid_index, whose
+    # oracle CONTAINS this exact brute-cosine ranking as its exhaustive
+    # dense leg (n_probe == n_cells) — J3's brute baseline stays
+    # driver-hash-covered there; identical local parity gate here
 )
 def q_llm_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 — brute-force cosine top-k: 10 query vectors vs the corpus

@@ -40,6 +40,11 @@ _P1, _P2, _MOD, _TRAIN = 2654435761, 40503, 10, 8
     FROM events
     """,
     tags=("I1",),
+    demoted=True,
+    # r12: demoted to free a driver slot for q_text_fuzzy_join — I1 stays
+    # driver-hash-covered by q_ml_predict_rmse, which performs the same
+    # deterministic-hash train/test split inline before training; this
+    # standalone form keeps the identical local parity gate
 )
 def q_ml_traintest_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I1 — deterministic cell split (``assignToTest!`` [api], made

@@ -167,6 +167,11 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY p_brand, s_name
     """,
     tags=("C3",),
+    demoted=True,
+    # r12: demoted to free a driver slot for q_llm_bm25_index — C3 stays
+    # driver-hash-covered by q_join_multiway, whose star plan carries 3
+    # BroadcastHashJoins (SCALE_AUDIT row); this explicit form keeps the
+    # identical local parity gate
 )
 def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 — explicit broadcast joins: small dims (the 346-target side of the
