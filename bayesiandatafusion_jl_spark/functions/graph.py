@@ -298,6 +298,7 @@ def pagerank(
     dst: str = "v",
     damping: float = 0.85,
     n_iter: int = 10,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank): PageRank (Brin & Page 1998) by power iteration over
     a DIRECTED edge frame — fixed iteration count, so the result is a
@@ -314,6 +315,15 @@ def pagerank(
     type rules would silently crush the scale to 6. Dangling nodes (no
     out-edges) redistribute their mass uniformly, the standard
     correction that keeps total rank at 1 instead of leaking it.
+
+    ``teleport`` (r12): a (node) frame of seed nodes makes this
+    PERSONALIZED PageRank (Page et al. 1999 §6 / Haveliwala 2002 —
+    public papers): the restart distribution puts 1/|seeds| on each seed
+    (seeds outside the graph are ignored; the distribution renormalizes
+    over the ones present) and dangling mass redistributes to the SEEDS,
+    not uniformly — rank mass concentrates in the seeds' neighborhoods,
+    the graph-proximity primitive behind related-item recommendation.
+    ``teleport=None`` is the uniform distribution, i.e. plain PageRank.
 
     Plan per iteration: one broadcast-sized degree join is NOT needed —
     out-degrees are joined once before the loop and ride along; each
@@ -345,14 +355,35 @@ def pagerank(
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+    # teleport distribution t rides the state frame like deg does: t_i =
+    # 1/|seeds| on seeds (0 elsewhere), or the uniform 1/n when no seed
+    # frame is given; the initial rank IS the teleport distribution
+    if teleport is not None:
+        seeds = (
+            teleport.select(F.col("node").cast("long").alias("node"))
+            .distinct()
+            .join(nodes, "node", "left_semi")
+            .localCheckpoint()
+        )
+        n_seeds = seeds.count()
+        if n_seeds == 0:
+            raise ValueError(
+                "pagerank: no teleport seed is a node of the graph"
+            )
+        t_frame = nodes.join(
+            seeds.withColumn("t", F.lit(1.0 / n_seeds)), "node", "left"
+        ).select("node", F.coalesce(F.col("t"), F.lit(0.0)).alias("t"))
+    else:
+        t_frame = nodes.select("node", F.lit(1.0 / n).alias("t"))
     # out-degree rides with the rank frame so the loop never re-joins it;
     # deg is null for dangling nodes
     state = (
-        nodes.join(deg, "node", "left")
+        t_frame.join(deg, "node", "left")
         .select(
             "node",
             "deg",
-            F.lit(1.0 / n).cast("decimal(28,18)").alias("rank"),
+            "t",
+            F.col("t").cast("decimal(28,18)").alias("rank"),
         )
         .localCheckpoint()
     )
@@ -375,7 +406,7 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("gathered"))
         )
-        nxt = state.select("node", "deg").join(contrib, "node", "left")
+        nxt = state.select("node", "deg", "t").join(contrib, "node", "left")
         gathered_d = F.coalesce(F.col("gathered").cast("double"), F.lit(0.0))
         if has_dangling:
             dangling = state.filter(F.col("deg").isNull()).agg(
@@ -384,13 +415,17 @@ def pagerank(
                 ).alias("dang")
             )
             nxt = nxt.crossJoin(F.broadcast(dangling))
-            gathered_d = gathered_d + F.col("dang").cast("double") / F.lit(
-                float(n)
-            )
+            # dangling mass restarts by the teleport distribution (uniform
+            # t = 1/n reproduces the plain-PageRank correction exactly)
+            gathered_d = gathered_d + F.col("dang").cast("double") * F.col("t")
         state = nxt.select(
             "node",
             "deg",
-            (F.lit((1.0 - damping) / n) + F.lit(damping) * gathered_d)
+            "t",
+            (
+                F.lit(1.0 - damping) * F.col("t")
+                + F.lit(damping) * gathered_d
+            )
             .cast("decimal(28,18)")
             .alias("rank"),
         )
@@ -428,4 +463,46 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank(edges, n_iter=10)
     return pr.select(
         "node", F.col("rank").cast("double").alias("rank")
+    ).orderBy(F.desc("rank"), F.asc("node"))
+
+
+@register(
+    "q_graph_ppr",
+    oracle=None,  # iterative fixed point — invariants + seed-locality
+    # gated in tests/test_graph.py (uniform-teleport ≡ plain PageRank)
+    tags=("graph-pagerank", "ppr"),
+    demoted=True,
+)
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the part co-occurrence graph, seeded by
+    the three smallest part ids in the graph — the related-item readout
+    (which parts sit closest to the seed set in co-purchase structure).
+    Output adds ``is_seed`` so the locality claim is inspectable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    co = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") > 1)
+        .select(F.explode(F.expr(ordered_pairs("ps", "pa", "pb"))).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+    edges = co.select(F.col("pa").alias("u"), F.col("pb").alias("v")).union(
+        co.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    seeds = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .orderBy("node")
+        .limit(3)
+    )
+    pr = pagerank(edges, n_iter=10, teleport=seeds)
+    return pr.join(
+        F.broadcast(seeds.withColumn("is_seed", F.lit(True))), "node", "left"
+    ).select(
+        "node",
+        F.col("rank").cast("double").alias("rank"),
+        F.coalesce(F.col("is_seed"), F.lit(False)).alias("is_seed"),
     ).orderBy(F.desc("rank"), F.asc("node"))

@@ -601,6 +601,7 @@ def bm25_query_index(
     index_dir: str,
     k: int = 10,
     exclude_self: bool = False,
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
     """(qid, nb_id, score, rk): BM25 top-k against a persisted index —
     NO corpus scan of any kind. The postings read carries a static
@@ -609,6 +610,13 @@ def bm25_query_index(
     corpus stats sum across the epoch rows — so the result is EXACTLY
     ``bm25_topk`` on the union of all epochs (equality pytest-gated, and
     the registered query's oracle is the one-shot BM25 SQL verbatim).
+
+    ``max_df_ratio`` (probe-cost rail, default off = exact): drop query
+    terms whose df exceeds ratio·N before candidate generation. A
+    stopword's posting list is corpus-sized while its IDF is ~0 — at
+    scale it dominates the probe's row count while moving scores by
+    almost nothing. Pruning bounds per-term candidates at ratio·N rows;
+    rankings shift only where near-zero-IDF terms were tiebreakers.
     """
     from bayesiandatafusion_jl_spark.functions.index_meta import (
         index_paths,
@@ -654,6 +662,9 @@ def bm25_query_index(
             / F.sum("n_docs_tokened").cast("double")
         ).alias("avgdl"),
     )
+    if max_df_ratio is not None:
+        n_docs_total = stats.collect()[0]["n_docs"]
+        dfs = dfs.filter(F.col("df") <= max_df_ratio * n_docs_total)
     cand = (
         posts.join(F.broadcast(qterms.select("qid", "token")), "token")
         .join(F.broadcast(dfs), "token")

@@ -221,3 +221,71 @@ def test_q_graph_pagerank_runs(spark):
     assert abs(total - 1.0) < 1e-9
     ranks = [r["rank"] for r in rows]
     assert ranks == sorted(ranks, reverse=True)  # top-ranked first
+
+
+def test_ppr_uniform_teleport_equals_plain(spark):
+    import random
+
+    from bayesiandatafusion_jl_spark.functions.graph import pagerank
+
+    rng = random.Random(9)
+    edges = sorted({(rng.randint(0, 24), rng.randint(0, 24)) for _ in range(70)})
+    edges = [(a, b) for a, b in edges if a != b]
+    ef = spark.createDataFrame(edges, "u long, v long")
+    nodes = spark.createDataFrame(
+        [(x,) for x in sorted({n for p in edges for n in p})], "node long"
+    )
+    plain = {r["node"]: float(r["rank"]) for r in pagerank(ef, n_iter=8).collect()}
+    ppr = {
+        r["node"]: float(r["rank"])
+        for r in pagerank(ef, n_iter=8, teleport=nodes).collect()
+    }
+    assert max(abs(plain[n] - ppr[n]) for n in plain) < 1e-12
+
+
+def test_ppr_mass_concentrates_on_seeds(spark):
+    from bayesiandatafusion_jl_spark.functions.graph import pagerank
+
+    # two cliques bridged by one edge; seed inside clique A
+    a = [(i, j) for i in range(4) for j in range(4) if i != j]
+    b = [(i, j) for i in range(10, 14) for j in range(10, 14) if i != j]
+    edges = a + b + [(3, 10), (10, 3)]
+    ef = spark.createDataFrame(edges, "u long, v long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = {
+        r["node"]: float(r["rank"])
+        for r in pagerank(ef, n_iter=20, teleport=seeds).collect()
+    }
+    mass_a = sum(v for k, v in out.items() if k < 10)
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    assert mass_a > 0.75  # seed clique holds the bulk of the mass
+    assert out[0] == max(out.values())  # the seed itself ranks first
+
+
+def test_ppr_rejects_foreign_seeds_and_ignores_partial(spark):
+    import pytest as _pytest
+
+    from bayesiandatafusion_jl_spark.functions.graph import pagerank
+
+    ef = spark.createDataFrame([(1, 2), (2, 1)], "u long, v long")
+    with _pytest.raises(ValueError, match="seed"):
+        pagerank(ef, teleport=spark.createDataFrame([(99,)], "node long"))
+    # a mixed seed frame renormalizes over the present ones
+    out = {
+        r["node"]: float(r["rank"])
+        for r in pagerank(
+            ef, n_iter=10,
+            teleport=spark.createDataFrame([(1,), (99,)], "node long"),
+        ).collect()
+    }
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    assert out[1] > out[2]
+
+
+def test_q_graph_ppr_runs(spark):
+    from bayesiandatafusion_jl_spark.registry import specs
+
+    rows = specs(include_demoted=True)["q_graph_ppr"].fn(spark, SF_DIR_TINY).collect()
+    assert len(rows) > 0
+    assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-9
+    assert sum(1 for r in rows if r["is_seed"]) == 3

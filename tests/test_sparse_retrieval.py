@@ -335,3 +335,29 @@ def test_bm25_index_stats(spark, tmp_path):
     assert row["n_docs"] == 2 * docs
     assert row["max_df"] == 2 * max(toks.values())
     assert row["bucket_skew"] >= 1.0
+
+
+def test_bm25_index_max_df_ratio_prunes_stopwords(spark, tmp_path):
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        bm25_query_index,
+        write_bm25_index,
+    )
+
+    # "common" is in every doc (df = N); "rare7" in exactly one
+    corpus = _corpus(
+        spark,
+        [(i, f"common rare{i} filler{i % 3}") for i in range(20)],
+    )
+    d = str(tmp_path / "bm25_rail")
+    write_bm25_index(corpus, d, n_buckets=8)
+    queries = spark.createDataFrame(
+        [(900, "common rare7")], "qid bigint, text string"
+    )
+    exact = bm25_query_index(queries, d, k=20).collect()
+    pruned = bm25_query_index(queries, d, k=20, max_df_ratio=0.5).collect()
+    # the rare-term doc tops both rankings
+    top = lambda rows: min(rows, key=lambda r: r["rk"])["nb_id"]  # noqa: E731
+    assert top(exact) == 7 and top(pruned) == 7
+    # pruning drops candidates that ONLY matched the stopword
+    assert {r["nb_id"] for r in pruned} == {7}
+    assert {r["nb_id"] for r in exact} == set(range(20))
