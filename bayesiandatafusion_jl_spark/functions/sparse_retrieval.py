@@ -556,6 +556,15 @@ def write_bm25_index(
             " would land tokens in directories probes never read",
             n_buckets=n_buckets,
         )
+        # folded-epoch replay guard (shared ledger machinery with the
+        # vector/signature indexes): after compaction folds an epoch into
+        # the compact partition, a replayed append of that epoch would
+        # RESURRECT its rows as duplicates — reject it loudly instead
+        from bayesiandatafusion_jl_spark.functions.index_compact import (
+            check_not_folded,
+        )
+
+        check_not_folded(spark, index_dir, epoch)
     tok = tokens(corpus).select("doc_id", "token")
     tf = checkpoint_df(
         tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
@@ -873,3 +882,50 @@ def q_llm_hybrid_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=8,  # == n_cells: exhaustive -> exactly the one-shot hybrid
         exclude_self=True,
     )
+
+
+def compact_bm25_index(
+    spark: SparkSession, index_dir: str, target_mb: int = 128
+) -> DataFrame:
+    """Fold the BM25 index's epochs into one ``compact-<gen>`` epoch —
+    the small-file maintenance op for a long-running streaming ingest.
+    ``tok_bucket`` stays the outer partition level so probe-time pruning
+    is untouched; the per-epoch stats rows are re-labeled, not summed
+    (the probe sums them anyway, so the readout is unchanged). Folded
+    epochs are recorded in the shared ledger BEFORE the swap
+    (functions/index_compact.py crash-ordering rationale), and
+    ``write_bm25_index(mode="append")`` rejects a replayed folded epoch
+    instead of resurrecting its rows. Returns the per-frame stats frame.
+    """
+    from bayesiandatafusion_jl_spark.functions.index_compact import (
+        COMPACT_PREFIX,
+        _next_gen,
+        _stats_row,
+        compact_epochs,
+        record_folded,
+    )
+    from bayesiandatafusion_jl_spark.functions.index_meta import index_paths
+
+    post_path, stats_path = index_paths(index_dir, "postings", "stats")
+    gen = _next_gen(spark, index_dir)
+    new_epoch = f"{COMPACT_PREFIX}{gen}"
+    epochs = sorted(
+        r["__epoch"]
+        for r in spark.read.parquet(post_path)
+        .select("__epoch")
+        .distinct()
+        .collect()
+    )
+    if len(epochs) > 1:
+        record_folded(
+            spark,
+            index_dir,
+            [e for e in epochs if not e.startswith(COMPACT_PREFIX)],
+            gen,
+        )
+    p_stats = compact_epochs(
+        spark, post_path, new_epoch, outer_cols=("tok_bucket",),
+        target_mb=target_mb,
+    )
+    s_stats = compact_epochs(spark, stats_path, new_epoch, target_mb=target_mb)
+    return _stats_row(spark, [("postings", *p_stats), ("stats", *s_stats)])

@@ -361,3 +361,52 @@ def test_bm25_index_max_df_ratio_prunes_stopwords(spark, tmp_path):
     # pruning drops candidates that ONLY matched the stopword
     assert {r["nb_id"] for r in pruned} == {7}
     assert {r["nb_id"] for r in exact} == set(range(20))
+
+
+def test_bm25_index_compaction_preserves_probe_and_guards_replay(
+    spark, tmp_path
+):
+    import pytest as _pytest
+
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        bm25_query_index,
+        compact_bm25_index,
+        write_bm25_index,
+    )
+
+    corpus = _index_corpus(spark)
+    parts = [
+        corpus.filter(F.col("doc_id") < 20),
+        corpus.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40)),
+        corpus.filter(F.col("doc_id") >= 40),
+    ]
+    queries = corpus.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("qid"), "text"
+    )
+    d = str(tmp_path / "bm25_cmp")
+    write_bm25_index(parts[0], d, n_buckets=16)
+    write_bm25_index(parts[1], d, n_buckets=16, mode="append", epoch="s1")
+    write_bm25_index(parts[2], d, n_buckets=16, mode="append", epoch="s2")
+    before = sorted(
+        (r["qid"], r["rk"], r["nb_id"], r["score"])
+        for r in bm25_query_index(queries, d, k=5, exclude_self=True).collect()
+    )
+    stats = {r["frame"]: r for r in compact_bm25_index(spark, d).collect()}
+    assert stats["postings"]["epochs_folded"] == 3
+    after = sorted(
+        (r["qid"], r["rk"], r["nb_id"], r["score"])
+        for r in bm25_query_index(queries, d, k=5, exclude_self=True).collect()
+    )
+    assert after == before
+    ep = (
+        spark.read.parquet(f"{d}/postings").select("__epoch").distinct().count()
+    )
+    assert ep == 1
+    # a replayed append of a folded epoch must be REJECTED, not resurrected
+    with _pytest.raises(ValueError, match="folded"):
+        write_bm25_index(parts[1], d, n_buckets=16, mode="append", epoch="s1")
+    # a genuinely new shard still appends fine
+    new_shard = spark.createDataFrame(
+        [(900, "fresh words only")], "doc_id bigint, text string"
+    )
+    write_bm25_index(new_shard, d, n_buckets=16, mode="append", epoch="s3")
