@@ -1,4 +1,5 @@
-"""Sparse (BM25) retrieval and dense+sparse hybrid fusion (RRF).
+"""Sparse (BM25) retrieval, dense+sparse hybrid fusion (RRF), the
+persisted BM25 posting index, and the retrieval evaluation harness.
 
 The retrieval complement to the dense ANN family (functions/vector.py,
 vector_pq.py, rag.py): Okapi BM25 (Robertson & Spärck Jones probabilistic
@@ -31,6 +32,15 @@ and summed as decimal(38,6) (order-independent exact sum), scalar stats
 written in e-notation in the oracles so DuckDB types them DOUBLE (not
 DECIMAL) and both engines evaluate the identical expression tree; RRF
 works on integer ranks so its arithmetic is exactly reproducible.
+
+Module map: ``bm25_topk`` / ``rrf_fuse`` are the in-session forms;
+``write_bm25_index`` / ``bm25_query_index`` / ``bm25_ingest_stream``
+(streaming/pipelines.py) / ``compact_bm25_index`` / ``bm25_index_stats``
+are the persisted-index lifecycle (build once, partition-pruned
+probe-only serving, replay-idempotent epoch appends, ledger-guarded
+compaction); ``hybrid_query_indexes`` serves dense+sparse from the two
+persisted index families; ``retrieval_metrics`` is the recall@k / MRR /
+nDCG judge every retrieval change runs against.
 """
 
 from __future__ import annotations
