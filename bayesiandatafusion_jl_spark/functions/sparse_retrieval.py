@@ -939,3 +939,22 @@ def compact_bm25_index(
     )
     s_stats = compact_epochs(spark, stats_path, new_epoch, target_mb=target_mb)
     return _stats_row(spark, [("postings", *p_stats), ("stats", *s_stats)])
+
+
+def retrieval_metrics_summary(metrics: DataFrame) -> DataFrame:
+    """One-row macro summary of a ``retrieval_metrics`` frame — the
+    number a retrieval change is actually reported by: (n_queries,
+    recall_at_k, mrr, ndcg) with each metric MACRO-averaged (every query
+    weighs equally regardless of its relevance-set size; the per-query
+    frame is there when micro detail matters). Means are decimal-summed
+    (order-independent) over per-query values rounded to 6 digits.
+    """
+    dec = lambda c: F.sum(  # noqa: E731
+        F.round(F.col(c), 6).cast("decimal(18,6)")
+    ).cast("double") / F.count(F.lit(1))
+    return metrics.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        dec("recall_at_k").alias("recall_at_k"),
+        dec("mrr").alias("mrr"),
+        dec("ndcg").alias("ndcg"),
+    )

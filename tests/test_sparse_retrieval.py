@@ -410,3 +410,21 @@ def test_bm25_index_compaction_preserves_probe_and_guards_replay(
         [(900, "fresh words only")], "doc_id bigint, text string"
     )
     write_bm25_index(new_shard, d, n_buckets=16, mode="append", epoch="s3")
+
+
+def test_metrics_summary_macro_averages(spark):
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        retrieval_metrics,
+        retrieval_metrics_summary,
+    )
+
+    # qid 1: perfect (recall 1, mrr 1); qid 2: total miss (0, 0)
+    hits = _hits(spark, [(1, 10, 1), (2, 98, 1)])
+    truth = _truth(spark, [(1, 10), (2, 50)])
+    (row,) = retrieval_metrics_summary(
+        retrieval_metrics(hits, truth, k=3)
+    ).collect()
+    assert row["n_queries"] == 2
+    assert abs(row["recall_at_k"] - 0.5) < 1e-9
+    assert abs(row["mrr"] - 0.5) < 1e-9
+    assert abs(row["ndcg"] - 0.5) < 1e-9
