@@ -613,6 +613,13 @@ def write_bm25_index(
     ).parquet(stats_path)
     if mode != "append":
         write_meta(spark, meta_path, "overwrite", n_buckets=n_buckets)
+        # a fresh build's input already reflects every deletion — stale
+        # tombstones would hide re-used doc_ids in the NEW corpus
+        from bayesiandatafusion_jl_spark.functions.index_meta import (
+            clear_tombstones,
+        )
+
+        clear_tombstones(spark, index_dir)
 
 
 def bm25_query_index(
@@ -689,6 +696,14 @@ def bm25_query_index(
         .join(F.broadcast(dfs), "token")
         .crossJoin(F.broadcast(stats))
     )
+    # logically-deleted documents never reach the top-k; df/avgdl/N still
+    # count them until a fresh rebuild — the Lucene deleted-docs
+    # semantics, documented on delete_from_bm25_index
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        anti_join_tombstones,
+    )
+
+    cand = anti_join_tombstones(spark, index_dir, cand, "doc_id")
     return _score_and_topk(cand, k, exclude_self)
 
 
@@ -958,3 +973,29 @@ def retrieval_metrics_summary(metrics: DataFrame) -> DataFrame:
         dec("mrr").alias("mrr"),
         dec("ndcg").alias("ndcg"),
     )
+
+
+def delete_from_bm25_index(
+    spark: SparkSession, index_dir: str, doc_ids
+) -> None:
+    """Logically delete documents from a persisted BM25 index — the
+    right-to-be-forgotten op, same tombstone primitives as the vector
+    and signature indexes (functions/index_meta.py): deleted documents
+    stop appearing in any probe immediately; a FRESH rebuild
+    (``write_bm25_index(mode="overwrite")`` from the cleaned corpus)
+    purges them physically and clears the tombstones.
+
+    Corpus statistics (df, avgdl, N) deliberately still count the
+    deleted documents until that rebuild — the Lucene deleted-docs
+    semantics: scores of surviving documents shift by at most the
+    deleted share of the corpus, while the alternative (rewriting stats
+    per delete) would force a posting rewrite on every deletion. Same
+    no-reingest contract as the other families: a deleted doc_id must
+    not be re-appended before the rebuild (the tombstone would keep
+    hiding the new rows — the deliberate failure direction).
+    """
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        append_tombstones,
+    )
+
+    append_tombstones(spark, index_dir, doc_ids)

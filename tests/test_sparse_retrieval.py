@@ -428,3 +428,33 @@ def test_metrics_summary_macro_averages(spark):
     assert abs(row["recall_at_k"] - 0.5) < 1e-9
     assert abs(row["mrr"] - 0.5) < 1e-9
     assert abs(row["ndcg"] - 0.5) < 1e-9
+
+
+def test_bm25_index_tombstone_delete(spark, tmp_path):
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        bm25_query_index,
+        delete_from_bm25_index,
+        write_bm25_index,
+    )
+
+    corpus = _index_corpus(spark)
+    queries = corpus.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("qid"), "text"
+    )
+    d = str(tmp_path / "bm25_del")
+    write_bm25_index(corpus, d, n_buckets=16)
+    before = bm25_query_index(queries, d, k=5, exclude_self=True).collect()
+    victims = {r["nb_id"] for r in before if r["rk"] == 1}
+    delete_from_bm25_index(spark, d, sorted(victims))
+    after = bm25_query_index(queries, d, k=5, exclude_self=True).collect()
+    assert not ({r["nb_id"] for r in after} & victims)
+    assert len(after) > 0
+    # fresh rebuild from the cleaned corpus purges physically AND clears
+    # the tombstones: a re-used id in the new corpus is visible again
+    cleaned = corpus.filter(~F.col("doc_id").isin(list(victims)))
+    write_bm25_index(cleaned, d, n_buckets=16)
+    rebuilt = bm25_query_index(queries, d, k=50, exclude_self=True).collect()
+    assert not ({r["nb_id"] for r in rebuilt} & victims)
+    write_bm25_index(corpus, d, n_buckets=16)  # ids return in a new build
+    full = bm25_query_index(queries, d, k=50, exclude_self=True).collect()
+    assert victims <= {r["nb_id"] for r in full}
