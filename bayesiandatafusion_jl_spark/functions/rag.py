@@ -639,3 +639,116 @@ def rag_fetch_chunks(
         ),
         ["nb_doc_id", "nb_chunk_id"],
     )
+
+
+def rag_build_hybrid_index(
+    docs: DataFrame,
+    index_dir: str,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    dim: int = 64,
+    n_cells: int = 16,
+    n_assign: int = 2,
+    pq_m: int = 16,
+    pq_ksub: int = 64,
+    bm25_buckets: int = 64,
+) -> None:
+    """Build BOTH retrieval legs over the SAME chunk set: the dense
+    IVF-PQ index (``rag_build_index``) plus a BM25 posting index over
+    the chunk TEXTS under ``<index_dir>/bm25``, keyed by the identical
+    lineage-packed vec_ids — so a dense hit and a lexical hit on the
+    same chunk fuse on one id. The standard lexical+semantic RAG stack:
+    the BM25 leg catches exact rare strings (identifiers, names, error
+    codes) that feature hashing smears across buckets; the dense leg
+    catches paraphrase the lexical leg misses."""
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        write_bm25_index,
+    )
+
+    rag_build_index(
+        docs,
+        index_dir,
+        chunk_tokens=chunk_tokens,
+        overlap=overlap,
+        dim=dim,
+        n_cells=n_cells,
+        n_assign=n_assign,
+        pq_m=pq_m,
+        pq_ksub=pq_ksub,
+    )
+    chunks = chunk_documents(docs, chunk_tokens, overlap)
+    write_bm25_index(
+        chunks.select(
+            _encode_lineage().alias("doc_id"),
+            F.col("chunk_text").alias("text"),
+        ),
+        index_dir.rstrip("/") + "/bm25",
+        n_buckets=bm25_buckets,
+    )
+
+
+def rag_retrieve_hybrid(
+    query_docs: DataFrame,
+    index_dir: str,
+    k: int = 3,
+    leg_k: int = 10,
+    n_probe: int = 6,
+    refine: int = 4,
+    k0: int = 60,
+) -> DataFrame:
+    """(qid, nb_id, rrf, rk, rk_a, rk_b, nb_doc_id, nb_chunk_id):
+    probe-only hybrid retrieval against a ``rag_build_hybrid_index``
+    artifact — the dense ADC leg (``ann_ivfpq_query_index``) and the
+    lexical BM25 leg probe their persisted indexes, RRF fuses the two
+    rankings rank-only, lineage decodes at the end. rk_a is the dense
+    leg's rank, rk_b the lexical leg's (null = that leg missed it).
+    Queries are their first chunk (text for the lexical leg, its
+    hash-embedding under the pinned dim for the dense leg); neither leg
+    reads or re-encodes the corpus."""
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        check_meta,
+        index_paths,
+        read_meta,
+    )
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        bm25_query_index,
+        rrf_fuse,
+    )
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        ann_ivfpq_query_index,
+    )
+    from bayesiandatafusion_jl_spark.session import checkpoint_df
+
+    spark = query_docs.sparkSession
+    (rag_meta_path,) = index_paths(index_dir, "rag_meta")
+    check_meta(
+        spark,
+        rag_meta_path,
+        "hybrid fusion joins the two legs' hits on lineage-packed chunk"
+        " ids — a different bit split would fuse the wrong chunks",
+        chunk_bits=_CHUNK_BITS,
+    )
+    meta = read_meta(spark, rag_meta_path).asDict()
+    q_first = checkpoint_df(
+        chunk_documents(query_docs, meta["chunk_tokens"], meta["overlap"])
+        .filter(F.col("chunk_id") == 0)
+        .select("doc_id", F.col("chunk_text").alias("text"))
+    )
+    q_emb = checkpoint_df(
+        hash_embed(q_first, dim=meta["dim"]).select(
+            F.col("doc_id").alias("qid"), F.col("embedding").alias("qe")
+        )
+    )
+    dense = ann_ivfpq_query_index(
+        q_emb, index_dir, k=leg_k, n_probe=n_probe, refine=refine,
+        exclude_self=False,
+    )
+    sparse = bm25_query_index(
+        q_first.select(F.col("doc_id").alias("qid"), "text"),
+        index_dir.rstrip("/") + "/bm25",
+        k=leg_k,
+    )
+    fused = rrf_fuse(dense, sparse, k=k, k0=k0)
+    return fused.select(
+        "qid", "nb_id", "rrf", "rk", "rk_a", "rk_b", *_decode_lineage()
+    )

@@ -505,3 +505,53 @@ def test_rag_fetch_chunks_resolves_hit_text(spark, tmp_path):
     }
     for r in fetched.collect():
         assert r["chunk_text"] == truth[(r["nb_doc_id"], r["nb_chunk_id"])]
+
+
+def test_rag_hybrid_retrieval(spark, tmp_path):
+    """Hybrid RAG: corpus with unique per-doc markers; queries are
+    mutated twins (first token dropped). The LEXICAL leg alone must nail
+    the marker docs; the fused top-1 resolves each twin to its original
+    document, and both legs' ranks surface in the output."""
+    from pyspark.sql import functions as F
+
+    from bayesiandatafusion_jl_spark.functions.rag import (
+        rag_build_hybrid_index,
+        rag_retrieve_hybrid,
+    )
+
+    schema = "doc_id long, text string"
+
+    def doc(i):
+        # per-doc filler vocab: docs share no tokens, so each twin's only
+        # strong match in BOTH legs is its own original
+        return (
+            i,
+            f"marker{i} " + " ".join(f"w{i}_{j}" for j in range(40)),
+        )
+
+    docs = spark.createDataFrame([doc(i) for i in range(24)], schema)
+    index_dir = str(tmp_path / "hyb_ix")
+    rag_build_hybrid_index(
+        docs, index_dir, n_cells=4, pq_m=4, pq_ksub=16, bm25_buckets=8
+    )
+    # twins: drop the first post-marker token, keep the unique marker
+    twins = spark.createDataFrame(
+        [
+            (i + 5000, f"marker{i} " + " ".join(
+                f"w{i}_{j}" for j in range(2, 40)
+            ))
+            for i in range(0, 24, 6)
+        ],
+        schema,
+    )
+    hits = rag_retrieve_hybrid(twins, index_dir, k=3, leg_k=8).collect()
+    top1 = {r["qid"]: r for r in hits if r["rk"] == 1}
+    assert len(top1) == 4
+    for qid, r in top1.items():
+        assert r["nb_doc_id"] == qid - 5000
+        # the marker is an exact rare term: the lexical leg must rank
+        # the twin's original first
+        assert r["rk_b"] == 1
+    # both legs contribute somewhere in the fused lists
+    assert any(r["rk_a"] is not None for r in hits)
+    assert any(r["rk_b"] is not None for r in hits)
