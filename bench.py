@@ -190,6 +190,40 @@ def main() -> None:
             rag_queries, rag_dir, k=3, n_probe=6, mmr_lambda=0.5
         ),
     )
+    # r12: hybrid lexical+semantic serving — BM25 subindex over the same
+    # chunks built once beside the dense index; probe = both legs + RRF
+    from bayesiandatafusion_jl_spark.functions.rag import (
+        _CHUNK_BITS,
+        _encode_lineage,
+        rag_retrieve_hybrid,
+    )
+    from bayesiandatafusion_jl_spark.functions.chunking import chunk_documents
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        write_bm25_index,
+    )
+
+    assert _CHUNK_BITS  # chunk-id packing shared with the dense index
+    write_bm25_index(
+        chunk_documents(
+            twin_corpus.filter(FF.col("doc_id") < 1_000_000), 32, 8
+        ).select(
+            _encode_lineage().alias("doc_id"),
+            FF.col("chunk_text").alias("text"),
+        ),
+        rag_dir.rstrip("/") + "/bm25",
+        n_buckets=64,
+    )
+    # 100-query batch: the testdata vocabulary is ~50 words, so EVERY
+    # term has df ≈ 20% of chunks and the lexical leg's candidate volume
+    # (Σ_t df(t) per query) approaches all-pairs — a corpus pathology a
+    # real vocabulary doesn't have (and max_df_ratio would rail against);
+    # the bounded batch keeps the row measuring probe mechanics, not the
+    # word-soup artifact
+    rag_hq = rag_queries.filter(FF.col("doc_id") < 1_000_100)
+    time_probe(
+        "rag_hybrid_probe",
+        lambda: rag_retrieve_hybrid(rag_hq, rag_dir, k=3, leg_k=10),
+    )
 
     # ML sweep throughput: one BPMF Gibbs sweep (I3 kernel both entities +
     # moments + NW) on the events-derived matrix, K=16 (BASELINE.md (c))
