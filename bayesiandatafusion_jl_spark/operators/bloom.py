@@ -266,7 +266,7 @@ def bloom_pruned_join(
     oracle="""
         SELECT l.l_orderkey AS orderkey,
                l.l_linenumber AS linenumber,
-               CAST(l.l_extendedprice AS DECIMAL(18,2)) AS extendedprice,
+               CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS extendedprice_cents,
                o.o_orderpriority AS orderpriority
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -295,6 +295,6 @@ def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         F.col("l_orderkey").alias("orderkey"),
         F.col("l_linenumber").alias("linenumber"),
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("extendedprice"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("extendedprice_cents"),
         F.col("o_orderpriority").alias("orderpriority"),
     ).orderBy("orderkey", "linenumber")
