@@ -160,6 +160,7 @@ def compact_epochs(
     outer_cols: tuple[str, ...] = (),
     sort_cols: tuple[str, ...] = (),
     target_mb: int = 128,
+    transform=None,
 ) -> tuple[list[str], int, int, int]:
     """Fold every ``__epoch`` partition under ``data_path`` into the single
     ``new_epoch``, preserving rows exactly. Returns
@@ -172,6 +173,13 @@ def compact_epochs(
     the directory's actual bytes; with outer partition columns each task
     holds a hash slice of (outer, id) rows, so a huge cell splits across
     tasks instead of producing one monolithic file.
+
+    ``transform`` (r13): optional frame→frame hook applied to the folded
+    body before the rewrite — the tombstone-purge seam. Compaction is
+    exactly the moment a physical delete is free (every row is being
+    rewritten anyway), so the index compactors pass an anti-join here.
+    A non-None transform FORCES the rewrite even for a single epoch
+    (content is changing, not just layout).
     """
     df = spark.read.parquet(data_path)
     epochs = sorted(
@@ -179,13 +187,16 @@ def compact_epochs(
     )
     files_before = len(df.inputFiles())
     total_bytes = _dir_bytes(spark, data_path)
-    if len(epochs) <= 1:
+    if len(epochs) <= 1 and transform is None:
         # nothing to fold — keep the existing (possibly already compacted)
         # layout rather than churn files
         return [], files_before, files_before, total_bytes
 
     n_files = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
-    body = df.drop("__epoch").withColumn("__epoch", F.lit(new_epoch))
+    body = df.drop("__epoch")
+    if transform is not None:
+        body = transform(body)
+    body = body.withColumn("__epoch", F.lit(new_epoch))
     if sort_cols:
         body = body.repartitionByRange(
             n_files, *[F.col(c) for c in sort_cols]
@@ -237,23 +248,40 @@ def compact_ivf_index(
     ``cell_id`` stays the outer partition level, so probe-time partition
     pruning (``cell_id IN (probed)``) is untouched. Returns the per-frame
     stats frame; records the folded epochs in the ledger BEFORE the swap
-    (see module docstring for the crash-ordering rationale)."""
+    (see module docstring for the crash-ordering rationale).
+
+    Tombstones are applied PHYSICALLY during the rewrite (r13): the data
+    is being rewritten anyway, so the purge is free — deleted vec_ids
+    leave the postings and the tombstone set is cleared AFTER the swap
+    (crash between the two: rows already gone, the anti-join no-ops —
+    the safe direction). Probes are unchanged (they already excluded
+    tombstoned ids); ``ivf_index_stats`` stops counting them."""
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        clear_tombstones,
+        tombstone_purge,
+    )
+
     (post_path,) = index_paths(index_dir, "postings")
     gen = _next_gen(spark, index_dir)
     new_epoch = f"{COMPACT_PREFIX}{gen}"
+    purge = tombstone_purge(spark, index_dir, "vec_id")
     df = spark.read.parquet(post_path)
     epochs = sorted(
         r["__epoch"] for r in df.select("__epoch").distinct().collect()
     )
-    if len(epochs) > 1:
+    if len(epochs) > 1 or purge is not None:
+        # a purge rewrites even a single epoch, so that epoch is folded
+        # too — a replay of it would resurrect the purged rows
         record_folded(
             spark, index_dir,
             [e for e in epochs if not e.startswith(COMPACT_PREFIX)], gen,
         )
     stats = compact_epochs(
         spark, post_path, new_epoch, outer_cols=("cell_id",),
-        target_mb=target_mb,
+        target_mb=target_mb, transform=purge,
     )
+    if purge is not None:
+        clear_tombstones(spark, index_dir)
     return _stats_row(spark, [("postings", *stats)])
 
 
@@ -264,24 +292,38 @@ def compact_signature_index(
     into one ``compact-<gen>`` epoch. The bucket frame is re-range-sorted
     on (band, bucket), so after compaction a probe slice prunes against
     ONE sorted run instead of one per epoch. Ledger written before the
-    swap, same rationale as the IVF path."""
+    swap, same rationale as the IVF path.
+
+    Tombstoned doc_ids are purged physically from BOTH frames during the
+    rewrite; the tombstone set is cleared only after both swaps (a crash
+    between them leaves the ids still masked — never resurfaced)."""
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        clear_tombstones,
+        tombstone_purge,
+    )
+
     sig_path, bucket_path = index_paths(index_dir, "sigs", "buckets")
     gen = _next_gen(spark, index_dir)
     new_epoch = f"{COMPACT_PREFIX}{gen}"
+    purge = tombstone_purge(spark, index_dir, "doc_id")
     df = spark.read.parquet(sig_path)
     epochs = sorted(
         r["__epoch"] for r in df.select("__epoch").distinct().collect()
     )
-    if len(epochs) > 1:
+    if len(epochs) > 1 or purge is not None:
         record_folded(
             spark, index_dir,
             [e for e in epochs if not e.startswith(COMPACT_PREFIX)], gen,
         )
-    sig_stats = compact_epochs(spark, sig_path, new_epoch, target_mb=target_mb)
+    sig_stats = compact_epochs(
+        spark, sig_path, new_epoch, target_mb=target_mb, transform=purge
+    )
     bucket_stats = compact_epochs(
         spark, bucket_path, new_epoch, sort_cols=("band", "bucket"),
-        target_mb=target_mb,
+        target_mb=target_mb, transform=purge,
     )
+    if purge is not None:
+        clear_tombstones(spark, index_dir)
     return _stats_row(
         spark, [("sigs", *sig_stats), ("buckets", *bucket_stats)]
     )

@@ -97,6 +97,30 @@ def anti_join_tombstones(
     )
 
 
+def has_tombstones(spark: SparkSession, index_dir: str) -> bool:
+    """Whether the index carries logical deletes awaiting a physical
+    apply (compaction / rebuild)."""
+    from bayesiandatafusion_jl_spark.functions.index_compact import _fs
+
+    path = tombstones_path(index_dir)
+    fs, hpath, _ = _fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def tombstone_purge(spark: SparkSession, index_dir: str, on_col: str):
+    """A frame→frame transform that drops tombstoned rows — the
+    ``compact_epochs(transform=...)`` seam. Returns None when the index
+    has no tombstones, so callers can branch on "will this compaction
+    change content" in one place."""
+    if not has_tombstones(spark, index_dir):
+        return None
+
+    def _purge(df):
+        return anti_join_tombstones(spark, index_dir, df, on_col)
+
+    return _purge
+
+
 def clear_tombstones(spark: SparkSession, index_dir: str) -> None:
     """Drop the tombstone set — call AFTER a successful rebuild whose
     input already excluded the ids (or a fresh build starting a new id

@@ -374,3 +374,135 @@ def test_refit_unsticks_drift_guard(spark, ivf_dir):
         ),
         ivf_dir, n_cells=8, n_assign=2, mode="append", epoch="d2",
     )
+
+
+def test_ivf_compaction_purges_tombstones_physically(spark, ivf_dir):
+    """r13: compaction is the free moment for the physical delete — after
+    build → delete → compact, the victims' rows are GONE from the
+    postings (not just masked), the tombstone set is cleared, probes are
+    unchanged, and stats stop counting the deleted vectors."""
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        has_tombstones,
+    )
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        delete_from_ivf_index,
+        ivf_index_stats,
+    )
+
+    corpus = _ivf_with_shards(spark, ivf_dir)
+    # 0 and 5 live in the base epoch; 1007 in shard day-0 (vec_id%7==0 → +1000)
+    victims = [0, 5, 1007]
+    delete_from_ivf_index(spark, ivf_dir, victims)
+    q = corpus.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    before = {
+        (r.qid, r.nb_id)
+        for r in ann_ivf_query_index(q, ivf_dir, k=5, n_probe=3).collect()
+    }
+    n_before = ivf_index_stats(spark, ivf_dir).collect()[0]["n_postings"]
+    compact_ivf_index(spark, ivf_dir)
+    assert not has_tombstones(spark, ivf_dir)
+    live_ids = {
+        r.vec_id
+        for r in spark.read.parquet(ivf_dir + "/postings")
+        .select("vec_id")
+        .distinct()
+        .collect()
+    }
+    assert not (set(victims) & live_ids)
+    after = {
+        (r.qid, r.nb_id)
+        for r in ann_ivf_query_index(q, ivf_dir, k=5, n_probe=3).collect()
+    }
+    assert after == before
+    n_after = ivf_index_stats(spark, ivf_dir).collect()[0]["n_postings"]
+    assert n_after == n_before - len(victims) * 2  # n_assign=2
+
+
+def test_ivf_single_epoch_purge_still_rewrites_and_folds(spark, ivf_dir):
+    """A purge forces the rewrite even with one epoch, and that epoch is
+    folded — replaying it would resurrect the purged rows."""
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        delete_from_ivf_index,
+    )
+
+    corpus = _clustered(spark)
+    write_ivf_index(corpus, ivf_dir, n_cells=8, n_assign=2)
+    delete_from_ivf_index(spark, ivf_dir, [1])
+    compact_ivf_index(spark, ivf_dir)
+    assert 1 not in {
+        r.vec_id
+        for r in spark.read.parquet(ivf_dir + "/postings")
+        .select("vec_id")
+        .distinct()
+        .collect()
+    }
+    assert "base" in folded_epochs(spark, ivf_dir)
+    # replaying the folded epoch stays rejected (the unique-epoch rail
+    # fires first for 'base'; the ledger entry above covers named shards)
+    with pytest.raises(ValueError):
+        write_ivf_index(
+            corpus, ivf_dir, n_cells=8, n_assign=2, mode="append",
+            epoch="base",
+        )
+
+
+def test_sig_compaction_purges_tombstones_and_unblocks_id_reuse(
+    spark, sig_dir
+):
+    """After purge-at-compaction both frames drop the victims, the
+    tombstones clear, and — the workflow unlock — a RE-USED doc_id can be
+    appended and is visible again (pre-r13 that required a full
+    rebuild)."""
+    from bayesiandatafusion_jl_spark.functions.dedup_index import (
+        delete_from_signature_index,
+    )
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        has_tombstones,
+    )
+
+    write_signature_index(_docs(spark, 0, 60), sig_dir)
+    write_signature_index(
+        _docs(spark, 60, 90), sig_dir, mode="append", epoch="s1"
+    )
+    probe = spark.createDataFrame(
+        [
+            (10_000 + i, f"document number {i} with some shared boilerplate "
+                         f"text and unique payload token-{i} token-{i + 1} "
+                         f"token-{i + 2}")
+            for i in range(10)
+        ],
+        "doc_id long, text string",
+    )
+    delete_from_signature_index(spark, sig_dir, [3, 70])
+    before = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_incremental(probe, sig_dir, jaccard_min=0.5).collect()
+    }
+    assert before and not any(b in (3, 70) for _, b in before)
+    compact_signature_index(spark, sig_dir)
+    assert not has_tombstones(spark, sig_dir)
+    for frame in ("sigs", "buckets"):
+        ids = {
+            r.doc_id
+            for r in spark.read.parquet(f"{sig_dir}/{frame}")
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        assert not ({3, 70} & ids), frame
+    after = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_incremental(probe, sig_dir, jaccard_min=0.5).collect()
+    }
+    assert after == before
+    # doc_id 3 re-ingested under a new epoch is a visible partner again
+    write_signature_index(
+        _docs(spark, 3, 4), sig_dir, mode="append", epoch="reuse"
+    )
+    reused = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_incremental(probe, sig_dir, jaccard_min=0.5).collect()
+    }
+    assert any(b == 3 for _, b in reused)
