@@ -356,6 +356,10 @@ def retrieval_metrics(
 
     Queries with an empty relevance set are dropped (each metric is
     undefined there, and emitting 0 would silently deflate averages).
+    Truth-bearing queries the ranker returned NOTHING for are kept and
+    score 0 across the board (r13) — a retriever that misses a query
+    entirely is a quality failure the macro averages must count, not a
+    row to silently drop.
 
     Determinism: DCG/IDCG terms are rounded to 6 digits and summed as
     decimal (per-query order-independent sums); recall and MRR are
@@ -402,20 +406,27 @@ def retrieval_metrics(
             ).cast("decimal(18,6)"),
         ).alias("idcg"),
     )
+    # LEFT join from the truth side: a truth-bearing qid with zero
+    # retrieved rows still gets a row (all-zero metrics); a qid with
+    # hits but no truth stays dropped (metrics undefined there)
     return (
-        per_q.join(idcg, "qid")
+        idcg.join(per_q, "qid", "left")
         .select(
             "qid",
             "n_rel",
-            "hits_at_k",
-            (F.col("hits_at_k").cast("double") / F.col("n_rel")).alias(
-                "recall_at_k"
-            ),
+            F.coalesce(F.col("hits_at_k"), F.lit(0)).alias("hits_at_k"),
+            (
+                F.coalesce(F.col("hits_at_k"), F.lit(0)).cast("double")
+                / F.col("n_rel")
+            ).alias("recall_at_k"),
             F.coalesce(
                 F.lit(1.0) / F.col("first_rel"), F.lit(0.0)
             ).alias("mrr"),
-            F.when(F.col("idcg").cast("double") > 0, 
-                   F.col("dcg").cast("double") / F.col("idcg").cast("double"))
+            F.when(
+                F.col("idcg").cast("double") > 0,
+                F.coalesce(F.col("dcg").cast("double"), F.lit(0.0))
+                / F.col("idcg").cast("double"),
+            )
             .otherwise(F.lit(0.0))
             .alias("ndcg"),
         )
@@ -471,13 +482,16 @@ from bayesiandatafusion_jl_spark.functions.exprs import sql_dot as _sql_dot
       FROM rc, UNNEST(range(1, LEAST(rc.n_rel, 10) + 1)) AS t(i)
       GROUP BY rc.qid, rc.n_rel
     )
-    SELECT pq.qid, ic.n_rel, CAST(pq.hits_at_k AS BIGINT) AS hits_at_k,
-           CAST(pq.hits_at_k AS DOUBLE) / ic.n_rel AS recall_at_k,
+    SELECT ic.qid, ic.n_rel,
+           CAST(COALESCE(pq.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+           CAST(COALESCE(pq.hits_at_k, 0) AS DOUBLE) / ic.n_rel
+             AS recall_at_k,
            COALESCE(1.0e0 / pq.first_rel, 0.0e0) AS mrr,
            CASE WHEN CAST(ic.idcg AS DOUBLE) > 0
-                THEN CAST(pq.dcg AS DOUBLE) / CAST(ic.idcg AS DOUBLE)
+                THEN CAST(COALESCE(pq.dcg, 0) AS DOUBLE)
+                     / CAST(ic.idcg AS DOUBLE)
                 ELSE 0.0e0 END AS ndcg
-    FROM pq JOIN ic ON pq.qid = ic.qid
+    FROM ic LEFT JOIN pq ON pq.qid = ic.qid
     """,
     tags=("J3", "retrieval", "eval"),
     demoted=True,
@@ -614,12 +628,21 @@ def write_bm25_index(
     if mode != "append":
         write_meta(spark, meta_path, "overwrite", n_buckets=n_buckets)
         # a fresh build's input already reflects every deletion — stale
-        # tombstones would hide re-used doc_ids in the NEW corpus
+        # tombstones would hide re-used doc_ids in the NEW corpus — and a
+        # fresh build starts a new epoch NAMESPACE, so the old
+        # incarnation's fold history must not reject its epoch names
+        # (matches write_ivf_index/write_signature_index: a stale ledger
+        # would spuriously reject e.g. a stream's restarted
+        # ``stream-<batch_id>`` epochs after a checkpoint reset)
+        from bayesiandatafusion_jl_spark.functions.index_compact import (
+            reset_ledger,
+        )
         from bayesiandatafusion_jl_spark.functions.index_meta import (
             clear_tombstones,
         )
 
         clear_tombstones(spark, index_dir)
+        reset_ledger(spark, index_dir)
 
 
 def bm25_query_index(
@@ -728,6 +751,18 @@ def q_llm_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     query batch as ``q_llm_bm25`` probe-only — partition-pruned posting
     read, zero corpus scans. Hash-checked against the one-shot BM25
     oracle, so build+probe ≡ in-session scoring exactly."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index_dir = ensure_bm25_index(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("qid"), "text"
+    )
+    return bm25_query_index(queries, index_dir, k=10, exclude_self=True)
+
+
+def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
+    """The testdata `documents` corpus's persisted BM25 index, built at
+    most once per corpus fingerprint (shared by the serving query, the
+    quality rows, and the bench)."""
     import os
 
     from bayesiandatafusion_jl_spark.functions.vector import (
@@ -740,10 +775,30 @@ def q_llm_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     if _BM25_INDEX_CACHE.get(index_dir) != key or not os.path.isdir(index_dir):
         write_bm25_index(docs, index_dir, n_buckets=64)
         _BM25_INDEX_CACHE[index_dir] = key
-    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
-        F.col("doc_id").alias("qid"), "text"
+    return index_dir
+
+
+def ensure_hybrid_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """The testdata `embeddings` corpus's persisted IVF index (the
+    hybrid dense leg), built at most once per corpus fingerprint."""
+    import os
+
+    from bayesiandatafusion_jl_spark.functions.vector import (
+        _corpus_fingerprint,
     )
-    return bm25_query_index(queries, index_dir, k=10, exclude_self=True)
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        write_ivf_index,
+    )
+
+    ivf_dir = f"/tmp/bdf_hybrid_ivf_index/{sf_dir.strip('/').replace('/', '_')}"
+    key = (_corpus_fingerprint(sf_dir, "embeddings"), 8)
+    if _BM25_INDEX_CACHE.get(ivf_dir) != key or not os.path.isdir(ivf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        write_ivf_index(
+            emb.select("vec_id", "embedding"), ivf_dir, n_cells=8, n_assign=1
+        )
+        _BM25_INDEX_CACHE[ivf_dir] = key
+    return ivf_dir
 
 
 def bm25_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -825,6 +880,7 @@ def hybrid_query_indexes(
     n_probe: int = 6,
     k0: int = 60,
     exclude_self: bool = False,
+    max_df_ratio: float | None = 0.25,
 ) -> DataFrame:
     """Persisted-index hybrid serving: the deployment shape of
     ``q_llm_hybrid_rrf`` — dense leg probed from a ``write_ivf_index``
@@ -837,7 +893,17 @@ def hybrid_query_indexes(
     qid space (a hybrid query carries both representations). With
     ``n_probe >= n_cells`` the dense leg is exhaustive and the output is
     EXACTLY the in-session ``rrf_fuse(knn_topk, bm25_topk)`` — the
-    registered form's oracle is the one-shot hybrid SQL verbatim.
+    registered form's oracle is the one-shot hybrid SQL verbatim (that
+    form passes ``max_df_ratio=None``).
+
+    ``max_df_ratio`` defaults ON here (r13) unlike ``bm25_query_index``:
+    this is the production serving endpoint, and on a low-entropy or
+    boilerplate-heavy corpus an unrailed lexical leg's candidate volume
+    (Σ_t df(t) per query term) approaches all-pairs — the repo's own
+    bench measured 56 s on one unbounded batch. A term with df > 25% of
+    the corpus carries near-zero IDF, so dropping it bounds probe cost
+    at ratio·N rows per term while moving rankings only where
+    near-zero-IDF terms were tiebreakers. Pass ``None`` for exactness.
     """
     from bayesiandatafusion_jl_spark.functions.vector_index import (
         ann_ivf_query_index,
@@ -848,7 +914,8 @@ def hybrid_query_indexes(
         exclude_self=exclude_self,
     )
     sparse = bm25_query_index(
-        queries_text, bm25_dir, k=leg_k, exclude_self=exclude_self
+        queries_text, bm25_dir, k=leg_k, exclude_self=exclude_self,
+        max_df_ratio=max_df_ratio,
     )
     return rrf_fuse(dense, sparse, k=k, k0=k0)
 
@@ -865,31 +932,10 @@ def q_llm_hybrid_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse BM25, built once per corpus fingerprint and probed per query
     batch), exhaustive dense probe so the driver hash-checks it against
     the same one-shot hybrid SQL as ``q_llm_hybrid_rrf``."""
-    import os
-
-    from bayesiandatafusion_jl_spark.functions.vector import (
-        _corpus_fingerprint,
-    )
-    from bayesiandatafusion_jl_spark.functions.vector_index import (
-        write_ivf_index,
-    )
-
-    base = sf_dir.strip("/").replace("/", "_")
-    bm25_dir = f"/tmp/bdf_bm25_index/{base}"
-    key_b = (_corpus_fingerprint(sf_dir, "documents"), 64)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    if _BM25_INDEX_CACHE.get(bm25_dir) != key_b or not os.path.isdir(bm25_dir):
-        write_bm25_index(docs, bm25_dir, n_buckets=64)
-        _BM25_INDEX_CACHE[bm25_dir] = key_b
-
-    ivf_dir = f"/tmp/bdf_hybrid_ivf_index/{base}"
-    key_v = (_corpus_fingerprint(sf_dir, "embeddings"), 8)
     emb = load_table(spark, sf_dir, "embeddings")
-    if _BM25_INDEX_CACHE.get(ivf_dir) != key_v or not os.path.isdir(ivf_dir):
-        write_ivf_index(
-            emb.select("vec_id", "embedding"), ivf_dir, n_cells=8, n_assign=1
-        )
-        _BM25_INDEX_CACHE[ivf_dir] = key_v
+    bm25_dir = ensure_bm25_index(spark, sf_dir)
+    ivf_dir = ensure_hybrid_ivf_index(spark, sf_dir)
 
     q_emb = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
@@ -906,6 +952,7 @@ def q_llm_hybrid_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         leg_k=20,
         n_probe=8,  # == n_cells: exhaustive -> exactly the one-shot hybrid
         exclude_self=True,
+        max_df_ratio=None,  # oracle-checked: no serving rail, exact BM25
     )
 
 
@@ -915,25 +962,43 @@ def compact_bm25_index(
     """Fold the BM25 index's epochs into one ``compact-<gen>`` epoch —
     the small-file maintenance op for a long-running streaming ingest.
     ``tok_bucket`` stays the outer partition level so probe-time pruning
-    is untouched; the per-epoch stats rows are re-labeled, not summed
-    (the probe sums them anyway, so the readout is unchanged). Folded
-    epochs are recorded in the shared ledger BEFORE the swap
-    (functions/index_compact.py crash-ordering rationale), and
+    is untouched. Folded epochs are recorded in the shared ledger BEFORE
+    the swap (functions/index_compact.py crash-ordering rationale), and
     ``write_bm25_index(mode="append")`` rejects a replayed folded epoch
     instead of resurrecting its rows. Returns the per-frame stats frame.
+
+    Tombstones are applied PHYSICALLY here (r13): deleted doc_ids leave
+    the postings during the rewrite (the data is being rewritten anyway,
+    so the purge is free), and the corpus statistics are RECONCILED from
+    the purged postings — df, avgdl and N match a fresh rebuild from the
+    cleaned corpus exactly, closing the Lucene deleted-docs drift that
+    ``delete_from_bm25_index`` documents. One honest residue: a deleted
+    doc that had ZERO tokens is invisible to the postings, so it stays
+    inside ``n_docs`` until a true rebuild (the corpus isn't available
+    here); same if the job dies between the postings swap and the stats
+    rewrite (stats then stay at the documented deleted-docs semantics —
+    masked, never resurfaced — until the next compaction or rebuild).
+    Without tombstones the stats rows are re-labeled, not summed (the
+    probe sums them anyway, so the readout is unchanged).
     """
     from bayesiandatafusion_jl_spark.functions.index_compact import (
         COMPACT_PREFIX,
         _next_gen,
         _stats_row,
+        _swap_dir,
         compact_epochs,
         record_folded,
     )
-    from bayesiandatafusion_jl_spark.functions.index_meta import index_paths
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        clear_tombstones,
+        index_paths,
+        tombstone_purge,
+    )
 
     post_path, stats_path = index_paths(index_dir, "postings", "stats")
     gen = _next_gen(spark, index_dir)
     new_epoch = f"{COMPACT_PREFIX}{gen}"
+    purge = tombstone_purge(spark, index_dir, "doc_id")
     epochs = sorted(
         r["__epoch"]
         for r in spark.read.parquet(post_path)
@@ -941,18 +1006,79 @@ def compact_bm25_index(
         .distinct()
         .collect()
     )
-    if len(epochs) > 1:
+    if len(epochs) > 1 or purge is not None:
+        # a purge rewrites even a single epoch; replaying that epoch
+        # would resurrect the purged rows, so it is folded too
         record_folded(
             spark,
             index_dir,
             [e for e in epochs if not e.startswith(COMPACT_PREFIX)],
             gen,
         )
+    n_purged = 0
+    if purge is not None:
+        # docs the purge will actually remove, counted BEFORE the swap —
+        # the n_docs reconciliation needs it and the rows are gone after
+        old_docs = (
+            spark.read.parquet(post_path).select("doc_id").distinct()
+        )
+        n_purged = old_docs.count() - purge(old_docs).count()
     p_stats = compact_epochs(
         spark, post_path, new_epoch, outer_cols=("tok_bucket",),
-        target_mb=target_mb,
+        target_mb=target_mb, transform=purge,
     )
-    s_stats = compact_epochs(spark, stats_path, new_epoch, target_mb=target_mb)
+    if purge is None:
+        s_stats = compact_epochs(
+            spark, stats_path, new_epoch, target_mb=target_mb
+        )
+    else:
+        # reconcile the corpus stats from the surviving postings: one row
+        # replacing every epoch's, written via the same tmp+swap protocol
+        old_totals = (
+            spark.read.parquet(stats_path)
+            .agg(F.sum("n_docs").cast("bigint").alias("n_docs"))
+            .collect()[0]
+        )
+        files_before = len(spark.read.parquet(stats_path).inputFiles())
+        survivors = (
+            spark.read.parquet(post_path)
+            .groupBy("doc_id")
+            .agg(F.max("dl").alias("dl"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs_tokened"),
+                F.coalesce(F.sum("dl"), F.lit(0))
+                .cast("bigint")
+                .alias("sum_dl"),
+            )
+            .collect()[0]
+        )
+        stats_row = spark.createDataFrame(
+            [
+                (
+                    int(old_totals["n_docs"]) - n_purged,
+                    int(survivors["n_docs_tokened"]),
+                    int(survivors["sum_dl"]),
+                    new_epoch,
+                )
+            ],
+            # type-identical to write_bm25_index's stats row (n_docs is
+            # F.lit(int) → IntegerType there): later append epochs must
+            # not schema-conflict with the compacted row
+            "n_docs int, n_docs_tokened bigint, sum_dl bigint,"
+            " __epoch string",
+        )
+        tmp_path = stats_path.rstrip("/") + ".__compact_tmp"
+        stats_row.write.mode("overwrite").partitionBy("__epoch").parquet(
+            tmp_path
+        )
+        _swap_dir(spark, tmp_path, stats_path)
+        s_stats = (
+            epochs,
+            files_before,
+            len(spark.read.parquet(stats_path).inputFiles()),
+            0,
+        )
+        clear_tombstones(spark, index_dir)
     return _stats_row(spark, [("postings", *p_stats), ("stats", *s_stats)])
 
 
@@ -999,3 +1125,154 @@ def delete_from_bm25_index(
     )
 
     append_tombstones(spark, index_dir, doc_ids)
+
+
+def retrieval_quality_rows(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[str, int, float, float | None]]:
+    """(method, n_results, quality, floor): macro-averaged retrieval
+    QUALITY of the three persisted-index probe families under their
+    PRODUCTION configs — the numbers that make "the index still
+    retrieves" driver-visible instead of pytest-only (VERDICT r12 #7).
+    ``floor`` is the pinned minimum the quality tests rail on (None =
+    scale-dependent readout, reported but not pinned).
+
+    - ``bm25_index_*``: planted-twin eval — every 5th mutated twin
+      (first token dropped) queries the persisted BM25 index; relevant =
+      its original document, so recall@10 is scale-robust (n_rel = 1).
+      The pinned rows probe UNRAILED: the synthetic testdata vocabulary
+      is ~50 words, so EVERY term's df exceeds any sane max_df_ratio and
+      the serving rail (correctly) prunes the whole query — a corpus
+      pathology, not an index defect. The ``bm25_index_railed_*`` row
+      reports that railed readout unpinned, making the pathology
+      driver-visible instead of hidden (the rail's planted-corpus
+      behavior is pinned in tests/test_sparse_retrieval.py instead).
+    - ``hybrid_index_*``: label eval — vec_id % 50 queries fuse the
+      persisted IVF leg (production n_probe=4 of 8, NOT the oracle's
+      exhaustive probe) with the railed BM25 leg; relevant = same-label
+      corpus vectors. nDCG@10 / MRR are pinned (label-precision shaped);
+      recall@10 is capped by 10/n_rel and scales with corpus size, so it
+      is reported unpinned.
+    - ``ivfpq_index_*``: same label eval against the persisted IVF-PQ
+      ADC probe (codes-only scan + exact refine), n_probe=6 of 16.
+
+    Eval cost is bounded: ~|corpus|/350 twin queries + 2·(|emb|/50)
+    label queries, each probing partition-pruned indexes; the truth
+    frames are query-sized (twin) or |queries|·n_rel (label).
+    """
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        ann_ivfpq_query_index,
+        write_ivf_index,
+    )
+
+    rows: list[tuple[str, int, float, float | None]] = []
+
+    # ---- BM25 / planted twins --------------------------------------
+    from bayesiandatafusion_jl_spark.functions.dedup import _twin_corpus
+
+    bm25_dir = ensure_bm25_index(spark, sf_dir)
+    twin_q = (
+        _twin_corpus(spark, sf_dir)
+        .filter(
+            (F.col("doc_id") >= 1_000_000)
+            & ((F.col("doc_id") - 1_000_000) % 35 == 0)
+        )
+        .select(F.col("doc_id").alias("qid"), "text")
+    )
+    twin_truth = twin_q.select(
+        "qid", (F.col("qid") - 1_000_000).alias("rel_id")
+    )
+    twin_hits = bm25_query_index(twin_q, bm25_dir, k=10, max_df_ratio=None)
+    s = retrieval_metrics_summary(
+        retrieval_metrics(twin_hits, twin_truth, k=10)
+    ).collect()[0]
+    nq = int(s["n_queries"])
+    # floors from measured sf0.001/sf0.01 (0.80/0.73 recall, 0.46/0.30
+    # MRR, 0.54/0.40 nDCG) with margin — they catch breakage (empty
+    # probes, scrambled ranks), not small corpus-shape drift
+    rows += [
+        ("bm25_index_recall@10", nq, float(s["recall_at_k"]), 0.5),
+        ("bm25_index_mrr", nq, float(s["mrr"]), 0.15),
+        ("bm25_index_ndcg@10", nq, float(s["ndcg"]), 0.25),
+    ]
+    railed = retrieval_metrics_summary(
+        retrieval_metrics(
+            bm25_query_index(twin_q, bm25_dir, k=10, max_df_ratio=0.25),
+            twin_truth,
+            k=10,
+        )
+    ).collect()[0]
+    rows.append(
+        (
+            "bm25_index_railed_recall@10",
+            int(railed["n_queries"]),
+            float(railed["recall_at_k"]),
+            None,  # ~0 BY DESIGN on this word-soup testdata (see doc)
+        )
+    )
+
+    # ---- label ground truth shared by the dense-bearing probes ------
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_emb = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    label_truth = (
+        q_emb.select("qid", "qlabel")
+        .join(
+            emb.select(F.col("vec_id").alias("rel_id"), "label"),
+            F.col("label") == F.col("qlabel"),
+        )
+        .filter(F.col("rel_id") != F.col("qid"))
+        .select("qid", "rel_id")
+    )
+
+    # ---- hybrid serving (production probe + rail) -------------------
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ivf_dir = ensure_hybrid_ivf_index(spark, sf_dir)
+    q_text = docs.join(
+        q_emb.select(F.col("qid").alias("doc_id")), "doc_id", "left_semi"
+    ).select(F.col("doc_id").alias("qid"), "text")
+    hyb_hits = hybrid_query_indexes(
+        q_emb.select("qid", "qe"), q_text, ivf_dir, bm25_dir,
+        k=10, leg_k=20, n_probe=4, exclude_self=True,
+    )
+    s = retrieval_metrics_summary(
+        retrieval_metrics(hyb_hits.select("qid", "nb_id", "rk"), label_truth, k=10)
+    ).collect()[0]
+    nq = int(s["n_queries"])
+    # measured 0.34/0.31 MRR, 0.13/0.14 nDCG at sf0.001/sf0.01 — the
+    # synthetic embeddings are only weakly label-clustered, so the pins
+    # are breakage rails (0 = a leg went dark), not quality targets
+    rows += [
+        ("hybrid_index_recall@10", nq, float(s["recall_at_k"]), None),
+        ("hybrid_index_mrr", nq, float(s["mrr"]), 0.1),
+        ("hybrid_index_ndcg@10", nq, float(s["ndcg"]), 0.05),
+    ]
+
+    # ---- IVF-PQ persisted ADC probe ---------------------------------
+    import os
+
+    from bayesiandatafusion_jl_spark.functions.vector import (
+        _corpus_fingerprint,
+    )
+
+    pq_dir = f"/tmp/bdf_ivfpq_index/{sf_dir.strip('/').replace('/', '_')}"
+    key = (_corpus_fingerprint(sf_dir, "embeddings"), 16, 16)
+    if _BM25_INDEX_CACHE.get(pq_dir) != key or not os.path.isdir(pq_dir):
+        write_ivf_index(emb, pq_dir, n_cells=16, n_assign=2, pq_m=16)
+        _BM25_INDEX_CACHE[pq_dir] = key
+    pq_hits = ann_ivfpq_query_index(
+        q_emb.select("qid", "qe"), pq_dir, k=10, n_probe=6, refine=4
+    ).filter(F.col("nb_id") != F.col("qid"))
+    s = retrieval_metrics_summary(
+        retrieval_metrics(pq_hits.select("qid", "nb_id", "rk"), label_truth, k=10)
+    ).collect()[0]
+    nq = int(s["n_queries"])
+    rows += [
+        ("ivfpq_index_recall@10", nq, float(s["recall_at_k"]), None),
+        ("ivfpq_index_mrr", nq, float(s["mrr"]), 0.1),
+        ("ivfpq_index_ndcg@10", nq, float(s["ndcg"]), 0.05),
+    ]
+    return rows

@@ -458,3 +458,210 @@ def test_bm25_index_tombstone_delete(spark, tmp_path):
     write_bm25_index(corpus, d, n_buckets=16)  # ids return in a new build
     full = bm25_query_index(queries, d, k=50, exclude_self=True).collect()
     assert victims <= {r["nb_id"] for r in full}
+
+
+def test_bm25_compaction_purges_tombstones_and_reconciles_stats(
+    spark, tmp_path
+):
+    """r13: build → delete → compact must equal a FRESH REBUILD from the
+    cleaned corpus — rows physically gone, df/avgdl/N reconciled (the
+    Lucene deleted-docs drift closed), tombstones cleared, probe scores
+    identical to the rebuild's."""
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        has_tombstones,
+    )
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        bm25_index_stats,
+        bm25_query_index,
+        compact_bm25_index,
+        delete_from_bm25_index,
+        write_bm25_index,
+    )
+
+    corpus = _index_corpus(spark)
+    queries = corpus.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("qid"), "text"
+    )
+    d = str(tmp_path / "bm25_purge")
+    write_bm25_index(corpus.filter(F.col("doc_id") < 30), d, n_buckets=16)
+    write_bm25_index(
+        corpus.filter(F.col("doc_id") >= 30), d, n_buckets=16,
+        mode="append", epoch="s1",
+    )
+    victims = [3, 17, 41]
+    delete_from_bm25_index(spark, d, victims)
+    compact_bm25_index(spark, d)
+    assert not has_tombstones(spark, d)
+    live = {
+        r.doc_id
+        for r in spark.read.parquet(f"{d}/postings")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert not (set(victims) & live)
+    # reference: a fresh rebuild from the cleaned corpus
+    ref = str(tmp_path / "bm25_ref")
+    write_bm25_index(
+        corpus.filter(~F.col("doc_id").isin(victims)), ref, n_buckets=16
+    )
+    stat_cols = ("n_postings", "n_tokens", "n_docs", "max_df")
+    got = bm25_index_stats(spark, d).collect()[0]
+    want = bm25_index_stats(spark, ref).collect()[0]
+    for c in stat_cols:
+        assert got[c] == want[c], (c, got[c], want[c])
+    # the raw stats frame too: N / tokened / total length all reconciled
+    raw = lambda p: spark.read.parquet(f"{p}/stats").groupBy().sum(  # noqa: E731
+        "n_docs", "n_docs_tokened", "sum_dl"
+    ).collect()[0]
+    assert tuple(raw(d)) == tuple(raw(ref))
+    # probe scores (not just ids) equal the rebuild's — df/avgdl agree
+    probe = lambda p: sorted(  # noqa: E731
+        (r["qid"], r["rk"], r["nb_id"], round(r["score"], 9))
+        for r in bm25_query_index(queries, p, k=5, exclude_self=True).collect()
+    )
+    got_p, want_p = probe(d), probe(ref)
+    assert got_p == want_p and len(got_p) > 0
+    # replaying a folded epoch is rejected; a new epoch appends fine
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="folded"):
+        write_bm25_index(
+            corpus.filter(F.col("doc_id") >= 30), d, n_buckets=16,
+            mode="append", epoch="s1",
+        )
+    write_bm25_index(
+        spark.createDataFrame(
+            [(901, "fresh unseen words")], "doc_id bigint, text string"
+        ),
+        d, n_buckets=16, mode="append", epoch="s2",
+    )
+
+
+def test_bm25_overwrite_resets_folded_ledger(spark, tmp_path):
+    """A fresh rebuild starts a new epoch namespace: the old
+    incarnation's fold history must not reject re-used epoch names (the
+    rebuild-then-reingest workflow, e.g. a stream checkpoint reset)."""
+    from bayesiandatafusion_jl_spark.functions.index_compact import (
+        folded_epochs,
+    )
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        compact_bm25_index,
+        write_bm25_index,
+    )
+
+    corpus = _index_corpus(spark)
+    d = str(tmp_path / "bm25_ledger")
+    write_bm25_index(corpus.filter(F.col("doc_id") < 30), d, n_buckets=16)
+    write_bm25_index(
+        corpus.filter(F.col("doc_id") >= 30), d, n_buckets=16,
+        mode="append", epoch="stream-0",
+    )
+    compact_bm25_index(spark, d)
+    assert "stream-0" in folded_epochs(spark, d)
+    # rebuild (new incarnation) — the restarted stream's epoch names work
+    write_bm25_index(corpus, d, n_buckets=16)
+    assert folded_epochs(spark, d) == {}
+    write_bm25_index(
+        spark.createDataFrame(
+            [(902, "another shard")], "doc_id bigint, text string"
+        ),
+        d, n_buckets=16, mode="append", epoch="stream-0",
+    )
+
+
+def test_serving_paths_default_candidate_rail(spark, tmp_path):
+    """r13: the hybrid SERVING paths default max_df_ratio=0.25 (the
+    bench's own unbounded batch hit 56 s on a boilerplate corpus), while
+    the rail keeps planted relevant pairs at rank 1 and drops
+    corpus-wide stopwords from candidate generation entirely."""
+    import inspect
+
+    from bayesiandatafusion_jl_spark.functions.rag import rag_retrieve_hybrid
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        bm25_query_index,
+        hybrid_query_indexes,
+        write_bm25_index,
+    )
+
+    # the contract: serving endpoints are railed by default, exact on None
+    for fn in (hybrid_query_indexes, rag_retrieve_hybrid):
+        assert inspect.signature(fn).parameters["max_df_ratio"].default == 0.25
+
+    # every doc shares 3 stopwords (df = N); each doc has a unique payload
+    corpus = _corpus(
+        spark,
+        [
+            (i, f"the and of payload{i} extra{i % 4}")
+            for i in range(40)
+        ],
+    )
+    d = str(tmp_path / "bm25_rail")
+    write_bm25_index(corpus, d, n_buckets=16)
+    # planted pair: query contains doc 7's unique payload + the stopwords
+    q = spark.createDataFrame(
+        [(100, "the and of payload7")], "qid bigint, text string"
+    )
+    railed = bm25_query_index(q, d, k=3, max_df_ratio=0.25).collect()
+    assert railed and railed[0]["nb_id"] == 7 and railed[0]["rk"] == 1
+    # stopword-only query: the rail prunes EVERY term -> zero candidate
+    # rows ever generated (the boundedness claim); exact mode still scans
+    q_stop = spark.createDataFrame(
+        [(101, "the and of")], "qid bigint, text string"
+    )
+    assert bm25_query_index(q_stop, d, k=3, max_df_ratio=0.25).count() == 0
+    assert bm25_query_index(q_stop, d, k=3, max_df_ratio=None).count() > 0
+
+
+def test_metrics_truth_bearing_query_with_no_hits_scores_zero(spark):
+    """r13: a query the ranker returned NOTHING for (but which HAS
+    relevant docs) must appear with all-zero metrics — dropping it would
+    inflate macro averages exactly when the retriever fails hardest."""
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        retrieval_metrics,
+        retrieval_metrics_summary,
+    )
+
+    hits = _hits(spark, [(1, 10, 1)])  # qid 2 retrieved nothing
+    truth = _truth(spark, [(1, 10), (2, 50)])
+    rows = {r["qid"]: r for r in retrieval_metrics(hits, truth, k=3).collect()}
+    assert set(rows) == {1, 2}
+    z = rows[2]
+    assert (
+        z["hits_at_k"] == 0
+        and z["recall_at_k"] == 0.0
+        and z["mrr"] == 0.0
+        and z["ndcg"] == 0.0
+    )
+    (s,) = retrieval_metrics_summary(
+        retrieval_metrics(hits, truth, k=3)
+    ).collect()
+    assert s["n_queries"] == 2 and abs(s["recall_at_k"] - 0.5) < 1e-9
+
+
+def test_retrieval_quality_rows_respect_floors(spark):
+    """r13: the driver-visible quality rows (q_llm_scale_suite tail) sit
+    at or above their pinned floors at tiny SF; every family reports all
+    three metrics plus the railed readout."""
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        retrieval_quality_rows,
+    )
+
+    rows = retrieval_quality_rows(spark, "/root/testdata/sf0.001")
+    names = [r[0] for r in rows]
+    assert names == [
+        "bm25_index_recall@10",
+        "bm25_index_mrr",
+        "bm25_index_ndcg@10",
+        "bm25_index_railed_recall@10",
+        "hybrid_index_recall@10",
+        "hybrid_index_mrr",
+        "hybrid_index_ndcg@10",
+        "ivfpq_index_recall@10",
+        "ivfpq_index_mrr",
+        "ivfpq_index_ndcg@10",
+    ]
+    for method, n, quality, floor in rows:
+        assert n > 0, method
+        if floor is not None:
+            assert quality >= floor, (method, quality, floor)
