@@ -695,6 +695,7 @@ def rag_retrieve_hybrid(
     n_probe: int = 6,
     refine: int = 4,
     k0: int = 60,
+    max_df_ratio: float | None = 0.25,
 ) -> DataFrame:
     """(qid, nb_id, rrf, rk, rk_a, rk_b, nb_doc_id, nb_chunk_id):
     probe-only hybrid retrieval against a ``rag_build_hybrid_index``
@@ -704,7 +705,13 @@ def rag_retrieve_hybrid(
     leg's rank, rk_b the lexical leg's (null = that leg missed it).
     Queries are their first chunk (text for the lexical leg, its
     hash-embedding under the pinned dim for the dense leg); neither leg
-    reads or re-encodes the corpus."""
+    reads or re-encodes the corpus.
+
+    ``max_df_ratio`` defaults ON (r13, serving rail): near-zero-IDF
+    terms whose posting lists exceed 25% of the chunk corpus are dropped
+    from the lexical leg before candidate generation — the unbounded
+    candidate-volume pathology the bench measured at 56 s on a
+    boilerplate-heavy batch. ``None`` restores exact BM25."""
     from bayesiandatafusion_jl_spark.functions.index_meta import (
         check_meta,
         index_paths,
@@ -747,6 +754,7 @@ def rag_retrieve_hybrid(
         q_first.select(F.col("doc_id").alias("qid"), "text"),
         index_dir.rstrip("/") + "/bm25",
         k=leg_k,
+        max_df_ratio=max_df_ratio,
     )
     fused = rrf_fuse(dense, sparse, k=k, k0=k0)
     return fused.select(

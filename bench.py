@@ -203,9 +203,21 @@ def main() -> None:
     )
 
     assert _CHUNK_BITS  # chunk-id packing shared with the dense index
+    # chunk params come from the PINNED rag_meta, never hardcoded: both
+    # legs' lineage-packed chunk ids must come from the same chunking or
+    # the RRF fusion silently joins misaligned chunks (ADVICE r12)
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        index_paths as _index_paths,
+        read_meta as _read_meta,
+    )
+
+    (_rag_meta_path,) = _index_paths(rag_dir, "rag_meta")
+    _rag_meta = _read_meta(spark, _rag_meta_path).asDict()
     write_bm25_index(
         chunk_documents(
-            twin_corpus.filter(FF.col("doc_id") < 1_000_000), 32, 8
+            twin_corpus.filter(FF.col("doc_id") < 1_000_000),
+            _rag_meta["chunk_tokens"],
+            _rag_meta["overlap"],
         ).select(
             _encode_lineage().alias("doc_id"),
             FF.col("chunk_text").alias("text"),
