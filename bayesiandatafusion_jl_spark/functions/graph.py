@@ -299,6 +299,8 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 10,
     teleport: DataFrame | None = None,
+    tol: float | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, rank): PageRank (Brin & Page 1998) by power iteration over
     a DIRECTED edge frame — fixed iteration count, so the result is a
@@ -324,6 +326,19 @@ def pagerank(
     not uniformly — rank mass concentrates in the seeds' neighborhoods,
     the graph-proximity primitive behind related-item recommendation.
     ``teleport=None`` is the uniform distribution, i.e. plain PageRank.
+
+    ``tol`` (r13, convergence stop): when set, each round also computes
+    the L1 delta Σ|rank − prev_rank| — an exact decimal agg over the
+    state frame the round materializes anyway — and the loop stops once
+    it drops below ``tol``. ``n_iter`` becomes the BUDGET, not the
+    count: at scale rank typically converges long before a
+    conservatively-chosen budget, and every skipped round is a whole
+    join+shuffle saved. ``tol=None`` (default) keeps the fixed-iteration
+    mode — a pure deterministic function of the graph, bit-identical
+    across runs, which the convergence mode trades away (it adds one
+    driver-visible aggregate per round). ``stats``: optional dict the
+    call fills with {'iterations': rounds_actually_run} — the
+    observability hook for the stop.
 
     Plan per iteration: one broadcast-sized degree join is NOT needed —
     out-degrees are joined once before the loop and ride along; each
@@ -392,7 +407,11 @@ def pagerank(
     # `state`, so an unmaterialized state would recompute the tail of the
     # lineage once per round — checkpoint every round there; without
     # dangling nodes the only actions are the checkpoints themselves
-    ckpt_every = 1 if has_dangling else 3
+    # the convergence mode runs a per-round action (the delta agg), so an
+    # unmaterialized state would recompute the lineage tail each round —
+    # checkpoint every round there, like the dangling path
+    ckpt_every = 1 if (has_dangling or tol is not None) else 3
+    rounds_run = 0
     for i in range(n_iter):
         contrib = (
             state.filter(F.col("deg").isNotNull())
@@ -406,7 +425,10 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("gathered"))
         )
-        nxt = state.select("node", "deg", "t").join(contrib, "node", "left")
+        keep = ["node", "deg", "t"] + (
+            [F.col("rank").alias("prev_rank")] if tol is not None else []
+        )
+        nxt = state.select(*keep).join(contrib, "node", "left")
         gathered_d = F.coalesce(F.col("gathered").cast("double"), F.lit(0.0))
         if has_dangling:
             dangling = state.filter(F.col("deg").isNull()).agg(
@@ -422,6 +444,7 @@ def pagerank(
             "node",
             "deg",
             "t",
+            *([F.col("prev_rank")] if tol is not None else []),
             (
                 F.lit(1.0 - damping) * F.col("t")
                 + F.lit(damping) * gathered_d
@@ -431,6 +454,26 @@ def pagerank(
         )
         if (i + 1) % ckpt_every == 0 or i == n_iter - 1:
             state = state.localCheckpoint()
+        rounds_run = i + 1
+        if tol is not None:
+            # exact decimal L1 delta over the state frame this round
+            # materialized anyway (the checkpoint above IS the action
+            # that paid for the data; this agg re-reads the cached rows)
+            delta = state.agg(
+                F.coalesce(
+                    F.sum(
+                        F.abs(
+                            F.col("rank") - F.col("prev_rank")
+                        ).cast("decimal(38,18)")
+                    ),
+                    F.lit(0).cast("decimal(38,18)"),
+                ).alias("d")
+            ).collect()[0]["d"]
+            state = state.drop("prev_rank")
+            if float(delta) < tol:
+                break
+    if stats is not None:
+        stats["iterations"] = rounds_run
     return state.select("node", "rank")
 
 

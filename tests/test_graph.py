@@ -289,3 +289,53 @@ def test_q_graph_ppr_runs(spark):
     assert len(rows) > 0
     assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-9
     assert sum(1 for r in rows if r["is_seed"]) == 3
+
+
+def test_pagerank_convergence_stop(spark):
+    """r13: with tol set, a fast-mixing graph stops well inside the
+    budget, and the early-stopped ranks equal the full fixed-iteration
+    run within tol. A complete graph converges immediately (uniform is
+    the fixed point), so the stop must fire on round ~1."""
+    from bayesiandatafusion_jl_spark.functions.graph import pagerank
+
+    nodes = list(range(8))
+    e = spark.createDataFrame(
+        [(a, b) for a in nodes for b in nodes if a != b], "u long, v long"
+    )
+    st = {}
+    early = {
+        r["node"]: float(r["rank"])
+        for r in pagerank(e, n_iter=30, tol=1e-9, stats=st).collect()
+    }
+    assert st["iterations"] < 30, st
+    assert st["iterations"] <= 2, st  # uniform fixed point from round 1
+    full = {
+        r["node"]: float(r["rank"])
+        for r in pagerank(e, n_iter=30).collect()
+    }
+    assert set(early) == set(full)
+    assert all(abs(early[n] - full[n]) < 1e-9 for n in full)
+    # mass conserved under the early stop
+    assert abs(sum(early.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_tol_with_dangling_nodes(spark):
+    """The convergence stop composes with the dangling-mass correction:
+    a chain with a sink still sums to 1 and matches the fixed run."""
+    from bayesiandatafusion_jl_spark.functions.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "u long, v long"
+    )  # 4 is dangling
+    st = {}
+    early = {
+        r["node"]: float(r["rank"])
+        for r in pagerank(e, n_iter=60, tol=1e-10, stats=st).collect()
+    }
+    assert st["iterations"] < 60, st
+    assert abs(sum(early.values()) - 1.0) < 1e-8
+    fixed = {
+        r["node"]: float(r["rank"])
+        for r in pagerank(e, n_iter=60).collect()
+    }
+    assert all(abs(early[n] - fixed[n]) < 1e-8 for n in fixed)
