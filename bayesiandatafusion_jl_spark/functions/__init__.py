@@ -9,6 +9,7 @@ from bayesiandatafusion_jl_spark.functions import (  # noqa: F401
     fuzzy,
     graph,
     index_compact,
+    index_stats,
     mllib_lsh,
     packing,
     pipeline,
