@@ -544,7 +544,20 @@ def q_llm_scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(F.col("within_bound").cast("double")).alias("q"),
     ).first()
     rows.append(("cms_bound", int(cms_row["n"]), float(cms_row["q"])))
-    return spark.createDataFrame(rows, "method string, n_results long, quality double")
+
+    # r13: retrieval QUALITY of the persisted-index probes — macro
+    # recall@10 / MRR / nDCG@10 under the PRODUCTION probe configs, with
+    # pinned floors riding along (null floor = scale-dependent readout).
+    # Legacy rows keep a null floor (their pins live in pytest).
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        retrieval_quality_rows,
+    )
+
+    out = [(m, n, q, None) for m, n, q in rows]
+    out.extend(retrieval_quality_rows(spark, sf_dir))
+    return spark.createDataFrame(
+        out, "method string, n_results long, quality double, floor double"
+    )
 
 
 def simhash64(docs: DataFrame) -> DataFrame:
