@@ -1529,3 +1529,124 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("prev"), F.asc("cur"))
         .limit(50)
     )
+
+
+def token_kl_drift(
+    docs_a: DataFrame, docs_b: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """One-row (vocab, n_tokens_a, n_tokens_b, kl_ab, kl_ba): KL
+    divergence between two corpus snapshots' unigram token distributions
+    — the corpus-drift monitor. A retrained tokenizer, an upstream
+    source change, or contamination shows up here before it shows up in
+    model metrics; kl_ab ≈ kl_ba ≈ 0 means the snapshots are
+    interchangeable, a large asymmetric pair says which side gained
+    novel mass.
+
+    Distributions are add-one smoothed over the UNION vocabulary
+    (p(t) = (c(t)+1)/(N+V)), so both KLs are finite even for tokens one
+    side has never seen. Plan: one token-count aggregation per side, a
+    vocab-grain full outer join (checkpointed — it feeds both the
+    scalar totals and the term sum), one broadcast 1-row totals frame,
+    one final aggregate. Nothing is ever quadratic; the widest frame is
+    the union vocabulary.
+
+    Determinism: p ratios are exact-int divisions (identical doubles in
+    both engines), each ln is collapsed to float32 (libm last-ulp
+    absorption, the q_fn_math convention), each term p·ln is rounded
+    into decimal(38,6) and summed order-independently — the exact
+    ``unigram_nll`` parity discipline.
+    """
+    from bayesiandatafusion_jl_spark.functions.exprs import DEC
+    from bayesiandatafusion_jl_spark.session import checkpoint_df
+
+    ca = (
+        tokens(docs_a, text_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c_a"))
+    )
+    cb = (
+        tokens(docs_b, text_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c_b"))
+    )
+    j = checkpoint_df(
+        ca.join(cb, "token", "full_outer").select(
+            "token",
+            F.coalesce(F.col("c_a"), F.lit(0)).cast("bigint").alias("c_a"),
+            F.coalesce(F.col("c_b"), F.lit(0)).cast("bigint").alias("c_b"),
+        )
+    )
+    tot = j.agg(
+        F.sum("c_a").cast("double").alias("na"),
+        F.sum("c_b").cast("double").alias("nb"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    pa = (F.col("c_a") + F.lit(1)).cast("double") / (F.col("na") + F.col("v"))
+    pb = (F.col("c_b") + F.lit(1)).cast("double") / (F.col("nb") + F.col("v"))
+    term_ab = (pa * F.log(pa / pb).cast("float").cast("double")).cast(DEC)
+    term_ba = (pb * F.log(pb / pa).cast("float").cast("double")).cast(DEC)
+    return j.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("c_a").cast("bigint").alias("n_tokens_a"),
+        F.sum("c_b").cast("bigint").alias("n_tokens_b"),
+        F.sum(term_ab).cast("double").alias("kl_ab"),
+        F.sum(term_ba).cast("double").alias("kl_ba"),
+    )
+
+
+@register(
+    "q_text_kl_drift",
+    oracle="""
+    WITH ta AS (
+      SELECT UNNEST(string_split(LOWER(text), ' ')) AS token
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    tb AS (
+      SELECT UNNEST(string_split(LOWER(text), ' ')) AS token
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    ca AS (SELECT token, COUNT(*) AS c_a FROM ta WHERE token <> ''
+           GROUP BY token),
+    cb AS (SELECT token, COUNT(*) AS c_b FROM tb WHERE token <> ''
+           GROUP BY token),
+    j AS (
+      SELECT COALESCE(ca.token, cb.token) AS token,
+             CAST(COALESCE(c_a, 0) AS BIGINT) AS c_a,
+             CAST(COALESCE(c_b, 0) AS BIGINT) AS c_b
+      FROM ca FULL OUTER JOIN cb ON ca.token = cb.token
+    ),
+    n AS (
+      SELECT CAST(SUM(c_a) AS DOUBLE) AS na, CAST(SUM(c_b) AS DOUBLE) AS nb,
+             CAST(COUNT(*) AS DOUBLE) AS v
+      FROM j
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(c_a) AS BIGINT) AS n_tokens_a,
+           CAST(SUM(c_b) AS BIGINT) AS n_tokens_b,
+           CAST(SUM(CAST(
+             (CAST(c_a + 1 AS DOUBLE) / (n.na + n.v))
+             * CAST(CAST(LN((CAST(c_a + 1 AS DOUBLE) / (n.na + n.v))
+                          / (CAST(c_b + 1 AS DOUBLE) / (n.nb + n.v)))
+                     AS REAL) AS DOUBLE)
+           AS DECIMAL(38,6))) AS DOUBLE) AS kl_ab,
+           CAST(SUM(CAST(
+             (CAST(c_b + 1 AS DOUBLE) / (n.nb + n.v))
+             * CAST(CAST(LN((CAST(c_b + 1 AS DOUBLE) / (n.nb + n.v))
+                          / (CAST(c_a + 1 AS DOUBLE) / (n.na + n.v)))
+                     AS REAL) AS DOUBLE)
+           AS DECIMAL(38,6))) AS DOUBLE) AS kl_ba
+    FROM j, n
+    """,
+    tags=("text-drift",),
+    demoted=True,
+)
+def q_text_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift KL between the even- and odd-doc_id halves of the
+    documents table (see ``token_kl_drift``) — near-zero by construction
+    (the halves are i.i.d. draws of the same synthesizer), which is
+    exactly the null-hypothesis readout a monitor calibrates on."""
+    docs = load_table(spark, sf_dir, "documents")
+    return token_kl_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )

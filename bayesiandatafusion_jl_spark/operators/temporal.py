@@ -352,3 +352,81 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention over events (see ``cohort_retention``),
     hash-exact vs the oracle's window-free CTE formulation."""
     return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """(from_type, to_type, n, p): the first-order Markov transition
+    matrix of per-user event sequences — the "what happens next"
+    readout behind next-action prediction, funnel design, and anomaly
+    baselines (a session whose transitions are improbable under this
+    matrix is an outlier).
+
+    Each user's events are ordered by ``order_cols`` (the trailing
+    unique key makes the order — and therefore the matrix — fully
+    deterministic under timestamp ties); consecutive pairs are counted
+    and normalized per source state: p = n(from→to) / Σ_to n(from→to).
+
+    Scale shape: ONE window partitioned by user (user-grain shuffle, no
+    global sort — each user's sequence sorts independently inside its
+    partition), then two shrinking aggregations onto the |types|² matrix
+    and the |types| marginals, joined back broadcast-sized. p is a
+    single division of exact counts, bit-identical cross-engine.
+    """
+    w = W.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
+    pairs = (
+        events.select(user_col, type_col, *order_cols)
+        .withColumn("to_type", F.lead(type_col).over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col(type_col).alias("from_type"), "to_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("n_from")
+    )
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("n").cast("double") / F.col("n_from")).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@register(
+    "q_events_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS from_type, to_type, COUNT(*) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY event_type, to_type
+    ),
+    t AS (SELECT from_type, SUM(n) AS n_from FROM c GROUP BY from_type)
+    SELECT c.from_type AS from_type, c.to_type AS to_type,
+           CAST(c.n AS BIGINT) AS n,
+           CAST(c.n AS DOUBLE) / t.n_from AS p
+    FROM c JOIN t USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+    tags=("J9", "markov", "events"),
+    demoted=True,
+)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix over the events table
+    (see ``event_transitions``) — hash-exact vs the window CTE oracle."""
+    return event_transitions(load_table(spark, sf_dir, "events"))

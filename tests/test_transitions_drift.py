@@ -1,0 +1,69 @@
+"""Semantics of the r13 analytics additions: the event transition matrix
+(operators/temporal.py) and the corpus KL drift monitor
+(functions/text.py). Oracle parity runs in test_oracle_parity.py; these
+pin the math on constructed inputs."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from bayesiandatafusion_jl_spark.functions.text import token_kl_drift
+from bayesiandatafusion_jl_spark.operators.temporal import event_transitions
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, datetime(2026, 1, 1, 0, m), u, t) for i, (u, m, t) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+
+
+def test_transitions_probabilities(spark):
+    # user 1: a->b->a->c ; user 2: a->b  =>  from a: b twice, c once
+    rows = [(1, 0, "a"), (1, 1, "b"), (1, 2, "a"), (1, 3, "c"),
+            (2, 0, "a"), (2, 1, "b")]
+    out = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in event_transitions(_events(spark, rows)).collect()
+    }
+    assert out[("a", "b")] == (2, 2 / 3)
+    assert out[("a", "c")] == (1, 1 / 3)
+    assert out[("b", "a")] == (1, 1.0)
+    assert ("c", "a") not in out  # c is terminal; no pair crosses users
+    assert abs(sum(p for (f, _), (_, p) in out.items() if f == "a") - 1) < 1e-12
+
+
+def test_transitions_tie_break_is_deterministic(spark):
+    # two events share a timestamp; event_id orders them
+    rows = [(1, 0, "x"), (1, 5, "y"), (1, 5, "z")]
+    out = {(r["from_type"], r["to_type"]) for r in
+           event_transitions(_events(spark, rows)).collect()}
+    assert out == {("x", "y"), ("y", "z")}
+
+
+def _docs(spark, texts, start=0):
+    return spark.createDataFrame(
+        [(start + i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+
+
+def test_kl_zero_on_identical_corpora(spark):
+    a = _docs(spark, ["alpha beta gamma", "beta gamma delta"])
+    (row,) = token_kl_drift(a, a).collect()
+    assert row["vocab"] == 4
+    assert row["n_tokens_a"] == row["n_tokens_b"] == 6
+    assert abs(row["kl_ab"]) < 1e-9 and abs(row["kl_ba"]) < 1e-9
+
+
+def test_kl_detects_novel_mass_and_direction(spark):
+    base = ["alpha beta gamma delta"] * 4
+    a = _docs(spark, base)
+    b = _docs(spark, base + ["zzz zzz zzz zzz zzz zzz zzz zzz"], start=100)
+    (row,) = token_kl_drift(a, b).collect()
+    assert row["kl_ab"] > 0.01  # b holds mass a never explains
+    assert row["kl_ba"] > row["kl_ab"]  # the side that GAINED mass diverges more
+    sym = token_kl_drift(b, a).collect()[0]
+    assert abs(sym["kl_ab"] - row["kl_ba"]) < 1e-9  # arguments swap exactly
