@@ -612,3 +612,85 @@ def bm25_ingest_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+TRANSITIONS_SCHEMA = (
+    "user_id long, from_type string, to_type string, ts timestamp"
+)
+
+
+def transitions_stream(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    state_ttl_ms: int = 7_200_000,
+) -> DataFrame:
+    """CUSTOM stateful streaming operator: per-user event-type transition
+    pairs carried across micro-batches — the streaming face of
+    ``operators.temporal.event_transitions``. Each emitted row is one
+    (from_type → to_type) edge with the TO event's timestamp; a
+    downstream tumbling count (or a matview ingest) turns the edge
+    stream into the live transition matrix.
+
+    State per user is ONE tuple (last event's type, event-time ms,
+    event_id) — state scales with ACTIVE users, never with history, and
+    the same event-time TTL/eviction contract as ``ewma_stream``: a user
+    idle for ``state_ttl_ms`` behind the watermark is evicted, and a
+    later event restarts its chain (emitting no cross-gap edge — the
+    same boundary a session gap would impose).
+
+    Exactness contract (shared with ``ewma_stream``): rows fold in
+    (ts, event_id) order within a micro-batch and in arrival order
+    across batches, so the edge stream equals the batch matrix exactly
+    under event-time-ordered arrival (replay / per-key-ordered Kafka).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdf = (
+            pd.concat(list(pdfs))
+            .sort_values(["ts", "event_id"])
+            .reset_index(drop=True)
+        )
+        types = pdf["event_type"].tolist()
+        prev = state.get[0] if state.exists else None
+        froms, tos, ts_out = [], [], []
+        for i, t in enumerate(types):
+            if prev is not None:
+                froms.append(prev)
+                tos.append(t)
+                ts_out.append(pdf["ts"].iloc[i])
+            prev = t
+        state.update((prev,))
+        last_ms = int(pdf["__ts_ms"].max())
+        state.setTimeoutTimestamp(
+            max(last_ms, state.getCurrentWatermarkMs()) + state_ttl_ms
+        )
+        if froms:
+            yield pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "from_type": froms,
+                    "to_type": tos,
+                    "ts": ts_out,
+                }
+            )
+
+    return (
+        events.select(
+            "user_id", "event_id", "event_type", "ts",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("__ts_ms"),
+        )
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            TRANSITIONS_SCHEMA,
+            "last_type string",
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

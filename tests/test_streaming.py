@@ -584,3 +584,68 @@ def test_bm25_ingest_stream_serves_growing_corpus(spark, tmp_path):
         for r in bm25_query_index(queries, index_dir, k=5).collect()
     )
     assert replay == probe
+
+
+def test_transitions_stream_matches_batch_and_evicts(stream_env):
+    """Stateful transition edges (applyInPandasWithState): the per-user
+    chain crosses micro-batches (the first event of batch 2 pairs with
+    the last of batch 1), aggregated edges equal the batch
+    event_transitions matrix, and TTL eviction breaks the chain instead
+    of emitting a cross-gap edge."""
+    from bayesiandatafusion_jl_spark.operators.temporal import (
+        event_transitions,
+    )
+
+    write_batch, start, spark = stream_env
+    rows1 = [
+        _ev(1, 1, "view", 0.0, _t(900)),
+        _ev(2, 1, "cart", 0.0, _t(905)),
+        _ev(3, 2, "view", 0.0, _t(910)),
+    ]
+    rows2 = [
+        _ev(4, 1, "purchase", 0.0, _t(1000)),  # pairs with cart (batch 1)
+        _ev(5, 2, "view", 0.0, _t(1005)),
+    ]
+    write_batch(rows1)
+    q, name = start(
+        lambda s: P.transitions_stream(
+            s, watermark="10 minutes", state_ttl_ms=2 * 3600 * 1000
+        )
+    )
+    q.processAllAvailable()
+    write_batch(rows2)
+    q.processAllAvailable()
+
+    got = sorted(
+        (r["user_id"], r["from_type"], r["to_type"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+    assert got == [
+        (1, "cart", "purchase"),
+        (1, "view", "cart"),
+        (2, "view", "view"),
+    ]
+    # aggregated edges == the batch transition matrix over the history
+    batch = event_transitions(
+        spark.createDataFrame(rows1 + rows2, schema=P.EVENTS_SCHEMA)
+    )
+    want = {(r["from_type"], r["to_type"]): r["n"] for r in batch.collect()}
+    from collections import Counter
+
+    assert dict(Counter((f, t) for _, f, t in got)) == want
+
+    # eviction: push the watermark past user 1's TTL via other users,
+    # then user 1's next event must NOT pair with its pre-gap last event
+    write_batch([_ev(6, 2, "view", 0.0, _t(1400))])
+    q.processAllAvailable()
+    write_batch([_ev(7, 3, "view", 0.0, _t(1500))])
+    q.processAllAvailable()
+    write_batch([_ev(8, 1, "view", 0.0, _t(1510))])
+    q.processAllAvailable()
+    after = [
+        (r["from_type"], r["to_type"])
+        for r in spark.sql(
+            f"SELECT * FROM {name} WHERE user_id = 1"
+        ).collect()
+    ]
+    assert ("purchase", "view") not in after, after
