@@ -13,6 +13,7 @@ from bayesiandatafusion_jl_spark.functions import (  # noqa: F401
     mllib_lsh,
     packing,
     pipeline,
+    quality_model,
     rag,
     scalar,
     sparse_retrieval,
