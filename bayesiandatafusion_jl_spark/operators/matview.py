@@ -888,3 +888,136 @@ def matview_drift(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+# --- incremental top-k (r13): the non-retractable family member ----------
+#
+# Exact top-k rows by a PER-ROW order column is mergeable (max-k of
+# max-k's is max-k: any row in the global top-k is in its own state's
+# top-k), so an incremental "top products per region" view needs only
+# |keys|·k state per batch. It is deliberately NOT retractable — deleting
+# a row that sat inside the top-k cannot be repaired from state alone
+# (rank k+1 was never kept); a deletion-bearing source re-builds from the
+# surviving epochs instead (the same honesty rule as the index
+# tombstones: never silently wrong, only explicitly rebuilt).
+
+
+def topk_state(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    payload_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """Key-grain top-k state: one row per key carrying the k largest
+    (order_col, payload...) structs, descending, ties broken by the
+    payload columns ascending (fully deterministic). Plan: one window
+    rank per key (shuffle on keys, k rows survive per key) + a bounded
+    collect_list (≤ k elements by construction — never data-sized)."""
+    w = W.partitionBy(*keys).orderBy(
+        F.desc(order_col), *[F.asc(c) for c in payload_cols]
+    )
+    ranked = (
+        df.select(*keys, order_col, *payload_cols)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+    )
+    # array order must equal the window's (order desc, payload ASC) —
+    # a plain sort_array(desc) would flip the payload tie-break, so the
+    # struct leads with the NEGATED order column and sorts ascending
+    return ranked.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col(order_col)).alias("__no"),
+                    *payload_cols,
+                    F.col(order_col).alias(order_col),
+                )
+            )
+        ).alias("topk")
+    )
+
+
+def topk_merge(
+    states: list[DataFrame],
+    keys: list[str],
+    order_col: str,
+    payload_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """Merge top-k states: union → explode (≤ k rows per key per state)
+    → re-rank → re-collect. Cost scales with |keys|·k·n_states, never
+    with the fact rows the states summarized; associative and
+    commutative, so any merge tree gives the identical view."""
+    if not states:
+        raise ValueError("topk_merge needs at least one state")
+    cols = keys + ["topk"]
+    merged = states[0].select(*cols)
+    for s in states[1:]:
+        merged = merged.unionByName(s.select(*cols))
+    rows = merged.select(*keys, F.explode("topk").alias("e")).select(
+        *keys,
+        F.col(f"e.{order_col}").alias(order_col),
+        *[F.col(f"e.{c}").alias(c) for c in payload_cols],
+    )
+    return topk_state(rows, keys, order_col, payload_cols, k)
+
+
+def topk_read(
+    state: DataFrame,
+    keys: list[str],
+    order_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """State → ranked rows (keys..., rk, order_col, payload...)."""
+    rows = state.select(
+        *keys, F.posexplode("topk").alias("__pos", "e")
+    )
+    return rows.select(
+        *keys,
+        (F.col("__pos") + 1).cast("int").alias("rk"),
+        F.col(f"e.{order_col}").alias(order_col),
+        *[F.col(f"e.{c}").alias(c) for c in payload_cols],
+    )
+
+
+@register(
+    "q_matview_topk",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey ASC,
+                        l_linenumber ASC
+             ) AS rk
+      FROM lineitem
+    )
+    SELECT l_returnflag AS l_returnflag, CAST(rk AS INT) AS rk,
+           l_extendedprice AS l_extendedprice,
+           l_orderkey AS l_orderkey, l_linenumber AS l_linenumber
+    FROM ranked WHERE rk <= 5
+    ORDER BY l_returnflag, rk
+    """,
+    tags=("matview", "topk", "incremental"),
+    demoted=True,
+)
+def q_matview_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental top-k ≡ full recompute: lineitem split into three
+    batches, each reduced to |keys|·k top-k state, merged, read out —
+    hash-identical to the oracle's one-shot window over the whole table.
+    The refresh path the oracle can't express: a new batch costs its own
+    scan + a |keys|·k merge, never a base re-read."""
+    li = load_table(spark, sf_dir, "lineitem")
+    keys, oc = ["l_returnflag"], "l_extendedprice"
+    payload = ["l_orderkey", "l_linenumber"]
+    splits = [
+        li.filter(F.col("l_orderkey") % 10 < 8),
+        li.filter(F.col("l_orderkey") % 10 == 8),
+        li.filter(F.col("l_orderkey") % 10 == 9),
+    ]
+    state = topk_merge(
+        [topk_state(s, keys, oc, payload, k=5) for s in splits],
+        keys, oc, payload, k=5,
+    )
+    return topk_read(state, keys, oc, payload).orderBy("l_returnflag", "rk")

@@ -556,3 +556,51 @@ def test_drift_null_rate_leg(spark, tmp_path):
     mean_leg = [v for (m, _, _), v in rows.items() if m == "l_quantity"]
     assert nr and all(v == "drift" for v in nr)       # proportion test fires
     assert mean_leg and all(v == "ok" for v in mean_leg)  # mean test blind
+
+
+# --- incremental top-k (r13) ---------------------------------------------
+
+
+def test_topk_merge_equals_oneshot_any_split(spark):
+    from bayesiandatafusion_jl_spark.operators.matview import (
+        topk_merge,
+        topk_read,
+        topk_state,
+    )
+
+    rows = [(i % 4, float((i * 37) % 19), i) for i in range(200)]
+    df = spark.createDataFrame(rows, "k int, v double, id long")
+    one = topk_read(
+        topk_state(df, ["k"], "v", ["id"], 5), ["k"], "v", ["id"]
+    ).collect()
+    want = sorted((r["k"], r["rk"], r["v"], r["id"]) for r in one)
+    for mod in (2, 3, 7):
+        parts = [
+            topk_state(df.filter(F.col("id") % mod == i), ["k"], "v", ["id"], 5)
+            for i in range(mod)
+        ]
+        got = topk_read(
+            topk_merge(parts, ["k"], "v", ["id"], 5), ["k"], "v", ["id"]
+        ).collect()
+        assert sorted((r["k"], r["rk"], r["v"], r["id"]) for r in got) == want
+
+
+def test_topk_tie_break_matches_window_order(spark):
+    """Equal order values must rank by payload ASC inside the state
+    array, exactly like the window (the sort_array(desc) trap)."""
+    from bayesiandatafusion_jl_spark.operators.matview import (
+        topk_read,
+        topk_state,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 9.0, 30), (1, 9.0, 10), (1, 9.0, 20), (1, 1.0, 5)],
+        "k int, v double, id long",
+    )
+    out = [
+        (r["rk"], r["id"])
+        for r in topk_read(
+            topk_state(df, ["k"], "v", ["id"], 3), ["k"], "v", ["id"]
+        ).orderBy("rk").collect()
+    ]
+    assert out == [(1, 10), (2, 20), (3, 30)]
