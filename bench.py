@@ -75,6 +75,10 @@ HEADLINE = [
     "q_text_collocations",  # r12: PMI bigram collocation mining
     "q_llm_bm25_index",     # r12: persisted posting index, probe-only on iter 2
     "q_llm_hybrid_index",   # r12: hybrid serving from persisted indexes
+    "q_events_transitions",  # r13: Markov transition matrix (1 user-grain window)
+    "q_text_kl_drift",      # r13: corpus KL drift (vocab-grain outer join)
+    "q_matview_topk",       # r13: incremental top-k state merge
+    "q_llm_quality_model",  # r13: MLlib-LR seed classifier train + map-only sweep
 ]
 
 
