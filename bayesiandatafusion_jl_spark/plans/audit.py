@@ -41,9 +41,29 @@ SKIP = {
         " via tmp-dir rewrite + FS swap, returns a driver-built stats"
         " frame (see functions/index_compact.py)"
     ),
+    "q_llm_quality_model": (
+        "eager MLlib LR training on the planted seed (iterative"
+        " treeAggregate); the corpus sweep's shuffle-free scoring plan is"
+        " asserted in tests/test_quality_model.py"
+    ),
 }
 
 NOTES = {
+    "q_events_transitions": (
+        "r13: Markov transition matrix — ONE user-grain window (no global"
+        " sort) + two shrinking-key aggs onto |types|²; marginals join"
+        " back broadcast-sized"
+    ),
+    "q_text_kl_drift": (
+        "r13: corpus KL drift — one token-count agg per snapshot, a"
+        " vocab-grain outer join (checkpointed: it feeds the totals AND"
+        " the term sum), 1-row totals broadcast, one final agg"
+    ),
+    "q_matview_topk": (
+        "r13: incremental top-k — per split ONE window keeps k rows per"
+        " key (|keys|·k state), merge explodes states and re-ranks; cost"
+        " scales with |keys|·k·n_states, never the fact rows"
+    ),
     "q_stream_attribution": (
         "r7: stream-stream click→purchase range join, batch form —"
         " purchase side broadcast at this SF; at scale it degrades to a"
