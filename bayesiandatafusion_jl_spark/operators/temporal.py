@@ -373,9 +373,11 @@ def event_transitions(
 
     Scale shape: ONE window partitioned by user (user-grain shuffle, no
     global sort — each user's sequence sorts independently inside its
-    partition), then two shrinking aggregations onto the |types|² matrix
-    and the |types| marginals, joined back broadcast-sized. p is a
-    single division of exact counts, bit-identical cross-engine.
+    partition), one shrinking aggregation onto the |types|² matrix, and
+    the marginal as a window SUM over that matrix — the whole plan reads
+    the events once (a separate marginals aggregate would duplicate the
+    window subtree: measured 6 exchanges/2 scans vs this form's 4/1). p
+    is a single division of exact counts, bit-identical cross-engine.
     """
     w = W.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
     pairs = (
@@ -386,16 +388,13 @@ def event_transitions(
     counts = pairs.groupBy(
         F.col(type_col).alias("from_type"), "to_type"
     ).agg(F.count(F.lit(1)).alias("n"))
-    totals = counts.groupBy("from_type").agg(
-        F.sum("n").cast("bigint").alias("n_from")
-    )
+    n_from = F.sum("n").over(W.partitionBy("from_type"))
     return (
-        counts.join(F.broadcast(totals), "from_type")
-        .select(
+        counts.select(
             "from_type",
             "to_type",
             F.col("n").cast("bigint").alias("n"),
-            (F.col("n").cast("double") / F.col("n_from")).alias("p"),
+            (F.col("n").cast("double") / n_from).alias("p"),
         )
         .orderBy("from_type", "to_type")
     )

@@ -50,9 +50,9 @@ SKIP = {
 
 NOTES = {
     "q_events_transitions": (
-        "r13: Markov transition matrix — ONE user-grain window (no global"
-        " sort) + two shrinking-key aggs onto |types|²; marginals join"
-        " back broadcast-sized"
+        "r13: Markov transition matrix — ONE events scan, ONE user-grain"
+        " window (no global sort), one agg onto |types|²; the marginal is"
+        " a window SUM over the matrix, so nothing re-reads the events"
     ),
     "q_text_kl_drift": (
         "r13: corpus KL drift — one token-count agg per snapshot, a"
