@@ -9,4 +9,8 @@ rejection); only the compressed codecs (JPEG/MP3/H.264) remain stubbed
 batching, mapInPandas signatures — is real and tested throughout.
 """
 
-from bayesiandatafusion_jl_spark.multimodal import codecs, queries  # noqa: F401
+from bayesiandatafusion_jl_spark.multimodal import (  # noqa: F401
+    codecs,
+    ingest,
+    queries,
+)

@@ -191,3 +191,52 @@ def synth_bmp(doc_id: int) -> bytes:
     img[:, :, 1] = int(doc_id) % 256
     img[:, :, 2] = (int(doc_id) * 7) % 256
     return encode_bmp(img)
+
+
+# --- NPY (NumPy array container, format spec v1.0) --------------------------
+#
+# The interchange format training pipelines actually ship tensors in
+# (features, embeddings, spectrograms). np.save/np.load ARE the reference
+# implementation of the public .npy spec, so the codec delegates to them
+# over in-memory buffers with pickle disabled (object arrays are a code
+# -execution vector from untrusted corpora and have no place in a data
+# pipeline).
+
+
+def encode_npy(arr: np.ndarray) -> bytes:
+    """.npy bytes for a numeric ndarray (any shape/dtype, no objects)."""
+    import io
+
+    if arr.dtype == object:
+        raise ValueError("encode_npy: object arrays are not supported")
+    buf = io.BytesIO()
+    np.save(buf, arr, allow_pickle=False)
+    return buf.getvalue()
+
+
+def decode_npy(payload: bytes) -> np.ndarray:
+    """ndarray from .npy bytes; rejects pickled/object payloads."""
+    import io
+
+    return np.load(io.BytesIO(payload), allow_pickle=False)
+
+
+def npy_features(payload: bytes) -> dict:
+    """Shape/dtype/moments of a tensor payload — the metadata row a
+    tensor lake indexes on."""
+    arr = decode_npy(payload)
+    flat = arr.astype(np.float64, copy=False).ravel()
+    return {
+        "ndim": int(arr.ndim),
+        "shape": "x".join(str(s) for s in arr.shape),
+        "dtype": str(arr.dtype),
+        "n_elems": int(arr.size),
+        "mean": float(flat.mean()) if arr.size else 0.0,
+        "std": float(flat.std()) if arr.size else 0.0,
+    }
+
+
+def synth_npy(doc_id: int) -> bytes:
+    """Deterministic small float32 tensor keyed by doc_id (test fixture)."""
+    rng = np.random.default_rng(doc_id)
+    return encode_npy(rng.normal(0, 1, (4, 8)).astype(np.float32))

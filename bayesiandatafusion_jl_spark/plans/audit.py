@@ -54,6 +54,12 @@ NOTES = {
         " window (no global sort), one agg onto |types|²; the marginal is"
         " a window SUM over the matrix, so nothing re-reads the events"
     ),
+    "q_multimodal_ingest": (
+        "r13: file-grain media ingest — binaryFile source (recursive"
+        " listing + glob pushdown, one row per file), per-kind codec"
+        " dispatch in ONE mapInPandas, per-kind summary agg; 0 parquet"
+        " scans by design (the source IS the file tree)"
+    ),
     "q_text_kl_drift": (
         "r13: corpus KL drift — one token-count agg per snapshot, a"
         " vocab-grain outer join (checkpointed: it feeds the totals AND"

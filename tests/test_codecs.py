@@ -131,3 +131,69 @@ def test_thumbnail_query_round_trips(spark):
         want = encode_bmp(resize_nearest(img, 16, 16))
         assert r["thumb_md5"] == hashlib.md5(want).hexdigest()
         assert decode_bmp(want).shape == (16, 16, 3)
+
+
+# --- NPY codec + binaryFile ingestion (r13) --------------------------------
+
+
+def test_npy_round_trip_and_pickle_rejection():
+    import io
+
+    import numpy as np
+    import pytest
+
+    from bayesiandatafusion_jl_spark.multimodal.codecs import (
+        decode_npy,
+        encode_npy,
+        npy_features,
+    )
+
+    arr = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    back = decode_npy(encode_npy(arr))
+    assert back.dtype == arr.dtype and back.shape == arr.shape
+    assert (back == arr).all()
+    f = npy_features(encode_npy(arr))
+    assert f["shape"] == "2x3x4" and f["n_elems"] == 24 and f["ndim"] == 3
+    # object arrays refused on BOTH sides (code-execution vector)
+    with pytest.raises(ValueError):
+        encode_npy(np.array([{"a": 1}], dtype=object))
+    buf = io.BytesIO()
+    np.save(buf, np.array([{"a": 1}], dtype=object), allow_pickle=True)
+    with pytest.raises(ValueError):
+        decode_npy(buf.getvalue())
+
+
+def test_binaryfile_ingest_decodes_every_kind(spark, tmp_path):
+    """The file-grain ingest path: binaryFile scan -> per-kind codec
+    dispatch; features must equal the direct codec calls byte-exactly."""
+    import numpy as np
+
+    from bayesiandatafusion_jl_spark.multimodal.codecs import (
+        decode_wav,
+        synth_wav,
+    )
+    from bayesiandatafusion_jl_spark.multimodal.ingest import (
+        media_file_features,
+        read_media_dir,
+        write_sample_media_dir,
+    )
+
+    base = write_sample_media_dir(str(tmp_path / "media"), n_per_kind=6)
+    media = read_media_dir(spark, base)
+    assert media.count() == 18
+    feats = {
+        (r["kind"], r["shape"]): r
+        for r in media_file_features(media).collect()
+    }
+    assert all(k in {x[0] for x in feats} for k in ("wav", "bmp", "npy"))
+    # wav moments match a direct decode of the same synth payload
+    _, s0 = decode_wav(synth_wav(0))
+    wav_rows = [r for (k, _), r in feats.items() if k == "wav"]
+    assert any(
+        abs(r["f_mean"] - float(s0.astype(np.float64).mean())) < 1e-9
+        for r in wav_rows
+    )
+    # glob pushdown: only npy files listed
+    only_npy = read_media_dir(spark, base, glob="*.npy")
+    assert {r["kind"] for r in only_npy.select("kind").distinct().collect()} == {"npy"}
+    assert only_npy.count() == 6
