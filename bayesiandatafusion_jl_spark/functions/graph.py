@@ -301,6 +301,7 @@ def pagerank(
     teleport: DataFrame | None = None,
     tol: float | None = None,
     stats: dict | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(node, rank): PageRank (Brin & Page 1998) by power iteration over
     a DIRECTED edge frame — fixed iteration count, so the result is a
@@ -340,6 +341,16 @@ def pagerank(
     call fills with {'iterations': rounds_actually_run} — the
     observability hook for the stop.
 
+    ``weight_col`` (r13, weighted PageRank): an edge-weight column makes
+    each node spread rank proportionally to its out-edge weights —
+    contribution = rank · w / Σ_out w — which is what a co-occurrence or
+    click graph actually wants (an edge seen 500 times should pull 500×
+    the rank of an edge seen once). Parallel edges SUM their weights;
+    weights must be strictly positive (guarded in-plan — a zero-weight
+    sink would silently leak rank). Per-node weight totals are exact
+    decimal sums, so partition invariance holds exactly like the
+    unweighted form; ``weight_col=None`` is the classic uniform spread.
+
     Plan per iteration: one broadcast-sized degree join is NOT needed —
     out-degrees are joined once before the loop and ride along; each
     round is ONE join (ranks → edges on src, shuffle on the edge
@@ -355,9 +366,31 @@ def pagerank(
     ``connected_components`` and ml/bpmf.py). Nothing graph-sized ever
     reaches the driver.
     """
-    e = edges.select(
-        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
-    ).distinct()
+    if weight_col is None:
+        e = edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        ).distinct()
+    else:
+        # parallel edges sum; exact decimal sums keep the weighted form
+        # partition-invariant; strictly-positive guard rides in-plan
+        # the guard rides INSIDE the weight expression (the rag.py
+        # lineage-encode pattern) — a standalone asserted column would be
+        # pruned away by Catalyst and never evaluate
+        guard = F.assert_true(
+            F.col(weight_col) > 0,
+            F.lit("pagerank: edge weights must be > 0"),
+        )
+        w = F.when(guard.isNull(), F.col(weight_col)).cast("decimal(38,12)")
+        e = (
+            edges.select(
+                F.col(src).cast("long").alias("src"),
+                F.col(dst).cast("long").alias("dst"),
+                w.alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").cast("decimal(38,12)").alias("w"))
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -367,9 +400,14 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(None).cast("decimal(28,18)"))
-    deg = e.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
-    )
+    if weight_col is None:
+        deg = e.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+    else:
+        deg = e.groupBy(F.col("src").alias("node")).agg(
+            F.sum("w").cast("double").alias("deg")
+        )
     # teleport distribution t rides the state frame like deg does: t_i =
     # 1/|seeds| on seeds (0 elsewhere), or the uniform 1/n when no seed
     # frame is given; the initial rank IS the teleport distribution
@@ -413,14 +451,19 @@ def pagerank(
     ckpt_every = 1 if (has_dangling or tol is not None) else 3
     rounds_run = 0
     for i in range(n_iter):
+        share = F.col("rank").cast("double") / F.col("deg")
+        if weight_col is not None:
+            share = (
+                F.col("rank").cast("double")
+                * F.col("w").cast("double")
+                / F.col("deg")
+            )
         contrib = (
             state.filter(F.col("deg").isNotNull())
             .join(e, state["node"] == e["src"])
             .select(
                 F.col("dst").alias("node"),
-                (F.col("rank").cast("double") / F.col("deg"))
-                .cast("decimal(28,18)")
-                .alias("c"),
+                share.cast("decimal(28,18)").alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("gathered"))

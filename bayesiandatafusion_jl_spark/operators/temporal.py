@@ -359,6 +359,7 @@ def event_transitions(
     user_col: str = "user_id",
     type_col: str = "event_type",
     order_cols: tuple[str, ...] = ("ts", "event_id"),
+    session_gap_s: int | None = None,
 ) -> DataFrame:
     """(from_type, to_type, n, p): the first-order Markov transition
     matrix of per-user event sequences — the "what happens next"
@@ -378,6 +379,11 @@ def event_transitions(
     the events once (a separate marginals aggregate would duplicate the
     window subtree: measured 6 exchanges/2 scans vs this form's 4/1). p
     is a single division of exact counts, bit-identical cross-engine.
+
+    ``session_gap_s`` (optional): pairs whose FROM→TO gap exceeds this
+    many seconds are dropped — "what happens next within a session"
+    instead of across days of idleness. The same lead window provides
+    the next timestamp, so the plan shape is unchanged (one scan).
     """
     w = W.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
     pairs = (
@@ -385,6 +391,20 @@ def event_transitions(
         .withColumn("to_type", F.lead(type_col).over(w))
         .filter(F.col("to_type").isNotNull())
     )
+    if session_gap_s is not None:
+        ts_col = order_cols[0]
+        gap = F.lead(F.col(ts_col)).over(w).cast("long") - F.col(
+            ts_col
+        ).cast("long")
+        pairs = (
+            events.select(user_col, type_col, *order_cols)
+            .withColumn("to_type", F.lead(type_col).over(w))
+            .withColumn("__gap_s", gap)
+            .filter(
+                F.col("to_type").isNotNull()
+                & (F.col("__gap_s") <= session_gap_s)
+            )
+        )
     counts = pairs.groupBy(
         F.col(type_col).alias("from_type"), "to_type"
     ).agg(F.count(F.lit(1)).alias("n"))

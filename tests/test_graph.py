@@ -339,3 +339,54 @@ def test_pagerank_tol_with_dangling_nodes(spark):
         for r in pagerank(e, n_iter=60).collect()
     }
     assert all(abs(early[n] - fixed[n]) < 1e-8 for n in fixed)
+
+
+def test_weighted_pagerank_matches_numpy(spark):
+    """Weighted spread: contribution = rank·w/Σw per source. Verified
+    against a dense numpy power iteration on the same weighted graph,
+    plus exact partition invariance and mass conservation."""
+    import numpy as np
+
+    from bayesiandatafusion_jl_spark.functions.graph import pagerank
+
+    edges = [  # (u, v, w) — node 3 dangling
+        (0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0),
+        (1, 3, 2.0), (0, 1, 1.0),  # parallel edge: sums to w=4
+    ]
+    e = spark.createDataFrame(edges, "u long, v long, w double")
+    got = {
+        r["node"]: float(r["rank"])
+        for r in pagerank(e, n_iter=25, weight_col="w").collect()
+    }
+    # numpy reference (parallel edge pre-summed)
+    W = np.zeros((4, 4))
+    for u, v, w in edges:
+        W[u, v] += w
+    P = np.divide(W, W.sum(1, keepdims=True), where=W.sum(1, keepdims=True) > 0)
+    r = np.full(4, 0.25)
+    for _ in range(25):
+        dang = r[W.sum(1) == 0].sum()
+        r = 0.15 * 0.25 + 0.85 * (r @ P + dang * 0.25)
+    for n in range(4):
+        assert abs(got[n] - r[n]) < 1e-9, (n, got[n], r[n])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # exact partition invariance (the decimal-gather discipline)
+    got17 = {
+        r2["node"]: r2["rank"]
+        for r2 in pagerank(e.repartition(17), n_iter=25, weight_col="w").collect()
+    }
+    assert got17 == {
+        r2["node"]: r2["rank"]
+        for r2 in pagerank(e, n_iter=25, weight_col="w").collect()
+    }
+
+
+def test_weighted_pagerank_rejects_nonpositive_weights(spark):
+    import pytest
+
+    from bayesiandatafusion_jl_spark.functions.graph import pagerank
+
+    e = spark.createDataFrame([(0, 1, 0.0), (1, 0, 1.0)], "u long, v long, w double")
+    with pytest.raises(Exception) as ei:
+        pagerank(e, n_iter=2, weight_col="w").collect()
+    assert "weights must be > 0" in str(ei.value)

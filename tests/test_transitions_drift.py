@@ -67,3 +67,24 @@ def test_kl_detects_novel_mass_and_direction(spark):
     assert row["kl_ba"] > row["kl_ab"]  # the side that GAINED mass diverges more
     sym = token_kl_drift(b, a).collect()[0]
     assert abs(sym["kl_ab"] - row["kl_ba"]) < 1e-9  # arguments swap exactly
+
+
+def test_transitions_session_gap_breaks_chain(spark):
+    # user 1: a --1min--> b --2h--> c : with a 30-min gap only a->b stays
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2026, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (0, t0, 1, "a"),
+            (1, t0 + timedelta(minutes=1), 1, "b"),
+            (2, t0 + timedelta(minutes=121), 1, "c"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    full = {(r["from_type"], r["to_type"])
+            for r in event_transitions(ev).collect()}
+    assert full == {("a", "b"), ("b", "c")}
+    gated = {(r["from_type"], r["to_type"])
+             for r in event_transitions(ev, session_gap_s=1800).collect()}
+    assert gated == {("a", "b")}
