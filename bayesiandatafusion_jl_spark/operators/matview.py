@@ -1021,3 +1021,141 @@ def q_matview_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys, oc, payload, k=5,
     )
     return topk_read(state, keys, oc, payload).orderBy("l_returnflag", "rk")
+
+
+# --- persisted top-k view (r13) -------------------------------------------
+
+
+def _topk_fp(keys: list[str], order_col: str, payload_cols: list[str], k: int) -> int:
+    import hashlib
+
+    canon = "|".join([",".join(keys), order_col, ",".join(payload_cols), str(k)])
+    return int.from_bytes(hashlib.sha256(canon.encode()).digest()[:4], "big") >> 4
+
+
+def _check_topk_view(spark, view_dir, keys, order_col, payload_cols, k):
+    from bayesiandatafusion_jl_spark.functions.index_meta import check_meta
+
+    meta_path, _ = _view_paths(view_dir)
+    check_meta(
+        spark,
+        meta_path,
+        "a top-k state under a different (keys, order, payload, k) config"
+        " would merge into garbage — rebuild the view or match its pin",
+        config_fp=_topk_fp(keys, order_col, payload_cols, k),
+    )
+
+
+def write_topk_view(
+    base: DataFrame,
+    view_dir: str,
+    keys: list[str],
+    order_col: str,
+    payload_cols: list[str],
+    k: int,
+) -> None:
+    """Fresh persisted top-k view: |keys|·k state as the ``base`` epoch,
+    config pinned, replay ledger reset — the ``write_matview``
+    incarnation contract, for the non-retractable family member."""
+    from bayesiandatafusion_jl_spark.functions.index_compact import reset_ledger
+    from bayesiandatafusion_jl_spark.functions.index_meta import write_meta
+
+    spark = base.sparkSession
+    meta_path, state_path = _view_paths(view_dir)
+    reset_ledger(spark, view_dir)
+    state = topk_state(base, keys, order_col, payload_cols, k)
+    (
+        state.withColumn("__epoch", F.lit("base"))
+        .write.mode("overwrite")
+        .partitionBy("__epoch")
+        .option("partitionOverwriteMode", "static")
+        .parquet(state_path)
+    )
+    write_meta(
+        spark, meta_path, "overwrite",
+        config_fp=_topk_fp(keys, order_col, payload_cols, k), k=int(k),
+    )
+
+
+def topk_view_append(
+    delta: DataFrame,
+    view_dir: str,
+    keys: list[str],
+    order_col: str,
+    payload_cols: list[str],
+    k: int,
+    epoch: str,
+) -> None:
+    """Ingest one delta batch as its own |keys|·k epoch partition —
+    replay-idempotent (dynamic epoch overwrite), config-pinned,
+    folded-epoch-ledger-checked, exactly the ``matview_append``
+    contract. NO retraction: a delete inside the top-k cannot be
+    repaired from k rows of state (rank k+1 was never kept) — rebuild
+    from the surviving data instead."""
+    from bayesiandatafusion_jl_spark.functions.index_compact import (
+        check_not_folded,
+    )
+
+    spark = delta.sparkSession
+    _check_topk_view(spark, view_dir, keys, order_col, payload_cols, k)
+    check_not_folded(spark, view_dir, epoch)
+    if epoch == "base":
+        raise ValueError(
+            "epoch 'base' is reserved for the initial build; append under"
+            " a batch-specific name"
+        )
+    _, state_path = _view_paths(view_dir)
+    (
+        topk_state(delta, keys, order_col, payload_cols, k)
+        .withColumn("__epoch", F.lit(epoch))
+        .write.mode("overwrite")
+        .partitionBy("__epoch")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(state_path)
+    )
+
+
+def read_topk_view(
+    spark: SparkSession,
+    view_dir: str,
+    keys: list[str],
+    order_col: str,
+    payload_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """Serve the view: merge every epoch's |keys|·k state and read the
+    ranked rows — |epochs|·|keys|·k rows of work, never a fact re-read."""
+    _check_topk_view(spark, view_dir, keys, order_col, payload_cols, k)
+    _, state_path = _view_paths(view_dir)
+    state = spark.read.parquet(state_path).drop("__epoch")
+    merged = topk_merge([state], keys, order_col, payload_cols, k)
+    return topk_read(merged, keys, order_col, payload_cols)
+
+
+def compact_topk_view(spark: SparkSession, view_dir: str, target_mb: int = 128) -> DataFrame:
+    """Fold the view's epochs into one ``compact-<gen>`` epoch (ledger
+    written before the swap; replays of folded epochs rejected) — pure
+    state-row relabeling, since ``read_topk_view`` re-ranks on read."""
+    from bayesiandatafusion_jl_spark.functions.index_compact import (
+        COMPACT_PREFIX,
+        _next_gen,
+        _stats_row,
+        compact_epochs,
+        record_folded,
+    )
+
+    _, state_path = _view_paths(view_dir)
+    gen = _next_gen(spark, view_dir)
+    new_epoch = f"{COMPACT_PREFIX}{gen}"
+    epochs = sorted(
+        r["__epoch"]
+        for r in spark.read.parquet(state_path)
+        .select("__epoch").distinct().collect()
+    )
+    if len(epochs) > 1:
+        record_folded(
+            spark, view_dir,
+            [e for e in epochs if not e.startswith(COMPACT_PREFIX)], gen,
+        )
+    stats = compact_epochs(spark, state_path, new_epoch, target_mb=target_mb)
+    return _stats_row(spark, [("state", *stats)])

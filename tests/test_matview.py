@@ -604,3 +604,60 @@ def test_topk_tie_break_matches_window_order(spark):
         ).orderBy("rk").collect()
     ]
     assert out == [(1, 10), (2, 20), (3, 30)]
+
+
+def test_topk_view_persisted_lifecycle(spark, tmp_path):
+    """write → append ×2 → read ≡ one-shot; replayed epoch idempotent;
+    config pin enforced; compaction folds epochs and rejects replays."""
+    import pytest
+
+    from bayesiandatafusion_jl_spark.operators.matview import (
+        compact_topk_view,
+        read_topk_view,
+        topk_read,
+        topk_state,
+        topk_view_append,
+        write_topk_view,
+    )
+
+    rows = [(i % 3, float((i * 41) % 23), i) for i in range(150)]
+    df = spark.createDataFrame(rows, "k int, v double, id long")
+    d = str(tmp_path / "topk_view")
+    args = (["k"], "v", ["id"], 4)
+    write_topk_view(df.filter(F.col("id") < 50), d, *args)
+    topk_view_append(
+        df.filter((F.col("id") >= 50) & (F.col("id") < 100)), d, *args,
+        epoch="b1",
+    )
+    topk_view_append(df.filter(F.col("id") >= 100), d, *args, epoch="b2")
+    want = sorted(
+        (r["k"], r["rk"], r["v"], r["id"])
+        for r in topk_read(
+            topk_state(df, ["k"], "v", ["id"], 4), ["k"], "v", ["id"]
+        ).collect()
+    )
+    got = lambda: sorted(  # noqa: E731
+        (r["k"], r["rk"], r["v"], r["id"])
+        for r in read_topk_view(spark, d, *args).collect()
+    )
+    assert got() == want
+    # replay-idempotent: rewriting b1's epoch changes nothing
+    topk_view_append(
+        df.filter((F.col("id") >= 50) & (F.col("id") < 100)), d, *args,
+        epoch="b1",
+    )
+    assert got() == want
+    # config pin: a different k is refused
+    with pytest.raises(ValueError, match="config"):
+        read_topk_view(spark, d, ["k"], "v", ["id"], 9)
+    # compaction folds to one epoch; a folded-epoch replay is rejected
+    compact_topk_view(spark, d)
+    eps = {
+        r["__epoch"]
+        for r in spark.read.parquet(f"{d}/state").select("__epoch")
+        .distinct().collect()
+    }
+    assert eps == {"compact-0"}
+    assert got() == want
+    with pytest.raises(ValueError, match="folded"):
+        topk_view_append(df.filter(F.col("id") >= 100), d, *args, epoch="b2")
