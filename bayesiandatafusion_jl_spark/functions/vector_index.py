@@ -727,3 +727,68 @@ def q_llm_ann_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     return ann_ivfpq_query_index(q, index_dir, k=5, n_probe=6, refine=4)
+
+
+def ivf_recall_sweep(
+    corpus: DataFrame,
+    queries: DataFrame,
+    index_dir: str,
+    k: int = 5,
+    n_probes: tuple[int, ...] = (1, 2, 4, 8),
+    pq: bool = False,
+    refine: int = 4,
+) -> DataFrame:
+    """(n_probe, recall_at_k, mean_candidates_share): the tuning curve an
+    IVF deployment picks its probe width from — recall vs the exact
+    brute-force top-k on the SAME queries, per candidate probe width.
+    Nobody should guess n_probe; they should read this frame.
+
+    The brute baseline (one |Q|·|corpus| bounded pass — queries are a
+    small batch by construction) is computed ONCE and each probe width
+    joins against it; `mean_candidates_share` = probed cells / total
+    cells approximates the fraction of the corpus each probe touches —
+    the cost axis of the recall/cost trade-off. ``pq=True`` sweeps the
+    ADC+refine path of a PQ-bearing index instead.
+
+    The sweep loop is driver-side over len(n_probes) SMALL values (each
+    iteration is its own bounded Spark job) — tuning-time tooling, not a
+    per-query path.
+    """
+    from bayesiandatafusion_jl_spark.functions.index_meta import read_meta
+    from bayesiandatafusion_jl_spark.functions.vector import knn_topk
+
+    spark = corpus.sparkSession
+    _, _, meta_path = _paths(index_dir)
+    n_cells = int(read_meta(spark, meta_path)["n_cells"])
+    brute = (
+        knn_topk(corpus, queries, k=k, exclude_self=True)
+        .select("qid", "nb_id")
+        .persist()
+    )
+    n_brute = brute.count()
+    rows = []
+    for np_ in n_probes:
+        if pq:
+            ann = ann_ivfpq_query_index(
+                queries, index_dir, k=k, n_probe=np_, refine=refine
+            ).filter(F.col("nb_id") != F.col("qid"))
+        else:
+            ann = ann_ivf_query_index(
+                queries, index_dir, k=k, n_probe=np_, exclude_self=True
+            )
+        hit = (
+            ann.select("qid", "nb_id")
+            .join(brute, ["qid", "nb_id"], "left_semi")
+            .count()
+        )
+        rows.append(
+            (
+                int(np_),
+                (hit / n_brute) if n_brute else 0.0,
+                min(np_, n_cells) / n_cells,
+            )
+        )
+    brute.unpersist()
+    return spark.createDataFrame(
+        rows, "n_probe int, recall_at_k double, mean_candidates_share double"
+    )

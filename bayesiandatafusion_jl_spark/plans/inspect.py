@@ -41,3 +41,40 @@ def has_broadcast_join(df: DataFrame) -> bool:
 def pushed_filters(df: DataFrame) -> list[str]:
     plan = formatted_plan(df)
     return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+
+
+def scale_report(df: DataFrame) -> dict:
+    """One-dict scale readout for ANY DataFrame — the numbers a plan
+    review reads before shipping a query to a 1000-executor cluster:
+
+    - ``exchanges``      data shuffles (1-row scalar motions excluded)
+    - ``broadcast_joins``/``sortmerge_joins``/``nestedloop_joins``
+    - ``python_nodes``   Arrow/pandas/UDF operators (the slow path)
+    - ``parquet_scans``  distinct scans (a duplicated subtree shows up
+                         here as an extra scan — the transition-matrix
+                         regression class)
+    - ``cartesian``      True if any CartesianProduct survived planning
+    - ``pushed_filters`` the per-scan pushed predicate lists
+
+    Counts DETAIL-section headers (the ``(n) Op`` lines), so each
+    operator is counted once — the audit-table discipline
+    (plans/audit.py) exposed as a public API."""
+    plan = formatted_plan(df)
+    head = lambda op: len(re.findall(rf"^\(\d+\) {op}\b", plan, re.M))  # noqa: E731
+    return {
+        "exchanges": head("Exchange") - plan.count("Arguments: SinglePartition"),
+        "broadcast_joins": head("BroadcastHashJoin")
+        + head("BroadcastNestedLoopJoin"),
+        "sortmerge_joins": head("SortMergeJoin"),
+        "nestedloop_joins": head("BroadcastNestedLoopJoin")
+        + head("CartesianProduct"),
+        "python_nodes": len(
+            re.findall(r"^\(\d+\) \S*(?:Python|Pandas|Arrow)\S*", plan, re.M)
+        ),
+        # (codegen span counts are deliberately absent: under AQE the
+        # WholeStageCodegen annotations only exist after the plan
+        # finalizes at execution, so any pre-execution count would lie)
+        "parquet_scans": len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)),
+        "cartesian": head("CartesianProduct") > 0,
+        "pushed_filters": pushed_filters(df),
+    }

@@ -94,3 +94,29 @@ def test_semi_anti_suite_filters_push_below_joins(spark):
     df = _df(spark, "q_join_semi_anti")
     pushed = " ".join(pushed_filters(df))
     assert "o_orderdate" in pushed and "o_orderpriority" in pushed, pushed
+
+
+def test_scale_report_counts_known_plan(spark):
+    """scale_report on a plan with known structure: one broadcast join,
+    one aggregation shuffle, pushed filter, no cartesian."""
+    from bayesiandatafusion_jl_spark.plans.inspect import scale_report
+
+    from bayesiandatafusion_jl_spark.catalog import load_table
+    from tests.conftest import SF_DIR_TINY
+
+    li = load_table(spark, SF_DIR_TINY, "lineitem")
+    orders = load_table(spark, SF_DIR_TINY, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    df = (
+        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    r = scale_report(df)
+    assert r["broadcast_joins"] == 1
+    assert r["sortmerge_joins"] == 0 and not r["cartesian"]
+    assert r["parquet_scans"] == 2
+    assert r["exchanges"] >= 1  # the groupBy shuffle
+    assert r["python_nodes"] == 0
+    assert any("1-URGENT" in p for p in r["pushed_filters"])

@@ -430,3 +430,29 @@ def test_tombstone_delete_hides_then_refit_applies(spark, index_dir):
     write_ivf_index(corpus, index_dir, n_cells=8, n_assign=2)
     assert not os.path.exists(f"{index_dir}/tombstones")
     assert 3 in hits(ann_ivf_query_index) or 3 not in before_exact
+
+
+def test_ivf_recall_sweep_monotone_to_exhaustive(spark, index_dir):
+    """The tuning curve: recall is (weakly) monotone in n_probe and hits
+    1.0 at the exhaustive width; the cost axis reports the probed share."""
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        ivf_recall_sweep,
+        write_ivf_index,
+    )
+
+    corpus = _clustered(spark)
+    write_ivf_index(corpus, index_dir, n_cells=8, n_assign=2)
+    q = corpus.filter(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    rows = sorted(
+        (r["n_probe"], r["recall_at_k"], r["mean_candidates_share"])
+        for r in ivf_recall_sweep(
+            corpus, q, index_dir, k=5, n_probes=(1, 4, 8)
+        ).collect()
+    )
+    recalls = [r[1] for r in rows]
+    assert recalls == sorted(recalls), rows  # monotone in probe width
+    assert rows[-1][1] == 1.0, rows  # exhaustive probe == brute force
+    assert rows[0][2] == 1 / 8 and rows[-1][2] == 1.0
+    assert recalls[0] > 0.3, rows  # clustered data: even 1 cell finds some
