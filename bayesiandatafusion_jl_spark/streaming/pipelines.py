@@ -694,3 +694,38 @@ def transitions_stream(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def topk_ingest_stream(
+    facts_stream: DataFrame,
+    view_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    order_col: str,
+    payload_cols: list[str],
+    k: int,
+):
+    """Streaming maintenance of a persisted top-k view
+    (operators/matview.py r13): each micro-batch reduces to its own
+    |keys|·k ``__epoch=stream_<id>`` state partition; the view serves
+    merged leaders mid-stream and compaction folds the epochs offline.
+    Same foreachBatch/epoch replay contract as ``matview_ingest_stream``
+    (a retried batch rewrites its own epoch byte-identically — the
+    batch top-k is deterministic including ties)."""
+    from bayesiandatafusion_jl_spark.operators.matview import (
+        topk_view_append,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        topk_view_append(
+            batch_df, view_dir, keys, order_col, payload_cols, k,
+            epoch=f"stream_{batch_id}",
+        )
+
+    return (
+        facts_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -649,3 +649,74 @@ def test_transitions_stream_matches_batch_and_evicts(stream_env):
         ).collect()
     ]
     assert ("purchase", "view") not in after, after
+
+
+def test_topk_ingest_stream_serves_merged_leaders(spark, tmp_path):
+    """Streamed top-k view: two micro-batches land as their own epochs,
+    the served leaders equal the batch top-k over the full history, and
+    replaying the stream from a fresh checkpoint is byte-idempotent."""
+    import shutil
+
+    from bayesiandatafusion_jl_spark.operators.matview import (
+        read_topk_view,
+        topk_read,
+        topk_state,
+        write_topk_view,
+    )
+    from bayesiandatafusion_jl_spark.streaming.pipelines import (
+        topk_ingest_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "k int, v double, id long"
+    rows1 = [(i % 2, float((i * 7) % 11), i) for i in range(30)]
+    rows2 = [(i % 2, float((i * 7) % 11), i) for i in range(30, 60)]
+    args = (["k"], "v", ["id"], 3)
+    d = str(tmp_path / "view")
+    write_topk_view(
+        spark.createDataFrame([], schema), d, *args
+    )
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    def run(chk):
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(src))
+        q = topk_ingest_stream(stream, d, str(tmp_path / chk), *args)
+        q.processAllAvailable()
+        return q
+
+    q = run("chk1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    q.processAllAvailable()
+    q.stop()
+    want = sorted(
+        (r["k"], r["rk"], r["v"], r["id"])
+        for r in topk_read(
+            topk_state(
+                spark.createDataFrame(rows1 + rows2, schema),
+                ["k"], "v", ["id"], 3,
+            ),
+            ["k"], "v", ["id"],
+        ).collect()
+    )
+    got = sorted(
+        (r["k"], r["rk"], r["v"], r["id"])
+        for r in read_topk_view(spark, d, *args).collect()
+    )
+    assert got == want
+    # fresh checkpoint replays the SAME files into the same epoch names:
+    # dynamic epoch overwrite keeps the view identical, never doubled
+    q2 = run("chk2")
+    q2.stop()
+    got2 = sorted(
+        (r["k"], r["rk"], r["v"], r["id"])
+        for r in read_topk_view(spark, d, *args).collect()
+    )
+    assert got2 == want
+    shutil.rmtree(tmp_path, ignore_errors=True)
