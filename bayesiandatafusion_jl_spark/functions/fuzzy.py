@@ -160,3 +160,136 @@ def q_text_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"), F.substring("text", 1, 24).alias("s")
     )
     return edit_distance_join(strings, d=8, q=2)
+
+
+def set_similarity_join(
+    docs: DataFrame,
+    tau: float,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_a, id_b, overlap, jaccard): every unordered pair of documents
+    whose DISTINCT-token Jaccard similarity is >= ``tau`` — EXACT (the
+    registered query's oracle IS brute-force all-pairs), candidate
+    generation prefix-filtered so hot tokens never pair the corpus.
+
+    The prefix filter (Chaudhuri et al. SSJoin / Xiao et al. PPJoin,
+    VLDB/ICDE — public papers): J(a,b) >= tau implies the overlap
+    o >= tau·max(|a|,|b|), and two sets sharing >= alpha elements must
+    intersect within their (|x| - alpha + 1)-prefixes under ANY shared
+    total order. Ordering tokens by ascending global frequency puts the
+    RAREST tokens in the prefixes, so candidates come from rare-token
+    collisions; a boilerplate token shared by half the corpus sorts to
+    the suffixes and generates nothing. A length filter
+    (tau·|a| <= |b| <= |a|/tau) prunes the survivors before the exact
+    verify (``array_intersect`` on the two token sets — JVM-side).
+
+    The ceil() in the prefix length runs on a down-nudged product
+    (tau·n − 1e-9): float error can only LENGTHEN the prefix — the
+    direction that admits extra candidates for the verify to kill,
+    never the one that silently loses a pair. Zero-token documents are
+    excluded (Jaccard is undefined on empty sets).
+    """
+    if not (0.0 < tau <= 1.0):
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    tok = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    sz = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    prefix_len = (
+        F.col("n")
+        - F.ceil(F.lit(tau) * F.col("n") - F.lit(1e-9))
+        + F.lit(1)
+    )
+    ranked = (
+        tok.join(F.broadcast(freq), "token")
+        .join(sz, "id")
+        .withColumn(
+            "prk",
+            F.row_number().over(W.partitionBy("id").orderBy("freq", "token")),
+        )
+        .filter(F.col("prk") <= prefix_len)
+        .select("id", "n", "token")
+    )
+    a = ranked.select(
+        F.col("id").alias("id_a"), F.col("n").alias("n_a"), "token"
+    )
+    b = ranked.select(
+        F.col("id").alias("id_b"), F.col("n").alias("n_b"), "token"
+    )
+    cand = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("n_b") >= F.ceil(F.lit(tau) * F.col("n_a") - F.lit(1e-9)))
+            & (F.col("n_a") >= F.ceil(F.lit(tau) * F.col("n_b") - F.lit(1e-9)))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = tok.groupBy("id").agg(F.sort_array(F.collect_set("token")).alias("toks"))
+    pa = sets.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    pb = sets.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    verified = (
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("toks_a", "toks_b")).alias("overlap"),
+            F.size("toks_a").alias("n_a"),
+            F.size("toks_b").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("overlap").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("overlap")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= tau)
+    )
+    return verified.select(
+        "id_a", "id_b", F.col("overlap").cast("bigint").alias("overlap"), "jaccard"
+    )
+
+
+@register(
+    "q_text_set_sim_join",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id AS id, token FROM (
+        SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS token
+        FROM documents WHERE doc_id < 400
+      ) t WHERE token <> ''
+    ),
+    sz AS (SELECT id, COUNT(*) AS n FROM tok GROUP BY id),
+    ov AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS o
+      FROM tok a JOIN tok b ON a.token = b.token AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT ov.id_a AS id_a, ov.id_b AS id_b,
+           CAST(ov.o AS BIGINT) AS overlap,
+           ROUND(CAST(ov.o AS DOUBLE) / (na.n + nb.n - ov.o), 6) AS jaccard
+    FROM ov
+    JOIN sz na ON na.id = ov.id_a
+    JOIN sz nb ON nb.id = ov.id_b
+    WHERE ROUND(CAST(ov.o AS DOUBLE) / (na.n + nb.n - ov.o), 6) >= 0.5
+    """,
+    tags=("J2", "text", "set-similarity"),
+    demoted=True,
+)
+def q_text_set_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.5 self-join over the first 400 documents'
+    token sets (see ``set_similarity_join``) — the oracle is brute-force
+    all-pairs, so parity PROVES the prefix filter loses no pair."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return set_similarity_join(docs, tau=0.5, id_col="doc_id")

@@ -70,6 +70,12 @@ NOTES = {
         " key (|keys|·k state), merge explodes states and re-ranks; cost"
         " scales with |keys|·k·n_states, never the fact rows"
     ),
+    "q_text_set_sim_join": (
+        "r13: exact Jaccard>=tau join — PPJoin prefix filter (rarest"
+        " tokens by global frequency), length filter, array_intersect"
+        " verify; oracle is brute-force all-pairs, so parity proves the"
+        " filter lossless"
+    ),
     "q_stream_attribution": (
         "r7: stream-stream click→purchase range join, batch form —"
         " purchase side broadcast at this SF; at scale it degrades to a"

@@ -90,3 +90,56 @@ def test_partition_invariance(spark):
         for r in edit_distance_join(df.repartition(13), d=3, q=2).collect()
     )
     assert one == many and len(one) > 0
+
+
+# --- set-similarity join (r13) ---------------------------------------------
+
+
+def test_set_sim_join_exact_on_constructed_sets(spark):
+    from bayesiandatafusion_jl_spark.functions.fuzzy import (
+        set_similarity_join,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # with 2: overlap 3, union 6 -> 0.5
+            (2, "a b c e f"),
+            (3, "a b c d"),          # duplicate of 1 -> 1.0
+            (4, "x y z"),            # disjoint from all
+            (5, "a q r s t u v w"),  # shares only hot 'a' -> low jaccard
+        ],
+        "id long, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): (r["overlap"], r["jaccard"])
+        for r in set_similarity_join(docs, tau=0.5).collect()
+    }
+    assert out[(1, 2)] == (3, 0.5)
+    assert out[(1, 3)] == (4, 1.0)
+    assert out[(2, 3)] == (3, 0.5)
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}
+    # a tighter tau keeps only the exact duplicate
+    only_dup = {
+        (r["id_a"], r["id_b"])
+        for r in set_similarity_join(docs, tau=0.6).collect()
+    }
+    assert only_dup == {(1, 3)}
+
+
+def test_set_sim_join_tau_rails(spark):
+    import pytest
+
+    from bayesiandatafusion_jl_spark.functions.fuzzy import (
+        set_similarity_join,
+    )
+
+    docs = spark.createDataFrame([(1, "a b")], "id long, text string")
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="tau"):
+            set_similarity_join(docs, tau=bad)
+    # tau=1.0: only exact set matches survive
+    docs2 = spark.createDataFrame(
+        [(1, "a b"), (2, "b a a"), (3, "a b c")], "id long, text string"
+    )
+    rows = set_similarity_join(docs2, tau=1.0).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
