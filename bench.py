@@ -79,6 +79,7 @@ HEADLINE = [
     "q_text_kl_drift",      # r13: corpus KL drift (vocab-grain outer join)
     "q_matview_topk",       # r13: incremental top-k state merge
     "q_llm_quality_model",  # r13: MLlib-LR seed classifier train + map-only sweep
+    "q_text_set_sim_join",  # r13: exact Jaccard join, PPJoin prefix filter
 ]
 
 
