@@ -555,3 +555,53 @@ def test_rag_hybrid_retrieval(spark, tmp_path):
     # both legs contribute somewhere in the fused lists
     assert any(r["rk_a"] is not None for r in hits)
     assert any(r["rk_b"] is not None for r in hits)
+
+
+def test_rag_compaction_purges_deleted_docs_physically(spark, tmp_path):
+    """r13: compact_ivf_index on a RAG index applies the doc-grain
+    tombstones physically — the deleted document's chunk rows leave the
+    postings, the tombstone set clears, and serving is unchanged (still
+    never returns the deleted doc; other docs' results identical)."""
+    from bayesiandatafusion_jl_spark.functions.index_compact import (
+        compact_ivf_index,
+    )
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        has_tombstones,
+    )
+    from bayesiandatafusion_jl_spark.functions.rag import (
+        _CHUNK_BITS,
+        rag_build_index,
+        rag_delete_docs,
+        rag_retrieve_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"doc{i} " + " ".join(f"g{i % 5}tok{j}" for j in range(1, 40)))
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    index_dir = str(tmp_path / "ragpurge")
+    rag_build_index(docs, index_dir, n_cells=4, pq_m=4, pq_ksub=16)
+    rag_delete_docs(spark, index_dir, [2])
+    queries = docs.filter(F.col("doc_id").isin(2, 3)).select(
+        (F.col("doc_id") + 800).alias("doc_id"), "text"
+    )
+    before = sorted(
+        (r["qid"], r["rk"], r["nb_id"])
+        for r in rag_retrieve_index(queries, index_dir, k=3, n_probe=4).collect()
+    )
+    compact_ivf_index(spark, index_dir)
+    assert not has_tombstones(spark, index_dir)
+    live_docs = {
+        r["vec_id"] >> _CHUNK_BITS
+        for r in spark.read.parquet(f"{index_dir}/postings")
+        .select("vec_id").distinct().collect()
+    }
+    assert 2 not in live_docs and 3 in live_docs
+    after = sorted(
+        (r["qid"], r["rk"], r["nb_id"])
+        for r in rag_retrieve_index(queries, index_dir, k=3, n_probe=4).collect()
+    )
+    assert after == before
