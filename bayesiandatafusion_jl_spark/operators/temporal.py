@@ -449,3 +449,100 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type transition matrix over the events table
     (see ``event_transitions``) — hash-exact vs the window CTE oracle."""
     return event_transitions(load_table(spark, sf_dir, "events"))
+
+
+def transition_anomaly(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """(user_id, n_transitions, mean_nll): per-user anomaly score under
+    the corpus's own first-order transition matrix — mean −ln p over the
+    user's consecutive (from → to) pairs. A user whose behavior follows
+    the crowd scores near the corpus entropy; a scripted or broken
+    client (improbable transition chains) scores high. The
+    self-trained-model discipline of ``unigram_nll``, applied to
+    behavior instead of text.
+
+    Plan: the SAME one-window pair stream feeds both the |types|² matrix
+    and the per-user scoring — the pair stream is checkpointed, so the
+    events are read once; the matrix joins back as a broadcast. Each
+    −ln p is float32-collapsed (libm ulp absorption) and decimal-summed
+    per user (order-independent), the exprs.py parity discipline.
+    """
+    from bayesiandatafusion_jl_spark.functions.exprs import DEC
+    from bayesiandatafusion_jl_spark.session import checkpoint_df
+
+    w = W.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
+    pairs = checkpoint_df(
+        events.select(user_col, type_col, *order_cols)
+        .withColumn("to_type", F.lead(type_col).over(w))
+        .filter(F.col("to_type").isNotNull())
+        .select(
+            F.col(user_col).alias("user_id"),
+            F.col(type_col).alias("from_type"),
+            "to_type",
+        )
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    matrix = counts.select(
+        "from_type",
+        "to_type",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("from_type"))
+        ).alias("p"),
+    )
+    nll = (-F.log("p")).cast("float").cast("double")
+    return (
+        pairs.join(F.broadcast(matrix), ["from_type", "to_type"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            (
+                F.sum(nll.cast(DEC)).cast("double") / F.count(F.lit(1))
+            ).alias("mean_nll"),
+        )
+    )
+
+
+@register(
+    "q_events_anomaly",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    ),
+    pairs AS (SELECT * FROM seq WHERE to_type IS NOT NULL),
+    c AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM pairs GROUP BY from_type, to_type
+    ),
+    m AS (
+      SELECT from_type, to_type,
+             CAST(n AS DOUBLE)
+               / SUM(n) OVER (PARTITION BY from_type) AS p
+      FROM c
+    )
+    SELECT pr.user_id AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(SUM(CAST(CAST(CAST(-LN(m.p) AS REAL) AS DOUBLE)
+                 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean_nll
+    FROM pairs pr
+    JOIN m ON m.from_type = pr.from_type AND m.to_type = pr.to_type
+    GROUP BY pr.user_id
+    """,
+    tags=("J9", "markov", "anomaly", "events"),
+    demoted=True,
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral anomaly score under the corpus's own
+    transition matrix (see ``transition_anomaly``) — hash-exact vs the
+    window-CTE oracle."""
+    return transition_anomaly(load_table(spark, sf_dir, "events"))

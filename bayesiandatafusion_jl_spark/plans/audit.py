@@ -70,6 +70,12 @@ NOTES = {
         " key (|keys|·k state), merge explodes states and re-ranks; cost"
         " scales with |keys|·k·n_states, never the fact rows"
     ),
+    "q_events_anomaly": (
+        "r13: behavioral anomaly — the checkpointed pair stream feeds"
+        " BOTH the |types|² matrix and the per-user scoring (events read"
+        " once); matrix joins back broadcast; −ln p float32-collapsed,"
+        " decimal-summed per user"
+    ),
     "q_text_set_sim_join": (
         "r13: exact Jaccard>=tau join — PPJoin prefix filter (rarest"
         " tokens by global frequency), length filter, array_intersect"

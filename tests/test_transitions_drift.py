@@ -88,3 +88,25 @@ def test_transitions_session_gap_breaks_chain(spark):
     gated = {(r["from_type"], r["to_type"])
              for r in event_transitions(ev, session_gap_s=1800).collect()}
     assert gated == {("a", "b")}
+
+
+def test_transition_anomaly_scores_outlier_highest(spark):
+    """Users following the dominant a->b->a pattern score low; the one
+    user with never-seen-elsewhere transitions scores highest."""
+    from bayesiandatafusion_jl_spark.operators.temporal import (
+        transition_anomaly,
+    )
+
+    rows = []
+    for u in range(1, 6):  # 5 conformists: a b a b a
+        for j, t in enumerate("ababa"):
+            rows.append((u, j, t))
+    rows += [(9, 0, "a"), (9, 1, "x"), (9, 2, "a")]  # outlier: a->x->a
+    out = {
+        r["user_id"]: r["mean_nll"]
+        for r in transition_anomaly(_events(spark, rows)).collect()
+    }
+    assert max(out, key=out.get) == 9
+    assert all(out[9] > out[u] for u in range(1, 6))
+    # conformists all score identically (same transition multiset)
+    assert len({round(out[u], 9) for u in range(1, 6)}) == 1
