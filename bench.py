@@ -80,6 +80,7 @@ HEADLINE = [
     "q_matview_topk",       # r13: incremental top-k state merge
     "q_llm_quality_model",  # r13: MLlib-LR seed classifier train + map-only sweep
     "q_text_set_sim_join",  # r13: exact Jaccard join, PPJoin prefix filter
+    "q_events_anomaly",     # r13: per-user NLL under the transition matrix
 ]
 
 
@@ -237,9 +238,16 @@ def main() -> None:
     # the bounded batch keeps the row measuring probe mechanics, not the
     # word-soup artifact
     rag_hq = rag_queries.filter(FF.col("doc_id") < 1_000_100)
+    # max_df_ratio=None HERE ON PURPOSE: the r13 serving default (0.25)
+    # would prune every term of this ~50-word synthetic vocabulary and
+    # the row would time an empty lexical leg; the unrailed form keeps
+    # measuring the probe mechanics the row exists for (the bounded
+    # batch already contains the word-soup pathology — see BASELINE.md)
     time_probe(
         "rag_hybrid_probe",
-        lambda: rag_retrieve_hybrid(rag_hq, rag_dir, k=3, leg_k=10),
+        lambda: rag_retrieve_hybrid(
+            rag_hq, rag_dir, k=3, leg_k=10, max_df_ratio=None
+        ),
     )
 
     # ML sweep throughput: one BPMF Gibbs sweep (I3 kernel both entities +
