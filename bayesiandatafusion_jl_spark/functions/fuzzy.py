@@ -192,7 +192,14 @@ def set_similarity_join(
     """
     if not (0.0 < tau <= 1.0):
         raise ValueError(f"tau must be in (0, 1], got {tau}")
-    tok = (
+    from bayesiandatafusion_jl_spark.session import checkpoint_df
+
+    # the distinct-token frame feeds FOUR consumers (sizes, frequencies,
+    # the ranked prefixes, the verify-side token sets) — checkpoint it so
+    # the corpus is tokenized once, not once per consumer (the
+    # unigram_nll one-scan discipline; pre-checkpoint this plan re-read
+    # the documents 8 times)
+    tok = checkpoint_df(
         docs.select(
             F.col(id_col).alias("id"),
             F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
