@@ -143,3 +143,19 @@ def test_set_sim_join_tau_rails(spark):
     )
     rows = set_similarity_join(docs2, tau=1.0).collect()
     assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+
+
+def test_set_sim_join_partition_invariance(spark):
+    from bayesiandatafusion_jl_spark.functions.fuzzy import (
+        set_similarity_join,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * j) % 9}" for j in range(1, 8))) for i in range(60)],
+        "id long, text string",
+    )
+    a = sorted(map(tuple, set_similarity_join(docs, tau=0.6).collect()))
+    b = sorted(
+        map(tuple, set_similarity_join(docs.repartition(13), tau=0.6).collect())
+    )
+    assert a == b and a  # non-vacuous

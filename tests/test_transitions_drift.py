@@ -110,3 +110,11 @@ def test_transition_anomaly_scores_outlier_highest(spark):
     assert all(out[9] > out[u] for u in range(1, 6))
     # conformists all score identically (same transition multiset)
     assert len({round(out[u], 9) for u in range(1, 6)}) == 1
+
+
+def test_transitions_partition_invariance(spark):
+    rows = [(i % 7, i % 13, "t" + str((i * 3) % 5)) for i in range(300)]
+    ev = _events(spark, [(u, m % 60, t) for u, m, t in rows])
+    a = sorted(map(tuple, event_transitions(ev).collect()))
+    b = sorted(map(tuple, event_transitions(ev.repartition(17)).collect()))
+    assert a == b
