@@ -913,12 +913,22 @@ def topk_state(
     (order_col, payload...) structs, descending, ties broken by the
     payload columns ascending (fully deterministic). Plan: one window
     rank per key (shuffle on keys, k rows survive per key) + a bounded
-    collect_list (≤ k elements by construction — never data-sized)."""
+    collect_list (≤ k elements by construction — never data-sized).
+
+    NULL-order contract: rows with a NULL ``order_col`` are EXCLUDED
+    from the state here (equivalent to ``WHERE order_col IS NOT NULL``
+    before the window). Without the filter the two orderings diverge:
+    the window's ``desc`` ranks NULLs last, but the state array sorts by
+    the negated order column ascending, which puts NULL ``__no`` FIRST —
+    so ``topk_read`` would hand rank 1 to rows the one-shot window ranks
+    last. Excluding them keeps state ≡ one-shot on every input; a view
+    that wants NULLs ranked must coalesce them to a sentinel first."""
     w = W.partitionBy(*keys).orderBy(
         F.desc(order_col), *[F.asc(c) for c in payload_cols]
     )
     ranked = (
-        df.select(*keys, order_col, *payload_cols)
+        df.filter(F.col(order_col).isNotNull())
+        .select(*keys, order_col, *payload_cols)
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
     )

@@ -606,6 +606,44 @@ def test_topk_tie_break_matches_window_order(spark):
     assert out == [(1, 10), (2, 20), (3, 30)]
 
 
+def test_topk_null_order_rows_excluded(spark):
+    """NULL order values are excluded from the state (the documented
+    contract): the negated-order struct would sort NULL '__no' FIRST
+    while the one-shot window ranks NULLs LAST, so keeping them would
+    hand rank 1 to rows the window ranks last (r13 ADVICE)."""
+    from bayesiandatafusion_jl_spark.operators.matview import (
+        topk_merge,
+        topk_read,
+        topk_state,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, 99), (1, None, 98), (1, 5.0, 1), (1, 3.0, 2), (2, None, 7)],
+        "k int, v double, id long",
+    )
+    out = [
+        (r["k"], r["rk"], r["v"], r["id"])
+        for r in topk_read(
+            topk_state(df, ["k"], "v", ["id"], 3), ["k"], "v", ["id"]
+        ).orderBy("k", "rk").collect()
+    ]
+    # null-order rows never appear — including key 2, whose rows were
+    # ALL null-ordered (the key vanishes from the view entirely)
+    assert out == [(1, 1, 5.0, 1), (1, 2, 3.0, 2)]
+    # and the merge path agrees with the one-shot on the same input
+    parts = [
+        topk_state(df.filter(F.col("id") % 2 == i), ["k"], "v", ["id"], 3)
+        for i in range(2)
+    ]
+    merged = [
+        (r["k"], r["rk"], r["v"], r["id"])
+        for r in topk_read(
+            topk_merge(parts, ["k"], "v", ["id"], 3), ["k"], "v", ["id"]
+        ).orderBy("k", "rk").collect()
+    ]
+    assert merged == out
+
+
 def test_topk_view_persisted_lifecycle(spark, tmp_path):
     """write → append ×2 → read ≡ one-shot; replayed epoch idempotent;
     config pin enforced; compaction folds epochs and rejects replays."""
