@@ -617,7 +617,9 @@ def write_bm25_index(
         F.count(F.lit(1)).alias("n_docs_tokened"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
     ).select(
-        F.lit(n_docs).alias("n_docs"),
+        # bigint: the stats rows SUM across epochs at probe time, and a
+        # >=2^31-doc corpus must not wrap the count that drives IDF
+        F.lit(n_docs).cast("bigint").alias("n_docs"),
         "n_docs_tokened",
         "sum_dl",
         F.lit(epoch).alias("__epoch"),
@@ -643,6 +645,15 @@ def write_bm25_index(
 
         clear_tombstones(spark, index_dir)
         reset_ledger(spark, index_dir)
+        # a crashed compaction's purge_pending frame belongs to the OLD
+        # incarnation — its doc_ids must not be subtracted from the fresh
+        # build's stats on the next compaction
+        from bayesiandatafusion_jl_spark.functions.index_compact import _fs
+
+        (pending_path,) = index_paths(index_dir, "purge_pending")
+        fs, pending_h, _ = _fs(spark, pending_path)
+        if fs.exists(pending_h):
+            fs.delete(pending_h, True)
 
 
 def bm25_query_index(
@@ -975,11 +986,20 @@ def compact_bm25_index(
     ``delete_from_bm25_index`` documents. One honest residue: a deleted
     doc that had ZERO tokens is invisible to the postings, so it stays
     inside ``n_docs`` until a true rebuild (the corpus isn't available
-    here); same if the job dies between the postings swap and the stats
-    rewrite (stats then stay at the documented deleted-docs semantics —
-    masked, never resurfaced — until the next compaction or rebuild).
-    Without tombstones the stats rows are re-labeled, not summed (the
-    probe sums them anyway, so the readout is unchanged).
+    here). Without tombstones the stats rows are re-labeled, not summed
+    (the probe sums them anyway, so the readout is unchanged).
+
+    Crash safety of the ``n_docs`` reconcile (r14): the purge victims'
+    doc_ids are PERSISTED to a ``purge_pending`` frame BEFORE the
+    postings swap. If the job dies between the swap and the stats
+    rewrite, the victims are gone from the postings (unrecountable), but
+    the pending frame survives — the next compaction unions it with its
+    own victims (distinct doc_ids, so replays never double-subtract) and
+    still reconciles ``n_docs`` exactly. The frame is deleted only after
+    the stats rewrite lands, and BEFORE the tombstones clear (the one
+    ordering where every crash point resumes correctly). Mid-window the
+    probe-facing semantics remain the documented deleted-docs masking —
+    hidden, never resurfaced.
     """
     from bayesiandatafusion_jl_spark.functions.index_compact import (
         COMPACT_PREFIX,
@@ -995,10 +1015,19 @@ def compact_bm25_index(
         tombstone_purge,
     )
 
-    post_path, stats_path = index_paths(index_dir, "postings", "stats")
+    from bayesiandatafusion_jl_spark.functions.index_compact import _fs
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        tombstones_path,
+    )
+
+    post_path, stats_path, pending_path = index_paths(
+        index_dir, "postings", "stats", "purge_pending"
+    )
     gen = _next_gen(spark, index_dir)
     new_epoch = f"{COMPACT_PREFIX}{gen}"
     purge = tombstone_purge(spark, index_dir, "doc_id")
+    fs, pending_h, _ = _fs(spark, pending_path)
+    has_pending = bool(fs.exists(pending_h))
     epochs = sorted(
         r["__epoch"]
         for r in spark.read.parquet(post_path)
@@ -1006,34 +1035,69 @@ def compact_bm25_index(
         .distinct()
         .collect()
     )
-    if len(epochs) > 1 or purge is not None:
+    if len(epochs) > 1 or purge is not None or has_pending:
         # a purge rewrites even a single epoch; replaying that epoch
-        # would resurrect the purged rows, so it is folded too
+        # would resurrect the purged rows, so it is folded too. A
+        # pending-only resume folds as well: the stats frame is about to
+        # collapse to the compact epoch, so a replayed append of a
+        # surviving epoch label would double its stats row.
         record_folded(
             spark,
             index_dir,
             [e for e in epochs if not e.startswith(COMPACT_PREFIX)],
             gen,
         )
-    n_purged = 0
-    if purge is not None:
-        # docs the purge will actually remove, counted BEFORE the swap —
-        # the n_docs reconciliation needs it and the rows are gone after
-        old_docs = (
-            spark.read.parquet(post_path).select("doc_id").distinct()
-        )
-        n_purged = old_docs.count() - purge(old_docs).count()
+    if purge is not None or has_pending:
+        # doc_ids the purge will remove, captured BEFORE the swap (the
+        # rows are unrecountable after), unioned with any victims a
+        # crashed prior compaction already removed but never subtracted
+        # from the stats. DISTINCT ids — not a count — so a retry that
+        # re-observes the same victims can never double-subtract.
+        victims = spark.createDataFrame([], "doc_id bigint")
+        if purge is not None:
+            tombs = (
+                spark.read.parquet(tombstones_path(index_dir))
+                .select("id")
+                .distinct()
+            )
+            victims = (
+                spark.read.parquet(post_path)
+                .select("doc_id")
+                .distinct()
+                .join(
+                    F.broadcast(tombs),
+                    F.col("doc_id") == F.col("id"),
+                    "left_semi",
+                )
+            )
+        if has_pending:
+            victims = victims.unionByName(
+                spark.read.parquet(pending_path).select("doc_id")
+            )
+        victims = victims.select(F.col("doc_id").cast("bigint")).distinct()
+        if has_pending:
+            # the plan reads pending_path, so land in a sibling and swap
+            pending_tmp = pending_path.rstrip("/") + ".__compact_tmp"
+            victims.write.mode("overwrite").parquet(pending_tmp)
+            _swap_dir(spark, pending_tmp, pending_path)
+        else:
+            victims.write.mode("overwrite").parquet(pending_path)
     p_stats = compact_epochs(
         spark, post_path, new_epoch, outer_cols=("tok_bucket",),
         target_mb=target_mb, transform=purge,
     )
-    if purge is None:
+    if purge is None and not has_pending:
         s_stats = compact_epochs(
             spark, stats_path, new_epoch, target_mb=target_mb
         )
     else:
         # reconcile the corpus stats from the surviving postings: one row
-        # replacing every epoch's, written via the same tmp+swap protocol
+        # replacing every epoch's, written via the same tmp+swap protocol.
+        # n_purged comes from the PERSISTED pending frame, not a live
+        # recount — after a crash between the postings swap and this
+        # rewrite, the victims are gone from the postings and only the
+        # pending frame still knows them.
+        n_purged = spark.read.parquet(pending_path).count()
         old_totals = (
             spark.read.parquet(stats_path)
             .agg(F.sum("n_docs").cast("bigint").alias("n_docs"))
@@ -1061,10 +1125,10 @@ def compact_bm25_index(
                     new_epoch,
                 )
             ],
-            # type-identical to write_bm25_index's stats row (n_docs is
-            # F.lit(int) → IntegerType there): later append epochs must
-            # not schema-conflict with the compacted row
-            "n_docs int, n_docs_tokened bigint, sum_dl bigint,"
+            # type-identical to write_bm25_index's stats row (bigint
+            # there too, r14): later append epochs must not
+            # schema-conflict with the compacted row
+            "n_docs bigint, n_docs_tokened bigint, sum_dl bigint,"
             " __epoch string",
         )
         tmp_path = stats_path.rstrip("/") + ".__compact_tmp"
@@ -1078,6 +1142,14 @@ def compact_bm25_index(
             len(spark.read.parquet(stats_path).inputFiles()),
             0,
         )
+        # crash-ordering: pending is consumed (stats now reconciled), so
+        # drop it BEFORE the tombstones — a crash in between leaves
+        # tombstones whose victims are already purged AND subtracted; the
+        # next compaction recounts them as 0 victims and no-ops. The
+        # reverse order would leave a pending frame with no tombstones,
+        # double-subtracting on the next run.
+        if fs.exists(pending_h):
+            fs.delete(pending_h, True)
         clear_tombstones(spark, index_dir)
     return _stats_row(spark, [("postings", *p_stats), ("stats", *s_stats)])
 
@@ -1266,9 +1338,13 @@ def retrieval_quality_rows(
     if _BM25_INDEX_CACHE.get(pq_dir) != key or not os.path.isdir(pq_dir):
         write_ivf_index(emb, pq_dir, n_cells=16, n_assign=2, pq_m=16)
         _BM25_INDEX_CACHE[pq_dir] = key
+    # exclude_self in-plan (ADC candidate stage), NOT a post-filter: a
+    # post-filtered self-hit would consume a top-10 slot and deflate the
+    # pq quality rows relative to the baseline (r13 ADVICE)
     pq_hits = ann_ivfpq_query_index(
-        q_emb.select("qid", "qe"), pq_dir, k=10, n_probe=6, refine=4
-    ).filter(F.col("nb_id") != F.col("qid"))
+        q_emb.select("qid", "qe"), pq_dir, k=10, n_probe=6, refine=4,
+        exclude_self=True,
+    )
     s = retrieval_metrics_summary(
         retrieval_metrics(pq_hits.select("qid", "nb_id", "rk"), label_truth, k=10)
     ).collect()[0]

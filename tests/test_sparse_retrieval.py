@@ -538,6 +538,90 @@ def test_bm25_compaction_purges_tombstones_and_reconciles_stats(
     )
 
 
+def test_bm25_compaction_crash_window_still_reconciles(
+    spark, tmp_path, monkeypatch
+):
+    """r14 (ADVICE): a crash BETWEEN the postings swap and the stats
+    rewrite used to leave ``n_docs`` stale forever — the victims were
+    gone from the postings, so the next compaction recounted 0 purged.
+    The purge_pending frame (persisted before the swap) closes it: the
+    resumed compaction must reconcile stats exactly to a fresh rebuild."""
+    import pytest as _pytest
+
+    from bayesiandatafusion_jl_spark.functions import index_compact
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        has_tombstones,
+    )
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        bm25_query_index,
+        compact_bm25_index,
+        delete_from_bm25_index,
+        write_bm25_index,
+    )
+
+    corpus = _index_corpus(spark)
+    queries = corpus.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("qid"), "text"
+    )
+    d = str(tmp_path / "bm25_crash")
+    write_bm25_index(corpus.filter(F.col("doc_id") < 30), d, n_buckets=16)
+    write_bm25_index(
+        corpus.filter(F.col("doc_id") >= 30), d, n_buckets=16,
+        mode="append", epoch="s1",
+    )
+    victims = [3, 17, 41]
+    delete_from_bm25_index(spark, d, victims)
+
+    real_swap = index_compact._swap_dir
+
+    def dying_swap(spark_, tmp, final):
+        if final.rstrip("/").endswith("/stats"):
+            raise IOError("injected crash before the stats rewrite")
+        return real_swap(spark_, tmp, final)
+
+    monkeypatch.setattr(index_compact, "_swap_dir", dying_swap)
+    with _pytest.raises(IOError, match="injected crash"):
+        compact_bm25_index(spark, d)
+    monkeypatch.undo()
+    # mid-window state: victims physically gone from the postings (the
+    # swap landed), stats still stale, pending frame + tombstones intact
+    live = {
+        r.doc_id
+        for r in spark.read.parquet(f"{d}/postings")
+        .select("doc_id").distinct().collect()
+    }
+    assert not (set(victims) & live)
+    pending = {
+        r.doc_id for r in spark.read.parquet(f"{d}/purge_pending").collect()
+    }
+    assert pending == set(victims)
+    assert has_tombstones(spark, d)
+    # resume: the next compaction must subtract the PERSISTED victims
+    compact_bm25_index(spark, d)
+    ref = str(tmp_path / "bm25_crash_ref")
+    write_bm25_index(
+        corpus.filter(~F.col("doc_id").isin(victims)), ref, n_buckets=16
+    )
+    raw = lambda p: spark.read.parquet(f"{p}/stats").groupBy().sum(  # noqa: E731
+        "n_docs", "n_docs_tokened", "sum_dl"
+    ).collect()[0]
+    assert tuple(raw(d)) == tuple(raw(ref))
+    probe = lambda p: sorted(  # noqa: E731
+        (r["qid"], r["rk"], r["nb_id"], round(r["score"], 9))
+        for r in bm25_query_index(queries, p, k=5, exclude_self=True).collect()
+    )
+    assert probe(d) == probe(ref) and len(probe(d)) > 0
+    # consumed: pending gone, tombstones cleared; a THIRD compaction
+    # must not double-subtract (n_docs unchanged)
+    import os
+
+    assert not os.path.exists(f"{d}/purge_pending")
+    assert not has_tombstones(spark, d)
+    before = tuple(raw(d))
+    compact_bm25_index(spark, d)
+    assert tuple(raw(d)) == before
+
+
 def test_bm25_overwrite_resets_folded_ledger(spark, tmp_path):
     """A fresh rebuild starts a new epoch namespace: the old
     incarnation's fold history must not reject re-used epoch names (the
