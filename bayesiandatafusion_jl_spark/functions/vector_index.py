@@ -769,9 +769,14 @@ def ivf_recall_sweep(
     rows = []
     for np_ in n_probes:
         if pq:
+            # exclude_self threads into the ADC candidate stage, BEFORE
+            # the shortlist/top-k — a post-filter here would let the
+            # self-hit consume a k slot and structurally deflate the pq
+            # recall relative to the brute baseline (r13 ADVICE)
             ann = ann_ivfpq_query_index(
-                queries, index_dir, k=k, n_probe=np_, refine=refine
-            ).filter(F.col("nb_id") != F.col("qid"))
+                queries, index_dir, k=k, n_probe=np_, refine=refine,
+                exclude_self=True,
+            )
         else:
             ann = ann_ivf_query_index(
                 queries, index_dir, k=k, n_probe=np_, exclude_self=True
