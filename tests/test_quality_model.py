@@ -72,3 +72,62 @@ def test_scoring_is_shuffle_free(spark):
     ))
     plan = formatted_plan(score_quality(model, good))
     assert "Exchange" not in plan, plan
+
+
+def test_save_load_score_parity_and_meta_refusal(spark, tmp_path, monkeypatch):
+    """r14 (VERDICT #1): save → fresh load → score must equal the
+    in-memory model's scores exactly; a load under a DIFFERENT
+    featurization fingerprint must refuse loudly (the load_bpe
+    discipline)."""
+    import pytest as _pytest
+
+    from bayesiandatafusion_jl_spark.functions import quality_model as qm
+
+    good = _corpus(spark, n=30)
+    bad = _corpus(spark, n=30, start=1000, good=False)
+    seed = good.withColumn("label", F.lit(1.0)).unionByName(
+        bad.withColumn("label", F.lit(0.0))
+    )
+    model = train_quality_classifier(seed)
+    d = str(tmp_path / "qmodel")
+    qm.save_quality_model(spark, model, d, qm.seed_fingerprint(seed))
+    loaded, n_features = qm.load_quality_model(spark, d)
+    assert n_features == model.numFeatures
+    probe = good.unionByName(bad)
+    want = sorted(
+        (r["doc_id"], round(r["p_good"], 12))
+        for r in score_quality(model, probe).collect()
+    )
+    got = sorted(
+        (r["doc_id"], round(r["p_good"], 12))
+        for r in score_quality(loaded, probe, n_features=n_features).collect()
+    )
+    assert got == want
+    # featurizer drift: the artifact must refuse to load
+    monkeypatch.setattr(qm, "_featurizer_fp", lambda: 12345)
+    with _pytest.raises(ValueError, match="DIFFERENT featurization"):
+        qm.load_quality_model(spark, d)
+
+
+def test_ensure_quality_model_trains_once(spark, monkeypatch):
+    """Second ensure() over the same corpus must NOT retrain (the
+    artifact + matching seed fingerprint short-circuit); a different
+    seed (other corpus) must."""
+    import shutil
+
+    from bayesiandatafusion_jl_spark.functions import quality_model as qm
+
+    sf_dir = "/root/testdata/sf0.001"
+    model_dir = f"/tmp/bdf_quality_model/{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(model_dir, ignore_errors=True)
+    d1 = qm.ensure_quality_model(spark, sf_dir)
+    assert d1 == model_dir
+
+    def boom(*a, **kw):
+        raise AssertionError("retrained despite a fresh matching artifact")
+
+    monkeypatch.setattr(qm, "train_quality_classifier", boom)
+    assert qm.ensure_quality_model(spark, sf_dir) == model_dir
+    # and the registered query runs scoring-only under the same patch
+    out = qm.q_llm_quality_model(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in out) > 0
