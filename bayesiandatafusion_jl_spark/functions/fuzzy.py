@@ -162,6 +162,63 @@ def q_text_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_join(strings, d=8, q=2)
 
 
+def _set_sim_candidates(
+    tok: DataFrame, tau: float, positional_filter: bool = True
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs from prefix collisions over a
+    distinct (id, token) frame — the generation stage of
+    ``set_similarity_join``, factored out so the positional filter's
+    candidate reduction is directly measurable (pytest pins it on a
+    planted boilerplate corpus). ``positional_filter=False`` is the
+    prefix+length-only form, kept for that measurement — production
+    callers never pass it."""
+    sz = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    prefix_len = (
+        F.col("n")
+        - F.ceil(F.lit(tau) * F.col("n") - F.lit(1e-9))
+        + F.lit(1)
+    )
+    ranked = (
+        tok.join(F.broadcast(freq), "token")
+        .join(sz, "id")
+        .withColumn(
+            "prk",
+            F.row_number().over(W.partitionBy("id").orderBy("freq", "token")),
+        )
+        .filter(F.col("prk") <= prefix_len)
+        .select("id", "n", "token", "prk")
+    )
+    a = ranked.select(
+        F.col("id").alias("id_a"), F.col("n").alias("n_a"), "token",
+        F.col("prk").alias("prk_a"),
+    )
+    b = ranked.select(
+        F.col("id").alias("id_b"), F.col("n").alias("n_b"), "token",
+        F.col("prk").alias("prk_b"),
+    )
+    cand = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("n_b") >= F.ceil(F.lit(tau) * F.col("n_a") - F.lit(1e-9)))
+            & (F.col("n_a") >= F.ceil(F.lit(tau) * F.col("n_b") - F.lit(1e-9)))
+        )
+    )
+    if positional_filter:
+        # PPJoin: overlap via THIS collision is at most the matching
+        # token plus everything after it in both ordered lists
+        alpha = F.ceil(
+            F.lit(tau / (1.0 + tau)) * (F.col("n_a") + F.col("n_b"))
+            - F.lit(1e-9)
+        )
+        ubound = F.lit(1) + F.least(
+            F.col("n_a") - F.col("prk_a"), F.col("n_b") - F.col("prk_b")
+        )
+        cand = cand.filter(ubound >= alpha)
+    return cand.select("id_a", "id_b").distinct()
+
+
 def set_similarity_join(
     docs: DataFrame,
     tau: float,
@@ -184,11 +241,25 @@ def set_similarity_join(
     (tau·|a| <= |b| <= |a|/tau) prunes the survivors before the exact
     verify (``array_intersect`` on the two token sets — JVM-side).
 
+    The POSITIONAL filter (PPJoin proper, r14): each collision carries
+    the token's position in both ordered lists, which bounds the best
+    possible overlap at 1 + min(|a|−i, |b|−j); a collision whose bound
+    is below the Jaccard-required alpha = ceil(tau·(|a|+|b|)/(1+tau))
+    cannot witness a match and is dropped BEFORE the pair reaches the
+    verify. Lossless: for a true match, the FIRST common token in the
+    global order sits inside both prefixes and its o−1 remaining common
+    tokens all sort after it in both lists, so that collision's bound
+    >= o >= alpha. On boilerplate-heavy corpora (short docs of mostly
+    hot tokens) this is the rail that keeps prefix collisions from
+    ballooning candidates — exactness-preserving, unlike widening tau.
+
     The ceil() in the prefix length runs on a down-nudged product
     (tau·n − 1e-9): float error can only LENGTHEN the prefix — the
     direction that admits extra candidates for the verify to kill,
-    never the one that silently loses a pair. Zero-token documents are
-    excluded (Jaccard is undefined on empty sets).
+    never the one that silently loses a pair. The alpha ceil() is
+    down-nudged the same way (extra candidates, never a lost pair).
+    Zero-token documents are excluded (Jaccard is undefined on empty
+    sets).
     """
     if not (0.0 < tau <= 1.0):
         raise ValueError(f"tau must be in (0, 1], got {tau}")
@@ -207,39 +278,7 @@ def set_similarity_join(
         .filter(F.col("token") != "")
         .distinct()
     )
-    sz = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
-    prefix_len = (
-        F.col("n")
-        - F.ceil(F.lit(tau) * F.col("n") - F.lit(1e-9))
-        + F.lit(1)
-    )
-    ranked = (
-        tok.join(F.broadcast(freq), "token")
-        .join(sz, "id")
-        .withColumn(
-            "prk",
-            F.row_number().over(W.partitionBy("id").orderBy("freq", "token")),
-        )
-        .filter(F.col("prk") <= prefix_len)
-        .select("id", "n", "token")
-    )
-    a = ranked.select(
-        F.col("id").alias("id_a"), F.col("n").alias("n_a"), "token"
-    )
-    b = ranked.select(
-        F.col("id").alias("id_b"), F.col("n").alias("n_b"), "token"
-    )
-    cand = (
-        a.join(b, "token")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            (F.col("n_b") >= F.ceil(F.lit(tau) * F.col("n_a") - F.lit(1e-9)))
-            & (F.col("n_a") >= F.ceil(F.lit(tau) * F.col("n_b") - F.lit(1e-9)))
-        )
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = _set_sim_candidates(tok, tau)
     sets = tok.groupBy("id").agg(F.sort_array(F.collect_set("token")).alias("toks"))
     pa = sets.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
     pb = sets.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))

@@ -159,3 +159,77 @@ def test_set_sim_join_partition_invariance(spark):
         map(tuple, set_similarity_join(docs.repartition(13), tau=0.6).collect())
     )
     assert a == b and a  # non-vacuous
+
+
+def test_testdata_text_is_single_space_tokenizable(spark):
+    """Pin the repo-wide oracle convention (r13 ADVICE): Spark tokenizes
+    with split on \\s+ while the DuckDB oracles use string_split(text,
+    ' ') — parity holds ONLY while the testdata text contains single
+    spaces and no tabs/newlines/leading/trailing/double spaces. If the
+    corpus generator ever changes, this fails loudly instead of letting
+    q_text_set_sim_join / q_text_kl_drift (and every other text oracle)
+    drift silently."""
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        bad = docs.filter(
+            F.col("text").rlike(r"[\t\n\r]|  |^ | $")
+        ).count()
+        assert bad == 0, (
+            f"{sf_dir}: {bad} documents violate the single-space"
+            " tokenization assumption the DuckDB text oracles depend on"
+        )
+
+
+def test_positional_filter_cuts_candidates_losslessly(spark):
+    """r14 (VERDICT #3): a boilerplate-heavy corpus (short docs of
+    mostly-hot shared tokens) balloons prefix collisions; the PPJoin
+    positional filter must cut the candidate count while the final
+    pair set stays EXACTLY equal to brute force."""
+    from bayesiandatafusion_jl_spark.functions.fuzzy import (
+        _set_sim_candidates,
+        set_similarity_join,
+    )
+
+    # 80 docs sharing a 6-token boilerplate header, each with 2 tokens
+    # of its own drawn from a small pool: prefixes are mostly the same
+    # hot tokens, so prefix-only collisions approach all-pairs
+    boiler = "terms of service apply contact support"
+    docs = spark.createDataFrame(
+        [
+            # i and i+40 are exact duplicates (J=1): matches exist
+            (i, f"{boiler} u{((i % 40) * 7) % 23} v{((i % 40) * 11) % 19}")
+            for i in range(80)
+        ],
+        "id long, text string",
+    )
+    tau = 0.8
+    tok = (
+        docs.select(
+            "id",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    n_prefix_only = _set_sim_candidates(
+        tok, tau, positional_filter=False
+    ).count()
+    n_positional = _set_sim_candidates(tok, tau).count()
+    assert n_positional < n_prefix_only, (n_positional, n_prefix_only)
+    # exactness against brute force on the same corpus
+    toks = {
+        r["id"]: set(r["text"].lower().split()) for r in docs.collect()
+    }
+    brute = set()
+    ids = sorted(toks)
+    for x in ids:
+        for y in ids:
+            if x < y:
+                o = len(toks[x] & toks[y])
+                if o / len(toks[x] | toks[y]) >= tau:
+                    brute.add((x, y))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in set_similarity_join(docs, tau=tau).collect()
+    }
+    assert got == brute and brute  # non-vacuous: some pairs must match
