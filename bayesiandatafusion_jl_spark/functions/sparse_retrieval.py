@@ -1199,6 +1199,76 @@ def delete_from_bm25_index(
     append_tombstones(spark, index_dir, doc_ids)
 
 
+_PLANT_EVERY = 29  # every 29th doc/vec carries planted eval markers
+
+
+def planted_eval_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SF-independent retrieval eval fixture (VERDICT r13 #2): the
+    `documents` corpus with three globally-unique marker tokens
+    (``qmk<doc_id>m<j>`` — outside the testdata's ~50-word vocabulary
+    by construction) appended to every ``_PLANT_EVERY``-th document.
+
+    Why: the twin eval's recall decays with corpus size because the
+    synthetic vocabulary destroys lexical separability (recall@10
+    measured 0.80/0.73/0.33 at sf0.001/0.01/0.1), so its floors could
+    only ever catch breakage. A marker term has df=1 at EVERY scale —
+    maximal IDF, one relevant document — so recall against the planted
+    truth stays high at any SF and its floor means QUALITY: a ranking
+    bug that halves real recall now fails the suite instead of sliding
+    under a 0.2 rail."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    markers = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit("qmk"), F.col("doc_id"), F.lit(f"m{j}"))
+            for j in range(3)
+        ],
+    )
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % _PLANT_EVERY == 0,
+            F.concat_ws(" ", F.col("text"), markers),
+        ).otherwise(F.col("text")),
+    )
+
+
+def planted_eval_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, text): one query per planted document — its three marker
+    tokens and nothing else. The relevant doc is the one that carries
+    them; every other doc shares zero query terms."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.filter(F.col("doc_id") % _PLANT_EVERY == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit("qmk"), F.col("doc_id"), F.lit(f"m{j}"))
+                for j in range(3)
+            ],
+        ).alias("text"),
+    )
+
+
+def ensure_planted_bm25_index(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted BM25 index over the marker-planted corpus, built at
+    most once per corpus fingerprint (the eval fixture's index)."""
+    import os
+
+    from bayesiandatafusion_jl_spark.functions.vector import (
+        _corpus_fingerprint,
+    )
+
+    index_dir = f"/tmp/bdf_bm25_planted/{sf_dir.strip('/').replace('/', '_')}"
+    key = (_corpus_fingerprint(sf_dir, "documents"), 64, _PLANT_EVERY)
+    if _BM25_INDEX_CACHE.get(index_dir) != key or not os.path.isdir(index_dir):
+        write_bm25_index(
+            planted_eval_corpus(spark, sf_dir), index_dir, n_buckets=64
+        )
+        _BM25_INDEX_CACHE[index_dir] = key
+    return index_dir
+
+
 def retrieval_quality_rows(
     spark: SparkSession, sf_dir: str
 ) -> list[tuple[str, int, float, float | None]]:
@@ -1286,6 +1356,26 @@ def retrieval_quality_rows(
         )
     )
 
+    # ---- planted-marker eval (r14): SF-independent QUALITY floors ----
+    # Marker terms have df=1 at every scale, so these rows measure the
+    # retrieval machinery itself (bucket pruning, IDF, ranking), not the
+    # synthetic vocabulary's separability — floors are quality bars
+    # (>=0.7), not breakage rails. See planted_eval_corpus.
+    planted_dir = ensure_planted_bm25_index(spark, sf_dir)
+    pq_q = planted_eval_queries(spark, sf_dir)
+    p_truth = pq_q.select("qid", F.col("qid").alias("rel_id"))
+    # the serving rail (max_df_ratio=0.25) must NOT prune df=1 markers —
+    # probe under the production default, which is the point
+    p_hits = bm25_query_index(pq_q, planted_dir, k=10, max_df_ratio=0.25)
+    s = retrieval_metrics_summary(
+        retrieval_metrics(p_hits, p_truth, k=10)
+    ).collect()[0]
+    rows += [
+        ("planted_bm25_recall@10", int(s["n_queries"]),
+         float(s["recall_at_k"]), 0.9),
+        ("planted_bm25_mrr", int(s["n_queries"]), float(s["mrr"]), 0.9),
+    ]
+
     # ---- label ground truth shared by the dense-bearing probes ------
     emb = load_table(spark, sf_dir, "embeddings")
     q_emb = emb.filter(F.col("vec_id") % 50 == 0).select(
@@ -1354,4 +1444,46 @@ def retrieval_quality_rows(
         ("ivfpq_index_mrr", nq, float(s["mrr"]), 0.1),
         ("ivfpq_index_ndcg@10", nq, float(s["ndcg"]), 0.05),
     ]
+
+    # ---- planted dense eval (r14): routing recall, SF-independent ----
+    # Query = the EXACT stored embedding under a fresh qid (offset, so
+    # exclude_self never hides the hit); relevant = that vector itself.
+    # An IVF probe that routes correctly retrieves it at rank 1 at any
+    # SF; a misrouted probe (wrong cells pruned, scrambled ADC) fails a
+    # >=0.7 floor instead of hiding under a label-noise rail.
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        ann_ivf_query_index,
+    )
+
+    plant_q = emb.filter(F.col("vec_id") % _PLANT_EVERY == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("qid"),
+        F.col("embedding").alias("qe"),
+    )
+    plant_truth = plant_q.select(
+        "qid", (F.col("qid") - 10_000_000).alias("rel_id")
+    )
+    ivf_self = ann_ivf_query_index(
+        plant_q, ivf_dir, k=10, n_probe=4, exclude_self=True
+    )
+    s = retrieval_metrics_summary(
+        retrieval_metrics(
+            ivf_self.select("qid", "nb_id", "rk"), plant_truth, k=10
+        )
+    ).collect()[0]
+    rows.append(
+        ("planted_ivf_recall@10", int(s["n_queries"]),
+         float(s["recall_at_k"]), 0.9)
+    )
+    pq_self = ann_ivfpq_query_index(
+        plant_q, pq_dir, k=10, n_probe=6, refine=4, exclude_self=True
+    )
+    s = retrieval_metrics_summary(
+        retrieval_metrics(
+            pq_self.select("qid", "nb_id", "rk"), plant_truth, k=10
+        )
+    ).collect()[0]
+    rows.append(
+        ("planted_ivfpq_recall@10", int(s["n_queries"]),
+         float(s["recall_at_k"]), 0.7)
+    )
     return rows

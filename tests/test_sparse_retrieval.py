@@ -724,9 +724,10 @@ def test_metrics_truth_bearing_query_with_no_hits_scores_zero(spark):
 
 
 def test_retrieval_quality_rows_respect_floors(spark):
-    """r13: the driver-visible quality rows (q_llm_scale_suite tail) sit
-    at or above their pinned floors at tiny SF; every family reports all
-    three metrics plus the railed readout."""
+    """r13/r14: the driver-visible quality rows (q_llm_scale_suite tail)
+    sit at or above their pinned floors at tiny SF; every family reports
+    all three metrics plus the railed readout, and the planted-marker
+    rows (SF-independent quality bars, floors >= 0.7) are present."""
     from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
         retrieval_quality_rows,
     )
@@ -738,14 +739,60 @@ def test_retrieval_quality_rows_respect_floors(spark):
         "bm25_index_mrr",
         "bm25_index_ndcg@10",
         "bm25_index_railed_recall@10",
+        "planted_bm25_recall@10",
+        "planted_bm25_mrr",
         "hybrid_index_recall@10",
         "hybrid_index_mrr",
         "hybrid_index_ndcg@10",
         "ivfpq_index_recall@10",
         "ivfpq_index_mrr",
         "ivfpq_index_ndcg@10",
+        "planted_ivf_recall@10",
+        "planted_ivfpq_recall@10",
     ]
+    floors = {m: fl for m, _, _, fl in rows}
+    # the planted floors are QUALITY bars, not breakage rails
+    assert floors["planted_bm25_recall@10"] >= 0.7
+    assert floors["planted_ivf_recall@10"] >= 0.7
+    assert floors["planted_ivfpq_recall@10"] >= 0.7
     for method, n, quality, floor in rows:
         assert n > 0, method
         if floor is not None:
             assert quality >= floor, (method, quality, floor)
+
+
+def test_planted_eval_fixture_shape(spark):
+    """The planted corpus only changes marked docs (marker tokens
+    appended, base text intact) and queries hit ONLY their own doc's
+    markers (df=1 per marker at any SF)."""
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        _PLANT_EVERY,
+        planted_eval_corpus,
+        planted_eval_queries,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    marked = {
+        r["doc_id"]: r["text"]
+        for r in planted_eval_corpus(spark, sf).collect()
+    }
+    assert set(marked) == set(base)
+    for did, text in marked.items():
+        if did % _PLANT_EVERY == 0:
+            assert text.startswith(base[did])
+            tail = text[len(base[did]):].split()
+            assert tail == [f"qmk{did}m{j}" for j in range(3)]
+        else:
+            assert text == base[did]
+    # each marker token appears in exactly one marked doc
+    q = {r["qid"]: r["text"] for r in planted_eval_queries(spark, sf).collect()}
+    all_marked_text = " ".join(
+        t for d, t in marked.items() if d % _PLANT_EVERY == 0
+    )
+    for qid, qtext in q.items():
+        for tokn in qtext.split():
+            assert all_marked_text.count(tokn) == 1, (qid, tokn)
