@@ -43,6 +43,33 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
 
 
+def unpushed_filter_scans(df: DataFrame) -> list[str]:
+    """Parquet-scan node ids that sit DIRECTLY beneath a Filter in the
+    physical-plan tree yet pushed no predicates — the filter-stopped-
+    pushing regression class (a predicate Catalyst once pushed into the
+    scan now evaluated row-by-row above it). Tree adjacency is read
+    from the formatted explain's tree section (a Filter within two
+    lines above the scan — the ColumnarToRow wrapper sits between
+    them); scans without an adjacent Filter are fine (full scans feeding
+    aggregates push nothing by design)."""
+    plan = formatted_plan(df)
+    empty_scan_ids = set()
+    for block in plan.split("\n\n"):
+        m = re.match(r"\((\d+)\) Scan parquet", block)
+        if m and "PushedFilters: []" in block:
+            empty_scan_ids.add(m.group(1))
+    tree = plan.split("\n\n", 1)[0].splitlines()
+    flagged = []
+    for i, line in enumerate(tree):
+        m = re.search(r"Scan parquet\s+\((\d+)\)\s*$", line)
+        if not m or m.group(1) not in empty_scan_ids:
+            continue
+        above = " ".join(tree[max(0, i - 2): i])
+        if re.search(r"Filter \(\d+\)", above):
+            flagged.append(m.group(1))
+    return flagged
+
+
 def scale_report(df: DataFrame) -> dict:
     """One-dict scale readout for ANY DataFrame — the numbers a plan
     review reads before shipping a query to a 1000-executor cluster:

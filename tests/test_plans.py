@@ -120,3 +120,47 @@ def test_scale_report_counts_known_plan(spark):
     assert r["exchanges"] >= 1  # the groupBy shuffle
     assert r["python_nodes"] == 0
     assert any("1-URGENT" in p for p in r["pushed_filters"])
+
+
+# --- r14: hard-invariant CI gate over EVERY registered spec ----------------
+#
+# The audit snapshot (tests/test_scale_audit.py) catches DRIFT; this gate
+# asserts the invariants that must hold absolutely, per spec, so a new
+# query with a scale-killer plan fails by name on the first run:
+#   - no CartesianProduct survived planning
+#   - Python/Arrow nodes bounded (3: measured max is 2 across all 159
+#     specs — the IVF-PQ assignment/codebook kernels)
+#   - shuffle exchanges bounded (12: measured max is 10, the two-leg
+#     hybrid RRF pipelines)
+#   - no Filter sitting directly on a parquet scan that pushed nothing
+#     (the filter-stopped-pushing regression class)
+
+import pytest
+
+from bayesiandatafusion_jl_spark.plans import audit as _audit
+from bayesiandatafusion_jl_spark.plans.inspect import (
+    scale_report,
+    unpushed_filter_scans,
+)
+
+_GATED = [n for n in sorted(ALL) if n not in _audit.SKIP]
+
+
+@pytest.mark.parametrize("name", _GATED)
+def test_plan_hard_invariants(spark, name):
+    df = ALL[name].fn(spark, SF_DIR_TINY)
+    r = scale_report(df)
+    assert not r["cartesian"], f"{name}: CartesianProduct survived planning"
+    assert r["python_nodes"] <= 3, (
+        f"{name}: {r['python_nodes']} Python/Arrow nodes — the slow path"
+        " grew; justify and raise the cap only with a measured plan note"
+    )
+    assert r["exchanges"] <= 12, (
+        f"{name}: {r['exchanges']} shuffle exchanges — a scale-killer"
+        " shape at 100 TB; restructure or justify with a plan note"
+    )
+    bad = unpushed_filter_scans(df)
+    assert not bad, (
+        f"{name}: scan node(s) {bad} sit under a Filter that pushed"
+        " NOTHING into the scan — pushdown regressed"
+    )
