@@ -78,22 +78,12 @@ def _write_epoch(
     wipe: bool,
     sort_cols: list[str] | None = None,
 ) -> None:
-    """Write one shard's rows under ``__epoch=<epoch>``. ``wipe=True``
-    replaces the WHOLE directory (fresh index); otherwise a dynamic
-    partition overwrite replaces only this epoch — the idempotent-replay
-    primitive every append path here goes through."""
-    staged = df.withColumn("__epoch", F.lit(epoch))
-    if sort_cols:
-        staged = staged.repartitionByRange(
-            *[F.col(c) for c in sort_cols]
-        ).sortWithinPartitions(*sort_cols)
-    # the mode is set EXPLICITLY both ways: a caller session configured with
-    # partitionOverwriteMode=dynamic (common in production) would otherwise
-    # turn the wipe=True fresh build into a partial overwrite that leaves
-    # stale __epoch partitions (ghost documents) in place
-    staged.write.mode("overwrite").partitionBy("__epoch").option(
-        "partitionOverwriteMode", "static" if wipe else "dynamic"
-    ).parquet(path)
+    """One shard under ``__epoch=<epoch>`` — the shared epoch-store
+    primitive (index_meta.write_epoch, r14), kept as a local alias for
+    this module's call sites."""
+    from bayesiandatafusion_jl_spark.functions.index_meta import write_epoch
+
+    write_epoch(df, path, epoch, fresh=wipe, sort_cols=tuple(sort_cols or ()))
 
 
 def _check_banding(spark: SparkSession, meta_path: str, **params: int) -> None:

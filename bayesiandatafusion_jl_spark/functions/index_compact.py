@@ -257,25 +257,18 @@ def compact_ivf_index(
     the safe direction). Probes are unchanged (they already excluded
     tombstoned ids); ``ivf_index_stats`` stops counting them."""
     from bayesiandatafusion_jl_spark.functions.index_meta import (
+        begin_fold,
         clear_tombstones,
         tombstone_purge,
     )
 
     (post_path,) = index_paths(index_dir, "postings")
-    gen = _next_gen(spark, index_dir)
-    new_epoch = f"{COMPACT_PREFIX}{gen}"
     purge = tombstone_purge(spark, index_dir, "vec_id")
-    df = spark.read.parquet(post_path)
-    epochs = sorted(
-        r["__epoch"] for r in df.select("__epoch").distinct().collect()
+    # force on purge: the rewrite changes content even for a lone epoch,
+    # and a replay of it would resurrect the purged rows
+    new_epoch, _ = begin_fold(
+        spark, index_dir, post_path, force=purge is not None
     )
-    if len(epochs) > 1 or purge is not None:
-        # a purge rewrites even a single epoch, so that epoch is folded
-        # too — a replay of it would resurrect the purged rows
-        record_folded(
-            spark, index_dir,
-            [e for e in epochs if not e.startswith(COMPACT_PREFIX)], gen,
-        )
     stats = compact_epochs(
         spark, post_path, new_epoch, outer_cols=("cell_id",),
         target_mb=target_mb, transform=purge,
@@ -298,23 +291,16 @@ def compact_signature_index(
     rewrite; the tombstone set is cleared only after both swaps (a crash
     between them leaves the ids still masked — never resurfaced)."""
     from bayesiandatafusion_jl_spark.functions.index_meta import (
+        begin_fold,
         clear_tombstones,
         tombstone_purge,
     )
 
     sig_path, bucket_path = index_paths(index_dir, "sigs", "buckets")
-    gen = _next_gen(spark, index_dir)
-    new_epoch = f"{COMPACT_PREFIX}{gen}"
     purge = tombstone_purge(spark, index_dir, "doc_id")
-    df = spark.read.parquet(sig_path)
-    epochs = sorted(
-        r["__epoch"] for r in df.select("__epoch").distinct().collect()
+    new_epoch, _ = begin_fold(
+        spark, index_dir, sig_path, force=purge is not None
     )
-    if len(epochs) > 1 or purge is not None:
-        record_folded(
-            spark, index_dir,
-            [e for e in epochs if not e.startswith(COMPACT_PREFIX)], gen,
-        )
     sig_stats = compact_epochs(
         spark, sig_path, new_epoch, target_mb=target_mb, transform=purge
     )

@@ -47,6 +47,109 @@ def read_meta(spark: SparkSession, meta_path: str):
     return spark.read.parquet(meta_path).collect()[0]
 
 
+# --- shared epoch store (r14) ----------------------------------------------
+#
+# Every persisted family (matview, top-k view, signature/IVF/BM25
+# indexes, streaming ingests) carries the same three lifecycle moves:
+# write one ``__epoch`` partition (static wipe on a fresh build, dynamic
+# self-overwrite on append — the idempotent-replay primitive), guard an
+# append against folded/reserved epoch names, and open a compaction
+# (allocate the next generation, record the ledger BEFORE any rewrite —
+# the conservative crash direction: a replay of a folded shard is
+# spuriously rejected, never silently duplicated). r13 shipped four
+# near-identical copies of each; these are THE implementations, and the
+# families keep only their schemas and merge math.
+
+
+def write_epoch(
+    df,
+    data_path: str,
+    epoch: str,
+    fresh: bool,
+    outer_cols: tuple[str, ...] = (),
+    sort_cols: tuple[str, ...] = (),
+) -> None:
+    """Write ``df`` as the ``__epoch=<epoch>`` partition of
+    ``data_path``. ``fresh=True`` wipes the whole directory (a new
+    incarnation); otherwise a DYNAMIC partition overwrite replaces only
+    this epoch, so replaying the same (shard, epoch) is byte-idempotent.
+    The mode is set explicitly both ways: a session configured with
+    partitionOverwriteMode=dynamic would otherwise turn a fresh build
+    into a partial overwrite that leaves stale epoch partitions (ghost
+    rows) in place. ``outer_cols`` are partition levels OUTSIDE
+    ``__epoch`` (the IVF cell_id / BM25 tok_bucket pruning contracts);
+    ``sort_cols`` range-sorts the rewrite for footer-stats pruning."""
+    from pyspark.sql import functions as F
+
+    staged = df.withColumn("__epoch", F.lit(epoch))
+    if sort_cols:
+        staged = staged.repartitionByRange(
+            *[F.col(c) for c in sort_cols]
+        ).sortWithinPartitions(*sort_cols)
+    staged.write.mode("overwrite").partitionBy(*outer_cols, "__epoch").option(
+        "partitionOverwriteMode", "static" if fresh else "dynamic"
+    ).parquet(data_path)
+
+
+def guard_append(
+    spark: SparkSession,
+    store_dir: str,
+    epoch: str,
+    reserved: tuple[str, ...] = (),
+) -> None:
+    """Reject an append under a reserved epoch name (e.g. the view
+    families' ``base`` build epoch) or one a past compaction folded
+    (``check_not_folded`` — replaying it would duplicate its rows)."""
+    from bayesiandatafusion_jl_spark.functions.index_compact import (
+        check_not_folded,
+    )
+
+    if epoch in reserved:
+        raise ValueError(
+            f"epoch {epoch!r} is reserved for the initial build; append"
+            " under a batch-specific name"
+        )
+    check_not_folded(spark, store_dir, epoch)
+
+
+def begin_fold(
+    spark: SparkSession,
+    store_dir: str,
+    data_path: str,
+    force: bool = False,
+) -> tuple[str, list[str]]:
+    """Open a compaction: list the current epochs, allocate the next
+    ``compact-<gen>`` name, and record the folded epochs in the ledger
+    BEFORE any rewrite touches the data. Nothing is recorded when a
+    single epoch would merely be relabeled (``force=True`` when the
+    rewrite changes CONTENT — a tombstone purge or stats collapse — so
+    even a lone epoch must not be replayable). Returns
+    (new_epoch, epochs); the caller performs its own rewrite/swap."""
+    from bayesiandatafusion_jl_spark.functions.index_compact import (
+        COMPACT_PREFIX,
+        _next_gen,
+        record_folded,
+    )
+
+    epochs = sorted(
+        r["__epoch"]
+        for r in spark.read.parquet(data_path)
+        .select("__epoch")
+        .distinct()
+        .collect()
+    )
+    gen = _next_gen(spark, store_dir)
+    new_epoch = f"{COMPACT_PREFIX}{gen}"
+    if len(epochs) > 1 or force:
+        record_folded(
+            spark,
+            store_dir,
+            [e for e in epochs if not e.startswith(COMPACT_PREFIX)],
+            gen,
+        )
+    return new_epoch, epochs
+
+
 # --- tombstones (r12): shared logical-delete primitive ---------------------
 #
 # An index's ``tombstones`` dataset holds the ids of logically-deleted

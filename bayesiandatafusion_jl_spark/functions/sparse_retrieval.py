@@ -594,24 +594,21 @@ def write_bm25_index(
         tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    postings = (
-        tf.join(dl, "doc_id")
-        .select(
-            "token",
-            "doc_id",
-            "tf",
-            "dl",
-            F.pmod(F.xxhash64("token"), F.lit(n_buckets))
-            .cast("int")
-            .alias("tok_bucket"),
-        )
-        .withColumn("__epoch", F.lit(epoch))
+    from bayesiandatafusion_jl_spark.functions.index_meta import write_epoch
+
+    postings = tf.join(dl, "doc_id").select(
+        "token",
+        "doc_id",
+        "tf",
+        "dl",
+        F.pmod(F.xxhash64("token"), F.lit(n_buckets))
+        .cast("int")
+        .alias("tok_bucket"),
     )
-    postings.repartition("tok_bucket").write.mode("overwrite").partitionBy(
-        "tok_bucket", "__epoch"
-    ).option(
-        "partitionOverwriteMode", "static" if mode != "append" else "dynamic"
-    ).parquet(post_path)
+    write_epoch(
+        postings.repartition("tok_bucket"), post_path, epoch,
+        fresh=(mode != "append"), outer_cols=("tok_bucket",),
+    )
     n_docs = corpus.count()
     stats_row = dl.agg(
         F.count(F.lit(1)).alias("n_docs_tokened"),
@@ -622,11 +619,8 @@ def write_bm25_index(
         F.lit(n_docs).cast("bigint").alias("n_docs"),
         "n_docs_tokened",
         "sum_dl",
-        F.lit(epoch).alias("__epoch"),
     )
-    stats_row.write.mode("overwrite").partitionBy("__epoch").option(
-        "partitionOverwriteMode", "static" if mode != "append" else "dynamic"
-    ).parquet(stats_path)
+    write_epoch(stats_row, stats_path, epoch, fresh=(mode != "append"))
     if mode != "append":
         write_meta(spark, meta_path, "overwrite", n_buckets=n_buckets)
         # a fresh build's input already reflects every deletion — stale
@@ -1002,51 +996,33 @@ def compact_bm25_index(
     hidden, never resurfaced.
     """
     from bayesiandatafusion_jl_spark.functions.index_compact import (
-        COMPACT_PREFIX,
-        _next_gen,
+        _fs,
         _stats_row,
         _swap_dir,
         compact_epochs,
-        record_folded,
     )
     from bayesiandatafusion_jl_spark.functions.index_meta import (
+        begin_fold,
         clear_tombstones,
         index_paths,
         tombstone_purge,
-    )
-
-    from bayesiandatafusion_jl_spark.functions.index_compact import _fs
-    from bayesiandatafusion_jl_spark.functions.index_meta import (
         tombstones_path,
     )
 
     post_path, stats_path, pending_path = index_paths(
         index_dir, "postings", "stats", "purge_pending"
     )
-    gen = _next_gen(spark, index_dir)
-    new_epoch = f"{COMPACT_PREFIX}{gen}"
     purge = tombstone_purge(spark, index_dir, "doc_id")
     fs, pending_h, _ = _fs(spark, pending_path)
     has_pending = bool(fs.exists(pending_h))
-    epochs = sorted(
-        r["__epoch"]
-        for r in spark.read.parquet(post_path)
-        .select("__epoch")
-        .distinct()
-        .collect()
+    # force when the rewrite changes CONTENT (a purge resurrection
+    # hazard) or the stats frame is about to collapse to the compact
+    # epoch (a replayed append of a surviving label would double its
+    # stats row — the pending-only resume)
+    new_epoch, epochs = begin_fold(
+        spark, index_dir, post_path,
+        force=(purge is not None or has_pending),
     )
-    if len(epochs) > 1 or purge is not None or has_pending:
-        # a purge rewrites even a single epoch; replaying that epoch
-        # would resurrect the purged rows, so it is folded too. A
-        # pending-only resume folds as well: the stats frame is about to
-        # collapse to the compact epoch, so a replayed append of a
-        # surviving epoch label would double its stats row.
-        record_folded(
-            spark,
-            index_dir,
-            [e for e in epochs if not e.startswith(COMPACT_PREFIX)],
-            gen,
-        )
     if purge is not None or has_pending:
         # doc_ids the purge will remove, captured BEFORE the swap (the
         # rows are unrecountable after), unioned with any victims a

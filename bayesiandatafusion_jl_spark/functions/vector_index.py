@@ -304,15 +304,15 @@ def write_ivf_index(
     ).select((-F.col("ac.nid")).alias("cell_id"), "vec_id", "embedding")
     if codebooks is not None:
         assigned = _encode_postings(assigned, centers, codebooks)
-    # explicit partitionOverwriteMode both ways, same rationale as
-    # dedup_index._write_epoch: fresh build must wipe the whole directory
-    # regardless of the session default; appends overwrite only their own
-    # (cell_id, __epoch) partitions (idempotent replay)
-    assigned.withColumn("__epoch", F.lit(epoch)).write.mode(
-        "overwrite"
-    ).partitionBy("cell_id", "__epoch").option(
-        "partitionOverwriteMode", "static" if mode != "append" else "dynamic"
-    ).parquet(post_path)
+    # shared epoch-store write (index_meta.write_epoch): fresh build
+    # wipes the whole directory regardless of the session default;
+    # appends overwrite only their own (cell_id, __epoch) partitions
+    from bayesiandatafusion_jl_spark.functions.index_meta import write_epoch
+
+    write_epoch(
+        assigned, post_path, epoch, fresh=(mode != "append"),
+        outer_cols=("cell_id",),
+    )
     if mode != "append":
         spark.createDataFrame(
             [(i, [float(v) for v in c]) for i, c in enumerate(centers)],

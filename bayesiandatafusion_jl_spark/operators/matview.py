@@ -451,13 +451,6 @@ def q_matview_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (sum/count-only views), so CDC deletes flow through the same
 # idempotent epoch contract.
 
-# compaction output epochs share index_compact's reserved prefix — ONE
-# constant, imported, so the two modules cannot drift
-from bayesiandatafusion_jl_spark.functions.index_compact import (  # noqa: E402
-    COMPACT_PREFIX as _COMPACT_EPOCH_PREFIX,
-)
-
-
 def _config_fp(
     keys: list[str],
     measures: list[str],
@@ -509,7 +502,10 @@ def write_matview(
     ``base`` epoch, pin the config, reset the replay ledger (a new
     incarnation owns a new epoch namespace)."""
     from bayesiandatafusion_jl_spark.functions.index_compact import reset_ledger
-    from bayesiandatafusion_jl_spark.functions.index_meta import write_meta
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        write_epoch,
+        write_meta,
+    )
 
     spark = base.sparkSession
     meta_path, state_path = _view_paths(view_dir)
@@ -517,13 +513,7 @@ def write_matview(
     state = rollup_state(
         base, keys, measures, minmax, distinct_cols, lg_k, hist_cols, sumsq
     )
-    (
-        state.withColumn("__epoch", F.lit("base"))
-        .write.mode("overwrite")
-        .partitionBy("__epoch")
-        .option("partitionOverwriteMode", "static")
-        .parquet(state_path)
-    )
+    write_epoch(state, state_path, "base", fresh=True)
     write_meta(
         spark,
         meta_path,
@@ -575,10 +565,11 @@ def matview_append(
     new data under a NEW epoch name). ``retract=True`` negates the
     partials (CDC delete/correction), allowed only on views pinned
     ``retract_ok`` (minmax=False, no distinct_cols)."""
-    from bayesiandatafusion_jl_spark.functions.index_compact import (
-        check_not_folded,
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        guard_append,
+        read_meta,
+        write_epoch,
     )
-    from bayesiandatafusion_jl_spark.functions.index_meta import read_meta
 
     spark = delta.sparkSession
     meta_path, state_path = _view_paths(view_dir)
@@ -586,12 +577,7 @@ def matview_append(
         spark, view_dir, keys, measures, minmax, distinct_cols, lg_k,
         hist_cols, sumsq,
     )
-    check_not_folded(spark, view_dir, epoch)
-    if epoch == "base":
-        raise ValueError(
-            "epoch 'base' is reserved for the initial build; append under"
-            " a batch-specific name"
-        )
+    guard_append(spark, view_dir, epoch, reserved=("base",))
     state = rollup_state(
         delta, keys, measures, minmax, distinct_cols, lg_k, hist_cols, sumsq
     )
@@ -603,13 +589,7 @@ def matview_append(
                 " (histogram partials subtract fine and are allowed)"
             )
         state = _negate_partials(state, keys, measures, hist_cols, sumsq)
-    (
-        state.withColumn("__epoch", F.lit(epoch))
-        .write.mode("overwrite")
-        .partitionBy("__epoch")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(state_path)
-    )
+    write_epoch(state, state_path, epoch, fresh=False)
 
 
 def read_matview(
@@ -655,11 +635,8 @@ def compact_matview(
     epochs hit the replay ledger BEFORE the state swap — a crash
     between the two leaves replays spuriously rejected, never silently
     double-counted. Returns the folded epoch names."""
-    from bayesiandatafusion_jl_spark.functions.index_compact import (
-        _swap_dir,
-        folded_epochs,
-        record_folded,
-    )
+    from bayesiandatafusion_jl_spark.functions.index_compact import _swap_dir
+    from bayesiandatafusion_jl_spark.functions.index_meta import begin_fold
 
     _check_view(
         spark, view_dir, keys, measures, minmax, distinct_cols, lg_k,
@@ -667,9 +644,10 @@ def compact_matview(
     )
     _, state_path = _view_paths(view_dir)
     state = spark.read.parquet(state_path)
-    epochs = [r["__epoch"] for r in state.select("__epoch").distinct().collect()]
-    gen = max(list(folded_epochs(spark, view_dir).values()) or [0]) + 1
-    new_epoch = f"{_COMPACT_EPOCH_PREFIX}{gen}"
+    # force=True: the rewrite COLLAPSES state to merged partials, so even
+    # a lone epoch must become non-replayable (ledger BEFORE the swap —
+    # the refit_ivf_index lesson, ADVICE r11)
+    new_epoch, epochs = begin_fold(spark, view_dir, state_path, force=True)
     merged = rollup_merge(
         [state.drop("__epoch")], keys, measures, minmax, distinct_cols,
         hist_cols, sumsq,
@@ -680,13 +658,6 @@ def compact_matview(
         .write.mode("overwrite")
         .partitionBy("__epoch")
         .parquet(tmp_path)
-    )
-    # ledger BEFORE swap (the refit_ivf_index lesson, ADVICE r11)
-    record_folded(
-        spark,
-        view_dir,
-        [e for e in epochs if not e.startswith(_COMPACT_EPOCH_PREFIX)],
-        gen,
     )
     _swap_dir(spark, tmp_path, state_path)
     return sorted(epochs)
@@ -1068,18 +1039,17 @@ def write_topk_view(
     config pinned, replay ledger reset — the ``write_matview``
     incarnation contract, for the non-retractable family member."""
     from bayesiandatafusion_jl_spark.functions.index_compact import reset_ledger
-    from bayesiandatafusion_jl_spark.functions.index_meta import write_meta
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        write_epoch,
+        write_meta,
+    )
 
     spark = base.sparkSession
     meta_path, state_path = _view_paths(view_dir)
     reset_ledger(spark, view_dir)
-    state = topk_state(base, keys, order_col, payload_cols, k)
-    (
-        state.withColumn("__epoch", F.lit("base"))
-        .write.mode("overwrite")
-        .partitionBy("__epoch")
-        .option("partitionOverwriteMode", "static")
-        .parquet(state_path)
+    write_epoch(
+        topk_state(base, keys, order_col, payload_cols, k),
+        state_path, "base", fresh=True,
     )
     write_meta(
         spark, meta_path, "overwrite",
@@ -1102,26 +1072,18 @@ def topk_view_append(
     contract. NO retraction: a delete inside the top-k cannot be
     repaired from k rows of state (rank k+1 was never kept) — rebuild
     from the surviving data instead."""
-    from bayesiandatafusion_jl_spark.functions.index_compact import (
-        check_not_folded,
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        guard_append,
+        write_epoch,
     )
 
     spark = delta.sparkSession
     _check_topk_view(spark, view_dir, keys, order_col, payload_cols, k)
-    check_not_folded(spark, view_dir, epoch)
-    if epoch == "base":
-        raise ValueError(
-            "epoch 'base' is reserved for the initial build; append under"
-            " a batch-specific name"
-        )
+    guard_append(spark, view_dir, epoch, reserved=("base",))
     _, state_path = _view_paths(view_dir)
-    (
-        topk_state(delta, keys, order_col, payload_cols, k)
-        .withColumn("__epoch", F.lit(epoch))
-        .write.mode("overwrite")
-        .partitionBy("__epoch")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(state_path)
+    write_epoch(
+        topk_state(delta, keys, order_col, payload_cols, k),
+        state_path, epoch, fresh=False,
     )
 
 
@@ -1147,25 +1109,12 @@ def compact_topk_view(spark: SparkSession, view_dir: str, target_mb: int = 128) 
     written before the swap; replays of folded epochs rejected) — pure
     state-row relabeling, since ``read_topk_view`` re-ranks on read."""
     from bayesiandatafusion_jl_spark.functions.index_compact import (
-        COMPACT_PREFIX,
-        _next_gen,
         _stats_row,
         compact_epochs,
-        record_folded,
     )
+    from bayesiandatafusion_jl_spark.functions.index_meta import begin_fold
 
     _, state_path = _view_paths(view_dir)
-    gen = _next_gen(spark, view_dir)
-    new_epoch = f"{COMPACT_PREFIX}{gen}"
-    epochs = sorted(
-        r["__epoch"]
-        for r in spark.read.parquet(state_path)
-        .select("__epoch").distinct().collect()
-    )
-    if len(epochs) > 1:
-        record_folded(
-            spark, view_dir,
-            [e for e in epochs if not e.startswith(COMPACT_PREFIX)], gen,
-        )
+    new_epoch, _ = begin_fold(spark, view_dir, state_path)
     stats = compact_epochs(spark, state_path, new_epoch, target_mb=target_mb)
     return _stats_row(spark, [("state", *stats)])
