@@ -55,29 +55,15 @@ _DECON_N = 4
 _DEDUP_PREFIX_TOKENS = 8
 
 
-def pipeline_stage_counts(
-    docs: DataFrame, capacity: int = _CAPACITY
-) -> DataFrame:
-    """(stage, n_docs, n_tokens) per pipeline stage over a (doc_id,
-    source, text) frame: raw → quality → dedup → decontaminated →
-    mixture → packed (where n_docs is the count of distinct context
-    windows in which a surviving document STARTS).
-
-    The dedup stage (r11) is prefix-fingerprint exact dedup: documents
-    sharing the sha256 of their first ``_DEDUP_PREFIX_TOKENS`` lowercased
-    tokens keep only the lowest-doc_id QUALITY-SURVIVING representative
-    (r12: electing over all docs let a quality-failing representative
-    erase its whole duplicate family) — the cheap
-    boilerplate/prefix-duplicate heuristic a pipeline runs before the
-    expensive near-dup pass (full-content exact dedup is
-    ``q_llm_exact_dedup``; MinHash near-dup its own operator family). The
-    fingerprint rides the same one text scan as everything else; the
-    keep flag costs ONE extra shuffle — over the doc-grain flags frame
-    (fixed-width hash keys), never the text."""
+def _pipeline_flags(docs: DataFrame) -> DataFrame:
+    """The ONE-text-scan doc-grain flags frame every stage derives from:
+    (doc_id, n_tokens, keep_q, keep_mix, __fp, contam, keep_dd). Shared
+    by the composed counts query (which checkpoints it) and the
+    persisted pipeline store (which parquets it as the first stage
+    artifact) — one implementation, two materialization policies."""
     toks = docs.select(
         "doc_id", "source", F.split(F.lower("text"), " ").alias("tk")
     )
-    # quality metrics over the materialized token array
     n_tok = F.size("tk")
     dup = F.lit(1.0) - F.size(F.array_distinct("tk")).cast("double") / n_tok
     en = list(_LANG_MARKERS["en"])
@@ -105,11 +91,6 @@ def pipeline_stage_counts(
         ).otherwise(thr)
     keep_mix = _bucket(["doc_id"]) < thr
 
-    # ONE text read for the train side: quality metrics + mixture flag are
-    # map-side columns on the same row as the gram explode (explode_outer
-    # keeps sub-n-gram docs), the eval-gram set broadcasts into the stream,
-    # and one per-doc partial agg (first/max fold map-side) restores doc
-    # grain with the contamination hit attached
     fp = F.sha2(
         F.concat_ws(" ", F.slice("tk", 1, _DEDUP_PREFIX_TOKENS)), 256
     )
@@ -132,29 +113,35 @@ def pipeline_stage_counts(
             F.coalesce(F.max("__h") == 1, F.lit(False)).alias("contam"),
         )
     )
-    # prefix-dedup keep: one shuffle over the DOC-GRAIN frame on the
-    # fixed-width fingerprint — the text never reshuffles. The
-    # representative is the lowest-id QUALITY SURVIVOR (r12): electing
-    # over all docs would let a quality-failing representative drag its
-    # whole duplicate family out of the corpus even though qualifying
-    # copies exist (the min is null-skipping, so a group with no
-    # survivor just keeps nothing at the dedup stage — correct, since
-    # quality already removed it)
     wd = W.partitionBy("__fp")
-    flags = flags.withColumn(
+    return flags.withColumn(
         "keep_dd",
         F.min(F.when(F.col("keep_q"), F.col("doc_id"))).over(wd)
         == F.col("doc_id"),
     )
-    # flags is doc-grain (no text — tiny vs the corpus) and feeds BOTH the
-    # stage aggregate and the packing leg; materialize once so the
-    # text-scan pipeline above runs a single time, not once per consumer
-    flags = checkpoint_df(flags)
 
-    survive_q = F.col("keep_q")
-    survive_dd = survive_q & F.col("keep_dd")
-    survive_d = survive_dd & ~F.col("contam")
-    survive_m = survive_d & F.col("keep_mix")
+
+def _survive(stage: str) -> F.Column:
+    """Cumulative survival predicate per stage over the flags frame.
+    (A function, not a module dict: Column construction needs an active
+    SparkContext in pyspark 4.)"""
+    preds = {
+        "quality": F.col("keep_q"),
+        "dedup": F.col("keep_q") & F.col("keep_dd"),
+        "decontaminated": F.col("keep_q")
+        & F.col("keep_dd")
+        & ~F.col("contam"),
+        "mixture": F.col("keep_q")
+        & F.col("keep_dd")
+        & ~F.col("contam")
+        & F.col("keep_mix"),
+    }
+    return preds[stage]
+
+
+def _stage_count_rows(flags: DataFrame) -> DataFrame:
+    """(stage, n_docs, n_tokens) for the five flag-derived stages, from
+    ONE aggregate over the doc-grain flags frame."""
 
     def _cnt(pred):
         return F.sum(F.when(pred, 1).otherwise(0)).cast("long")
@@ -165,22 +152,57 @@ def pipeline_stage_counts(
     agg = flags.agg(
         F.count(F.lit(1)).cast("long").alias("c0"),
         F.sum("n_tokens").cast("long").alias("t0"),
-        _cnt(survive_q).alias("c1"),
-        _tok(survive_q).alias("t1"),
-        _cnt(survive_dd).alias("c1d"),
-        _tok(survive_dd).alias("t1d"),
-        _cnt(survive_d).alias("c2"),
-        _tok(survive_d).alias("t2"),
-        _cnt(survive_m).alias("c3"),
-        _tok(survive_m).alias("t3"),
+        _cnt(_survive("quality")).alias("c1"),
+        _tok(_survive("quality")).alias("t1"),
+        _cnt(_survive("dedup")).alias("c1d"),
+        _tok(_survive("dedup")).alias("t1d"),
+        _cnt(_survive("decontaminated")).alias("c2"),
+        _tok(_survive("decontaminated")).alias("t2"),
+        _cnt(_survive("mixture")).alias("c3"),
+        _tok(_survive("mixture")).alias("t3"),
     )
-    stages = agg.selectExpr(
+    return agg.selectExpr(
         "stack(5, 'raw', c0, t0, 'quality', c1, t1, 'dedup', c1d, t1d,"
         " 'decontaminated', c2, t2, 'mixture', c3, t3)"
         " AS (stage, n_docs, n_tokens)"
     )
 
-    survivors = flags.filter(survive_m).select("doc_id", "n_tokens")
+
+def pipeline_stage_counts(
+    docs: DataFrame, capacity: int = _CAPACITY
+) -> DataFrame:
+    """(stage, n_docs, n_tokens) per pipeline stage over a (doc_id,
+    source, text) frame: raw → quality → dedup → decontaminated →
+    mixture → packed (where n_docs is the count of distinct context
+    windows in which a surviving document STARTS).
+
+    The dedup stage (r11) is prefix-fingerprint exact dedup: documents
+    sharing the sha256 of their first ``_DEDUP_PREFIX_TOKENS`` lowercased
+    tokens keep only the lowest-doc_id QUALITY-SURVIVING representative
+    (r12: electing over all docs let a quality-failing representative
+    erase its whole duplicate family) — the cheap
+    boilerplate/prefix-duplicate heuristic a pipeline runs before the
+    expensive near-dup pass (full-content exact dedup is
+    ``q_llm_exact_dedup``; MinHash near-dup its own operator family). The
+    fingerprint rides the same one text scan as everything else; the
+    keep flag costs ONE extra shuffle — over the doc-grain flags frame
+    (fixed-width hash keys), never the text.
+
+    ONE text read for the train side: quality metrics + mixture flag are
+    map-side columns on the same row as the gram explode (explode_outer
+    keeps sub-n-gram docs), the eval-gram set broadcasts into the
+    stream, and one per-doc partial agg (first/max fold map-side)
+    restores doc grain with the contamination hit attached; prefix-dedup
+    elects the lowest-id QUALITY SURVIVOR per fingerprint (r12:
+    electing over all docs let a quality-failing representative erase
+    its whole duplicate family). See ``_pipeline_flags``.
+    """
+    # flags is doc-grain (no text — tiny vs the corpus) and feeds BOTH the
+    # stage aggregate and the packing leg; materialize once so the
+    # text-scan pipeline above runs a single time, not once per consumer
+    flags = checkpoint_df(_pipeline_flags(docs))
+    stages = _stage_count_rows(flags)
+    survivors = flags.filter(_survive("mixture")).select("doc_id", "n_tokens")
     packed = (
         pack_sequences(survivors, ["doc_id"], "n_tokens", capacity)
         .agg(

@@ -46,6 +46,13 @@ SKIP = {
         " treeAggregate); the corpus sweep's shuffle-free scoring plan is"
         " asserted in tests/test_quality_model.py"
     ),
+    "q_llm_pipeline_persisted": (
+        "side-effecting persisted lifecycle — builds the restartable"
+        " pipeline artifact (flags/packed/shards + manifest) under /tmp"
+        " and returns the manifest readout; stage plans are the composed"
+        " query's (audited as q_llm_pipeline_compose), resume/refusal"
+        " pytest-gated (tests/test_pipeline.py)"
+    ),
 }
 
 NOTES = {

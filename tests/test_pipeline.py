@@ -48,3 +48,124 @@ def test_dedup_representative_is_a_quality_survivor(spark):
     # doc 5 deduplicates against the qualifying doc 4 → 3 survivors.
     # The pre-r12 rule (min over ALL docs) would have dropped doc 2 too.
     assert counts["dedup"][0] == 3
+
+
+# --- r14: persisted restartable lifecycle (functions/pipeline_store.py) ----
+
+
+def test_persisted_pipeline_manifest_equals_composed_counts(spark, tmp_path):
+    """build_pipeline's manifest rows equal pipeline_stage_counts on the
+    same corpus exactly (they share the flags/pack implementations), the
+    shards row records what physically landed, and the shard layout is
+    the deterministic epoch shuffle."""
+    from bayesiandatafusion_jl_spark.functions.pipeline_store import (
+        build_pipeline,
+        read_shards,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    d = str(tmp_path / "pipe")
+    manifest = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in build_pipeline(docs, d, n_shards=4, seed=7).collect()
+    }
+    want = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in pipeline_stage_counts(docs).collect()
+    }
+    for stage, vals in want.items():
+        assert manifest[stage] == vals, (stage, manifest[stage], vals)
+    # shards row == the mixture survivors, physically on disk
+    assert manifest["shards"] == want["mixture"]
+    shards = read_shards(spark, d)
+    assert shards.count() == want["mixture"][0]
+    assert shards.select("shard").distinct().count() <= 4
+    # within a shard the file order IS the serving order (pos ascending)
+    one = [r["pos"] for r in shards.filter(F.col("shard") == shards.first()["shard"]).collect()]
+    assert one == sorted(one)
+
+
+def test_persisted_pipeline_kill_resume_no_rerun(spark, tmp_path, monkeypatch):
+    """Kill after stage 1 (flags landed, packing dies) → resume
+    completes WITHOUT re-running the corpus scan; a second resume of a
+    complete build runs NO stage at all."""
+    import pytest as _pytest
+
+    from bayesiandatafusion_jl_spark.functions import pipeline_store as ps
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    d = str(tmp_path / "pipe_crash")
+
+    real_pack = ps.pack_sequences
+
+    def dying_pack(*a, **kw):
+        raise IOError("injected kill during packing")
+
+    monkeypatch.setattr(ps, "pack_sequences", dying_pack)
+    with _pytest.raises(IOError, match="injected kill"):
+        build_pipeline_args = (docs, d)
+        ps.build_pipeline(*build_pipeline_args, n_shards=4, seed=7)
+    # flags stage landed; packed/shards did not
+    import os
+
+    assert os.path.isdir(f"{d}/flags")
+    assert not os.path.isdir(f"{d}/packed")
+
+    # resume: flags must NOT recompute (kill the scan to prove it)
+    monkeypatch.setattr(ps, "pack_sequences", real_pack)
+    monkeypatch.setattr(
+        ps, "_pipeline_flags",
+        lambda *a, **kw: (_ for _ in ()).throw(
+            AssertionError("flags stage re-ran on resume")
+        ),
+    )
+    manifest = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in ps.build_pipeline(docs, d, n_shards=4, seed=7).collect()
+    }
+    want = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in pipeline_stage_counts(docs).collect()
+    }
+    assert manifest["packed"] == want["packed"]
+    # complete build: NO stage body may run at all on the next call
+    monkeypatch.setattr(
+        ps, "pack_sequences",
+        lambda *a, **kw: (_ for _ in ()).throw(
+            AssertionError("packed stage re-ran on a complete build")
+        ),
+    )
+    again = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in ps.build_pipeline(docs, d, n_shards=4, seed=7).collect()
+    }
+    assert again == manifest
+
+
+def test_persisted_pipeline_refuses_config_and_corpus_drift(spark, tmp_path):
+    """The meta pin: resuming under different params, or against a
+    corpus that changed since the build, raises instead of mixing
+    configurations inside one artifact."""
+    import pytest as _pytest
+
+    from bayesiandatafusion_jl_spark.functions.pipeline_store import (
+        build_pipeline,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    d = str(tmp_path / "pipe_pin")
+    build_pipeline(docs, d, n_shards=4, seed=7)
+    with _pytest.raises(ValueError, match="configuration"):
+        build_pipeline(docs, d, n_shards=8, seed=7)
+    with _pytest.raises(ValueError, match="configuration"):
+        build_pipeline(docs.filter(F.col("doc_id") % 2 == 0), d,
+                       n_shards=4, seed=7)
