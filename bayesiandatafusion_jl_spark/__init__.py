@@ -120,6 +120,44 @@ _LAZY = {
     ),
     "semdedup": ("bayesiandatafusion_jl_spark.functions.vector", "semdedup"),
     "bigram_nll": ("bayesiandatafusion_jl_spark.functions.text", "bigram_nll"),
+    # r14: persisted pipeline lifecycle + quality-model artifact +
+    # live anomaly scoring
+    "build_pipeline": (
+        "bayesiandatafusion_jl_spark.functions.pipeline_store",
+        "build_pipeline",
+    ),
+    "read_pipeline_manifest": (
+        "bayesiandatafusion_jl_spark.functions.pipeline_store",
+        "read_pipeline_manifest",
+    ),
+    "read_shards": (
+        "bayesiandatafusion_jl_spark.functions.pipeline_store",
+        "read_shards",
+    ),
+    "save_quality_model": (
+        "bayesiandatafusion_jl_spark.functions.quality_model",
+        "save_quality_model",
+    ),
+    "load_quality_model": (
+        "bayesiandatafusion_jl_spark.functions.quality_model",
+        "load_quality_model",
+    ),
+    "anomaly_stream": (
+        "bayesiandatafusion_jl_spark.streaming.pipelines",
+        "anomaly_stream",
+    ),
+    "kl_drift_stream": (
+        "bayesiandatafusion_jl_spark.streaming.pipelines",
+        "kl_drift_stream",
+    ),
+    "quality_stream": (
+        "bayesiandatafusion_jl_spark.streaming.pipelines",
+        "quality_stream",
+    ),
+    "set_similarity_join": (
+        "bayesiandatafusion_jl_spark.functions.fuzzy",
+        "set_similarity_join",
+    ),
 }
 
 
@@ -149,4 +187,8 @@ __all__ = [
     "write_zordered", "write_range_sorted",
     "redact_pii", "shuffle_shards", "write_shuffled_shards", "unigram_nll",
     "dsir_logweights", "semdedup", "bigram_nll",
+    "build_pipeline", "read_pipeline_manifest", "read_shards",
+    "save_quality_model", "load_quality_model", "anomaly_stream",
+    "kl_drift_stream", "quality_stream",
+    "set_similarity_join",
 ]

@@ -739,6 +739,70 @@ def anomaly_stream(
     )
 
 
+def kl_drift_stream(
+    docs_stream: DataFrame,
+    reference_docs: DataFrame,
+    monitor_dir: str,
+    checkpoint_dir: str,
+):
+    """Live corpus-drift monitoring — the streaming face of
+    ``functions.text.token_kl_drift``, third member of the live monitor
+    set (anomaly_stream scores behavior, this scores vocabulary). The
+    REFERENCE snapshot (e.g. the pinned training corpus) is static;
+    each micro-batch of incoming documents is compared against it and
+    ONE row (vocab, n_tokens_a=reference, n_tokens_b=batch, kl_ab,
+    kl_ba) lands in ``monitor_dir`` under ``__epoch=batch_<id>`` — the
+    epoch-store write, so a replayed batch after a checkpoint reset
+    rewrites its own row byte-identically instead of duplicating it.
+    An alerting job reads ``monitor_dir`` and thresholds kl_ba (mass
+    the batch gained that the reference never had).
+
+    Numbers equal the batch ``token_kl_drift(reference, batch_rows)``
+    exactly (same decimal-summed float32-collapsed kernel) —
+    batch≡stream parity is pytest-gated.
+    """
+    from bayesiandatafusion_jl_spark.functions.index_meta import write_epoch
+    from bayesiandatafusion_jl_spark.functions.text import token_kl_drift
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        write_epoch(
+            token_kl_drift(reference_docs, batch_df),
+            monitor_dir,
+            f"batch_{batch_id}",
+            fresh=False,
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def quality_stream(
+    docs_stream: DataFrame, model_dir: str, text_col: str = "text"
+) -> DataFrame:
+    """Score a document stream with the PERSISTED quality classifier
+    (functions/quality_model.py): the model loads once on the driver,
+    and scoring is a pure map (hash featurization + one dot product per
+    row — the plan Structured Streaming accepts without state), so this
+    is the live face of the corpus quality gate: train offline on the
+    seed, persist with the meta pin, filter the firehose. Emits the
+    input columns + ``p_good``; scores equal the batch
+    ``score_quality`` on the same rows exactly (pytest parity)."""
+    from bayesiandatafusion_jl_spark.functions.quality_model import (
+        load_quality_model,
+        score_quality,
+    )
+
+    model, n_features = load_quality_model(
+        docs_stream.sparkSession, model_dir
+    )
+    return score_quality(model, docs_stream, text_col, n_features)
+
+
 def topk_ingest_stream(
     facts_stream: DataFrame,
     view_dir: str,

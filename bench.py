@@ -81,6 +81,7 @@ HEADLINE = [
     "q_llm_quality_model",  # r13: MLlib-LR seed classifier train + map-only sweep
     "q_text_set_sim_join",  # r13: exact Jaccard join, PPJoin prefix filter
     "q_events_anomaly",     # r13: per-user NLL under the transition matrix
+    "q_llm_pipeline_persisted",  # r14: durable restartable pipeline build
 ]
 
 

@@ -817,3 +817,123 @@ def test_anomaly_stream_matches_batch_and_flags_planted_outlier(stream_env):
     }
     assert set(ta) == {10, 11}
     matrix.unpersist()
+
+
+def test_kl_drift_stream_matches_batch_and_replays_idempotent(spark, tmp_path):
+    """r14: per-micro-batch KL vs a static reference equals the batch
+    token_kl_drift on the same rows, and each batch's row lands under
+    its own epoch (a replay rewrites, never duplicates)."""
+    import shutil
+
+    from bayesiandatafusion_jl_spark.functions.text import token_kl_drift
+
+    ref = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 3) for i in range(20)],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta epsilon") for i in range(5)],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(200 + i, "omega omega psi chi phi") for i in range(5)],
+        "doc_id long, text string",
+    )
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    mon = str(tmp_path / "kl_monitor")
+    chk = str(tmp_path / "kl_chk")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = P.kl_drift_stream(stream, ref, mon, chk)
+    q.processAllAvailable()
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r["__epoch"]: (r["vocab"], r["n_tokens_b"], r["kl_ab"], r["kl_ba"])
+        for r in spark.read.parquet(mon).collect()
+    }
+    assert set(got) == {"batch_0", "batch_1"}
+    for epoch, batch in (("batch_0", b1), ("batch_1", b2)):
+        (want,) = token_kl_drift(ref, batch).collect()
+        assert got[epoch] == (
+            want["vocab"], want["n_tokens_b"], want["kl_ab"], want["kl_ba"]
+        ), epoch
+    # the off-reference batch gained novel mass: kl_ba far larger
+    assert got["batch_1"][3] > got["batch_0"][3] * 5
+    # replay from a fresh checkpoint: rows rewritten, not duplicated
+    shutil.rmtree(chk, ignore_errors=True)
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q2 = P.kl_drift_stream(stream2, ref, mon, chk)
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(mon).count() in (1, 2)  # replay may fold
+    # batches into one epoch; either way nothing duplicated per epoch
+    per_epoch = (
+        spark.read.parquet(mon).groupBy("__epoch").count().collect()
+    )
+    assert all(r["count"] == 1 for r in per_epoch)
+
+
+def test_quality_stream_matches_batch_scores(spark, tmp_path):
+    """r14: streaming quality scoring from the persisted artifact equals
+    batch score_quality on the same rows (map-only plan, no state)."""
+    from bayesiandatafusion_jl_spark.functions import quality_model as qm
+
+    good = spark.createDataFrame(
+        [
+            (i, "the quick brown fox jumps over the lazy dog near the river"
+                " bank while reading a long book about history and maps")
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    bad = spark.createDataFrame(
+        [(100 + i, "zzq zzq zzq blgh zzq qqz zzq zzq zzq zzq zzq zzq zzq"
+                    " zzq zzq zzq zzq zzq zzq zzq") for i in range(20)],
+        "doc_id long, text string",
+    )
+    seed = good.withColumn("label", F.lit(1.0)).unionByName(
+        bad.withColumn("label", F.lit(0.0))
+    )
+    model = qm.train_quality_classifier(seed)
+    d = str(tmp_path / "qmodel_stream")
+    qm.save_quality_model(spark, model, d, qm.seed_fingerprint(seed))
+
+    src = tmp_path / "qdocs_src"
+    src.mkdir()
+    probe = good.unionByName(bad)
+    probe.coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    name = "q_quality_stream_mem"
+    q = (
+        P.quality_stream(stream, d)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "q_chk"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["doc_id"]: round(r["p_good"], 12)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {
+        r["doc_id"]: round(r["p_good"], 12)
+        for r in qm.score_quality(model, probe).collect()
+    }
+    assert got == want and len(got) == 40
