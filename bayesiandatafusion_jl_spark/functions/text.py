@@ -1650,3 +1650,139 @@ def q_text_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1),
     )
+
+
+# --- winnowing fingerprints (r14) ------------------------------------------
+
+_WINNOW_K, _WINNOW_W, _WINNOW_HEX = 4, 4, 12
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = _WINNOW_K,
+    w: int = _WINNOW_W,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, pos, fp): winnowing document fingerprints — the
+    local-minimum selection of Schleimer, Wilkerson & Aiken (SIGMOD'03,
+    the MOSS algorithm), the span-grain fingerprinting a
+    plagiarism/boilerplate detector runs where whole-document hashing is
+    too coarse and every-k-gram too large.
+
+    Each document's token k-grams are hashed (sha256 hex prefix — a hash
+    BOTH engines compute identically, the dsir_logweights convention, so
+    the whole selection is oracle-checkable); every window of ``w``
+    consecutive hashes selects its minimum, rightmost on ties (the
+    robust-winnowing tie rule, expressed as min over (h, −pos) structs);
+    the distinct selections are the fingerprint set. Guarantees: any
+    shared substring of ≥ w+k−1 tokens produces at least one shared
+    fingerprint (detection), and gaps between selected positions are
+    ≤ w (density ≤ 2/(w+1) expected) — tunable recall/size.
+
+    Scale shape: one text scan, one map-side gram explode, ONE window
+    partitioned by document (per-doc sort of its own grams — no global
+    sort), one distinct on the doc-grain selections. Documents below
+    w+k−1 tokens emit nothing (no complete window — matching MOSS).
+    """
+    from pyspark.sql import Window as _W
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.col(text_col)), " ").alias("tk"),
+    )
+    g = toks.select(
+        "doc_id", F.posexplode(_ngrams("tk", k)).alias("pos", "g")
+    ).select(
+        "doc_id",
+        "pos",
+        F.substring(F.sha2("g", 256), 1, _WINNOW_HEX).alias("h"),
+    )
+    win = _W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    sel = g.select(
+        "doc_id",
+        F.count(F.lit(1)).over(win).alias("__n"),
+        F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(
+            win
+        ).alias("__sel"),
+    ).filter(F.col("__n") == w)
+    return (
+        sel.select(
+            "doc_id",
+            (-F.col("__sel.np")).cast("bigint").alias("pos"),
+            F.col("__sel.h").alias("fp"),
+        )
+        .distinct()
+        .orderBy("doc_id", "pos")
+    )
+
+
+def fingerprint_overlap(
+    docs: DataFrame,
+    k: int = _WINNOW_K,
+    w: int = _WINNOW_W,
+    min_shared: int = 2,
+) -> DataFrame:
+    """(id_a, id_b, n_shared): document pairs sharing ≥ ``min_shared``
+    winnowing fingerprints — the span-grain near-dup readout (two docs
+    sharing a ≥ w+k−1-token run share a fingerprint BY GUARANTEE, so
+    boilerplate/plagiarized spans surface without any all-pairs work:
+    candidates come only from fingerprint collisions, like every other
+    posting-list join in this engine). Hot fingerprints (true
+    boilerplate) fan out; cap with min_shared and the usual bucketed
+    discipline downstream."""
+    fp = winnow_fingerprints(docs, k, w).select("doc_id", "fp").distinct()
+    a = fp.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+@register(
+    "q_text_winnow",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(LOWER(text), ' ') AS t
+      FROM documents WHERE doc_id < 300
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             substr(sha256(array_to_string(
+               t[i:i+{_WINNOW_K - 1}], ' ')), 1, {_WINNOW_HEX}) AS h
+      FROM (SELECT doc_id, t,
+                   UNNEST(range(1, len(t) - {_WINNOW_K} + 2)) AS i
+            FROM tk WHERE len(t) >= {_WINNOW_K})
+    ),
+    n AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
+    win AS (
+      SELECT doc_id, UNNEST(range(0, ng - {_WINNOW_W} + 1)) AS s
+      FROM n WHERE ng >= {_WINNOW_W}
+    ),
+    m AS (
+      SELECT win.doc_id, win.s, g.pos, g.h,
+             ROW_NUMBER() OVER (
+               PARTITION BY win.doc_id, win.s
+               ORDER BY g.h ASC, g.pos DESC
+             ) AS rk
+      FROM win JOIN g ON g.doc_id = win.doc_id
+                     AND g.pos BETWEEN win.s AND win.s + {_WINNOW_W - 1}
+    )
+    SELECT DISTINCT doc_id AS doc_id, CAST(pos AS BIGINT) AS pos, h AS fp
+    FROM m WHERE rk = 1
+    ORDER BY doc_id, pos
+    """,
+    tags=("J5", "text", "fingerprint"),
+    demoted=True,
+)
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints of the first 300 documents (k=4-gram
+    hashes, window w=4, rightmost-min selection) — hash-exact vs an
+    O(n·w) window-join oracle, proving the one-pass window formulation
+    selects exactly the per-window rightmost minima."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return winnow_fingerprints(docs)

@@ -56,6 +56,17 @@ SKIP = {
 }
 
 NOTES = {
+    "q_text_shingle_sim_join": (
+        "r14: exact char-6-shingle Jaccard join — same PPJoin"
+        " prefix+positional candidate machinery as q_text_set_sim_join,"
+        " elements are shingles; oracle brute all-pairs"
+    ),
+    "q_text_winnow": (
+        "r14: MOSS winnowing fingerprints — one text scan, map-side"
+        " k-gram hash explode, ONE doc-partitioned window (rightmost-min"
+        " struct over w rows, no global sort), one distinct on the"
+        " selections; oracle is the O(n·w) window join"
+    ),
     "q_events_transitions": (
         "r13: Markov transition matrix — ONE events scan, ONE user-grain"
         " window (no global sort), one agg onto |types|²; the marginal is"

@@ -233,3 +233,119 @@ def test_positional_filter_cuts_candidates_losslessly(spark):
         for r in set_similarity_join(docs, tau=tau).collect()
     }
     assert got == brute and brute  # non-vacuous: some pairs must match
+
+
+# --- winnowing fingerprints (r14, functions/text.py) -----------------------
+
+
+def test_winnow_guarantees_and_overlap(spark):
+    """Winnowing invariants (Schleimer et al.): gaps between selected
+    positions <= w (density), any shared run of >= w+k-1 tokens yields a
+    shared fingerprint (detection), and fingerprint_overlap surfaces the
+    planted boilerplate pair without all-pairs work."""
+    from bayesiandatafusion_jl_spark.functions.text import (
+        fingerprint_overlap,
+        winnow_fingerprints,
+    )
+
+    k, w = 4, 4
+    shared = "common boilerplate run of many identical tokens here"  # 8 toks
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {shared} delta epsilon zeta eta theta"),
+            (2, f"one two three four five {shared} six seven eight nine"),
+            (3, "totally different words with nothing in common at all"
+                " whatsoever in any position of this entire document"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=k, w=w).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], []).append(r["pos"])
+    # density: consecutive selections never more than w apart
+    for positions in by_doc.values():
+        ps = sorted(positions)
+        assert all(b - a <= w for a, b in zip(ps, ps[1:])), ps
+    # detection: docs 1 and 2 share the 8-token run (>= w+k-1 = 7)
+    f1 = {r["fp"] for r in fps if r["doc_id"] == 1}
+    f2 = {r["fp"] for r in fps if r["doc_id"] == 2}
+    f3 = {r["fp"] for r in fps if r["doc_id"] == 3}
+    assert f1 & f2
+    assert not (f1 & f3) and not (f2 & f3)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in fingerprint_overlap(docs, k=k, w=w, min_shared=1).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    # partition invariance: same selections at any layout
+    a = sorted(map(tuple, winnow_fingerprints(docs, k=k, w=w).collect()))
+    b = sorted(
+        map(tuple, winnow_fingerprints(docs.repartition(7), k=k, w=w).collect())
+    )
+    assert a == b
+
+
+def test_winnow_matches_pure_python_reference(spark):
+    """The one-pass window formulation equals an independent sequential
+    reference (min of each w-window, rightmost on ties) on random-ish
+    token streams."""
+    import hashlib
+
+    from bayesiandatafusion_jl_spark.functions.text import (
+        _WINNOW_HEX,
+        winnow_fingerprints,
+    )
+
+    k, w = 3, 5
+    rows = [
+        (d, " ".join(f"t{(d * 31 + i * 7) % 13}" for i in range(30)))
+        for d in range(6)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = set()
+    for d, text in rows:
+        tk = text.lower().split()
+        hs = [
+            hashlib.sha256(" ".join(tk[i:i + k]).encode()).hexdigest()[:_WINNOW_HEX]
+            for i in range(len(tk) - k + 1)
+        ]
+        for s in range(len(hs) - w + 1):
+            window = hs[s:s + w]
+            m = min(window)
+            pos = s + max(i for i, h in enumerate(window) if h == m)
+            want.add((d, pos, m))
+    got = {
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in winnow_fingerprints(docs, k=k, w=w).collect()
+    }
+    assert got == want and want
+
+
+def test_shingle_similarity_join_semantics(spark):
+    """Char-shingle mode: word-order edits keep high shingle Jaccard
+    (caught) while word-token Jaccard is identical anyway; disjoint text
+    never pairs; shingle_k rails."""
+    from bayesiandatafusion_jl_spark.functions.fuzzy import (
+        set_similarity_join,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                   # identical -> J = 1.0
+            (3, base.replace("dog", "cat")),  # small char edit -> high J
+            (4, "entirely unrelated words occupy this one xyz qrs tuv"),
+        ],
+        "id long, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in set_similarity_join(docs, tau=0.6, shingle_k=5).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert 0.6 <= out[(1, 3)] < 1.0
+    assert not any(4 in p for p in out)
+    with pytest.raises(ValueError, match="shingle_k"):
+        set_similarity_join(docs, tau=0.5, shingle_k=0)
