@@ -224,6 +224,7 @@ def set_similarity_join(
     tau: float,
     id_col: str = "id",
     text_col: str = "text",
+    shingle_k: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, overlap, jaccard): every unordered pair of documents
     whose DISTINCT-token Jaccard similarity is >= ``tau`` — EXACT (the
@@ -260,6 +261,14 @@ def set_similarity_join(
     down-nudged the same way (extra candidates, never a lost pair).
     Zero-token documents are excluded (Jaccard is undefined on empty
     sets).
+
+    ``shingle_k`` (r14): compare character k-shingle sets instead of
+    word-token sets — the n-gram Jaccard form that survives word-order
+    edits and agglutinative text where word tokens are too coarse (the
+    EXACT counterpart of the MinHash estimate ``lsh_near_dup_pairs``
+    approximates). The entire candidate machinery (rarest-element
+    prefixes, length filter, positional bound) applies unchanged: the
+    elements are just shingles.
     """
     if not (0.0 < tau <= 1.0):
         raise ValueError(f"tau must be in (0, 1], got {tau}")
@@ -270,11 +279,21 @@ def set_similarity_join(
     # the corpus is tokenized once, not once per consumer (the
     # unigram_nll one-scan discipline; pre-checkpoint this plan re-read
     # the documents 8 times)
-    tok = checkpoint_df(
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+    lowered = F.lower(F.col(text_col))
+    if shingle_k is None:
+        elem = F.explode(F.split(lowered, r"\s+"))
+    else:
+        if shingle_k < 1:
+            raise ValueError(f"shingle_k must be >= 1, got {shingle_k}")
+        elem = F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(lower({text_col}))"
+                f" - {shingle_k} + 1, 0)),"
+                f" i -> substring(lower({text_col}), i, {shingle_k}))"
+            )
         )
+    tok = checkpoint_df(
+        docs.select(F.col(id_col).alias("id"), elem.alias("token"))
         .filter(F.col("token") != "")
         .distinct()
     )
@@ -339,3 +358,48 @@ def q_text_set_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs, so parity PROVES the prefix filter loses no pair."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     return set_similarity_join(docs, tau=0.5, id_col="doc_id")
+
+
+_SHINGLE_K = 6
+
+
+@register(
+    "q_text_shingle_sim_join",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS id, s FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                 range(1, GREATEST(LENGTH(LOWER(text)) - {_SHINGLE_K} + 2, 1)),
+                 i -> substr(LOWER(text), i, {_SHINGLE_K}))) AS s
+        FROM documents WHERE doc_id < 150
+      ) t WHERE s <> ''
+    ),
+    sz AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    ov AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS o
+      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT ov.id_a AS id_a, ov.id_b AS id_b,
+           CAST(ov.o AS BIGINT) AS overlap,
+           ROUND(CAST(ov.o AS DOUBLE) / (na.n + nb.n - ov.o), 6) AS jaccard
+    FROM ov
+    JOIN sz na ON na.id = ov.id_a
+    JOIN sz nb ON nb.id = ov.id_b
+    WHERE ROUND(CAST(ov.o AS DOUBLE) / (na.n + nb.n - ov.o), 6) >= 0.8
+    """,
+    tags=("J2", "text", "set-similarity", "shingle"),
+    demoted=True,
+)
+def q_text_shingle_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-6-shingle Jaccard >= 0.8 self-join over the first
+    150 documents — the n-gram Jaccard member of the dedup family (exact
+    counterpart of the MinHash/LSH estimate), same PPJoin candidate
+    machinery as ``q_text_set_sim_join``; oracle is brute-force
+    all-pairs, so parity proves the filters lossless on shingle sets
+    too."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return set_similarity_join(
+        docs, tau=0.8, id_col="doc_id", shingle_k=_SHINGLE_K
+    )
