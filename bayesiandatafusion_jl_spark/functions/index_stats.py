@@ -48,6 +48,10 @@ _FAMILIES = {
     "ivf": ("centers", "n_postings", "imbalance"),
     "signature": ("sigs", "n_docs", "bucket_skew"),
     "bm25": ("stats", "n_postings", "bucket_skew"),
+    # r14: the persisted training-data pipeline joins the surface —
+    # entries = last completed stage's docs, skew = shard row skew,
+    # "epochs" = completed stages (a partial build reads < 7)
+    "pipeline": ("manifest", "n_docs", "shard_skew"),
 }
 
 
@@ -69,7 +73,8 @@ def detect_index_family(spark: SparkSession, index_dir: str) -> str:
     raise ValueError(
         f"no persisted index recognized at {index_dir!r}: expected one of"
         " centers/ (IVF, write_ivf_index), sigs/ (signature,"
-        " write_signature_index), stats/ (BM25, write_bm25_index)"
+        " write_signature_index), stats/ (BM25, write_bm25_index),"
+        " manifest/ (pipeline, build_pipeline)"
     )
 
 
@@ -100,6 +105,12 @@ def index_stats(
         )
 
         frame = signature_index_stats(spark, index_dir)
+    elif family == "pipeline":
+        from bayesiandatafusion_jl_spark.functions.pipeline_store import (
+            pipeline_stats,
+        )
+
+        frame = pipeline_stats(spark, index_dir)
     else:
         from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
             bm25_index_stats,
@@ -111,6 +122,24 @@ def index_stats(
 
     _, entry_col, skew_col = _FAMILIES[family]
     row = frame.collect()[0].asDict()
+    if family == "pipeline":
+        # the pipeline frame carries its own detail map; normalize the
+        # stage-progress column into the epoch slot
+        return spark.createDataFrame(
+            [
+                (
+                    family,
+                    int(row[entry_col]),
+                    int(row["n_stages_done"]),
+                    int(row["n_files"]),
+                    float(row[skew_col]),
+                    0,
+                    dict(row["detail"]),
+                )
+            ],
+            "family string, n_entries bigint, n_epochs int, n_files int,"
+            " skew double, n_tombstones bigint, detail map<string,double>",
+        )
     core = {"n_epochs", "n_files", entry_col, skew_col}
     detail = {
         k: float(v) for k, v in row.items() if k not in core and v is not None

@@ -207,6 +207,64 @@ def build_pipeline(
     return read_pipeline_manifest(spark, pipeline_dir)
 
 
+def pipeline_stats(spark: SparkSession, pipeline_dir: str) -> DataFrame:
+    """One-row health report for a persisted pipeline artifact — the
+    ``index_stats`` discipline applied to the training-data build:
+    (n_docs: last completed stage's survivor count, n_stages_done,
+    n_files across the stage artifacts, shard_skew: max/mean shard row
+    count — a skewed layout starves trainer readers, n_tokens: tokens
+    on disk in the shards, stage counts as a detail map). Readable at
+    ANY point of a partial build (a killed run reports exactly the
+    stages that landed)."""
+    from bayesiandatafusion_jl_spark.functions.index_compact import _fs
+
+    manifest_path, flags_path, packed_path, shards_path = index_paths(
+        pipeline_dir, "manifest", "flags", "packed", "shards"
+    )
+    rows = {
+        r["stage"]: (int(r["n_docs"]), int(r["n_tokens"]))
+        for r in spark.read.parquet(manifest_path).collect()
+    }
+    done = [s for s in _STAGE_ORDER if s in rows]
+    n_files = 0
+    for p in (flags_path, packed_path, shards_path):
+        fs, hpath, _ = _fs(spark, p)
+        if fs.exists(hpath):
+            n_files += len(spark.read.parquet(p).inputFiles())
+    skew = 1.0
+    n_tokens_disk = 0
+    fs, shards_h, _ = _fs(spark, shards_path)
+    if fs.exists(shards_h):
+        sizes = (
+            spark.read.parquet(shards_path)
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_tokens").alias("t"),
+            )
+            .collect()
+        )
+        counts = [r["n"] for r in sizes]
+        n_tokens_disk = int(sum(r["t"] for r in sizes))
+        if counts:
+            skew = round(max(counts) / (sum(counts) / len(counts)), 4)
+    last = done[-1]
+    return spark.createDataFrame(
+        [
+            (
+                rows[last][0],
+                len(done),
+                n_files,
+                skew,
+                n_tokens_disk,
+                {s: float(rows[s][0]) for s in done},
+            )
+        ],
+        "n_docs bigint, n_stages_done int, n_files int, shard_skew double,"
+        " n_tokens_disk bigint, detail map<string,double>",
+    )
+
+
 _STAGE_ORDER = {
     s: i
     for i, s in enumerate(

@@ -109,3 +109,50 @@ def test_tombstone_backlog_then_purge_visible(spark, three_indexes):
 def test_raw_passthrough_keeps_native_columns(spark, three_indexes):
     raw = index_stats(spark, three_indexes["ivf"], raw=True)
     assert "imbalance" in raw.columns and "n_cells" in raw.columns
+
+
+def test_pipeline_family_joins_the_surface(spark, tmp_path):
+    """r14: a persisted pipeline artifact reports through the same
+    normalized health schema (family/n_entries/epochs→stages/files/
+    skew/detail) — including a PARTIAL build, which reads exactly the
+    stages that landed."""
+    import pytest as _pytest
+
+    from bayesiandatafusion_jl_spark.functions import pipeline_store as ps
+    from bayesiandatafusion_jl_spark.functions.index_stats import (
+        detect_index_family,
+        index_stats,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "text")
+    d = str(tmp_path / "pipe_stats")
+    manifest = {
+        r["stage"]: r["n_docs"]
+        for r in ps.build_pipeline(docs, d, n_shards=4, seed=7).collect()
+    }
+    assert detect_index_family(spark, d) == "pipeline"
+    (row,) = index_stats(spark, d).collect()
+    assert row["family"] == "pipeline"
+    assert row["n_entries"] == manifest["shards"]
+    assert row["n_epochs"] == 7  # all stages done
+    assert row["n_files"] > 0 and row["skew"] >= 1.0
+    assert row["detail"]["raw"] == float(manifest["raw"])
+    # partial build: kill packing, stats still reads the landed stages
+    import shutil
+
+    d2 = str(tmp_path / "pipe_partial")
+    real = ps.pack_sequences
+    ps.pack_sequences = lambda *a, **kw: (_ for _ in ()).throw(
+        IOError("killed")
+    )
+    try:
+        with _pytest.raises(IOError):
+            ps.build_pipeline(docs, d2, n_shards=4, seed=7)
+    finally:
+        ps.pack_sequences = real
+    (row2,) = index_stats(spark, d2).collect()
+    assert row2["n_epochs"] == 5  # the five flag stages only
+    assert row2["n_entries"] == manifest["mixture"]
+    shutil.rmtree(d2, ignore_errors=True)
