@@ -207,6 +207,70 @@ def build_pipeline(
     return read_pipeline_manifest(spark, pipeline_dir)
 
 
+def verify_pipeline(spark: SparkSession, pipeline_dir: str) -> DataFrame:
+    """(check, expected, actual, ok): recount every completed stage's
+    artifact against its manifest row — the integrity audit a data run
+    executes before handing shards to a trainer (a torn write, a
+    hand-deleted file, or a partial copy shows up as a counted
+    mismatch, never as silently short training data).
+
+    Checks per completed stage: flags row count == raw n_docs, each
+    flag-derived stage's recount == its manifest row, packed bins ==
+    packed n_docs, shard rows + tokens == shards row, and the shard
+    directory holds <= the pinned n_shards partitions. Read-only."""
+    from bayesiandatafusion_jl_spark.functions.index_compact import _fs
+    from bayesiandatafusion_jl_spark.functions.index_meta import read_meta
+
+    meta_path, flags_path, packed_path, shards_path, manifest_path = (
+        index_paths(
+            pipeline_dir, "meta", "flags", "packed", "shards", "manifest"
+        )
+    )
+    meta = read_meta(spark, meta_path).asDict()
+    rows = {
+        r["stage"]: (int(r["n_docs"]), int(r["n_tokens"]))
+        for r in spark.read.parquet(manifest_path).collect()
+    }
+    out: list[tuple[str, int, int]] = []
+    flags = spark.read.parquet(flags_path)
+    counts = {
+        r["stage"]: (int(r["n_docs"]), int(r["n_tokens"]))
+        for r in _stage_count_rows(flags).collect()
+    }
+    for s in _FLAG_STAGES:
+        if s in rows:
+            out.append((f"{s}_docs", rows[s][0], counts[s][0]))
+            out.append((f"{s}_tokens", rows[s][1], counts[s][1]))
+    fs, packed_h, _ = _fs(spark, packed_path)
+    if "packed" in rows and fs.exists(packed_h):
+        p = spark.read.parquet(packed_path).agg(
+            F.countDistinct("bin_id").alias("b"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t"),
+        ).collect()[0]
+        out.append(("packed_bins", rows["packed"][0], int(p["b"])))
+        out.append(("packed_tokens", rows["packed"][1], int(p["t"])))
+    fs, shards_h, _ = _fs(spark, shards_path)
+    if "shards" in rows and fs.exists(shards_h):
+        sh = spark.read.parquet(shards_path)
+        s = sh.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t"),
+            F.countDistinct("shard").alias("k"),
+        ).collect()[0]
+        out.append(("shards_docs", rows["shards"][0], int(s["n"])))
+        out.append(("shards_tokens", rows["shards"][1], int(s["t"])))
+        out.append(
+            ("shards_within_pin", int(meta["n_shards"]), int(s["k"]))
+        )
+    ok = [
+        (c, e, a, a == e if c != "shards_within_pin" else a <= e)
+        for c, e, a in out
+    ]
+    return spark.createDataFrame(
+        ok, "check string, expected bigint, actual bigint, ok boolean"
+    )
+
+
 def pipeline_stats(spark: SparkSession, pipeline_dir: str) -> DataFrame:
     """One-row health report for a persisted pipeline artifact — the
     ``index_stats`` discipline applied to the training-data build:

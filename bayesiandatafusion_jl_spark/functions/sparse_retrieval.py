@@ -1245,6 +1245,83 @@ def ensure_planted_bm25_index(spark: SparkSession, sf_dir: str) -> str:
     return index_dir
 
 
+@register(
+    "q_llm_planted_probe",
+    # full oracle: BM25 over the SAME marker-planted corpus, rebuilt in
+    # SQL (CASE-appended markers + marker-only queries), so the planted
+    # eval is not just floor-gated — the probe's scores and ranks are
+    # HASH-CHECKED against one-shot scoring of the marked corpus. The
+    # serving rail (max_df_ratio=0.25) is exact here: every query term
+    # is a df=1 marker, so the rail prunes nothing by construction.
+    oracle=f"""
+    WITH marked AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {_PLANT_EVERY} = 0
+                  THEN text || ' qmk' || CAST(doc_id AS VARCHAR) || 'm0'
+                       || ' qmk' || CAST(doc_id AS VARCHAR) || 'm1'
+                       || ' qmk' || CAST(doc_id AS VARCHAR) || 'm2'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS token
+      FROM marked
+    ),
+    tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok2 GROUP BY doc_id, token
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM marked),
+    ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    q AS (
+      SELECT doc_id AS qid,
+             UNNEST(['qmk' || CAST(doc_id AS VARCHAR) || 'm0',
+                     'qmk' || CAST(doc_id AS VARCHAR) || 'm1',
+                     'qmk' || CAST(doc_id AS VARCHAR) || 'm2']) AS token
+      FROM documents WHERE doc_id % {_PLANT_EVERY} = 0
+    ),
+    terms AS (
+      SELECT q.qid, tf.doc_id AS nb_id, {_BM25_TERM_SQL} AS t
+      FROM q
+      JOIN tf ON tf.token = q.token
+      JOIN df ON df.token = q.token
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN n CROSS JOIN ad
+    ),
+    sc AS (
+      SELECT qid, nb_id, CAST(SUM(t) AS DOUBLE) AS score
+      FROM terms GROUP BY qid, nb_id
+    ),
+    bm25 AS (
+      SELECT qid, nb_id, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY score DESC, nb_id ASC
+             ) AS rk
+      FROM sc
+    )
+    SELECT qid, nb_id, score, rk FROM bm25 WHERE rk <= 3
+    """,
+    tags=("J5", "J6", "retrieval", "eval"),
+    demoted=True,
+)
+def q_llm_planted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted-marker eval probe as a HASH-CHECKED query: marker
+    queries against the persisted planted-corpus BM25 index, under the
+    production serving rail — the only row each query returns is its
+    own marked document (df=1 markers, maximal IDF), and the scores
+    equal one-shot SQL scoring of the marked corpus exactly. This is
+    the oracle-backed twin of the floor-gated ``planted_bm25_*`` rows
+    in q_llm_scale_suite."""
+    return bm25_query_index(
+        planted_eval_queries(spark, sf_dir),
+        ensure_planted_bm25_index(spark, sf_dir),
+        k=3,
+        max_df_ratio=0.25,
+    )
+
+
 def retrieval_quality_rows(
     spark: SparkSession, sf_dir: str
 ) -> list[tuple[str, int, float, float | None]]:

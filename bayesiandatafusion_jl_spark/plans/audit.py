@@ -56,6 +56,12 @@ SKIP = {
 }
 
 NOTES = {
+    "q_llm_planted_probe": (
+        "r14: marker-query probe of the persisted planted-corpus BM25"
+        " index (built once per fingerprint outside the returned plan) —"
+        " partition-pruned posting read, df from the probed lists, rail"
+        " exact on df=1 markers; oracle rebuilds the marked corpus in SQL"
+    ),
     "q_text_shingle_sim_join": (
         "r14: exact char-6-shingle Jaccard join — same PPJoin"
         " prefix+positional candidate machinery as q_text_set_sim_join,"

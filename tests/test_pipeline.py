@@ -169,3 +169,31 @@ def test_persisted_pipeline_refuses_config_and_corpus_drift(spark, tmp_path):
     with _pytest.raises(ValueError, match="configuration"):
         build_pipeline(docs.filter(F.col("doc_id") % 2 == 0), d,
                        n_shards=4, seed=7)
+
+
+def test_verify_pipeline_recounts_and_catches_corruption(spark, tmp_path):
+    """r14: the integrity audit passes on a clean build and FLAGS a
+    corrupted artifact (deleted shard file) as a counted mismatch."""
+    import glob
+    import os
+
+    from bayesiandatafusion_jl_spark.functions.pipeline_store import (
+        build_pipeline,
+        verify_pipeline,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "text")
+    d = str(tmp_path / "pipe_verify")
+    build_pipeline(docs, d, n_shards=4, seed=7)
+    clean = verify_pipeline(spark, d).collect()
+    assert clean and all(r["ok"] for r in clean), [
+        (r["check"], r["expected"], r["actual"]) for r in clean if not r["ok"]
+    ]
+    # corrupt: drop one shard's data file
+    victims = glob.glob(f"{d}/shards/shard=*/**/*.parquet", recursive=True)
+    assert victims
+    os.remove(victims[0])
+    bad = {r["check"]: r["ok"] for r in verify_pipeline(spark, d).collect()}
+    assert bad["shards_docs"] is False
