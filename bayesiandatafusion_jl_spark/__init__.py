@@ -134,6 +134,18 @@ _LAZY = {
         "bayesiandatafusion_jl_spark.functions.pipeline_store",
         "read_shards",
     ),
+    "append_pipeline_shard": (
+        "bayesiandatafusion_jl_spark.functions.pipeline_store",
+        "append_pipeline_shard",
+    ),
+    "verify_pipeline": (
+        "bayesiandatafusion_jl_spark.functions.pipeline_store",
+        "verify_pipeline",
+    ),
+    "pipeline_ingest_stream": (
+        "bayesiandatafusion_jl_spark.streaming.pipelines",
+        "pipeline_ingest_stream",
+    ),
     "save_quality_model": (
         "bayesiandatafusion_jl_spark.functions.quality_model",
         "save_quality_model",
@@ -188,6 +200,7 @@ __all__ = [
     "redact_pii", "shuffle_shards", "write_shuffled_shards", "unigram_nll",
     "dsir_logweights", "semdedup", "bigram_nll",
     "build_pipeline", "read_pipeline_manifest", "read_shards",
+    "append_pipeline_shard", "verify_pipeline", "pipeline_ingest_stream",
     "save_quality_model", "load_quality_model", "anomaly_stream",
     "kl_drift_stream", "quality_stream",
     "set_similarity_join",

@@ -55,12 +55,31 @@ _DECON_N = 4
 _DEDUP_PREFIX_TOKENS = 8
 
 
-def _pipeline_flags(docs: DataFrame) -> DataFrame:
+def _eval_grams(docs: DataFrame) -> DataFrame:
+    """(g): the DISTINCT decontamination n-grams of the corpus's eval
+    source — the benchmark set. The pipeline store persists this at
+    build time so later shard appends decontaminate against the PINNED
+    benchmark without re-reading the base corpus (and without a late
+    shard silently redefining what 'contaminated' means)."""
+    toks = docs.select(
+        "doc_id", "source", F.split(F.lower("text"), " ").alias("tk")
+    )
+    return (
+        toks.filter(F.col("source") == _EVAL_SOURCE)
+        .select(F.explode(_ngrams("tk", _DECON_N)).alias("g"))
+        .distinct()
+    )
+
+
+def _pipeline_flags(docs: DataFrame, ev_grams: DataFrame | None = None) -> DataFrame:
     """The ONE-text-scan doc-grain flags frame every stage derives from:
     (doc_id, n_tokens, keep_q, keep_mix, __fp, contam, keep_dd). Shared
     by the composed counts query (which checkpoints it) and the
     persisted pipeline store (which parquets it as the first stage
-    artifact) — one implementation, two materialization policies."""
+    artifact) — one implementation, two materialization policies.
+    ``ev_grams`` (r14): an explicit benchmark n-gram frame (column
+    ``g``) — shard appends pass the PERSISTED build-time set; None
+    derives it from ``docs`` (the one-shot form)."""
     toks = docs.select(
         "doc_id", "source", F.split(F.lower("text"), " ").alias("tk")
     )
@@ -78,11 +97,8 @@ def _pipeline_flags(docs: DataFrame) -> DataFrame:
     )
 
     ev = (
-        toks.filter(F.col("source") == _EVAL_SOURCE)
-        .select(F.explode(_ngrams("tk", _DECON_N)).alias("g"))
-        .distinct()
-        .withColumn("__h", F.lit(1))
-    )
+        _eval_grams(docs) if ev_grams is None else ev_grams.select("g")
+    ).withColumn("__h", F.lit(1))
 
     thr: F.Column = F.lit(int(_MIX_DEFAULT * _MOD))
     for k in sorted(_MIX_RATES):

@@ -14,15 +14,21 @@ config-pinned meta, per-stage artifacts, manifest as the done-ledger):
                 corpus fingerprint) — a resume under different params or
                 against a CHANGED corpus refuses loudly instead of
                 mixing two configurations in one artifact.
-    flags/      stage 1: the doc-grain flags frame (ONE corpus text
-                scan; see functions/pipeline._pipeline_flags). Raw /
-                quality / dedup / decontaminated / mixture counts are
-                all aggregates of this frame.
-    packed/     stage 2: (doc_id, n_tokens, bin_id) — the exact
-                two-phase prefix-scan packing over the mixture
-                survivors (functions/packing.pack_sequences).
-    shards/     stage 3: ``shard=K/`` parquet, one pos-sorted file per
-                shard (sources/io.write_shuffled_shards) carrying the
+    evgrams/    the PINNED decontamination benchmark: the base
+                snapshot's eval-source n-grams, persisted so shard
+                appends decontaminate against exactly this set.
+    flags/      stage 1, ``__epoch=<e>``-partitioned: the doc-grain
+                flags frame (ONE text scan per epoch; see
+                functions/pipeline._pipeline_flags). Raw / quality /
+                dedup / decontaminated / mixture counts are aggregates
+                over all epochs.
+    packed/     stage 2, per-epoch: (doc_id, n_tokens, bin_id) — the
+                exact two-phase prefix-scan packing of each epoch's own
+                mixture survivors; context windows are (__epoch,
+                bin_id) pairs (history is never repacked).
+    shards/     stage 3, ``__epoch=<e>/shard=K/`` parquet, one
+                pos-sorted file per shard per epoch
+                (sources/io.write_shuffled_shards) carrying the
                 surviving documents' text + bin assignment — what the
                 trainer reads round-robin.
     manifest/   ``stage=<name>/`` partitions of (stage, n_docs,
@@ -30,7 +36,14 @@ config-pinned meta, per-stage artifacts, manifest as the done-ledger):
                 after its artifact lands (crash between the two: the
                 artifact is overwrite-idempotent and re-runs; the safe
                 direction), so manifest presence IS the done marker the
-                resume skips by.
+                resume skips by; appends recount all epochs (doc-grain).
+
+``append_pipeline_shard`` / ``streaming.pipelines.pipeline_ingest_stream``
+ingest NEW corpus shards incrementally: the shard pays its own flags
+scan, per-epoch packing, and shard write; dedup is first-writer-wins
+across epochs (== the one-shot rule when ids arrive increasing) and the
+decon benchmark stays the build-time pin. The base corpus is never
+re-read.
 
 Crash contract: every stage write is an idempotent overwrite of its own
 directory, ordered artifact-then-manifest. A kill mid-stage leaves no
@@ -124,9 +137,10 @@ def build_pipeline(
             f"capacity/n_shards must be >= 1, got {capacity}/{n_shards}"
         )
     spark = docs.sparkSession
-    meta_path, flags_path, packed_path, shards_path, manifest_path = (
+    meta_path, flags_path, packed_path, shards_path, manifest_path, ev_path = (
         index_paths(
-            pipeline_dir, "meta", "flags", "packed", "shards", "manifest"
+            pipeline_dir, "meta", "flags", "packed", "shards", "manifest",
+            "evgrams",
         )
     )
     import os
@@ -157,8 +171,20 @@ def build_pipeline(
     done = _done_stages(spark, manifest_path)
 
     # ---- stage 1: flags (the one corpus text scan) -------------------
+    # every artifact is an __epoch partition (base = this snapshot; a
+    # later append_pipeline_shard adds its own epoch) via the shared
+    # epoch store, so the whole lifecycle is replay-idempotent
+    from bayesiandatafusion_jl_spark.functions.index_meta import write_epoch
+    from bayesiandatafusion_jl_spark.functions.pipeline import _eval_grams
+
     if not set(_FLAG_STAGES) <= done:
-        _pipeline_flags(docs).write.mode("overwrite").parquet(flags_path)
+        # the benchmark set is PINNED at build: persisted before the
+        # flags so appends decontaminate against exactly this frame
+        _eval_grams(docs).write.mode("overwrite").parquet(ev_path)
+        write_epoch(
+            _pipeline_flags(docs, spark.read.parquet(ev_path)),
+            flags_path, "base", fresh=True,
+        )
         _write_manifest(
             _stage_count_rows(spark.read.parquet(flags_path)), manifest_path
         )
@@ -170,18 +196,11 @@ def build_pipeline(
     # ---- stage 2: pack (doc-grain prefix scan) -----------------------
     if "packed" not in done:
         packed = pack_sequences(survivors, ["doc_id"], "n_tokens", capacity)
-        packed.select("doc_id", "n_tokens", "bin_id").write.mode(
-            "overwrite"
-        ).parquet(packed_path)
-        row = (
-            spark.read.parquet(packed_path)
-            .agg(
-                F.countDistinct("bin_id").cast("long").alias("n_docs"),
-                F.sum("n_tokens").cast("long").alias("n_tokens"),
-            )
-            .select(F.lit("packed").alias("stage"), "n_docs", "n_tokens")
+        write_epoch(
+            packed.select("doc_id", "n_tokens", "bin_id"),
+            packed_path, "base", fresh=True,
         )
-        _write_manifest(row, manifest_path)
+        _write_manifest(_packed_row(spark, packed_path), manifest_path)
         done.add("packed")
 
     # ---- stage 3: shards (the ONLY text re-read, survivor-pruned) ----
@@ -190,20 +209,179 @@ def build_pipeline(
             write_shuffled_shards,
         )
 
-        body = docs.join(
-            F.broadcast(spark.read.parquet(packed_path)), "doc_id"
-        ).select("doc_id", "source", "text", "n_tokens", "bin_id")
-        write_shuffled_shards(body, shards_path, ["doc_id"], n_shards, seed)
-        row = (
-            spark.read.parquet(shards_path)
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_docs"),
-                F.sum("n_tokens").cast("long").alias("n_tokens"),
+        packed_df = _read_parquet_or_none(spark, packed_path)
+        if packed_df is not None:
+            body = docs.join(
+                F.broadcast(packed_df.drop("__epoch")), "doc_id"
+            ).select("doc_id", "source", "text", "n_tokens", "bin_id")
+            # one epoch subdirectory per snapshot/shard batch: replaying
+            # a batch overwrites ITS directory, never duplicates into
+            # shard=K
+            write_shuffled_shards(
+                body, f"{shards_path}/__epoch=base", ["doc_id"],
+                n_shards, seed,
             )
-            .select(F.lit("shards").alias("stage"), "n_docs", "n_tokens")
-        )
-        _write_manifest(row, manifest_path)
+        _write_manifest(_shards_row(spark, shards_path), manifest_path)
 
+    return read_pipeline_manifest(spark, pipeline_dir)
+
+
+def _read_parquet_or_none(spark: SparkSession, path: str):
+    """Read a stage artifact, tolerating the EMPTY-stage layout: a
+    partitioned write of zero rows leaves a directory with no parquet
+    footers (schema uninferrable), which is a legitimate state for a
+    heavily-filtered tiny corpus — not an error."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None
+
+
+def _packed_row(spark: SparkSession, packed_path: str) -> DataFrame:
+    """The manifest's packed row: context windows are (__epoch, bin_id)
+    pairs — per-epoch packing namespaces never collide."""
+    df = _read_parquet_or_none(spark, packed_path)
+    if df is None:
+        return spark.createDataFrame(
+            [("packed", 0, 0)], "stage string, n_docs long, n_tokens long"
+        )
+    return df.agg(
+        F.countDistinct("__epoch", "bin_id").cast("long").alias("n_docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+    ).select(F.lit("packed").alias("stage"), "n_docs", "n_tokens")
+
+
+def _shards_row(spark: SparkSession, shards_path: str) -> DataFrame:
+    df = _read_parquet_or_none(spark, shards_path)
+    if df is None:
+        return spark.createDataFrame(
+            [("shards", 0, 0)], "stage string, n_docs long, n_tokens long"
+        )
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+    ).select(F.lit("shards").alias("stage"), "n_docs", "n_tokens")
+
+
+def append_pipeline_shard(
+    shard_docs: DataFrame, pipeline_dir: str, epoch: str
+) -> DataFrame:
+    """Ingest one NEW corpus shard into a completed pipeline artifact —
+    the incremental form of ``build_pipeline``: the shard pays its own
+    flags scan, its own packing, and its own shard write; the base
+    corpus is never re-read. Returns the refreshed manifest.
+
+    Semantics vs the one-shot build, precisely:
+
+    - quality / mixture: per-document, identical to the one-shot form.
+    - decontamination: against the PINNED build-time benchmark grams
+      (``evgrams``) — a shard cannot redefine the eval set, and
+      eval-source rows inside a shard are excluded from training flags
+      exactly like the build.
+    - prefix-dedup: FIRST-WRITER-WINS across epochs — a new document
+      whose fingerprint already has a kept representative in ANY prior
+      epoch is dropped, and within the shard the lowest-id quality
+      survivor of an unseen fingerprint wins. When appended ids are
+      higher than existing ids (the normal ingest direction) this
+      EQUALS the one-shot global-min rule; with interleaved ids the
+      one-shot rebuild could elect a different (lower-id) representative
+      — the standard incremental-dedup divergence, same contract as
+      ``dedup_incremental``.
+    - packing: per-epoch bins (windows never repack history); the
+      manifest's packed row counts (__epoch, bin_id) windows.
+
+    Replay-idempotent: every artifact write is a dynamic overwrite of
+    the shard's own ``__epoch`` partitions, and the manifest is a full
+    recount over all epochs (doc-grain — never a text re-read), so a
+    crashed append is simply re-run. ``epoch='base'`` is reserved.
+    """
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        guard_append,
+        read_meta,
+        write_epoch,
+    )
+    from bayesiandatafusion_jl_spark.sources.io import write_shuffled_shards
+
+    spark = shard_docs.sparkSession
+    meta_path, flags_path, packed_path, shards_path, manifest_path, ev_path = (
+        index_paths(
+            pipeline_dir, "meta", "flags", "packed", "shards", "manifest",
+            "evgrams",
+        )
+    )
+    done = _done_stages(spark, manifest_path)
+    if "shards" not in done:
+        raise ValueError(
+            f"pipeline at {pipeline_dir} is not a completed build (stages"
+            f" done: {sorted(done)}) — finish build_pipeline before"
+            " appending shards"
+        )
+    guard_append(spark, pipeline_dir, epoch, reserved=("base",))
+    meta = read_meta(spark, meta_path).asDict()
+
+    # shard flags against the pinned benchmark; first-writer dedup
+    # against every OTHER epoch's kept representatives (excluding this
+    # epoch makes the append replay-idempotent)
+    ev = spark.read.parquet(ev_path)
+    shard_flags = _pipeline_flags(shard_docs, ev)
+    existing_kept_fps = (
+        spark.read.parquet(flags_path)
+        .filter((F.col("__epoch") != epoch) & _survive("dedup"))
+        .select("__fp")
+        .distinct()
+    )
+    seen = existing_kept_fps.withColumnRenamed("__fp", "__seen_fp")
+    # fp-grain equi-join (fixed-width hash keys, doc-grain frames — AQE
+    # picks broadcast when the kept set is small; at corpus scale it is
+    # a plain shuffle join, never text-sized)
+    shard_flags = (
+        shard_flags.join(
+            seen, shard_flags["__fp"] == seen["__seen_fp"], "left"
+        )
+        .withColumn(
+            "keep_dd", F.col("keep_dd") & F.col("__seen_fp").isNull()
+        )
+        .drop("__seen_fp")
+    )
+    write_epoch(shard_flags, flags_path, epoch, fresh=False)
+    _write_manifest(
+        _stage_count_rows(spark.read.parquet(flags_path)), manifest_path
+    )
+
+    # per-epoch packing over the shard's own survivors
+    flags_now = spark.read.parquet(flags_path).filter(
+        F.col("__epoch") == epoch
+    )
+    survivors = flags_now.filter(_survive("mixture")).select(
+        "doc_id", "n_tokens"
+    )
+    packed = pack_sequences(
+        survivors, ["doc_id"], "n_tokens", int(meta["capacity"])
+    )
+    write_epoch(
+        packed.select("doc_id", "n_tokens", "bin_id"),
+        packed_path, epoch, fresh=False,
+    )
+    _write_manifest(_packed_row(spark, packed_path), manifest_path)
+
+    packed_df = _read_parquet_or_none(spark, packed_path)
+    if packed_df is not None:
+        body = shard_docs.join(
+            F.broadcast(
+                packed_df.filter(F.col("__epoch") == epoch).drop("__epoch")
+            ),
+            "doc_id",
+        ).select("doc_id", "source", "text", "n_tokens", "bin_id")
+        write_shuffled_shards(
+            body,
+            f"{shards_path}/__epoch={epoch}",
+            ["doc_id"],
+            int(meta["n_shards"]),
+            int(meta["seed"]),
+        )
+    _write_manifest(_shards_row(spark, shards_path), manifest_path)
     return read_pipeline_manifest(spark, pipeline_dir)
 
 
@@ -218,7 +396,6 @@ def verify_pipeline(spark: SparkSession, pipeline_dir: str) -> DataFrame:
     flag-derived stage's recount == its manifest row, packed bins ==
     packed n_docs, shard rows + tokens == shards row, and the shard
     directory holds <= the pinned n_shards partitions. Read-only."""
-    from bayesiandatafusion_jl_spark.functions.index_compact import _fs
     from bayesiandatafusion_jl_spark.functions.index_meta import read_meta
 
     meta_path, flags_path, packed_path, shards_path, manifest_path = (
@@ -241,27 +418,35 @@ def verify_pipeline(spark: SparkSession, pipeline_dir: str) -> DataFrame:
         if s in rows:
             out.append((f"{s}_docs", rows[s][0], counts[s][0]))
             out.append((f"{s}_tokens", rows[s][1], counts[s][1]))
-    fs, packed_h, _ = _fs(spark, packed_path)
-    if "packed" in rows and fs.exists(packed_h):
-        p = spark.read.parquet(packed_path).agg(
-            F.countDistinct("bin_id").alias("b"),
-            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t"),
-        ).collect()[0]
-        out.append(("packed_bins", rows["packed"][0], int(p["b"])))
-        out.append(("packed_tokens", rows["packed"][1], int(p["t"])))
-    fs, shards_h, _ = _fs(spark, shards_path)
-    if "shards" in rows and fs.exists(shards_h):
-        sh = spark.read.parquet(shards_path)
-        s = sh.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t"),
-            F.countDistinct("shard").alias("k"),
-        ).collect()[0]
-        out.append(("shards_docs", rows["shards"][0], int(s["n"])))
-        out.append(("shards_tokens", rows["shards"][1], int(s["t"])))
-        out.append(
-            ("shards_within_pin", int(meta["n_shards"]), int(s["k"]))
-        )
+    p_df = _read_parquet_or_none(spark, packed_path)
+    if "packed" in rows:
+        if p_df is None:
+            out.append(("packed_bins", rows["packed"][0], 0))
+            out.append(("packed_tokens", rows["packed"][1], 0))
+        else:
+            p = p_df.agg(
+                F.countDistinct("__epoch", "bin_id").alias("b"),
+                F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t"),
+            ).collect()[0]
+            out.append(("packed_bins", rows["packed"][0], int(p["b"])))
+            out.append(("packed_tokens", rows["packed"][1], int(p["t"])))
+    sh = _read_parquet_or_none(spark, shards_path)
+    if "shards" in rows:
+        if sh is None:
+            out.append(("shards_docs", rows["shards"][0], 0))
+            out.append(("shards_tokens", rows["shards"][1], 0))
+            out.append(("shards_within_pin", int(meta["n_shards"]), 0))
+        else:
+            s = sh.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t"),
+                F.countDistinct("shard").alias("k"),
+            ).collect()[0]
+            out.append(("shards_docs", rows["shards"][0], int(s["n"])))
+            out.append(("shards_tokens", rows["shards"][1], int(s["t"])))
+            out.append(
+                ("shards_within_pin", int(meta["n_shards"]), int(s["k"]))
+            )
     ok = [
         (c, e, a, a == e if c != "shards_within_pin" else a <= e)
         for c, e, a in out
@@ -280,8 +465,6 @@ def pipeline_stats(spark: SparkSession, pipeline_dir: str) -> DataFrame:
     on disk in the shards, stage counts as a detail map). Readable at
     ANY point of a partial build (a killed run reports exactly the
     stages that landed)."""
-    from bayesiandatafusion_jl_spark.functions.index_compact import _fs
-
     manifest_path, flags_path, packed_path, shards_path = index_paths(
         pipeline_dir, "manifest", "flags", "packed", "shards"
     )
@@ -292,15 +475,15 @@ def pipeline_stats(spark: SparkSession, pipeline_dir: str) -> DataFrame:
     done = [s for s in _STAGE_ORDER if s in rows]
     n_files = 0
     for p in (flags_path, packed_path, shards_path):
-        fs, hpath, _ = _fs(spark, p)
-        if fs.exists(hpath):
-            n_files += len(spark.read.parquet(p).inputFiles())
+        df = _read_parquet_or_none(spark, p)
+        if df is not None:
+            n_files += len(df.inputFiles())
     skew = 1.0
     n_tokens_disk = 0
-    fs, shards_h, _ = _fs(spark, shards_path)
-    if fs.exists(shards_h):
+    shards_df = _read_parquet_or_none(spark, shards_path)
+    if shards_df is not None:
         sizes = (
-            spark.read.parquet(shards_path)
+            shards_df
             .groupBy("shard")
             .agg(
                 F.count(F.lit(1)).alias("n"),

@@ -803,6 +803,34 @@ def quality_stream(
     return score_quality(model, docs_stream, text_col, n_features)
 
 
+def pipeline_ingest_stream(
+    docs_stream: DataFrame, pipeline_dir: str, checkpoint_dir: str
+):
+    """Streaming maintenance of a persisted training-data pipeline
+    (functions/pipeline_store.py): each micro-batch of new documents
+    appends as its own ``stream_<batch_id>`` epoch — shard-local flags
+    against the pinned benchmark grams, first-writer dedup against all
+    prior epochs, per-epoch packing and shard write. Same
+    foreachBatch/epoch replay contract as the other ingest streams: a
+    retried batch rewrites its own epoch partitions idempotently."""
+    from bayesiandatafusion_jl_spark.functions.pipeline_store import (
+        append_pipeline_shard,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        append_pipeline_shard(
+            batch_df, pipeline_dir, f"stream_{batch_id}"
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def topk_ingest_stream(
     facts_stream: DataFrame,
     view_dir: str,

@@ -192,8 +192,174 @@ def test_verify_pipeline_recounts_and_catches_corruption(spark, tmp_path):
         (r["check"], r["expected"], r["actual"]) for r in clean if not r["ok"]
     ]
     # corrupt: drop one shard's data file
-    victims = glob.glob(f"{d}/shards/shard=*/**/*.parquet", recursive=True)
+    victims = glob.glob(f"{d}/shards/__epoch=*/shard=*/*.parquet")
     assert victims
     os.remove(victims[0])
     bad = {r["check"]: r["ok"] for r in verify_pipeline(spark, d).collect()}
     assert bad["shards_docs"] is False
+
+
+def test_append_shard_equals_one_shot_on_increasing_ids(spark, tmp_path):
+    """r14 incremental ingest: base build + appended shard (ids above
+    the base — the normal ingest direction, where first-writer-wins
+    EQUALS the one-shot global-min dedup rule) must report the same
+    flag-stage manifest rows as one-shot building the union, and the
+    shards row must equal the union's mixture survivors."""
+    from bayesiandatafusion_jl_spark.functions.pipeline_store import (
+        append_pipeline_shard,
+        build_pipeline,
+        read_shards,
+        verify_pipeline,
+    )
+
+    all_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "text")
+    base = all_docs.filter(F.col("doc_id") < 300)
+    # shards carry no eval-source docs, so the one-shot reference and
+    # the pinned-benchmark incremental share the same decon gram set
+    # (a shard WITH late eval docs diverges BY DESIGN — eval pinning,
+    # covered by the next test)
+    shard = all_docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("source") != "src0")
+    )
+    union = base.unionByName(shard)
+    d = str(tmp_path / "pipe_inc")
+    build_pipeline(base, d, n_shards=4, seed=7)
+    manifest = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in append_pipeline_shard(shard, d, "s1").collect()
+    }
+    want = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in pipeline_stage_counts(union).collect()
+    }
+    for stage in ("raw", "quality", "dedup", "decontaminated", "mixture"):
+        assert manifest[stage] == want[stage], (stage, manifest[stage], want[stage])
+    assert manifest["shards"] == want["mixture"]
+    # shards on disk = union survivors; replaying the SAME epoch is a
+    # no-op on every manifest row
+    n_disk = read_shards(spark, d).count()
+    assert n_disk == want["mixture"][0]
+    again = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in append_pipeline_shard(shard, d, "s1").collect()
+    }
+    assert again == manifest
+    # the integrity audit holds over the multi-epoch artifact
+    audit = verify_pipeline(spark, d).collect()
+    assert all(r["ok"] for r in audit), [
+        (r["check"], r["expected"], r["actual"]) for r in audit if not r["ok"]
+    ]
+
+
+def test_append_shard_first_writer_dedup_and_eval_pin(spark, tmp_path):
+    """Cross-epoch dedup: a shard doc duplicating a kept base doc's
+    prefix fingerprint is dropped (first-writer-wins). Eval pinning: a
+    shard carrying NEW eval-source text neither enters the training
+    flags nor redefines the benchmark grams."""
+    from bayesiandatafusion_jl_spark.functions.pipeline import (
+        _DEDUP_PREFIX_TOKENS,
+    )
+    from bayesiandatafusion_jl_spark.functions.pipeline_store import (
+        append_pipeline_shard,
+        build_pipeline,
+    )
+
+    assert _DEDUP_PREFIX_TOKENS == 8
+    # >= 12% of tokens must be English markers (the/of/and/...) to
+    # pass the language gate; every doc weaves them in
+    body = (
+        "alpha beta gamma delta epsilon zeta eta theta "  # the 8-token fp
+        + "the of and iota kappa the lambda mu of nu xi and omicron pi"
+        + " the rho sigma of tau upsilon and phi chi"
+    )
+    base = spark.createDataFrame(
+        [(1, "srcA", body),
+         (2, "srcA", "totally distinct opening words the of and here"
+          " that pass the quality gate of this engine and the minimum"
+          " token count rail and the language score rail of it")],
+        "doc_id long, source string, text string",
+    )
+    d = str(tmp_path / "pipe_fw")
+    build_pipeline(base, d, n_shards=2, seed=3)
+    # shard doc 10 shares doc 1's 8-token prefix; doc 11 is new; doc 12
+    # is eval-source text (must not enter training flags)
+    shard = spark.createDataFrame(
+        [
+            (10, "srcA", body + " with a different continuation tail"),
+            (11, "srcA", "brand new opening sequence of the words and"
+             " the gates of this engine and the plenty of distinct"
+             " tokens and the whole document body of it easily"),
+            (12, "src0", "late arriving eval text must not redefine the"
+             " benchmark n-gram set at append time ever"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    append_pipeline_shard(shard, d, "s1")
+    flags = {
+        r["doc_id"]: (r["keep_q"], r["keep_dd"])
+        for r in spark.read.parquet(f"{d}/flags").collect()
+    }
+    assert 12 not in flags                 # eval-source rows excluded
+    assert flags[10][1] is False           # first-writer: base doc 1 kept
+    assert flags[11][0] and flags[11][1]   # genuinely new doc survives
+    # the benchmark set is still the BASE build's
+    ev = {r["g"] for r in spark.read.parquet(f"{d}/evgrams").collect()}
+    assert not any("benchmark" in g for g in ev)
+
+
+def test_pipeline_ingest_stream_appends_epochs(spark, tmp_path):
+    """Streaming ingest: two micro-batches land as their own epochs and
+    the manifest equals one-shot over the full history (increasing
+    ids)."""
+    from bayesiandatafusion_jl_spark.functions.pipeline_store import (
+        build_pipeline,
+        read_pipeline_manifest,
+    )
+    from bayesiandatafusion_jl_spark.streaming import pipelines as P
+
+    all_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "text")
+    base = all_docs.filter(F.col("doc_id") < 300)
+    d = str(tmp_path / "pipe_stream")
+    build_pipeline(base, d, n_shards=4, seed=7)
+
+    src = tmp_path / "pipe_src"
+    src.mkdir()
+    late = all_docs.filter(F.col("source") != "src0")
+    late.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 400)
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = P.pipeline_ingest_stream(stream, d, str(tmp_path / "pipe_chk"))
+    q.processAllAvailable()
+    late.filter(F.col("doc_id") >= 400).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in read_pipeline_manifest(spark, d).collect()
+    }
+    union = all_docs.filter(
+        (F.col("doc_id") < 300) | (F.col("source") != "src0")
+    )
+    want = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in pipeline_stage_counts(union).collect()
+    }
+    for stage in ("raw", "quality", "dedup", "decontaminated", "mixture"):
+        assert got[stage] == want[stage], (stage, got[stage], want[stage])
+    eps = {
+        r["__epoch"]
+        for r in spark.read.parquet(f"{d}/flags")
+        .select("__epoch").distinct().collect()
+    }
+    assert eps == {"base", "stream_0", "stream_1"}
