@@ -447,6 +447,13 @@ def verify_pipeline(spark: SparkSession, pipeline_dir: str) -> DataFrame:
             out.append(
                 ("shards_within_pin", int(meta["n_shards"]), int(s["k"]))
             )
+    # cross-stage invariant: every mixture survivor must be sharded —
+    # a crashed append leaves the flag recounts ahead of the shard
+    # write, and THIS is the row that surfaces it (the per-stage rows
+    # above each self-agree with their own stale artifact)
+    if "shards" in rows and "mixture" in rows:
+        out.append(("shards_cover_mixture", counts["mixture"][0],
+                    rows["shards"][0]))
     ok = [
         (c, e, a, a == e if c != "shards_within_pin" else a <= e)
         for c, e, a in out

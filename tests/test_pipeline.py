@@ -363,3 +363,41 @@ def test_pipeline_ingest_stream_appends_epochs(spark, tmp_path):
         .select("__epoch").distinct().collect()
     }
     assert eps == {"base", "stream_0", "stream_1"}
+
+
+def test_verify_pipeline_flags_crashed_append(spark, tmp_path, monkeypatch):
+    """A kill between an append's flags write and its shard write leaves
+    the manifest's flag recounts ahead of the shards — the
+    shards_cover_mixture cross-check must go red, and a retried append
+    must clear it."""
+    import pytest as _pytest
+
+    from bayesiandatafusion_jl_spark.functions import pipeline_store as ps
+
+    all_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "text")
+    base = all_docs.filter(F.col("doc_id") < 300)
+    shard = all_docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("source") != "src0")
+    )
+    d = str(tmp_path / "pipe_crash_append")
+    ps.build_pipeline(base, d, n_shards=4, seed=7)
+    clean = {r["check"]: r["ok"] for r in ps.verify_pipeline(spark, d).collect()}
+    assert clean["shards_cover_mixture"] is True
+
+    real_pack = ps.pack_sequences
+    monkeypatch.setattr(
+        ps, "pack_sequences",
+        lambda *a, **kw: (_ for _ in ()).throw(IOError("killed mid-append")),
+    )
+    with _pytest.raises(IOError, match="killed mid-append"):
+        ps.append_pipeline_shard(shard, d, "s1")
+    monkeypatch.undo()
+    bad = {r["check"]: r["ok"] for r in ps.verify_pipeline(spark, d).collect()}
+    assert bad["shards_cover_mixture"] is False
+    # retry heals: idempotent epoch writes + full recount
+    monkeypatch.setattr(ps, "pack_sequences", real_pack)
+    ps.append_pipeline_shard(shard, d, "s1")
+    healed = {r["check"]: r["ok"] for r in ps.verify_pipeline(spark, d).collect()}
+    assert all(healed.values()), healed
