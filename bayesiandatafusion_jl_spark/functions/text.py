@@ -1786,3 +1786,52 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     selects exactly the per-window rightmost minima."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return winnow_fingerprints(docs)
+
+
+@register(
+    "q_text_winnow_overlap",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(LOWER(text), ' ') AS t
+      FROM documents WHERE doc_id < 300
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             substr(sha256(array_to_string(
+               t[i:i+{_WINNOW_K - 1}], ' ')), 1, {_WINNOW_HEX}) AS h
+      FROM (SELECT doc_id, t,
+                   UNNEST(range(1, len(t) - {_WINNOW_K} + 2)) AS i
+            FROM tk WHERE len(t) >= {_WINNOW_K})
+    ),
+    n AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
+    win AS (
+      SELECT doc_id, UNNEST(range(0, ng - {_WINNOW_W} + 1)) AS s
+      FROM n WHERE ng >= {_WINNOW_W}
+    ),
+    m AS (
+      SELECT win.doc_id, win.s, g.h,
+             ROW_NUMBER() OVER (
+               PARTITION BY win.doc_id, win.s
+               ORDER BY g.h ASC, g.pos DESC
+             ) AS rk
+      FROM win JOIN g ON g.doc_id = win.doc_id
+                     AND g.pos BETWEEN win.s AND win.s + {_WINNOW_W - 1}
+    ),
+    fp AS (SELECT DISTINCT doc_id, h FROM m WHERE rk = 1)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    ORDER BY id_a, id_b
+    """,
+    tags=("J5", "text", "fingerprint"),
+    demoted=True,
+)
+def q_text_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-grain overlap pairs from winnowing fingerprints over the
+    first 300 documents (>= 2 shared selections) — hash-exact vs the
+    oracle's all-pairs fingerprint join, so both the selection AND the
+    collision counting are SQL-proven."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return fingerprint_overlap(docs, min_shared=2).orderBy("id_a", "id_b")
