@@ -349,3 +349,47 @@ def test_shingle_similarity_join_semantics(spark):
     assert not any(4 in p for p in out)
     with pytest.raises(ValueError, match="shingle_k"):
         set_similarity_join(docs, tau=0.5, shingle_k=0)
+
+
+def test_winnow_hypothesis_vs_reference(spark):
+    """Randomized corpora (seeded, bounded) against the sequential
+    reference — same invariant as the deterministic test, wider input
+    coverage: repeated tokens, short docs below the window, ties."""
+    import hashlib
+    import random
+
+    from bayesiandatafusion_jl_spark.functions.text import (
+        _WINNOW_HEX,
+        winnow_fingerprints,
+    )
+
+    for seed, k, w in ((3, 3, 4), (11, 4, 3), (42, 2, 6)):
+        rng = random.Random(seed)
+        rows = [
+            (
+                d,
+                " ".join(
+                    f"w{rng.randint(0, 5)}" for _ in range(rng.randint(1, 25))
+                ),
+            )
+            for d in range(8)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        want = set()
+        for d, text in rows:
+            tk = text.lower().split()
+            hs = [
+                hashlib.sha256(" ".join(tk[i:i + k]).encode())
+                .hexdigest()[:_WINNOW_HEX]
+                for i in range(max(len(tk) - k + 1, 0))
+            ]
+            for s in range(len(hs) - w + 1):
+                window = hs[s:s + w]
+                m = min(window)
+                pos = s + max(i for i, h in enumerate(window) if h == m)
+                want.add((d, pos, m))
+        got = {
+            (r["doc_id"], r["pos"], r["fp"])
+            for r in winnow_fingerprints(docs, k=k, w=w).collect()
+        }
+        assert got == want, (seed, k, w)

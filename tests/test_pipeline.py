@@ -401,3 +401,29 @@ def test_verify_pipeline_flags_crashed_append(spark, tmp_path, monkeypatch):
     ps.append_pipeline_shard(shard, d, "s1")
     healed = {r["check"]: r["ok"] for r in ps.verify_pipeline(spark, d).collect()}
     assert all(healed.values()), healed
+
+
+def test_build_pipeline_manifest_partition_invariant(spark, tmp_path):
+    """The manifest (and therefore every stage artifact's counts) must
+    be identical at any input partitioning — the determinism contract
+    every persisted artifact in this engine carries."""
+    from bayesiandatafusion_jl_spark.functions.pipeline_store import (
+        build_pipeline,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "text")
+    a = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in build_pipeline(
+            docs.repartition(3), str(tmp_path / "p3"), n_shards=4, seed=7
+        ).collect()
+    }
+    b = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in build_pipeline(
+            docs.repartition(17), str(tmp_path / "p17"), n_shards=4, seed=7
+        ).collect()
+    }
+    assert a == b and a["raw"][0] > 0
