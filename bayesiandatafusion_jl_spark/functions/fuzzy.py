@@ -285,10 +285,18 @@ def set_similarity_join(
     else:
         if shingle_k < 1:
             raise ValueError(f"shingle_k must be >= 1, got {shingle_k}")
+        # Sub-k-length guard (r15 ADVICE): sequence(1, n) with n <= 0 is
+        # the DESCENDING array [1, .., n] in Spark, not empty — without
+        # the filter a doc shorter than k gets its whole text as a
+        # spurious shingle (two 3-char docs would pair at jaccard=1.0
+        # while a brute shingle oracle emits nothing for them). Docs with
+        # no full-length shingle have an EMPTY shingle set and are
+        # excluded, exactly like zero-token docs in word mode.
+        docs = docs.filter(F.length(F.col(text_col)) >= shingle_k)
         elem = F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(length(lower({text_col}))"
-                f" - {shingle_k} + 1, 0)),"
+                f"transform(sequence(1, length(lower({text_col}))"
+                f" - {shingle_k} + 1),"
                 f" i -> substring(lower({text_col}), i, {shingle_k}))"
             )
         )

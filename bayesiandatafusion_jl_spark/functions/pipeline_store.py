@@ -54,9 +54,12 @@ same flags/pack implementations — and the equality is pytest-pinned.
 
 Scale shape: the corpus text is read exactly twice end-to-end — once
 into the doc-grain flags frame (stage 1), once re-reading ONLY the
-mixture survivors for the shard write (broadcast semi-join on the
-survivor ids, stage 3). Stages 2's packing and every count run on
-doc-grain frames, orders of magnitude smaller than the text.
+mixture survivors for the shard write (a plain doc_id equi-join on the
+packed frame, stage 3 — un-hinted, because the base build's survivor
+set is corpus-sized; AQE broadcasts it when it is actually small,
+while the shard APPEND path broadcasts its own shard-bounded packed
+frame explicitly). Stage 2's packing and every count run on doc-grain
+frames, orders of magnitude smaller than the text.
 """
 
 from __future__ import annotations
@@ -211,8 +214,18 @@ def build_pipeline(
 
         packed_df = _read_parquet_or_none(spark, packed_path)
         if packed_df is not None:
+            # Plain doc_id equi-join, NO broadcast hint (r15): the base
+            # build's packed frame has one row per surviving document of
+            # the WHOLE corpus — at the 100 TB design point that is
+            # billions of rows, far past any broadcast limit, and a
+            # forced hint would die exactly at the scale this module
+            # targets. AQE still picks a broadcast join when the
+            # survivor set is in fact small (the local test shape); the
+            # shuffle join on doc_id is the correct large-corpus shape.
+            # The APPEND path keeps its hint — there the packed side is
+            # bounded by one shard, small by construction.
             body = docs.join(
-                F.broadcast(packed_df.drop("__epoch")), "doc_id"
+                packed_df.drop("__epoch"), "doc_id"
             ).select("doc_id", "source", "text", "n_tokens", "bin_id")
             # one epoch subdirectory per snapshot/shard batch: replaying
             # a batch overwrites ITS directory, never duplicates into
@@ -475,10 +488,18 @@ def pipeline_stats(spark: SparkSession, pipeline_dir: str) -> DataFrame:
     manifest_path, flags_path, packed_path, shards_path = index_paths(
         pipeline_dir, "manifest", "flags", "packed", "shards"
     )
-    rows = {
-        r["stage"]: (int(r["n_docs"]), int(r["n_tokens"]))
-        for r in spark.read.parquet(manifest_path).collect()
-    }
+    # a run killed before the FIRST manifest write leaves no manifest
+    # (or an empty one) — "readable at ANY point" includes that point,
+    # so report a zero-stage row instead of raising (r15 ADVICE)
+    manifest_df = _read_parquet_or_none(spark, manifest_path)
+    rows = (
+        {}
+        if manifest_df is None
+        else {
+            r["stage"]: (int(r["n_docs"]), int(r["n_tokens"]))
+            for r in manifest_df.collect()
+        }
+    )
     done = [s for s in _STAGE_ORDER if s in rows]
     n_files = 0
     for p in (flags_path, packed_path, shards_path):
@@ -502,11 +523,15 @@ def pipeline_stats(spark: SparkSession, pipeline_dir: str) -> DataFrame:
         n_tokens_disk = int(sum(r["t"] for r in sizes))
         if counts:
             skew = round(max(counts) / (sum(counts) / len(counts)), 4)
-    last = done[-1]
+    # n_docs is the last completed stage's SURVIVOR count — the packed
+    # row counts (epoch, bin) windows, not documents, so it is skipped
+    # for this headline number (r15 ADVICE); zero stages -> 0
+    doc_stages = [s for s in done if s != "packed"]
+    n_docs = rows[doc_stages[-1]][0] if doc_stages else 0
     return spark.createDataFrame(
         [
             (
-                rows[last][0],
+                n_docs,
                 len(done),
                 n_files,
                 skew,

@@ -43,8 +43,16 @@ def _featurize(docs: DataFrame, text_col: str = "text", n_features: int = _N_FEA
         "__grams",
         F.concat(
             F.col("__toks"),
+            # sequence(1, n) with n <= 0 DESCENDS ([1, 0]), so a
+            # single-token doc would hit element_at(__toks, 0) — an ANSI
+            # error, not an empty bigram list. Guard the short case to an
+            # explicitly empty array (same fix class as the shingle
+            # guard in fuzzy.set_similarity_join); >=2-token docs are
+            # bit-identical, so the featurizer fingerprint is unchanged.
             F.expr(
-                "transform(sequence(1, greatest(size(__toks) - 1, 0)),"
+                "transform(CASE WHEN size(__toks) >= 2"
+                " THEN sequence(1, size(__toks) - 1)"
+                " ELSE array() END,"
                 " i -> concat(element_at(__toks, i), '\\u0001',"
                 " element_at(__toks, i + 1)))"
             ),

@@ -589,6 +589,10 @@ def write_bm25_index(
         )
 
         check_not_folded(spark, index_dir, epoch)
+        # pre-r14 indexes persisted int32 stats; appending this
+        # revision's bigint rows next to them would leave a mixed-schema
+        # dir plain reads refuse — upgrade in place first (r15 ADVICE)
+        _migrate_stats_bigint(spark, stats_path)
     tok = tokens(corpus).select("doc_id", "token")
     tf = checkpoint_df(
         tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
@@ -650,6 +654,81 @@ def write_bm25_index(
             fs.delete(pending_h, True)
 
 
+_STATS_BIGINT = ("n_docs", "n_docs_tokened", "sum_dl")
+
+
+def _read_stats(spark: SparkSession, stats_path: str) -> DataFrame:
+    """Read the corpus-stats frame, tolerating the pre-r14 int32 layout
+    (r15 ADVICE): indexes persisted before n_docs widened to bigint hold
+    int32 rows, and an append from the widened revision onto such an
+    index leaves MIXED int32/int64 parquet schemas that a plain
+    ``spark.read.parquet`` refuses to resolve. The fast path is the
+    plain read (every index this revision writes is uniformly bigint);
+    the fallback reads each ``__epoch=*`` partition under its OWN
+    uniform schema and unions after casting. Either way the returned
+    frame is bigint-typed, so downstream sums never wrap."""
+    try:
+        df = spark.read.parquet(stats_path)
+        mixed = False
+    except Exception:
+        df, mixed = None, True
+    if not mixed and all(
+        df.schema[c].dataType.typeName() == "long"
+        for c in _STATS_BIGINT
+        if c in df.columns
+    ):
+        return df
+    from bayesiandatafusion_jl_spark.functions.index_compact import _fs
+
+    fs, root_h, _ = _fs(spark, stats_path)
+    parts = None
+    for st in fs.listStatus(root_h):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("__epoch=")):
+            continue
+        one = spark.read.parquet(str(st.getPath())).select(
+            *[F.col(c).cast("bigint").alias(c) for c in _STATS_BIGINT]
+        ).withColumn("__epoch", F.lit(name.split("=", 1)[1]))
+        parts = one if parts is None else parts.unionByName(one)
+    if parts is None:
+        raise ValueError(
+            f"BM25 stats at {stats_path} are unreadable and hold no"
+            " __epoch partitions — the index artifact is corrupt"
+        )
+    return parts
+
+
+def _migrate_stats_bigint(spark: SparkSession, stats_path: str) -> None:
+    """Upgrade a pre-r14 (int32) or mixed stats dir to uniform bigint
+    IN PLACE via the tmp+swap protocol, so every later plain read and
+    ``compact_epochs`` pass works on one schema (r15 ADVICE: no silent
+    mixed-schema artifacts). No-op when already uniform bigint or when
+    the stats frame does not exist yet."""
+    from bayesiandatafusion_jl_spark.functions.index_compact import _fs
+
+    fs, root_h, _ = _fs(spark, stats_path)
+    if not fs.exists(root_h):
+        return
+    try:
+        df = spark.read.parquet(stats_path)
+        if all(
+            df.schema[c].dataType.typeName() == "long"
+            for c in _STATS_BIGINT
+            if c in df.columns
+        ):
+            return
+    except Exception:
+        pass
+    from bayesiandatafusion_jl_spark.functions.index_compact import _swap_dir
+
+    widened = _read_stats(spark, stats_path).select(
+        *[F.col(c).cast("bigint").alias(c) for c in _STATS_BIGINT], "__epoch"
+    )
+    tmp = stats_path.rstrip("/") + ".__migrate_tmp"
+    widened.write.mode("overwrite").partitionBy("__epoch").parquet(tmp)
+    _swap_dir(spark, tmp, stats_path)
+
+
 def bm25_query_index(
     queries: DataFrame,
     index_dir: str,
@@ -709,7 +788,7 @@ def bm25_query_index(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    stats = spark.read.parquet(stats_path).agg(
+    stats = _read_stats(spark, stats_path).agg(
         F.sum("n_docs").cast("bigint").alias("n_docs"),
         (
             F.sum("sum_dl").cast("double")
@@ -847,7 +926,7 @@ def bm25_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"), F.max("n").alias("max_df")
     ).collect()[0]
     st = (
-        spark.read.parquet(stats_path)
+        _read_stats(spark, stats_path)
         .agg(
             F.sum("n_docs").alias("n_docs"),
             F.count(F.lit(1)).alias("n_epochs"),
@@ -994,6 +1073,14 @@ def compact_bm25_index(
     ordering where every crash point resumes correctly). Mid-window the
     probe-facing semantics remain the documented deleted-docs masking —
     hidden, never resurfaced.
+
+    The frame is incarnation-aware (r15): it records the compact epoch
+    whose stats swap it feeds (``__target_epoch``). A crash in the
+    OTHER window — after the stats swap lands, before the pending
+    delete — leaves a frame whose victims are already subtracted; the
+    next compaction sees its target epoch among the stats partitions,
+    recognizes it as consumed, and deletes it instead of
+    double-subtracting ``n_docs``.
     """
     from bayesiandatafusion_jl_spark.functions.index_compact import (
         _fs,
@@ -1012,9 +1099,41 @@ def compact_bm25_index(
     post_path, stats_path, pending_path = index_paths(
         index_dir, "postings", "stats", "purge_pending"
     )
+    # pre-r14 int32 stats rows upgrade in place before anything reads or
+    # re-folds them (r15 ADVICE — see _migrate_stats_bigint)
+    _migrate_stats_bigint(spark, stats_path)
     purge = tombstone_purge(spark, index_dir, "doc_id")
     fs, pending_h, _ = _fs(spark, pending_path)
     has_pending = bool(fs.exists(pending_h))
+    if has_pending:
+        # Incarnation check (r15 ADVICE): the pending frame records the
+        # compact epoch whose stats swap it feeds (__target_epoch). If
+        # that epoch is ALREADY a stats partition, the crash happened in
+        # the window between the stats swap and the pending delete — the
+        # victims are reconciled, and honoring the frame again would
+        # double-subtract n_docs (IDF drifts low). Stale frames are
+        # consumed here; frames from a revision predating the column are
+        # treated as live (their swap-landed state is unknowable — the
+        # pre-fix behavior, documented rather than guessed at).
+        pend = spark.read.parquet(pending_path)
+        if "__target_epoch" in pend.columns:
+            targets = {
+                r["__target_epoch"]
+                for r in pend.select("__target_epoch").distinct().collect()
+            }
+            _, stats_h, _ = _fs(spark, stats_path)
+            landed = (
+                {
+                    st.getPath().getName().split("=", 1)[1]
+                    for st in fs.listStatus(stats_h)
+                    if st.getPath().getName().startswith("__epoch=")
+                }
+                if fs.exists(stats_h)
+                else set()
+            )
+            if targets and targets <= landed:
+                fs.delete(pending_h, True)
+                has_pending = False
     # force when the rewrite changes CONTENT (a purge resurrection
     # hazard) or the stats frame is about to collapse to the compact
     # epoch (a replayed append of a surviving label would double its
@@ -1050,7 +1169,13 @@ def compact_bm25_index(
             victims = victims.unionByName(
                 spark.read.parquet(pending_path).select("doc_id")
             )
-        victims = victims.select(F.col("doc_id").cast("bigint")).distinct()
+        victims = (
+            victims.select(F.col("doc_id").cast("bigint"))
+            .distinct()
+            # the incarnation pin: this frame feeds THIS fold's stats
+            # swap and no other (see the staleness check above)
+            .withColumn("__target_epoch", F.lit(new_epoch))
+        )
         if has_pending:
             # the plan reads pending_path, so land in a sibling and swap
             pending_tmp = pending_path.rstrip("/") + ".__compact_tmp"

@@ -1722,16 +1722,39 @@ def fingerprint_overlap(
     k: int = _WINNOW_K,
     w: int = _WINNOW_W,
     min_shared: int = 2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, n_shared): document pairs sharing ≥ ``min_shared``
     winnowing fingerprints — the span-grain near-dup readout (two docs
     sharing a ≥ w+k−1-token run share a fingerprint BY GUARANTEE, so
     boilerplate/plagiarized spans surface without any all-pairs work:
     candidates come only from fingerprint collisions, like every other
-    posting-list join in this engine). Hot fingerprints (true
-    boilerplate) fan out; cap with min_shared and the usual bucketed
-    discipline downstream."""
+    posting-list join in this engine).
+
+    ``max_df`` (hot-fingerprint rail, r15 — default off = exact): a
+    fingerprint shared by more than ``max_df`` documents generates
+    ~df²/2 rows INSIDE the pair join before ``min_shared`` can prune
+    anything, and a fingerprint that hot IS boilerplate (a license
+    header shared by a million docs is not a plagiarism signal — the
+    same stopword logic as BM25's ``max_df_ratio`` and PPJoin's prefix
+    order). With the rail on, hot fingerprints are excluded BEFORE the
+    join — pair candidates are bounded at max_df·df rows per
+    fingerprint, and ``n_shared`` counts only informative (cold)
+    collisions. ``winnow_stats`` reports the exact pair-row count with
+    and without the rail, so the cap is chosen from measurement."""
     fp = winnow_fingerprints(docs, k, w).select("doc_id", "fp").distinct()
+    if max_df is not None:
+        if max_df < 2:
+            raise ValueError(f"max_df must be >= 2, got {max_df}")
+        hot = (
+            fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("fp")
+        )
+        # the hot list is tiny by construction (only boilerplate fps);
+        # AQE turns this anti-join into a broadcast
+        fp = fp.join(hot, "fp", "left_anti")
     a = fp.select(F.col("doc_id").alias("id_a"), "fp")
     b = fp.select(F.col("doc_id").alias("id_b"), "fp")
     return (
@@ -1740,6 +1763,47 @@ def fingerprint_overlap(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_stats(
+    docs: DataFrame,
+    k: int = _WINNOW_K,
+    w: int = _WINNOW_W,
+    max_df: int | None = None,
+) -> DataFrame:
+    """One-row fingerprint-skew health report for a winnowing corpus —
+    the ``index_stats``-style readout (r15) that tells an operator
+    whether ``fingerprint_overlap`` needs its ``max_df`` rail BEFORE the
+    pair join runs: ``pair_rows`` is the EXACT pair-join input size
+    (Σ df·(df−1)/2 over fingerprints), ``pair_rows_railed`` the same sum
+    restricted to fingerprints with df ≤ max_df, and ``fp_skew``
+    (max_df_seen / mean df) the one-number hot-spot alarm, same
+    threshold discipline as the persisted families' ``skew`` column.
+    Cost: the fingerprint scan plus one fp-grain aggregate — no pair
+    join is materialized."""
+    fp = winnow_fingerprints(docs, k, w).select("doc_id", "fp").distinct()
+    dfc = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    pair = F.col("df") * (F.col("df") - 1) / F.lit(2)
+    cap = F.lit(max_df if max_df is not None else None).cast("bigint")
+    return dfc.agg(
+        F.countDistinct("fp").alias("n_fps"),
+        F.sum("df").cast("bigint").alias("n_entries"),
+        F.max("df").cast("bigint").alias("max_df_seen"),
+        (F.max("df") / F.avg("df")).alias("fp_skew"),
+        F.sum(pair).cast("bigint").alias("pair_rows"),
+        F.sum(
+            F.when(cap.isNull() | (F.col("df") <= cap), pair).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("pair_rows_railed"),
+        F.sum(
+            F.when(cap.isNotNull() & (F.col("df") > cap), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_hot_fps"),
     )
 
 
@@ -1835,3 +1899,63 @@ def q_text_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision counting are SQL-proven."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return fingerprint_overlap(docs, min_shared=2).orderBy("id_a", "id_b")
+
+
+_WINNOW_MAX_DF = 5
+
+
+@register(
+    "q_text_winnow_overlap_railed",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(LOWER(text), ' ') AS t
+      FROM documents WHERE doc_id < 300
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             substr(sha256(array_to_string(
+               t[i:i+{_WINNOW_K - 1}], ' ')), 1, {_WINNOW_HEX}) AS h
+      FROM (SELECT doc_id, t,
+                   UNNEST(range(1, len(t) - {_WINNOW_K} + 2)) AS i
+            FROM tk WHERE len(t) >= {_WINNOW_K})
+    ),
+    n AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
+    win AS (
+      SELECT doc_id, UNNEST(range(0, ng - {_WINNOW_W} + 1)) AS s
+      FROM n WHERE ng >= {_WINNOW_W}
+    ),
+    m AS (
+      SELECT win.doc_id, win.s, g.h,
+             ROW_NUMBER() OVER (
+               PARTITION BY win.doc_id, win.s
+               ORDER BY g.h ASC, g.pos DESC
+             ) AS rk
+      FROM win JOIN g ON g.doc_id = win.doc_id
+                     AND g.pos BETWEEN win.s AND win.s + {_WINNOW_W - 1}
+    ),
+    fp AS (SELECT DISTINCT doc_id, h FROM m WHERE rk = 1),
+    cold AS (
+      SELECT doc_id, h FROM fp
+      WHERE h IN (SELECT h FROM fp GROUP BY h
+                  HAVING COUNT(*) <= {_WINNOW_MAX_DF})
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    ORDER BY id_a, id_b
+    """,
+    tags=("J5", "text", "fingerprint"),
+    demoted=True,
+)
+def q_text_winnow_overlap_railed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-fingerprint rail's semantics, SQL-proven: same overlap
+    pairs as q_text_winnow_overlap but with fingerprints shared by more
+    than max_df=5 documents excluded BEFORE the pair join
+    (the boilerplate cut — see ``fingerprint_overlap``); the oracle
+    mirrors the cap with a HAVING on the fingerprint df."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return fingerprint_overlap(
+        docs, min_shared=2, max_df=_WINNOW_MAX_DF
+    ).orderBy("id_a", "id_b")

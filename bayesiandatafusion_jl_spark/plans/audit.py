@@ -73,6 +73,12 @@ NOTES = {
         " struct over w rows, no global sort), one distinct on the"
         " selections; oracle is the O(n·w) window join"
     ),
+    "q_text_winnow_overlap_railed": (
+        "r15: winnow overlap with the hot-fingerprint rail — fps shared"
+        " by > max_df docs are anti-joined out BEFORE the pair join"
+        " (boilerplate cut, bounds pair fan-out at max_df·df per fp);"
+        " oracle mirrors the cap with a HAVING on fp df"
+    ),
     "q_events_transitions": (
         "r13: Markov transition matrix — ONE events scan, ONE user-grain"
         " window (no global sort), one agg onto |types|²; the marginal is"

@@ -286,6 +286,58 @@ def test_winnow_guarantees_and_overlap(spark):
     assert a == b
 
 
+def test_winnow_hot_fp_rail_cuts_boilerplate_fanout(spark):
+    """r15 (VERDICT #2): a TRUE boilerplate fingerprint shared by N docs
+    feeds ~N²/2 rows into the pair join before min_shared can prune —
+    the max_df rail must (a) drop boilerplate-only pairs entirely while
+    (b) keeping pairs that share COLD fingerprints, and (c) winnow_stats
+    must report the exact pair-join input shrinkage so the cap is chosen
+    from measurement, not guessed."""
+    from bayesiandatafusion_jl_spark.functions.text import (
+        fingerprint_overlap,
+        winnow_stats,
+    )
+
+    boiler = (
+        "this document is provided under the standard corporate"
+        " license agreement terms"
+    )  # 11 tokens >= w+k-1, so every carrier shares interior fps
+    rows = [
+        (i, f"unique{i}x opening{i} words{i} {boiler} trailing{i} close{i}")
+        for i in range(1, 13)
+    ]
+    plag = "a genuinely plagiarized span of nine specific tokens here"
+    rows += [
+        (20, f"first20 second20 {plag} tail20"),
+        (21, f"other21 leading21 {plag} end21"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    unrailed = {
+        (r["id_a"], r["id_b"])
+        for r in fingerprint_overlap(docs, min_shared=1).collect()
+    }
+    railed = {
+        (r["id_a"], r["id_b"])
+        for r in fingerprint_overlap(docs, min_shared=1, max_df=5).collect()
+    }
+    # unrailed: all 66 boilerplate pairs + the true pair
+    assert (20, 21) in unrailed and len(unrailed) == 66 + 1
+    # railed: boilerplate pairs gone, the cold-fp pair survives
+    assert railed == {(20, 21)}
+
+    (st,) = winnow_stats(docs, max_df=5).collect()
+    assert st["n_hot_fps"] >= 1
+    assert st["pair_rows_railed"] < st["pair_rows"]
+    # each hot fp alone contributes C(12,2)=66 pair rows
+    assert st["pair_rows"] - st["pair_rows_railed"] >= 66
+    assert st["fp_skew"] > 3.0
+    # rail off: the railed column degenerates to the exact count
+    (st0,) = winnow_stats(docs).collect()
+    assert st0["pair_rows_railed"] == st0["pair_rows"]
+    assert st0["n_hot_fps"] == 0
+
+
 def test_winnow_matches_pure_python_reference(spark):
     """The one-pass window formulation equals an independent sequential
     reference (min of each w-window, rightmost on ties) on random-ish
@@ -349,6 +401,51 @@ def test_shingle_similarity_join_semantics(spark):
     assert not any(4 in p for p in out)
     with pytest.raises(ValueError, match="shingle_k"):
         set_similarity_join(docs, tau=0.5, shingle_k=0)
+
+
+def test_shingle_join_excludes_sub_k_docs(spark):
+    """r15 ADVICE regression: sequence(1, n<=0) is DESCENDING in Spark,
+    so pre-fix a doc shorter than shingle_k got its whole text as a
+    spurious shingle and two 3-char docs paired at jaccard=1.0 while the
+    brute oracle emits nothing. Sub-k docs have an EMPTY shingle set and
+    must never pair — with each other OR with long docs."""
+    from bayesiandatafusion_jl_spark.functions.fuzzy import (
+        set_similarity_join,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abc"),            # shorter than k=6 -> no shingles
+            (2, "abc"),            # identical short twin -> still no pair
+            (3, "xy"),
+            (4, "abcabcabc"),      # contains doc 1's text -> no pair either
+            (5, "zzzzzzzz"),
+            (6, "zzzzzzzz"),       # the one real pair
+        ],
+        "id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in set_similarity_join(docs, tau=0.5, shingle_k=6).collect()
+    }
+    assert pairs == {(5, 6)}
+
+
+def test_featurize_handles_single_token_docs(spark):
+    """r15 companion fix: the bigram transform in the quality featurizer
+    had the same descending-sequence hole — a single-token doc hit
+    element_at(toks, 0), an ANSI error. Must featurize cleanly now."""
+    from bayesiandatafusion_jl_spark.functions.quality_model import (
+        _featurize,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, "two tokens")], "id long, text string"
+    )
+    rows = _featurize(docs).select("id", "features").collect()
+    nnz = {r["id"]: r["features"].numNonzeros() for r in rows}
+    assert nnz[1] == 1          # one unigram, no bigrams
+    assert nnz[3] == 3          # two unigrams + one bigram
 
 
 def test_winnow_hypothesis_vs_reference(spark):

@@ -427,3 +427,57 @@ def test_build_pipeline_manifest_partition_invariant(spark, tmp_path):
         ).collect()
     }
     assert a == b and a["raw"][0] > 0
+
+
+def test_pipeline_stats_readable_at_every_crash_point(spark, tmp_path):
+    """r15 ADVICE: 'readable at ANY point of a partial build' includes
+    (a) a run killed before the FIRST manifest write (no manifest dir at
+    all -> zero-stage row, not an AnalysisException/IndexError) and
+    (b) a build whose LAST completed stage is 'packed' — whose manifest
+    row counts context WINDOWS, so the headline n_docs must fall back to
+    the mixture survivor count, never report bins as documents."""
+    import pytest as _pytest
+
+    from bayesiandatafusion_jl_spark.functions import pipeline_store as ps
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "text")
+
+    # (a) nothing landed yet: a dir with no manifest
+    d0 = str(tmp_path / "pipe_nothing")
+    (row0,) = ps.pipeline_stats(spark, d0).collect()
+    assert row0["n_docs"] == 0 and row0["n_stages_done"] == 0
+    assert row0["detail"] == {}
+
+    # (b) killed right after the packed manifest row lands
+    d1 = str(tmp_path / "pipe_packed_last")
+    from bayesiandatafusion_jl_spark.sources import io as _io
+
+    real = ps.write_shuffled_shards if hasattr(ps, "write_shuffled_shards") else None
+    orig = _io.write_shuffled_shards
+
+    def _boom(*a, **kw):
+        raise IOError("killed before shard write")
+
+    _io.write_shuffled_shards = _boom
+    try:
+        with _pytest.raises(IOError):
+            ps.build_pipeline(docs, d1, n_shards=4, seed=7)
+    finally:
+        _io.write_shuffled_shards = orig
+        if real is not None:
+            ps.write_shuffled_shards = real
+    (row1,) = ps.pipeline_stats(spark, d1).collect()
+    assert row1["n_stages_done"] == 6  # five flag stages + packed
+    mixture = int(row1["detail"]["mixture"])
+    packed_windows = int(row1["detail"]["packed"])
+    assert row1["n_docs"] == mixture
+    assert packed_windows != mixture or packed_windows == row1["n_docs"]
+    # finishing the build keeps n_docs doc-grain (shards row)
+    manifest = {
+        r["stage"]: r["n_docs"]
+        for r in ps.build_pipeline(docs, d1, n_shards=4, seed=7).collect()
+    }
+    (row2,) = ps.pipeline_stats(spark, d1).collect()
+    assert row2["n_docs"] == manifest["shards"] == manifest["mixture"]

@@ -622,6 +622,153 @@ def test_bm25_compaction_crash_window_still_reconciles(
     assert tuple(raw(d)) == before
 
 
+def test_bm25_compaction_post_swap_crash_never_double_subtracts(
+    spark, tmp_path, monkeypatch
+):
+    """r15 ADVICE (the OTHER side of the r14 crash window): a crash
+    AFTER the stats swap lands but BEFORE the purge_pending delete used
+    to leave a live-looking pending frame whose victims were ALREADY
+    subtracted — the next compaction double-subtracted n_docs and IDF
+    drifted low. The __target_epoch incarnation pin closes it: a pending
+    frame whose target epoch is already a stats partition is stale and
+    is consumed, not honored."""
+    import os
+
+    import pytest as _pytest
+
+    from bayesiandatafusion_jl_spark.functions import index_compact
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        has_tombstones,
+    )
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        bm25_query_index,
+        compact_bm25_index,
+        delete_from_bm25_index,
+        write_bm25_index,
+    )
+
+    corpus = _index_corpus(spark)
+    queries = corpus.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("qid"), "text"
+    )
+    d = str(tmp_path / "bm25_postswap")
+    write_bm25_index(corpus.filter(F.col("doc_id") < 30), d, n_buckets=16)
+    write_bm25_index(
+        corpus.filter(F.col("doc_id") >= 30), d, n_buckets=16,
+        mode="append", epoch="s1",
+    )
+    victims = [5, 23, 47]
+    delete_from_bm25_index(spark, d, victims)
+
+    real_swap = index_compact._swap_dir
+
+    def swap_lands_then_dies(spark_, tmp, final):
+        real_swap(spark_, tmp, final)
+        if final.rstrip("/").endswith("/stats"):
+            raise IOError("injected crash after the stats swap")
+
+    monkeypatch.setattr(index_compact, "_swap_dir", swap_lands_then_dies)
+    with _pytest.raises(IOError, match="after the stats swap"):
+        compact_bm25_index(spark, d)
+    monkeypatch.undo()
+    # mid-window state: stats RECONCILED, pending + tombstones intact
+    raw = lambda p: tuple(  # noqa: E731
+        spark.read.parquet(f"{p}/stats")
+        .groupBy().sum("n_docs", "n_docs_tokened", "sum_dl")
+        .collect()[0]
+    )
+    ref = str(tmp_path / "bm25_postswap_ref")
+    write_bm25_index(
+        corpus.filter(~F.col("doc_id").isin(victims)), ref, n_buckets=16
+    )
+    assert raw(d) == raw(ref)
+    assert os.path.exists(f"{d}/purge_pending") and has_tombstones(spark, d)
+    # resume: the stale pending frame must be consumed, NOT re-subtracted
+    compact_bm25_index(spark, d)
+    assert raw(d) == raw(ref)
+    assert not os.path.exists(f"{d}/purge_pending")
+    assert not has_tombstones(spark, d)
+    probe = lambda p: sorted(  # noqa: E731
+        (r["qid"], r["rk"], r["nb_id"], round(r["score"], 9))
+        for r in bm25_query_index(queries, p, k=5, exclude_self=True).collect()
+    )
+    assert probe(d) == probe(ref) and len(probe(d)) > 0
+
+
+def _downgrade_stats_to_int32(spark, stats_dir: str, epoch: str) -> None:
+    """Rewrite one __epoch partition of a stats dir as int32 — the
+    layout a pre-r14 revision persisted."""
+    import shutil
+
+    part = f"{stats_dir}/__epoch={epoch}"
+    old = (
+        spark.read.parquet(part)
+        .select(
+            F.col("n_docs").cast("int").alias("n_docs"),
+            F.col("n_docs_tokened").cast("int").alias("n_docs_tokened"),
+            F.col("sum_dl").cast("int").alias("sum_dl"),
+        )
+        .collect()
+    )
+    shutil.rmtree(part)
+    spark.createDataFrame(
+        old, "n_docs int, n_docs_tokened int, sum_dl int"
+    ).write.parquet(part)
+
+
+def test_bm25_stats_int32_artifact_migrates_on_write(spark, tmp_path):
+    """r15 ADVICE: n_docs widened int -> bigint in r14; appending to an
+    index persisted by the OLD revision left mixed int32/int64 stats
+    schemas a plain parquet read can refuse. Probes must read the old
+    AND the mixed layout (per-epoch fallback), and any write op (append
+    or compact) must upgrade the dir to uniform bigint in place."""
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        bm25_query_index,
+        compact_bm25_index,
+        write_bm25_index,
+    )
+
+    corpus = _index_corpus(spark)
+    queries = corpus.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("qid"), "text"
+    )
+    d = str(tmp_path / "bm25_int32")
+    write_bm25_index(corpus.filter(F.col("doc_id") < 30), d, n_buckets=16)
+    write_bm25_index(
+        corpus.filter(F.col("doc_id") >= 30), d, n_buckets=16,
+        mode="append", epoch="s1",
+    )
+    probe = lambda p: sorted(  # noqa: E731
+        (r["qid"], r["rk"], r["nb_id"], round(r["score"], 9))
+        for r in bm25_query_index(queries, p, k=5).collect()
+    )
+    want = probe(d)
+    assert len(want) > 0
+
+    # (a) uniformly-old index (every epoch int32): probe reads it as-is
+    _downgrade_stats_to_int32(spark, f"{d}/stats", "base")
+    _downgrade_stats_to_int32(spark, f"{d}/stats", "s1")
+    assert probe(d) == want
+    # (b) MIXED layout (the exact artifact the old append bug left):
+    # one int32 epoch next to a bigint one — per-epoch fallback read
+    write_bm25_index(
+        spark.createDataFrame([], "doc_id bigint, text string"),
+        d, n_buckets=16, mode="append", epoch="s2",
+    )
+    # the append itself migrated the dir; downgrade one epoch again to
+    # recreate the historical mixed state
+    _downgrade_stats_to_int32(spark, f"{d}/stats", "s1")
+    assert probe(d) == want
+    # (c) compaction upgrades in place to uniform bigint
+    compact_bm25_index(spark, d)
+    sch = spark.read.parquet(f"{d}/stats").schema
+    assert all(
+        sch[c].dataType.typeName() == "long"
+        for c in ("n_docs", "n_docs_tokened", "sum_dl")
+    )
+    assert probe(d) == want
+
+
 def test_bm25_overwrite_resets_folded_ledger(spark, tmp_path):
     """A fresh rebuild starts a new epoch namespace: the old
     incarnation's fold history must not reject re-used epoch names (the
