@@ -6,6 +6,12 @@ readout grown next to its build path:
 - IVF / IVF-PQ vector index  → ``ivf_index_stats``        (vector_index.py)
 - MinHash-LSH signature index → ``signature_index_stats``  (dedup_index.py)
 - BM25 posting index          → ``bm25_index_stats``       (sparse_retrieval.py)
+- exact set-sim (PPJoin) index → ``setsim_index_stats``    (setsim_index.py)
+- persisted training pipeline → ``pipeline_stats``         (pipeline_store.py)
+
+(The non-persisted winnowing fingerprint family gets the same readout
+shape via ``functions.text.winnow_stats`` — computed from a corpus, not
+a directory, so it does not route through this dispatcher.)
 
 They share the operational shape — entry counts, epoch counts (compact?),
 file counts (small-file bloat?), a skew/imbalance ratio (is probe cost
@@ -52,6 +58,9 @@ _FAMILIES = {
     # entries = last completed stage's docs, skew = shard row skew,
     # "epochs" = completed stages (a partial build reads < 7)
     "pipeline": ("manifest", "n_docs", "shard_skew"),
+    # r15: the exact set-similarity (PPJoin) index — entries = stored
+    # (id, token) rows, skew = tok_bucket hot-spot ratio
+    "setsim": ("order", "n_tokens", "bucket_skew"),
 }
 
 
@@ -74,7 +83,8 @@ def detect_index_family(spark: SparkSession, index_dir: str) -> str:
         f"no persisted index recognized at {index_dir!r}: expected one of"
         " centers/ (IVF, write_ivf_index), sigs/ (signature,"
         " write_signature_index), stats/ (BM25, write_bm25_index),"
-        " manifest/ (pipeline, build_pipeline)"
+        " manifest/ (pipeline, build_pipeline), order/ (set-sim,"
+        " write_setsim_index)"
     )
 
 
@@ -111,6 +121,12 @@ def index_stats(
         )
 
         frame = pipeline_stats(spark, index_dir)
+    elif family == "setsim":
+        from bayesiandatafusion_jl_spark.functions.setsim_index import (
+            setsim_index_stats,
+        )
+
+        frame = setsim_index_stats(spark, index_dir)
     else:
         from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
             bm25_index_stats,

@@ -79,9 +79,14 @@ def _pipeline_flags(docs: DataFrame, ev_grams: DataFrame | None = None) -> DataF
     artifact) — one implementation, two materialization policies.
     ``ev_grams`` (r14): an explicit benchmark n-gram frame (column
     ``g``) — shard appends pass the PERSISTED build-time set; None
-    derives it from ``docs`` (the one-shot form)."""
+    derives it from ``docs`` (the one-shot form). ``__keep_clf`` (r15):
+    an optional precomputed trained-classifier verdict column rides the
+    same scan (see the gate comment below)."""
     toks = docs.select(
-        "doc_id", "source", F.split(F.lower("text"), " ").alias("tk")
+        "doc_id",
+        "source",
+        F.split(F.lower("text"), " ").alias("tk"),
+        *(["__keep_clf"] if "__keep_clf" in docs.columns else []),
     )
     n_tok = F.size("tk")
     dup = F.lit(1.0) - F.size(F.array_distinct("tk")).cast("double") / n_tok
@@ -110,10 +115,21 @@ def _pipeline_flags(docs: DataFrame, ev_grams: DataFrame | None = None) -> DataF
     fp = F.sha2(
         F.concat_ws(" ", F.slice("tk", 1, _DEDUP_PREFIX_TOKENS)), 256
     )
+    # optional trained-classifier gate (r15): a caller that scored the
+    # corpus map-only (pipeline_store wiring the persisted quality
+    # model) passes the verdict as a __keep_clf column; without it the
+    # gate is vacuously true and every count below is bit-identical to
+    # the heuristic-only pipeline
+    keep_clf = (
+        F.coalesce(F.col("__keep_clf"), F.lit(False))
+        if "__keep_clf" in docs.columns
+        else F.lit(True)
+    )
     exploded = toks.filter(F.col("source") != _EVAL_SOURCE).select(
         "doc_id",
         n_tok.cast("long").alias("n_tokens"),
         keep_q.alias("keep_q"),
+        keep_clf.alias("keep_clf"),
         keep_mix.alias("keep_mix"),
         fp.alias("__fp"),
         F.explode_outer(_ngrams("tk", _DECON_N)).alias("g"),
@@ -124,16 +140,35 @@ def _pipeline_flags(docs: DataFrame, ev_grams: DataFrame | None = None) -> DataF
         .agg(
             F.first("n_tokens").alias("n_tokens"),
             F.first("keep_q").alias("keep_q"),
+            F.first("keep_clf").alias("keep_clf"),
             F.first("keep_mix").alias("keep_mix"),
             F.first("__fp").alias("__fp"),
             F.coalesce(F.max("__h") == 1, F.lit(False)).alias("contam"),
         )
     )
     wd = W.partitionBy("__fp")
+    # representative election over FULL-quality survivors (heuristic AND
+    # classifier) — the r12 rule: a gate-failing representative must not
+    # erase its whole duplicate family
     return flags.withColumn(
         "keep_dd",
-        F.min(F.when(F.col("keep_q"), F.col("doc_id"))).over(wd)
+        F.min(
+            F.when(F.col("keep_q") & F.col("keep_clf"), F.col("doc_id"))
+        ).over(wd)
         == F.col("doc_id"),
+    )
+
+
+def _with_clf_column(flags: DataFrame) -> DataFrame:
+    """Legacy-artifact guard (r15): flags frames persisted before the
+    classifier gate lack ``keep_clf``; the gate is vacuously true for
+    them, keeping every count bit-identical. Null rows (an epoch
+    written before the column existed, surfacing in a merged read) mean
+    'never scored' — also vacuously true, never silently dropped."""
+    if "keep_clf" not in flags.columns:
+        return flags.withColumn("keep_clf", F.lit(True))
+    return flags.withColumn(
+        "keep_clf", F.coalesce(F.col("keep_clf"), F.lit(True))
     )
 
 
@@ -141,13 +176,16 @@ def _survive(stage: str) -> F.Column:
     """Cumulative survival predicate per stage over the flags frame.
     (A function, not a module dict: Column construction needs an active
     SparkContext in pyspark 4.)"""
+    q = F.col("keep_q") & F.col("keep_clf")
     preds = {
         "quality": F.col("keep_q"),
-        "dedup": F.col("keep_q") & F.col("keep_dd"),
-        "decontaminated": F.col("keep_q")
-        & F.col("keep_dd")
-        & ~F.col("contam"),
-        "mixture": F.col("keep_q")
+        # heuristic + trained-classifier gate; keep_clf is vacuously
+        # true when no model is wired, so every downstream count is
+        # bit-identical to the heuristic-only pipeline (r15)
+        "classifier": q,
+        "dedup": q & F.col("keep_dd"),
+        "decontaminated": q & F.col("keep_dd") & ~F.col("contam"),
+        "mixture": q
         & F.col("keep_dd")
         & ~F.col("contam")
         & F.col("keep_mix"),
@@ -155,9 +193,16 @@ def _survive(stage: str) -> F.Column:
     return preds[stage]
 
 
-def _stage_count_rows(flags: DataFrame) -> DataFrame:
-    """(stage, n_docs, n_tokens) for the five flag-derived stages, from
-    ONE aggregate over the doc-grain flags frame."""
+def _stage_count_rows(
+    flags: DataFrame, include_classifier: bool = False
+) -> DataFrame:
+    """(stage, n_docs, n_tokens) for the flag-derived stages, from ONE
+    aggregate over the doc-grain flags frame. ``include_classifier``
+    (r15) adds the trained-gate row between quality and dedup — only the
+    model-wired pipeline store asks for it; the composed counts query
+    keeps its five-row shape."""
+
+    flags = _with_clf_column(flags)
 
     def _cnt(pred):
         return F.sum(F.when(pred, 1).otherwise(0)).cast("long")
@@ -170,6 +215,8 @@ def _stage_count_rows(flags: DataFrame) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("t0"),
         _cnt(_survive("quality")).alias("c1"),
         _tok(_survive("quality")).alias("t1"),
+        _cnt(_survive("classifier")).alias("c1c"),
+        _tok(_survive("classifier")).alias("t1c"),
         _cnt(_survive("dedup")).alias("c1d"),
         _tok(_survive("dedup")).alias("t1d"),
         _cnt(_survive("decontaminated")).alias("c2"),
@@ -177,8 +224,11 @@ def _stage_count_rows(flags: DataFrame) -> DataFrame:
         _cnt(_survive("mixture")).alias("c3"),
         _tok(_survive("mixture")).alias("t3"),
     )
+    clf = ", 'classifier', c1c, t1c" if include_classifier else ""
+    n = 6 if include_classifier else 5
     return agg.selectExpr(
-        "stack(5, 'raw', c0, t0, 'quality', c1, t1, 'dedup', c1d, t1d,"
+        f"stack({n}, 'raw', c0, t0, 'quality', c1, t1{clf},"
+        " 'dedup', c1d, t1d,"
         " 'decontaminated', c2, t2, 'mixture', c3, t3)"
         " AS (stage, n_docs, n_tokens)"
     )

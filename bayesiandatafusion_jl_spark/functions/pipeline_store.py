@@ -45,6 +45,16 @@ across epochs (== the one-shot rule when ids arrive increasing) and the
 decon benchmark stays the build-time pin. The base corpus is never
 re-read.
 
+``model_dir=`` (r15) wires the persisted quality classifier
+(functions/quality_model.py) as an optional ``classifier`` stage
+between the heuristic quality gate and dedup: the corpus is scored
+MAP-ONLY from the loaded artifact (the verdict column rides the one
+flags scan — zero extra shuffles or text reads), the model's seed
+fingerprint + n_features + threshold join the meta pin, a
+``classifier`` row joins the manifest, and every append/stream batch
+must present the SAME model or refuse — the two r14 flagship features
+compose (VERDICT r14 "What's missing" #2).
+
 Crash contract: every stage write is an idempotent overwrite of its own
 directory, ordered artifact-then-manifest. A kill mid-stage leaves no
 manifest row → the stage re-runs from its PERSISTED predecessor (never
@@ -79,10 +89,69 @@ from bayesiandatafusion_jl_spark.functions.pipeline import (
     _pipeline_flags,
     _stage_count_rows,
     _survive,
+    _with_clf_column,
 )
 from bayesiandatafusion_jl_spark.registry import register
 
 _FLAG_STAGES = ("raw", "quality", "dedup", "decontaminated", "mixture")
+_FLAG_STAGES_CLF = (
+    "raw", "quality", "classifier", "dedup", "decontaminated", "mixture"
+)
+# sentinel meta value for "no trained model wired" — meta rows are ints
+_NO_MODEL = -1
+
+
+def _model_pin(
+    spark: SparkSession, model_dir: str | None, threshold: float
+) -> tuple[int, int, int]:
+    """(model_seed_fp, model_nf, model_thr_ppm) for the pipeline meta
+    pin — read from the MODEL's own meta (cheap; no model-bytes load),
+    after verifying the artifact's featurizer matches this revision (a
+    model in a different hashed gram space must refuse here, not
+    mis-score silently)."""
+    if model_dir is None:
+        return (_NO_MODEL, _NO_MODEL, _NO_MODEL)
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(
+            f"model_threshold must be in (0, 1), got {threshold}"
+        )
+    from bayesiandatafusion_jl_spark.functions.index_meta import read_meta
+    from bayesiandatafusion_jl_spark.functions.quality_model import (
+        _featurizer_fp,
+    )
+
+    (meta_path,) = index_paths(model_dir, "meta")
+    check_meta(
+        spark,
+        meta_path,
+        "this quality model was trained under a different featurization"
+        " — its coefficients do not live in the gram space this pipeline"
+        " would score with; retrain and re-save it",
+        featurizer_fp=_featurizer_fp(),
+    )
+    m = read_meta(spark, meta_path).asDict()
+    return (
+        int(m["seed_fp"]),
+        int(m["n_features"]),
+        int(round(threshold * 1_000_000)),
+    )
+
+
+def _score_clf(docs: DataFrame, model_dir: str, threshold: float) -> DataFrame:
+    """docs + ``__keep_clf``: the trained gate's verdict, scored
+    map-only from the persisted artifact (zero shuffles — the column
+    rides the flags scan)."""
+    from bayesiandatafusion_jl_spark.functions.quality_model import (
+        load_quality_model,
+        score_quality,
+    )
+
+    model, nf = load_quality_model(docs.sparkSession, model_dir)
+    return (
+        score_quality(model, docs, n_features=nf)
+        .withColumn("__keep_clf", F.col("p_good") >= F.lit(threshold))
+        .drop("p_good")
+    )
 
 
 def _corpus_fp(docs: DataFrame) -> int:
@@ -125,6 +194,8 @@ def build_pipeline(
     capacity: int = _CAPACITY,
     n_shards: int = 8,
     seed: int = 42,
+    model_dir: str | None = None,
+    model_threshold: float = 0.5,
 ) -> DataFrame:
     """Build — or RESUME — the persisted pipeline at ``pipeline_dir``
     from a (doc_id, source, text) corpus snapshot. Returns the manifest
@@ -134,6 +205,18 @@ def build_pipeline(
     a completed build is a no-op readout. Parameter or corpus drift vs
     the pinned meta raises ValueError (build a NEW dir for a new config
     — artifacts never silently mix configurations).
+
+    ``model_dir`` (r15): wire a PERSISTED quality classifier
+    (``functions.quality_model.save_quality_model``) as a ``classifier``
+    stage between the heuristic quality gate and dedup. The corpus is
+    scored MAP-ONLY from the loaded artifact (the verdict rides the one
+    flags scan — zero extra shuffles, zero extra text reads), documents
+    below ``model_threshold`` drop, a ``classifier`` row joins the
+    manifest, and the dedup representative election honors the gate (a
+    classifier-failing doc never erases its duplicate family). The
+    model's seed fingerprint, n_features, and the threshold join the
+    meta pin — a resume or shard append under a DIFFERENT model or
+    threshold refuses exactly like a capacity drift.
     """
     if n_shards < 1 or capacity < 1:
         raise ValueError(
@@ -149,17 +232,35 @@ def build_pipeline(
     import os
 
     fp = _corpus_fp(docs)
+    m_seed_fp, m_nf, m_thr = _model_pin(spark, model_dir, model_threshold)
     if os.path.isdir(meta_path):
+        from bayesiandatafusion_jl_spark.functions.index_meta import (
+            read_meta,
+        )
+
+        pins = dict(
+            capacity=capacity, n_shards=n_shards, seed=seed, corpus_fp=fp
+        )
+        if "model_seed_fp" in read_meta(spark, meta_path).asDict():
+            pins.update(
+                model_seed_fp=m_seed_fp, model_nf=m_nf, model_thr_ppm=m_thr
+            )
+        elif model_dir is not None:
+            # a pre-r15 artifact has no model pin to verify against —
+            # refusing beats silently grafting a model onto half-built
+            # unclassified stages
+            raise ValueError(
+                f"pipeline at {pipeline_dir} predates the classifier"
+                " stage (no model pin in meta) — build a new dir to wire"
+                " a quality model"
+            )
         check_meta(
             spark,
             meta_path,
-            "a resume must run under the EXACT build configuration and"
-            " corpus snapshot — build a new pipeline_dir for a new config"
-            " or a changed corpus",
-            capacity=capacity,
-            n_shards=n_shards,
-            seed=seed,
-            corpus_fp=fp,
+            "a resume must run under the EXACT build configuration,"
+            " corpus snapshot, and (when wired) quality-model artifact +"
+            " threshold — build a new pipeline_dir for a new config",
+            **pins,
         )
     else:
         write_meta(
@@ -170,8 +271,12 @@ def build_pipeline(
             n_shards=n_shards,
             seed=seed,
             corpus_fp=fp,
+            model_seed_fp=m_seed_fp,
+            model_nf=m_nf,
+            model_thr_ppm=m_thr,
         )
     done = _done_stages(spark, manifest_path)
+    flag_stages = _FLAG_STAGES if model_dir is None else _FLAG_STAGES_CLF
 
     # ---- stage 1: flags (the one corpus text scan) -------------------
     # every artifact is an __epoch partition (base = this snapshot; a
@@ -180,20 +285,29 @@ def build_pipeline(
     from bayesiandatafusion_jl_spark.functions.index_meta import write_epoch
     from bayesiandatafusion_jl_spark.functions.pipeline import _eval_grams
 
-    if not set(_FLAG_STAGES) <= done:
+    if not set(flag_stages) <= done:
         # the benchmark set is PINNED at build: persisted before the
         # flags so appends decontaminate against exactly this frame
         _eval_grams(docs).write.mode("overwrite").parquet(ev_path)
+        scored = (
+            docs
+            if model_dir is None
+            else _score_clf(docs, model_dir, model_threshold)
+        )
         write_epoch(
-            _pipeline_flags(docs, spark.read.parquet(ev_path)),
+            _pipeline_flags(scored, spark.read.parquet(ev_path)),
             flags_path, "base", fresh=True,
         )
         _write_manifest(
-            _stage_count_rows(spark.read.parquet(flags_path)), manifest_path
+            _stage_count_rows(
+                spark.read.parquet(flags_path),
+                include_classifier=model_dir is not None,
+            ),
+            manifest_path,
         )
-        done |= set(_FLAG_STAGES)
+        done |= set(flag_stages)
 
-    flags = spark.read.parquet(flags_path)
+    flags = _with_clf_column(spark.read.parquet(flags_path))
     survivors = flags.filter(_survive("mixture")).select("doc_id", "n_tokens")
 
     # ---- stage 2: pack (doc-grain prefix scan) -----------------------
@@ -279,7 +393,10 @@ def _shards_row(spark: SparkSession, shards_path: str) -> DataFrame:
 
 
 def append_pipeline_shard(
-    shard_docs: DataFrame, pipeline_dir: str, epoch: str
+    shard_docs: DataFrame,
+    pipeline_dir: str,
+    epoch: str,
+    model_dir: str | None = None,
 ) -> DataFrame:
     """Ingest one NEW corpus shard into a completed pipeline artifact —
     the incremental form of ``build_pipeline``: the shard pays its own
@@ -309,6 +426,13 @@ def append_pipeline_shard(
     the shard's own ``__epoch`` partitions, and the manifest is a full
     recount over all epochs (doc-grain — never a text re-read), so a
     crashed append is simply re-run. ``epoch='base'`` is reserved.
+
+    ``model_dir`` (r15): a build that wired a quality classifier PINNED
+    it — appends to such a pipeline must pass the SAME model artifact
+    (seed fingerprint + n_features verified against the meta pin; the
+    threshold comes from the pin, never the caller) and score their
+    shard with it; appending without the model, with a drifted model, or
+    passing a model to an unclassified build all refuse loudly.
     """
     from bayesiandatafusion_jl_spark.functions.index_meta import (
         guard_append,
@@ -334,13 +458,49 @@ def append_pipeline_shard(
     guard_append(spark, pipeline_dir, epoch, reserved=("base",))
     meta = read_meta(spark, meta_path).asDict()
 
+    # classifier pin (r15): the build decided whether a model gates this
+    # artifact; the append must match it exactly
+    pinned_fp = int(meta.get("model_seed_fp", _NO_MODEL))
+    has_model = pinned_fp != _NO_MODEL
+    if has_model and model_dir is None:
+        raise ValueError(
+            f"pipeline at {pipeline_dir} was built with a quality model"
+            f" (seed_fp={pinned_fp}) — appends must pass model_dir= so"
+            " shards are gated exactly like the base corpus"
+        )
+    if not has_model and model_dir is not None:
+        raise ValueError(
+            f"pipeline at {pipeline_dir} was built WITHOUT a classifier"
+            " stage — a shard cannot introduce one (its counts would not"
+            " compose with the base manifest); build a new dir"
+        )
+    thr = 0.5
+    if has_model:
+        thr = int(meta["model_thr_ppm"]) / 1_000_000
+        got_fp, got_nf, _ = _model_pin(spark, model_dir, thr)
+        if (got_fp, got_nf) != (pinned_fp, int(meta["model_nf"])):
+            raise ValueError(
+                f"quality model at {model_dir} (seed_fp={got_fp},"
+                f" n_features={got_nf}) is not the model this pipeline"
+                f" pinned (seed_fp={pinned_fp},"
+                f" n_features={int(meta['model_nf'])}) — score drift"
+                " between shards; pass the build-time artifact"
+            )
+        shard_docs = _score_clf(shard_docs, model_dir, thr)
+
     # shard flags against the pinned benchmark; first-writer dedup
     # against every OTHER epoch's kept representatives (excluding this
     # epoch makes the append replay-idempotent)
     ev = spark.read.parquet(ev_path)
     shard_flags = _pipeline_flags(shard_docs, ev)
+    # a pre-r15 artifact's flag partitions have no keep_clf column —
+    # writing one only in the shard partition would leave a mixed
+    # schema whose resolution depends on which footer Spark samples;
+    # drop the (vacuously-true) column instead to keep the dir uniform
+    if "keep_clf" not in spark.read.parquet(flags_path).columns:
+        shard_flags = shard_flags.drop("keep_clf")
     existing_kept_fps = (
-        spark.read.parquet(flags_path)
+        _with_clf_column(spark.read.parquet(flags_path))
         .filter((F.col("__epoch") != epoch) & _survive("dedup"))
         .select("__fp")
         .distinct()
@@ -360,11 +520,14 @@ def append_pipeline_shard(
     )
     write_epoch(shard_flags, flags_path, epoch, fresh=False)
     _write_manifest(
-        _stage_count_rows(spark.read.parquet(flags_path)), manifest_path
+        _stage_count_rows(
+            spark.read.parquet(flags_path), include_classifier=has_model
+        ),
+        manifest_path,
     )
 
     # per-epoch packing over the shard's own survivors
-    flags_now = spark.read.parquet(flags_path).filter(
+    flags_now = _with_clf_column(spark.read.parquet(flags_path)).filter(
         F.col("__epoch") == epoch
     )
     survivors = flags_now.filter(_survive("mixture")).select(
@@ -425,9 +588,11 @@ def verify_pipeline(spark: SparkSession, pipeline_dir: str) -> DataFrame:
     flags = spark.read.parquet(flags_path)
     counts = {
         r["stage"]: (int(r["n_docs"]), int(r["n_tokens"]))
-        for r in _stage_count_rows(flags).collect()
+        for r in _stage_count_rows(
+            flags, include_classifier="classifier" in rows
+        ).collect()
     }
-    for s in _FLAG_STAGES:
+    for s in _FLAG_STAGES_CLF:
         if s in rows:
             out.append((f"{s}_docs", rows[s][0], counts[s][0]))
             out.append((f"{s}_tokens", rows[s][1], counts[s][1]))
@@ -547,8 +712,8 @@ def pipeline_stats(spark: SparkSession, pipeline_dir: str) -> DataFrame:
 _STAGE_ORDER = {
     s: i
     for i, s in enumerate(
-        ("raw", "quality", "dedup", "decontaminated", "mixture", "packed",
-         "shards")
+        ("raw", "quality", "classifier", "dedup", "decontaminated",
+         "mixture", "packed", "shards")
     )
 }
 
@@ -598,3 +763,31 @@ def q_llm_pipeline_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = f"/tmp/bdf_pipeline/{sf_dir.strip('/').replace('/', '_')}"
     shutil.rmtree(d, ignore_errors=True)
     return build_pipeline(docs, d)
+
+
+@register(
+    "q_llm_pipeline_classified",
+    oracle=None,  # LR training is float-order sensitive (same rows-only
+    # rationale as q_llm_quality_model); the stage algebra — classifier
+    # row between quality and dedup, composed counts ≡ manifest, pin
+    # refusals — is pytest-gated (tests/test_pipeline.py)
+    tags=("pipeline", "incremental", "classifier"),
+    demoted=True,
+)
+def q_llm_pipeline_classified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model-gated pipeline build: train-if-absent the persisted
+    quality classifier (``ensure_quality_model`` — training pays once,
+    scoring is map-only), then build the persisted pipeline with the
+    classifier wired as a stage and return the manifest, which now
+    carries a ``classifier`` row between quality and dedup."""
+    import shutil
+
+    from bayesiandatafusion_jl_spark.functions.quality_model import (
+        ensure_quality_model,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    model_dir = ensure_quality_model(spark, sf_dir)
+    d = f"/tmp/bdf_pipeline_clf/{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(d, ignore_errors=True)
+    return build_pipeline(docs, d, model_dir=model_dir)

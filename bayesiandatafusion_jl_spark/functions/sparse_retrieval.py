@@ -1429,7 +1429,9 @@ def ensure_planted_bm25_index(spark: SparkSession, sf_dir: str) -> str:
     SELECT qid, nb_id, score, rk FROM bm25 WHERE rk <= 3
     """,
     tags=("J5", "J6", "retrieval", "eval"),
-    demoted=True,
+    # r15: PROMOTED into the driver-visible 50 (VERDICT r14 #4) — ranking
+    # correctness becomes driver-hash-checked instead of floor-gated;
+    # q_text_unigram_nll moved to the demoted parity gate in exchange.
 )
 def q_llm_planted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The planted-marker eval probe as a HASH-CHECKED query: marker
@@ -1602,9 +1604,15 @@ def retrieval_quality_rows(
     )
 
     pq_dir = f"/tmp/bdf_ivfpq_index/{sf_dir.strip('/').replace('/', '_')}"
-    key = (_corpus_fingerprint(sf_dir, "embeddings"), 16, 16)
+    # r15: OPQ rotation (Ge et al. CVPR'13) on the persisted eval index
+    # — lower residual quantization error at the same code size; the
+    # planted floor below rides the improvement ("opq" in the key forces
+    # a refit over pre-r15 cached artifacts)
+    key = (_corpus_fingerprint(sf_dir, "embeddings"), 16, 16, "opq")
     if _BM25_INDEX_CACHE.get(pq_dir) != key or not os.path.isdir(pq_dir):
-        write_ivf_index(emb, pq_dir, n_cells=16, n_assign=2, pq_m=16)
+        write_ivf_index(
+            emb, pq_dir, n_cells=16, n_assign=2, pq_m=16, pq_opq=True
+        )
         _BM25_INDEX_CACHE[pq_dir] = key
     # exclude_self in-plan (ADC candidate stage), NOT a post-filter: a
     # post-filtered self-hit would consume a top-10 slot and deflate the
@@ -1661,7 +1669,10 @@ def retrieval_quality_rows(
         )
     ).collect()[0]
     rows.append(
+        # floor re-pinned 0.7 -> 0.9 (r15): the OPQ rotation lifted the
+        # measured planted recall to 1.0 at sf0.001 AND sf0.01, so the
+        # quality bar now matches the plain-IVF one
         ("planted_ivfpq_recall@10", int(s["n_queries"]),
-         float(s["recall_at_k"]), 0.7)
+         float(s["recall_at_k"]), 0.9)
     )
     return rows

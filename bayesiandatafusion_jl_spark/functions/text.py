@@ -1104,6 +1104,12 @@ def unigram_nll(
     GROUP BY t.doc_id
     """,
     tags=("text-quality",),
+    # r15: demoted to free a driver slot for q_llm_planted_probe (the
+    # only HASH-CHECKED retrieval-quality query); the bigram form keeps
+    # the NLL family driver-visible and exercises a strict superset of
+    # this query's machinery (same tokenize/vocab/OOV path + the
+    # conditional backoff). Identical local parity gate applies.
+    demoted=True,
 )
 def q_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-self-trained unigram-LM quality score per document (see

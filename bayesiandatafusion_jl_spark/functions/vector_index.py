@@ -76,6 +76,24 @@ def _codebooks_path(index_dir: str) -> str:
     return p
 
 
+def _rotation_path(index_dir: str) -> str:
+    (p,) = index_paths(index_dir, "rotation")
+    return p
+
+
+def _load_rotation(spark: SparkSession, index_dir: str) -> list | None:
+    """The OPQ rotation matrix, if this index was built with one (r15:
+    write_ivf_index(pq_opq=True)); None for plain-PQ indexes."""
+    from bayesiandatafusion_jl_spark.functions.index_compact import _fs
+
+    path = _rotation_path(index_dir)
+    fs, hpath, _ = _fs(spark, path)
+    if not fs.exists(hpath):
+        return None
+    rows = spark.read.parquet(path).orderBy("i").collect()
+    return [list(r.r) for r in rows]
+
+
 def _load_codebooks(spark: SparkSession, index_dir: str) -> list:
     rows = (
         spark.read.parquet(_codebooks_path(index_dir))
@@ -91,7 +109,10 @@ def _load_codebooks(spark: SparkSession, index_dir: str) -> list:
 
 
 def _encode_postings(
-    assigned: DataFrame, centers: list, codebooks: list
+    assigned: DataFrame,
+    centers: list,
+    codebooks: list,
+    rotation: list | None = None,
 ) -> DataFrame:
     """Append ``pq_code`` to an assigned (cell_id, vec_id, embedding)
     frame: residual against the row's own cell center (map-side zip_with
@@ -112,9 +133,9 @@ def _encode_postings(
             lambda x, c: x.cast("double") - c,
         ),
     )
-    return pq_encode(with_res, codebooks, vec_col="__res").select(
-        "cell_id", "vec_id", "embedding", "pq_code"
-    )
+    return pq_encode(
+        with_res, codebooks, vec_col="__res", rotation=rotation
+    ).select("cell_id", "vec_id", "embedding", "pq_code")
 
 
 # Drift-stat sample cap: the guard needs a mean, not a census — a few
@@ -161,6 +182,7 @@ def write_ivf_index(
     on_drift: str = "error",
     pq_m: int | None = None,
     pq_ksub: int = 256,
+    pq_opq: bool = False,
     rebase_epochs: tuple[str, ...] = (),
 ) -> None:
     """Build (or append a shard to) the inverted file for a
@@ -248,6 +270,11 @@ def write_ivf_index(
         codebooks = (
             _load_codebooks(spark, index_dir) if "pq_m" in meta_row else None
         )
+        # an OPQ-built index encodes every shard under ITS rotation —
+        # loaded from the artifact, like the codebooks
+        rotation = (
+            _load_rotation(spark, index_dir) if codebooks is not None else None
+        )
         if "assign_ppm" in meta_row:
             base_mean = meta_row["assign_ppm"] / 1e6
             shard_mean = _assign_score_mean(corpus, centers, "embedding")
@@ -271,10 +298,27 @@ def write_ivf_index(
         if not centers:
             raise ValueError("cannot fit an IVF quantizer on an empty corpus")
         codebooks = None
+        rotation = None
         if pq_m is not None:
-            from bayesiandatafusion_jl_spark.functions.vector_pq import pq_train
+            if pq_opq:
+                # r15: learned orthogonal rotation (Ge et al. CVPR'13)
+                # before the subspace split — lower quantization error
+                # at the same code size; persisted beside the codebooks
+                from bayesiandatafusion_jl_spark.functions.vector_pq import (
+                    opq_train,
+                )
 
-            codebooks = pq_train(corpus, m=pq_m, ksub=pq_ksub, centers=centers)
+                rotation, codebooks = opq_train(
+                    corpus, m=pq_m, ksub=pq_ksub, centers=centers
+                )
+            else:
+                from bayesiandatafusion_jl_spark.functions.vector_pq import (
+                    pq_train,
+                )
+
+                codebooks = pq_train(
+                    corpus, m=pq_m, ksub=pq_ksub, centers=centers
+                )
 
     if mode != "append":
         # ledger BEFORE the destructive postings overwrite, after every
@@ -303,7 +347,7 @@ def write_ivf_index(
         ).alias("ac"),
     ).select((-F.col("ac.nid")).alias("cell_id"), "vec_id", "embedding")
     if codebooks is not None:
-        assigned = _encode_postings(assigned, centers, codebooks)
+        assigned = _encode_postings(assigned, centers, codebooks, rotation)
     # shared epoch-store write (index_meta.write_epoch): fresh build
     # wipes the whole directory regardless of the session default;
     # appends overwrite only their own (cell_id, __epoch) partitions
@@ -319,6 +363,8 @@ def write_ivf_index(
             "cell_id int, ce array<double>",
         ).write.mode(mode).parquet(centers_path)
         meta_extra: dict = {}
+        from bayesiandatafusion_jl_spark.functions.index_compact import _fs
+
         if codebooks is None:
             # a fresh non-PQ rebuild over a previously-PQ index must not
             # leave stale codebooks on disk (meta no longer declares pq_m,
@@ -326,11 +372,22 @@ def write_ivf_index(
             # mode or a human inspecting the directory would be misled).
             # Hadoop FS API, not shutil: index_dir may be HDFS/object-store
             # (the same discipline as index_compact's directory swap)
-            from bayesiandatafusion_jl_spark.functions.index_compact import _fs
-
             fs, hpath, _ = _fs(spark, _codebooks_path(index_dir))
             if fs.exists(hpath):
                 fs.delete(hpath, True)
+        if rotation is None:
+            # same stale-artifact rule for the OPQ rotation: a plain-PQ
+            # (or non-PQ) rebuild over an OPQ index must not leave the
+            # old incarnation's rotation where a probe would apply it to
+            # codebooks trained in the UNROTATED space
+            fs, hpath, _ = _fs(spark, _rotation_path(index_dir))
+            if fs.exists(hpath):
+                fs.delete(hpath, True)
+        else:
+            spark.createDataFrame(
+                [(i, [float(v) for v in r]) for i, r in enumerate(rotation)],
+                "i int, r array<double>",
+            ).write.mode(mode).parquet(_rotation_path(index_dir))
         if codebooks is not None:
             spark.createDataFrame(
                 [
@@ -341,6 +398,8 @@ def write_ivf_index(
                 "m int, j int, c array<double>",
             ).write.mode(mode).parquet(_codebooks_path(index_dir))
             meta_extra = {"pq_m": len(codebooks), "pq_ksub": len(codebooks[0])}
+            if rotation is not None:
+                meta_extra["opq"] = 1
         write_meta(
             spark,
             meta_path,
@@ -436,6 +495,7 @@ def refit_ivf_index(
         n_assign=n_assign,
         pq_m=meta.get("pq_m"),
         pq_ksub=meta.get("pq_ksub", 256),
+        pq_opq=bool(meta.get("opq", 0)),
         rebase_epochs=tuple(rebased),
     )
     return spark.createDataFrame(
@@ -626,6 +686,8 @@ def ann_ivfpq_query_index(
     spark = queries.sparkSession
     centers = _load_centers(spark, centers_path)
     codebooks = _load_codebooks(spark, index_dir)
+    # OPQ index: queries rotate into the codebooks' space (r15)
+    rotation = _load_rotation(spark, index_dir)
 
     # the probe/LUT/score/dedup/top-k numerics are the SHARED helpers in
     # vector_pq — only candidate SOURCING differs from ann_ivfpq_search:
@@ -651,7 +713,7 @@ def ann_ivfpq_query_index(
     scored = pq_adc_candidates(
         postings,
         qprobed,
-        pq_query_luts(queries, codebooks),
+        pq_query_luts(queries, codebooks, rotation=rotation),
         exclude_self,
         m=len(codebooks),
     )

@@ -100,8 +100,22 @@ def pq_train(
     d = x.shape[1]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
-    dsub = d // m
     ksub = min(ksub, x.shape[0])
+    return [
+        [[float(v) for v in c] for c in cb]
+        for cb in _lloyd_books(x, m, ksub, iters)
+    ]
+
+
+def _lloyd_books(x, m: int, ksub: int, iters: int) -> list:
+    """Per-subspace L2 Lloyd on a driver-side sample matrix — the inner
+    fit shared by ``pq_train`` and ``opq_train``. Deterministic: init is
+    the first ksub sample rows, numpy argmin takes the first minimum,
+    reductions run in fixed order. Returns M numpy (ksub × dsub)
+    arrays."""
+    import numpy as np
+
+    dsub = x.shape[1] // m
     sub = x.reshape(x.shape[0], m, dsub)
     books = []
     for mi in range(m):
@@ -116,8 +130,83 @@ def pq_train(
                 mask = assign == cid
                 if mask.any():  # empty cells keep their center
                     cb[cid] = xm[mask].mean(axis=0)
-        books.append([[float(v) for v in c] for c in cb])
+        books.append(cb)
     return books
+
+
+def _pq_reconstruct(x, books) -> "object":
+    """Quantize-then-reconstruct the sample under ``books`` (numpy
+    arrays) — the OPQ alternation's Q matrix."""
+    import numpy as np
+
+    m = len(books)
+    dsub = books[0].shape[1]
+    sub = x.reshape(x.shape[0], m, dsub)
+    out = np.empty_like(x)
+    for mi in range(m):
+        cb = books[mi]
+        d2 = (cb**2).sum(axis=1)[None, :] - 2.0 * (sub[:, mi, :] @ cb.T)
+        out[:, mi * dsub : (mi + 1) * dsub] = cb[np.argmin(d2, axis=1)]
+    return out
+
+
+def opq_train(
+    corpus: DataFrame,
+    m: int = 16,
+    ksub: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 8,
+    centers: list | None = None,
+    opq_iters: int = 6,
+) -> tuple[list, list]:
+    """Optimized Product Quantization (Ge, He, Ke & Sun, "Optimized
+    product quantization for approximate nearest neighbor search",
+    CVPR 2013 — public paper): learn an ORTHOGONAL rotation R so the
+    rotated (residual) vectors quantize with lower error under the same
+    M × ksub code budget, by alternating (a) codebook fit on R·x with
+    (b) the orthogonal-Procrustes solve R = argmin ‖X·Rᵀ − Q‖_F (one
+    SVD of XᵀQ). Returns ``(rotation, codebooks)`` — rotation as a
+    d × d nested list, codebooks in the ``pq_train`` format.
+
+    Because R is orthogonal, dot products are preserved EXACTLY:
+    q·x = (Rq)·(Rx). The approximation error lives only in quantizing
+    R·x, which the learned R minimizes — energy balances across the M
+    subspaces instead of concentrating in whichever dims the data
+    happened to correlate. The whole procedure runs on the SAME bounded
+    deterministic sample as ``pq_train`` (numpy SVD/Lloyd on the
+    driver, bit-reproducible); corpus-side cost is unchanged — the
+    rotation folds into the existing encode/LUT Arrow batch matmuls.
+    """
+    import numpy as np
+
+    target = min(_KMEANS_FIT_PER_CELL * ksub, _KMEANS_FIT_MAX_ROWS)
+    sample = bounded_identity_sample(corpus, id_col, target)
+    rows = sample.select(id_col, vec_col).collect()
+    if not rows:
+        raise ValueError("cannot fit OPQ codebooks on an empty corpus")
+    rows.sort(key=lambda r: r[id_col])
+    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    if centers is not None:
+        c = np.array(centers, dtype=np.float64)
+        x = x - c[np.argmax(x @ c.T, axis=1)]
+    d = x.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ksub = min(ksub, x.shape[0])
+    rot = np.eye(d)
+    for _ in range(opq_iters):
+        books = _lloyd_books(x @ rot.T, m, ksub, iters)
+        q = _pq_reconstruct(x @ rot.T, books)
+        # orthogonal Procrustes: min over W=Rᵀ of ‖X·W − Q‖_F is
+        # W = U·Vᵀ from SVD(XᵀQ) = U·S·Vᵀ
+        u, _, vt = np.linalg.svd(x.T @ q)
+        rot = (u @ vt).T
+    books = _lloyd_books(x @ rot.T, m, ksub, iters)
+    return (
+        [[float(v) for v in r] for r in rot],
+        [[[float(v) for v in c] for c in cb] for cb in books],
+    )
 
 
 def pq_encode(
@@ -125,6 +214,7 @@ def pq_encode(
     codebooks: list,
     vec_col: str = "embedding",
     out_col: str = "pq_code",
+    rotation: list | None = None,
 ) -> DataFrame:
     """Append ``out_col`` (array<smallint>, length M): each vector's
     per-subspace nearest-codeword ids.
@@ -145,6 +235,11 @@ def pq_encode(
     bc = spark.sparkContext.broadcast(
         [np.array(b, dtype=np.float64) for b in codebooks]
     )
+    # OPQ (opq_train): rotate inside the same Arrow batch — one extra
+    # d×d matmul per batch, still map-only
+    bc_rot = spark.sparkContext.broadcast(
+        None if rotation is None else np.array(rotation, dtype=np.float64)
+    )
 
     def _enc(vecs):
         books = bc.value
@@ -153,6 +248,8 @@ def pq_encode(
         x = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
         if x.size == 0:
             return pd.Series([], dtype=object)
+        if bc_rot.value is not None:
+            x = x @ bc_rot.value.T
         sub = x.reshape(x.shape[0], m, dsub)
         codes = np.empty((x.shape[0], m), dtype=np.int16)
         for mi in range(m):
@@ -225,7 +322,9 @@ def pq_probe_frame(queries: DataFrame, centers: list, n_probe: int) -> DataFrame
     )
 
 
-def pq_query_luts(queries: DataFrame, codebooks: list) -> DataFrame:
+def pq_query_luts(
+    queries: DataFrame, codebooks: list, rotation: list | None = None
+) -> DataFrame:
     """(qid, __luts) at QUERY grain: LUTs are a pure function of the
     query, not the probed cell — building them once per query row
     (|Q| rows, not |Q|·n_probe) and joining candidates by qid costs
@@ -247,6 +346,11 @@ def pq_query_luts(queries: DataFrame, codebooks: list) -> DataFrame:
     bc = spark.sparkContext.broadcast(
         np.array(codebooks, dtype=np.float64)  # M × ksub × dsub
     )
+    # OPQ: the codebooks live in the ROTATED space, so the query rotates
+    # too — (Rq)·(Rx) = q·x keeps the score an exact dot estimate
+    bc_rot = spark.sparkContext.broadcast(
+        None if rotation is None else np.array(rotation, dtype=np.float64)
+    )
 
     def _luts(vecs):
         books = bc.value
@@ -255,6 +359,8 @@ def pq_query_luts(queries: DataFrame, codebooks: list) -> DataFrame:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         x = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if bc_rot.value is not None:
+            x = x @ bc_rot.value.T
         sub = x.reshape(x.shape[0], m, dsub)
         # LUT[q, m, j] = dot(sub[q, m], books[m, j])
         luts = np.einsum("qmd,mjd->qmj", sub, books)
@@ -356,6 +462,8 @@ def ann_ivfpq_search(
     codebooks: list | None = None,
     refine: int = 4,
     exclude_self: bool = True,
+    opq: bool = False,
+    rotation: list | None = None,
 ) -> DataFrame:
     """IVF-PQ (IVFADC) ANN: coarse IVF cells prune WHICH vectors to
     score, residual PQ compresses HOW each survivor is scored.
@@ -397,7 +505,15 @@ def ann_ivfpq_search(
 
         centers = _spherical_kmeans(corpus, n_cells)
     if codebooks is None:
-        codebooks = pq_train(corpus, m=m, ksub=ksub, centers=centers)
+        if opq:
+            # learned orthogonal rotation before the subspace split
+            # (opq_train) — cuts residual quantization error at the same
+            # code size; the rotation folds into the encode/LUT batches
+            rotation, codebooks = opq_train(
+                corpus, m=m, ksub=ksub, centers=centers
+            )
+        else:
+            codebooks = pq_train(corpus, m=m, ksub=ksub, centers=centers)
 
     attach = _cells_attacher(spark, centers)
     src, cells = attach(corpus)
@@ -426,14 +542,14 @@ def ann_ivfpq_search(
     # single consumer (the candidate join) and a deterministic encode —
     # no checkpoint needed; the PERSISTED variant (vector_index) is where
     # encode-once materialization lives (the parquet write itself)
-    index = pq_encode(residual, codebooks, vec_col="__res").select(
-        "vec_id", "cell_id", "pq_code"
-    )
+    index = pq_encode(
+        residual, codebooks, vec_col="__res", rotation=rotation
+    ).select("vec_id", "cell_id", "pq_code")
 
     scored = pq_adc_candidates(
         index,
         pq_probe_frame(queries, centers, n_probe),
-        pq_query_luts(queries, codebooks),
+        pq_query_luts(queries, codebooks, rotation=rotation),
         exclude_self,
         m=len(codebooks),
     )

@@ -53,6 +53,13 @@ SKIP = {
         " query's (audited as q_llm_pipeline_compose), resume/refusal"
         " pytest-gated (tests/test_pipeline.py)"
     ),
+    "q_llm_pipeline_classified": (
+        "r15: same side-effecting persisted lifecycle as"
+        " q_llm_pipeline_persisted plus the train-if-absent quality"
+        " model; the classifier verdict is scored MAP-ONLY onto the one"
+        " flags scan (zero extra shuffles — plan asserted in"
+        " tests/test_pipeline.py), manifest gains a classifier row"
+    ),
 }
 
 NOTES = {
@@ -412,6 +419,15 @@ NOTES = {
         " posexplode spans, 2 hash aggs for the dup dictionary, starts"
         " re-grouped per doc, ONE doc-keyed join back; the rewrite itself"
         " is a map-side transform/exists HOF expression"
+    ),
+    "q_text_setsim_incremental": (
+        "r15: EXACT incremental PPJoin — shard tokenized+ranked once"
+        " (checkpointed) under the FROZEN build-time frequency order;"
+        " candidate scan partition-pruned to the shard's prefix-token"
+        " buckets; ONE token-collision join covers cross + intra pairs;"
+        " verify re-reads stored tokens for candidate ids only; oracle"
+        " is brute-force all-pairs SQL restricted to shard-touching"
+        " pairs"
     ),
     "q_llm_dedup_incremental": (
         "r8: new shard shingled/signed once (checkpointed), probe is one"

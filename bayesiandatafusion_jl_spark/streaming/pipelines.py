@@ -804,7 +804,10 @@ def quality_stream(
 
 
 def pipeline_ingest_stream(
-    docs_stream: DataFrame, pipeline_dir: str, checkpoint_dir: str
+    docs_stream: DataFrame,
+    pipeline_dir: str,
+    checkpoint_dir: str,
+    model_dir: str | None = None,
 ):
     """Streaming maintenance of a persisted training-data pipeline
     (functions/pipeline_store.py): each micro-batch of new documents
@@ -812,7 +815,11 @@ def pipeline_ingest_stream(
     against the pinned benchmark grams, first-writer dedup against all
     prior epochs, per-epoch packing and shard write. Same
     foreachBatch/epoch replay contract as the other ingest streams: a
-    retried batch rewrites its own epoch partitions idempotently."""
+    retried batch rewrites its own epoch partitions idempotently.
+    ``model_dir`` (r15): a pipeline built with a quality classifier
+    requires the SAME model artifact here — each batch is scored
+    map-only and the pin is verified per append, exactly like the batch
+    path."""
     from bayesiandatafusion_jl_spark.functions.pipeline_store import (
         append_pipeline_shard,
     )
@@ -821,7 +828,8 @@ def pipeline_ingest_stream(
         if not batch_df.take(1):
             return
         append_pipeline_shard(
-            batch_df, pipeline_dir, f"stream_{batch_id}"
+            batch_df, pipeline_dir, f"stream_{batch_id}",
+            model_dir=model_dir,
         )
 
     return (

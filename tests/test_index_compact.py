@@ -506,3 +506,61 @@ def test_sig_compaction_purges_tombstones_and_unblocks_id_reuse(
         for r in dedup_incremental(probe, sig_dir, jaccard_min=0.5).collect()
     }
     assert any(b == 3 for _, b in reused)
+
+
+def test_vacuum_store_reclaims_crashed_tmp_dirs(spark, tmp_path, monkeypatch):
+    """r15 (VERDICT #8): a compaction killed between the tmp write and
+    the directory swap leaves a ``.__compact_tmp`` sibling that only the
+    next same-dataset compaction would overwrite; vacuum_store must
+    reclaim it (and crashed-write ``_temporary`` residue) while leaving
+    every ledgered directory intact — probes identical before/after."""
+    import os
+
+    from bayesiandatafusion_jl_spark.functions import index_compact
+    from bayesiandatafusion_jl_spark.functions.index_compact import (
+        vacuum_store,
+    )
+    from bayesiandatafusion_jl_spark.functions.setsim_index import (
+        compact_setsim_index,
+        setsim_incremental,
+        write_setsim_index,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 150)
+    )
+    d = str(tmp_path / "vac_setsim")
+    write_setsim_index(docs.filter(F.col("doc_id") < 100), d)
+    shard = docs.filter(F.col("doc_id") >= 100)
+    setsim_incremental(shard, d, tau=0.5, update_index=True, epoch="s1")
+    probe = lambda: sorted(  # noqa: E731
+        map(tuple, setsim_incremental(shard.limit(20), d, tau=0.5).collect())
+    )
+    before = probe()
+
+    real_swap = index_compact._swap_dir
+
+    def dying_swap(spark_, tmp, final):
+        raise IOError("killed before the swap")
+
+    monkeypatch.setattr(index_compact, "_swap_dir", dying_swap)
+    with pytest.raises(IOError, match="killed before"):
+        compact_setsim_index(spark, d)
+    monkeypatch.undo()
+    assert os.path.isdir(f"{d}/tokens.__compact_tmp")
+    # plant crashed-write residue too
+    os.makedirs(f"{d}/tokens/_temporary/0", exist_ok=True)
+
+    rows = {r["path"]: r["bytes"] for r in vacuum_store(spark, d).collect()}
+    assert set(rows) == {"tokens.__compact_tmp", "tokens/_temporary"}
+    assert not os.path.isdir(f"{d}/tokens.__compact_tmp")
+    assert not os.path.isdir(f"{d}/tokens/_temporary")
+    assert probe() == before
+    # a healthy store vacuums to an empty frame, and the interrupted
+    # compaction still completes afterwards (the real swap is restored)
+    assert index_compact._swap_dir is real_swap
+    assert vacuum_store(spark, d).count() == 0
+    compact_setsim_index(spark, d)
+    assert probe() == before

@@ -481,3 +481,168 @@ def test_pipeline_stats_readable_at_every_crash_point(spark, tmp_path):
     }
     (row2,) = ps.pipeline_stats(spark, d1).collect()
     assert row2["n_docs"] == manifest["shards"] == manifest["mixture"]
+
+
+# --- r15: trained classifier wired as a pipeline stage ----------------------
+
+
+def _train_model(spark, docs, model_dir):
+    """Train + persist a quality model on the standard planted seed."""
+    from bayesiandatafusion_jl_spark.functions.quality_model import (
+        _quality_seed,
+        save_quality_model,
+        seed_fingerprint,
+        train_quality_classifier,
+    )
+
+    seed = _quality_seed(docs.select("doc_id", "text"))
+    model = train_quality_classifier(seed)
+    save_quality_model(spark, model, model_dir, seed_fingerprint(seed))
+    return model_dir
+
+
+def _corpus_with_gibberish(spark):
+    """sf0.001 documents plus mangled twins that PASS the heuristic
+    gates (length / dup / lang-marker ratios survive the every-2nd-token
+    mangling) but score badly under the planted-seed classifier — the
+    docs only the trained stage can drop."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "text")
+    mangled = docs.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 9_000_000).alias("doc_id"),
+        "source",
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(split(lower(text), '\\\\s+'),"
+                " (t, i) -> IF(i % 2 = 0, t, concat('zzq', i % 7)))"
+            ),
+        ).alias("text"),
+    )
+    return docs.unionByName(mangled)
+
+
+def test_pipeline_classifier_stage_composes(spark, tmp_path):
+    """r15 (VERDICT #3): build_pipeline(model_dir=...) adds a
+    'classifier' manifest row between quality and dedup, scored map-only
+    from the persisted artifact; the gate actually bites (mangled
+    heuristic-passing docs drop), every verify_pipeline recount agrees,
+    a resume is a no-op, and config/model drift refuses."""
+    import pytest as _pytest
+
+    from bayesiandatafusion_jl_spark.functions.pipeline_store import (
+        build_pipeline,
+        verify_pipeline,
+    )
+
+    corpus = _corpus_with_gibberish(spark)
+    mdir = _train_model(spark, corpus, str(tmp_path / "qmodel"))
+    d = str(tmp_path / "pipe_clf")
+    manifest = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in build_pipeline(corpus, d, model_dir=mdir).collect()
+    }
+    assert set(manifest) == {
+        "raw", "quality", "classifier", "dedup", "decontaminated",
+        "mixture", "packed", "shards",
+    }
+    # the trained gate bites beyond the heuristics: mangled twins pass
+    # quality but fail the classifier
+    assert 0 < manifest["classifier"][0] < manifest["quality"][0]
+    assert manifest["dedup"][0] <= manifest["classifier"][0]
+    # every recount agrees with the manifest
+    bad = [
+        r["check"]
+        for r in verify_pipeline(spark, d).collect()
+        if not r["ok"]
+    ]
+    assert bad == []
+    # resume under the same config+model: byte-identical no-op readout
+    again = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in build_pipeline(corpus, d, model_dir=mdir).collect()
+    }
+    assert again == manifest
+    # drifted threshold, dropped model, and model-on-unclassified all refuse
+    with _pytest.raises(ValueError, match="EXACT build configuration"):
+        build_pipeline(corpus, d, model_dir=mdir, model_threshold=0.9)
+    with _pytest.raises(ValueError, match="EXACT build configuration"):
+        build_pipeline(corpus, d)
+    d_plain = str(tmp_path / "pipe_plain")
+    build_pipeline(corpus, d_plain)
+    with _pytest.raises(ValueError, match="EXACT build configuration"):
+        build_pipeline(corpus, d_plain, model_dir=mdir)
+
+
+def test_pipeline_classifier_scoring_adds_no_shuffle(spark, tmp_path):
+    """The classifier verdict rides the one flags scan map-only: the
+    scored flags plan has exactly as many exchanges as the unscored
+    one."""
+    from bayesiandatafusion_jl_spark.functions.pipeline import (
+        _pipeline_flags,
+    )
+    from bayesiandatafusion_jl_spark.functions.pipeline_store import (
+        _score_clf,
+    )
+
+    corpus = _corpus_with_gibberish(spark)
+    mdir = _train_model(spark, corpus, str(tmp_path / "qmodel_plan"))
+
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange")
+
+    plain = _pipeline_flags(corpus)
+    scored = _pipeline_flags(_score_clf(corpus, mdir, 0.5))
+    assert n_exchanges(scored) == n_exchanges(plain)
+
+
+def test_pipeline_append_honors_model_pin(spark, tmp_path):
+    """Appends to a model-gated pipeline must present the SAME model:
+    the shard is scored with the pinned threshold, the manifest
+    classifier row grows, and missing/drifted models refuse loudly."""
+    import pytest as _pytest
+
+    from bayesiandatafusion_jl_spark.functions.pipeline_store import (
+        append_pipeline_shard,
+        build_pipeline,
+        verify_pipeline,
+    )
+
+    corpus = _corpus_with_gibberish(spark)
+    base = corpus.filter(F.col("doc_id") % 3 != 1)
+    shard = corpus.filter(F.col("doc_id") % 3 == 1)
+    mdir = _train_model(spark, corpus, str(tmp_path / "qmodel_app"))
+    d = str(tmp_path / "pipe_clf_app")
+    m0 = {
+        r["stage"]: r["n_docs"]
+        for r in build_pipeline(base, d, model_dir=mdir).collect()
+    }
+    with _pytest.raises(ValueError, match="appends must pass model_dir"):
+        append_pipeline_shard(shard, d, "s1")
+    other = _train_model(
+        spark,
+        corpus.filter(F.col("doc_id") % 11 == 0),
+        str(tmp_path / "qmodel_other"),
+    )
+    with _pytest.raises(ValueError, match="not the model this pipeline"):
+        append_pipeline_shard(shard, d, "s1", model_dir=other)
+    m1 = {
+        r["stage"]: r["n_docs"]
+        for r in append_pipeline_shard(shard, d, "s1", model_dir=mdir).collect()
+    }
+    assert m1["raw"] > m0["raw"]
+    assert m1["classifier"] >= m0["classifier"]
+    assert m1["classifier"] < m1["quality"]  # the gate bites on appends too
+    bad = [
+        r["check"]
+        for r in verify_pipeline(spark, d).collect()
+        if not r["ok"]
+    ]
+    assert bad == []
+    # a shard cannot introduce a model onto an unclassified build
+    d_plain = str(tmp_path / "pipe_plain_app")
+    build_pipeline(base, d_plain)
+    with _pytest.raises(ValueError, match="built WITHOUT a classifier"):
+        append_pipeline_shard(shard, d_plain, "s1", model_dir=mdir)

@@ -134,3 +134,124 @@ def test_ivfpq_query_runs(spark):
         per_q.setdefault(r["qid"], []).append(r["rk"])
     assert len(per_q) == 10
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+# --- r15: OPQ (Ge et al. CVPR'13) learned rotation --------------------------
+
+
+def test_opq_rotation_orthogonal_and_deterministic(emb):
+    from bayesiandatafusion_jl_spark.functions.vector_pq import opq_train
+
+    rot, books = opq_train(emb, m=M, ksub=64)
+    r = np.array(rot)
+    assert r.shape == (64, 64)
+    assert np.allclose(r @ r.T, np.eye(64), atol=1e-8)
+    assert len(books) == M
+    # bit-reproducible refit (deterministic sample + SVD + Lloyd)
+    rot2, books2 = opq_train(emb, m=M, ksub=64)
+    assert rot2 == rot and books2 == books
+
+
+def test_opq_reduces_quantization_error_on_anisotropic_data(spark):
+    """The OPQ win case: variance spread OBLIQUELY across subspace
+    boundaries (decaying spectrum mixed by a dense orthogonal matrix).
+    Plain PQ wastes its code budget on the mixture; the learned rotation
+    unmixes it — reconstruction error must drop materially."""
+    from bayesiandatafusion_jl_spark.functions.vector_pq import (
+        _lloyd_books,
+        _pq_reconstruct,
+        opq_train,
+        pq_train,
+    )
+
+    rng = np.random.RandomState(7)
+    d, n, m, ksub = 64, 2000, 16, 64
+    mix, _ = np.linalg.qr(rng.randn(d, d))
+    scales = 0.9 ** np.arange(d)
+    x = (rng.randn(n, d) * scales[None, :]) @ mix.T
+    docs = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def recon_err(rotation):
+        r = np.eye(d) if rotation is None else np.array(rotation)
+        xr = x @ r.T
+        books = _lloyd_books(xr, m, ksub, 8)
+        q = _pq_reconstruct(xr, books)
+        return float(((xr - q) ** 2).sum())
+
+    pq_books = pq_train(docs, m=m, ksub=ksub)
+    assert pq_books is not None
+    err_pq = recon_err(None)
+    rot, _ = opq_train(docs, m=m, ksub=ksub)
+    err_opq = recon_err(rot)
+    # measured ~0.5-0.8x on this construction; gate at a material drop
+    assert err_opq < err_pq * 0.9, (err_opq, err_pq)
+
+
+def test_opq_adc_recall_no_worse_than_pq(spark, emb):
+    """On the real embeddings table the raw-ADC recall with the learned
+    rotation must not fall below the plain-PQ reading (orthogonality
+    preserves dots; the rotation only changes what quantization error
+    remains)."""
+    exact = {
+        (r["qid"], r["nb_id"]) for r in q_llm_knn(spark, SF_DIR_TINY).collect()
+    }
+    centers = _cached_centers(emb, SF_DIR_TINY, 16)
+
+    def adc_recall(**kw):
+        got = {
+            (r["qid"], r["nb_id"])
+            for r in ann_ivfpq_search(
+                emb, _queries(emb), centers=centers, refine=0, **kw
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    plain = adc_recall()
+    opq = adc_recall(opq=True)
+    assert opq >= plain - 0.05, (opq, plain)
+    assert opq >= 0.4
+
+
+def test_persisted_opq_index_lifecycle(spark, emb, tmp_path):
+    """write_ivf_index(pq_opq=True): the rotation persists beside the
+    codebooks, probes rotate queries into the stored space, appended
+    shards encode under the STORED rotation, and a refit re-learns one;
+    a plain rebuild removes the stale rotation."""
+    import os
+
+    from bayesiandatafusion_jl_spark.functions.index_meta import read_meta
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        ann_ivfpq_query_index,
+        refit_ivf_index,
+        write_ivf_index,
+    )
+
+    d = str(tmp_path / "opq_ivf")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    shard = emb.filter(F.col("vec_id") % 10 == 0)
+    write_ivf_index(base, d, n_cells=16, n_assign=2, pq_m=M, pq_opq=True)
+    assert os.path.isdir(f"{d}/rotation")
+    assert int(read_meta(spark, f"{d}/meta")["opq"]) == 1
+    write_ivf_index(shard, d, mode="append", epoch="s1")
+    # planted self-queries (fresh qids so exclude_self never hides the
+    # hit) — exact refine must place every vector at rank 1, INCLUDING
+    # the appended shard's (rotation applied consistently at append)
+    q = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("qid"),
+        F.col("embedding").alias("qe"),
+    )
+    hits = ann_ivfpq_query_index(q, d, k=5, n_probe=6, refine=4).collect()
+    top1 = {r["qid"] - 10_000_000: r["nb_id"] for r in hits if r["rk"] == 1}
+    n_q = q.count()
+    hit = sum(1 for vid, nb in top1.items() if vid == nb)
+    assert hit / n_q >= 0.9, (hit, n_q)
+    # refit keeps the OPQ configuration alive
+    refit_ivf_index(spark, d)
+    assert os.path.isdir(f"{d}/rotation")
+    # a plain-PQ rebuild must remove the stale rotation
+    write_ivf_index(emb, d, n_cells=16, n_assign=2, pq_m=M)
+    assert not os.path.isdir(f"{d}/rotation")
+    assert "opq" not in read_meta(spark, f"{d}/meta").asDict()
