@@ -1796,7 +1796,13 @@ def winnow_stats(
         F.countDistinct("fp").alias("n_fps"),
         F.sum("df").cast("bigint").alias("n_entries"),
         F.max("df").cast("bigint").alias("max_df_seen"),
-        (F.max("df") / F.avg("df")).alias("fp_skew"),
+        # max/mean as max·n_fps/n_entries — exact integers, ONE double
+        # division in a fixed order, so the DuckDB oracle reproduces the
+        # bits (the exprs.py cross-engine float discipline)
+        (
+            (F.max("df") * F.countDistinct("fp")).cast("double")
+            / F.sum("df").cast("double")
+        ).alias("fp_skew"),
         F.sum(pair).cast("bigint").alias("pair_rows"),
         F.sum(
             F.when(cap.isNull() | (F.col("df") <= cap), pair).otherwise(
@@ -1908,6 +1914,65 @@ def q_text_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WINNOW_MAX_DF = 5
+
+
+@register(
+    "q_text_winnow_stats",
+    # the health readout itself is SQL-proven: same fp CTE as
+    # q_text_winnow, then one df-grain aggregate — so the numbers an
+    # operator picks max_df from are hash-checked, not just plausible
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(LOWER(text), ' ') AS t
+      FROM documents WHERE doc_id < 300
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             substr(sha256(array_to_string(
+               t[i:i+{_WINNOW_K - 1}], ' ')), 1, {_WINNOW_HEX}) AS h
+      FROM (SELECT doc_id, t,
+                   UNNEST(range(1, len(t) - {_WINNOW_K} + 2)) AS i
+            FROM tk WHERE len(t) >= {_WINNOW_K})
+    ),
+    n AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
+    win AS (
+      SELECT doc_id, UNNEST(range(0, ng - {_WINNOW_W} + 1)) AS s
+      FROM n WHERE ng >= {_WINNOW_W}
+    ),
+    m AS (
+      SELECT win.doc_id, win.s, g.h,
+             ROW_NUMBER() OVER (
+               PARTITION BY win.doc_id, win.s
+               ORDER BY g.h ASC, g.pos DESC
+             ) AS rk
+      FROM win JOIN g ON g.doc_id = win.doc_id
+                     AND g.pos BETWEEN win.s AND win.s + {_WINNOW_W - 1}
+    ),
+    fp AS (SELECT DISTINCT doc_id, h FROM m WHERE rk = 1),
+    dfc AS (SELECT h, COUNT(*) AS df FROM fp GROUP BY h)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_fps,
+           CAST(SUM(df) AS BIGINT) AS n_entries,
+           CAST(MAX(df) AS BIGINT) AS max_df_seen,
+           CAST(MAX(df) * COUNT(*) AS DOUBLE) / CAST(SUM(df) AS DOUBLE)
+             AS fp_skew,
+           CAST(SUM(df * (df - 1) / 2) AS BIGINT) AS pair_rows,
+           CAST(SUM(CASE WHEN df <= {_WINNOW_MAX_DF}
+                         THEN df * (df - 1) / 2 ELSE 0 END) AS BIGINT)
+             AS pair_rows_railed,
+           CAST(SUM(CASE WHEN df > {_WINNOW_MAX_DF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hot_fps
+    FROM dfc
+    """,
+    tags=("J5", "text", "fingerprint", "stats"),
+    demoted=True,
+)
+def q_text_winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnowing fingerprint-skew health row over the first 300
+    documents, at the railed query's max_df=5 — hash-checked, so
+    ``pair_rows``/``pair_rows_railed``/``n_hot_fps`` (the numbers the
+    rail is sized from) are SQL-proven, not merely asserted."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return winnow_stats(docs, max_df=_WINNOW_MAX_DF)
 
 
 @register(

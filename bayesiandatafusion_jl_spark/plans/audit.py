@@ -80,6 +80,12 @@ NOTES = {
         " struct over w rows, no global sort), one distinct on the"
         " selections; oracle is the O(n·w) window join"
     ),
+    "q_text_winnow_stats": (
+        "r15: winnow fp-skew health row — one fingerprint scan, one"
+        " fp-grain df agg, one 1-row aggregate; skew as max·n_fps/"
+        "n_entries (single fixed-order double division, oracle"
+        " bit-parity); pair_rows = exact pair-join input size"
+    ),
     "q_text_winnow_overlap_railed": (
         "r15: winnow overlap with the hot-fingerprint rail — fps shared"
         " by > max_df docs are anti-joined out BEFORE the pair join"

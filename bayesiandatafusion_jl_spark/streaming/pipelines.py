@@ -410,6 +410,49 @@ def near_dup_stream(
     )
 
 
+def setsim_ingest_stream(
+    docs_stream: DataFrame,
+    index_dir: str,
+    pairs_out: str,
+    checkpoint_dir: str,
+    tau: float = 0.5,
+):
+    """Streaming incremental EXACT set-similarity dedup (r15): every
+    micro-batch of (doc_id, text) PPJoin-probes the persisted token
+    index (``functions.setsim_index``) for exact Jaccard ≥ tau pairs
+    against ALL history, appends its pairs to ``pairs_out``, and appends
+    its ranked tokens to the index — the exact-scoring twin of
+    ``near_dup_stream``, same foreachBatch/epoch replay contract: both
+    writes are idempotent per batch (pair sink partitioned by batch_id
+    with dynamic overwrite; the index append is
+    ``setsim_incremental``'s per-epoch overwrite, whose probe scans
+    exclude the batch's own epoch — a replay reproduces the ORIGINAL
+    pair set byte-for-byte)."""
+    from bayesiandatafusion_jl_spark.functions.setsim_index import (
+        setsim_incremental,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        pairs = setsim_incremental(
+            batch_df.select("doc_id", "text"),
+            index_dir,
+            tau=tau,
+            update_index=True,
+            epoch=f"batch_{batch_id}",
+        ).withColumn("batch_id", F.lit(batch_id))
+        pairs.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(pairs_out)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def rag_ingest_stream(
     docs_stream: DataFrame,
     index_dir: str,

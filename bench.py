@@ -82,6 +82,9 @@ HEADLINE = [
     "q_text_set_sim_join",  # r13: exact Jaccard join, PPJoin prefix filter
     "q_events_anomaly",     # r13: per-user NLL under the transition matrix
     "q_llm_pipeline_persisted",  # r14: durable restartable pipeline build
+    "q_llm_pipeline_classified",  # r15: + trained classifier stage (model
+    # train-if-absent: the first-ever run pays training, steady state
+    # serves from the persisted artifact — the deployment shape)
 ]
 
 
@@ -276,6 +279,27 @@ def main() -> None:
     time_probe(
         "pipeline_append_probe",
         lambda: append_pipeline_shard(pipe_shard, pipe_dir, "bench"),
+    )
+
+    # r15: EXACT incremental set-similarity probe — the shard tokenizes
+    # itself, ranks under the FROZEN order, and PPJoin-probes the stored
+    # token epochs (partition-pruned); base corpus never re-tokenized.
+    # tau=0.8: the synthetic corpus's small vocabulary makes lower taus
+    # emit O(corpus) true pairs, which would time the sink, not the probe
+    from bayesiandatafusion_jl_spark.functions.setsim_index import (
+        setsim_incremental,
+        write_setsim_index,
+    )
+
+    ss_dir = "/tmp/bdf_bench_setsim_index"
+    shutil.rmtree(ss_dir, ignore_errors=True)
+    write_setsim_index(docs_all.filter(FF.col("doc_id") < cut), ss_dir)
+    ss_shard = docs_all.filter(FF.col("doc_id") >= cut).select(
+        "doc_id", "text"
+    )
+    time_probe(
+        "setsim_index_probe",
+        lambda: setsim_incremental(ss_shard, ss_dir, tau=0.8),
     )
 
     # ML sweep throughput: one BPMF Gibbs sweep (I3 kernel both entities +

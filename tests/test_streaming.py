@@ -937,3 +937,61 @@ def test_quality_stream_matches_batch_scores(spark, tmp_path):
         for r in qm.score_quality(model, probe).collect()
     }
     assert got == want and len(got) == 40
+
+
+def test_setsim_ingest_stream_exact_cross_batch(spark, tmp_path):
+    """r15: the EXACT twin of test_near_dup_stream — twins arriving in
+    later micro-batches must pair (with exact jaccard) against the
+    pre-stream index AND against earlier micro-batches via the index
+    append; unrelated docs never pair."""
+    from bayesiandatafusion_jl_spark.functions.setsim_index import (
+        write_setsim_index,
+    )
+    from bayesiandatafusion_jl_spark.streaming import pipelines as P
+
+    src = str(tmp_path / "ss_docs_in")
+    index_dir = str(tmp_path / "ss_index")
+    pairs_out = str(tmp_path / "ss_pairs")
+    ckpt = str(tmp_path / "ss_ckpt")
+
+    def doc(i, drop_first=False):
+        toks = [f"w{i}x{j}" for j in range(30)]
+        return (i, " ".join(toks[1:] if drop_first else toks))
+
+    seed = spark.createDataFrame(
+        [doc(i) for i in range(10)], "doc_id long, text string"
+    )
+    write_setsim_index(seed, index_dir)
+
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    b1 = [doc(i) for i in range(101, 105)] + [(100, doc(3, True)[1])]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    q = P.setsim_ingest_stream(stream, index_dir, pairs_out, ckpt, tau=0.5)
+    try:
+        q.processAllAvailable()
+        b2 = [(200, doc(101, True)[1]), doc(201)]
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {
+        (r.id_a, r.id_b): (r.jaccard, r.pair_type)
+        for r in spark.read.parquet(pairs_out).collect()
+    }
+    # exact scores: a 29-of-30-token subset has J = 29/30
+    want_j = round(29 / 30, 6)
+    assert rows[(3, 100)] == (want_j, "new_index")
+    assert rows[(101, 200)] == (want_j, "new_index")
+    assert not any(201 in k for k in rows)
