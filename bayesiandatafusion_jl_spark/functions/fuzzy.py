@@ -162,6 +162,42 @@ def q_text_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_join(strings, d=8, q=2)
 
 
+# THE PPJoin filter expressions — one implementation for the one-shot
+# join below AND the persisted incremental index (setsim_index.py),
+# whose exactness contract is literal equality with this join: a drift
+# between two copies of the eps handling or the positional bound would
+# silently break that pin (r15 review). The 1e-9 down-nudge direction
+# is load-bearing: float error may only LENGTHEN prefixes / admit extra
+# candidates for the verify to kill, never lose a pair.
+_PPJ_EPS = 1e-9
+
+
+def ppjoin_prefix_len(tau: float, n):
+    """Prefix length n − ceil(tau·n) + 1 for a set of size ``n``."""
+    return n - F.ceil(F.lit(tau) * n - F.lit(_PPJ_EPS)) + F.lit(1)
+
+
+def ppjoin_length_filter(tau: float):
+    """tau·|a| ≤ |b| and tau·|b| ≤ |a| over (n_a, n_b) columns."""
+    lo = lambda x: F.ceil(F.lit(tau) * x - F.lit(_PPJ_EPS))  # noqa: E731
+    return (F.col("n_b") >= lo(F.col("n_a"))) & (
+        F.col("n_a") >= lo(F.col("n_b"))
+    )
+
+
+def ppjoin_positional_filter(tau: float):
+    """PPJoin bound over (n_a, prk_a, n_b, prk_b) columns: overlap via
+    this collision ≤ 1 + min(|a|−i, |b|−j), required ≥ alpha."""
+    alpha = F.ceil(
+        F.lit(tau / (1.0 + tau)) * (F.col("n_a") + F.col("n_b"))
+        - F.lit(_PPJ_EPS)
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("n_a") - F.col("prk_a"), F.col("n_b") - F.col("prk_b")
+    )
+    return ubound >= alpha
+
+
 def _set_sim_candidates(
     tok: DataFrame, tau: float, positional_filter: bool = True
 ) -> DataFrame:
@@ -174,11 +210,7 @@ def _set_sim_candidates(
     callers never pass it."""
     sz = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
-    prefix_len = (
-        F.col("n")
-        - F.ceil(F.lit(tau) * F.col("n") - F.lit(1e-9))
-        + F.lit(1)
-    )
+    prefix_len = ppjoin_prefix_len(tau, F.col("n"))
     ranked = (
         tok.join(F.broadcast(freq), "token")
         .join(sz, "id")
@@ -200,22 +232,12 @@ def _set_sim_candidates(
     cand = (
         a.join(b, "token")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            (F.col("n_b") >= F.ceil(F.lit(tau) * F.col("n_a") - F.lit(1e-9)))
-            & (F.col("n_a") >= F.ceil(F.lit(tau) * F.col("n_b") - F.lit(1e-9)))
-        )
+        .filter(ppjoin_length_filter(tau))
     )
     if positional_filter:
         # PPJoin: overlap via THIS collision is at most the matching
         # token plus everything after it in both ordered lists
-        alpha = F.ceil(
-            F.lit(tau / (1.0 + tau)) * (F.col("n_a") + F.col("n_b"))
-            - F.lit(1e-9)
-        )
-        ubound = F.lit(1) + F.least(
-            F.col("n_a") - F.col("prk_a"), F.col("n_b") - F.col("prk_b")
-        )
-        cand = cand.filter(ubound >= alpha)
+        cand = cand.filter(ppjoin_positional_filter(tau))
     return cand.select("id_a", "id_b").distinct()
 
 
@@ -291,8 +313,12 @@ def set_similarity_join(
         # spurious shingle (two 3-char docs would pair at jaccard=1.0
         # while a brute shingle oracle emits nothing for them). Docs with
         # no full-length shingle have an EMPTY shingle set and are
-        # excluded, exactly like zero-token docs in word mode.
-        docs = docs.filter(F.length(F.col(text_col)) >= shingle_k)
+        # excluded, exactly like zero-token docs in word mode. The guard
+        # measures the LOWERED text — the string the shingles are cut
+        # from — because lowercasing can change length (e.g. U+0130
+        # expands to two code points), and a raw-length guard would drop
+        # docs that DO have full-length lowered shingles.
+        docs = docs.filter(F.length(F.lower(F.col(text_col))) >= shingle_k)
         elem = F.explode(
             F.expr(
                 f"transform(sequence(1, length(lower({text_col}))"

@@ -250,36 +250,44 @@ def vacuum_store(spark: SparkSession, index_dir: str) -> DataFrame:
     directories a killed compaction/migration left behind (they
     otherwise self-heal only when the NEXT maintenance op of the same
     dataset overwrites them), and ``_temporary`` output-committer
-    leftovers inside a dataset a killed write abandoned. Returns one
-    row per deleted path with its reclaimed bytes (empty frame = the
-    store was clean).
+    leftovers a killed write abandoned at its target directory — found
+    by a depth-bounded walk, because epoch-targeted writes (e.g. the
+    pipeline's ``shards/__epoch=<e>``) leave their residue BELOW the
+    dataset root. Returns one row per deleted path with its reclaimed
+    bytes (empty frame = the store was clean).
 
     Single-writer discipline, same as compaction itself: never run a
     vacuum concurrently with a live maintenance op on this store — the
     tmp dir IS that op's in-flight output. Ledgered data directories are
     never touched (the suffix/_temporary allowlist is the whole delete
     surface), so a vacuum of a healthy store is a no-op."""
-    fs, root_h, jvm = _fs(spark, index_dir)
+    fs, root_h, _ = _fs(spark, index_dir)
     deleted: list[tuple[str, int]] = []
-    if fs.exists(root_h):
-        for st in fs.listStatus(root_h):
-            name = st.getPath().getName()
+
+    def _reclaim(path, rel: str) -> None:
+        nbytes = int(fs.getContentSummary(path).getLength())
+        fs.delete(path, True)
+        deleted.append((rel, nbytes))
+
+    def _walk(dir_h, rel: str, depth: int) -> None:
+        # bounded walk: committer residue sits at a write's TARGET dir,
+        # which for epoch/partitioned writes is one or two levels below
+        # the dataset (e.g. shards/__epoch=<e>/_temporary) — depth 3
+        # covers every current family layout without a full-tree crawl
+        for st in fs.listStatus(dir_h):
             if not st.isDirectory():
                 continue
-            if name.endswith(_TMP_SUFFIXES):
-                nbytes = int(
-                    fs.getContentSummary(st.getPath()).getLength()
-                )
-                fs.delete(st.getPath(), True)
-                deleted.append((name, nbytes))
-                continue
-            tmp = jvm.org.apache.hadoop.fs.Path(
-                str(st.getPath()) + "/_temporary"
-            )
-            if fs.exists(tmp):
-                nbytes = int(fs.getContentSummary(tmp).getLength())
-                fs.delete(tmp, True)
-                deleted.append((f"{name}/_temporary", nbytes))
+            name = st.getPath().getName()
+            child_rel = f"{rel}/{name}" if rel else name
+            if name == "_temporary":
+                _reclaim(st.getPath(), child_rel)
+            elif depth == 0 and name.endswith(_TMP_SUFFIXES):
+                _reclaim(st.getPath(), child_rel)
+            elif depth < 3:
+                _walk(st.getPath(), child_rel, depth + 1)
+
+    if fs.exists(root_h):
+        _walk(root_h, "", 0)
     return spark.createDataFrame(
         deleted, "path string, bytes bigint"
     )

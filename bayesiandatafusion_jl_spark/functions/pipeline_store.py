@@ -111,9 +111,16 @@ def _model_pin(
     mis-score silently)."""
     if model_dir is None:
         return (_NO_MODEL, _NO_MODEL, _NO_MODEL)
-    if not (0.0 < threshold < 1.0):
+    # validate the QUANTIZED value: the pin stores ppm, and the base
+    # build + every append score at ppm/1e6 (one quantization, applied
+    # everywhere — a raw-float gate here with a ppm pin would let
+    # model_threshold=0.9999996 build an artifact whose own appends
+    # then refuse forever at thr=1.0)
+    ppm = int(round(threshold * 1_000_000))
+    if not (0 < ppm < 1_000_000):
         raise ValueError(
-            f"model_threshold must be in (0, 1), got {threshold}"
+            f"model_threshold must sit in (0, 1) at ppm resolution;"
+            f" {threshold} quantizes to {ppm} ppm"
         )
     from bayesiandatafusion_jl_spark.functions.index_meta import read_meta
     from bayesiandatafusion_jl_spark.functions.quality_model import (
@@ -130,11 +137,7 @@ def _model_pin(
         featurizer_fp=_featurizer_fp(),
     )
     m = read_meta(spark, meta_path).asDict()
-    return (
-        int(m["seed_fp"]),
-        int(m["n_features"]),
-        int(round(threshold * 1_000_000)),
-    )
+    return (int(m["seed_fp"]), int(m["n_features"]), ppm)
 
 
 def _score_clf(docs: DataFrame, model_dir: str, threshold: float) -> DataFrame:
@@ -292,7 +295,9 @@ def build_pipeline(
         scored = (
             docs
             if model_dir is None
-            else _score_clf(docs, model_dir, model_threshold)
+            # score at the PINNED (ppm-quantized) cutoff, so base docs
+            # and every later shard gate at the identical threshold
+            else _score_clf(docs, model_dir, m_thr / 1_000_000)
         )
         write_epoch(
             _pipeline_flags(scored, spark.read.parquet(ev_path)),

@@ -59,9 +59,6 @@ from pyspark.sql import Window as W
 from bayesiandatafusion_jl_spark.catalog import load_table
 from bayesiandatafusion_jl_spark.registry import register
 
-_EPS = 1e-9
-
-
 def _distinct_tokens(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -191,6 +188,14 @@ def setsim_incremental(
     )
     from bayesiandatafusion_jl_spark.session import checkpoint_df
 
+    # the shared PPJoin filter expressions — literally the one-shot
+    # join's implementations, so the pinned equality cannot drift
+    from bayesiandatafusion_jl_spark.functions.fuzzy import (
+        ppjoin_length_filter,
+        ppjoin_positional_filter,
+        ppjoin_prefix_len,
+    )
+
     spark = new_docs.sparkSession
     tokens_path, order_path, meta_path = index_paths(
         index_dir, "tokens", "order", "meta"
@@ -210,8 +215,7 @@ def setsim_incremental(
             n_buckets,
         )
     )
-    tau_lit = F.lit(tau)
-    plen = lambda n: n - F.ceil(tau_lit * n - F.lit(_EPS)) + F.lit(1)  # noqa: E731
+    plen = lambda n: ppjoin_prefix_len(tau, n)  # noqa: E731
     prefix_new = ranked_new.filter(F.col("prk") <= plen(F.col("n")))
 
     # partition-prune the stored scan to the shard's prefix-token
@@ -229,6 +233,32 @@ def setsim_incremental(
             scan = scan.filter(F.col("__epoch") != epoch)
         return anti_join_tombstones(spark, index_dir, scan, "id")
 
+    if update_index:
+        # Loud refusal on id collisions (r15): a shard doc_id already
+        # LIVE in the index under a different epoch (upstream
+        # redelivery — invisible to the same-epoch replay guard) would
+        # merge its token sets across epochs on every later probe,
+        # silently corrupting exact scores. One column-pruned
+        # distinct-id scan before any write catches it; the probe-only
+        # path needs no scan (verify sides are src-scoped below).
+        # Re-appending a TOMBSTONED id stays hidden until a rebuild —
+        # the documented family contract (delete_from_setsim_index).
+        clash = (
+            _stored(tokens_path)
+            .select("id")
+            .join(ranked_new.select("id").distinct(), "id", "left_semi")
+            .limit(5)
+            .collect()
+        )
+        if clash:
+            ids = sorted(r["id"] for r in clash)
+            raise ValueError(
+                f"shard doc_ids {ids} are already indexed at {index_dir}"
+                " under other epochs — appending them again would merge"
+                " token sets across epochs and corrupt exact scores;"
+                " delete the old rows (tombstone + compact) or re-ingest"
+                " under fresh ids"
+            )
     stored_prefix = (
         _stored(tokens_path)
         .filter(F.col("tok_bucket").isin(buckets))
@@ -252,14 +282,6 @@ def setsim_incremental(
             F.col("prk").alias("prk_b"), F.lit("new_new").alias("pair_type"),
         )
     )
-    lo = lambda x: F.ceil(tau_lit * x - F.lit(_EPS))  # noqa: E731
-    alpha = F.ceil(
-        F.lit(tau / (1.0 + tau)) * (F.col("n_a") + F.col("n_b"))
-        - F.lit(_EPS)
-    )
-    ubound = F.lit(1) + F.least(
-        F.col("n_a") - F.col("prk_a"), F.col("n_b") - F.col("prk_b")
-    )
     cand = (
         a.join(b, "token")
         .filter(
@@ -268,11 +290,8 @@ def setsim_incremental(
                 F.col("id_a") < F.col("id_b"),
             ).otherwise(F.col("id_a") != F.col("id_b"))
         )
-        .filter(
-            (F.col("n_b") >= lo(F.col("n_a")))
-            & (F.col("n_a") >= lo(F.col("n_b")))
-        )
-        .filter(ubound >= alpha)
+        .filter(ppjoin_length_filter(tau))
+        .filter(ppjoin_positional_filter(tau))
         .select("id_a", "id_b", "pair_type")
         .distinct()
     )
@@ -292,11 +311,22 @@ def setsim_incremental(
         .agg(F.sort_array(F.collect_set("token")).alias("toks"))
     )
     pa = sets_new.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    # each pair kind verifies against ITS OWN side's token sets
+    # (src ↔ pair_type below): if a shard doc_id also exists in the
+    # index, a bare id join would fan every candidate into one row per
+    # copy — conflicting 'exact' scores
     pb = (
-        sets_old.unionByName(sets_new)
-        .select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+        sets_old.withColumn("__src", F.lit("new_index")).unionByName(
+            sets_new.withColumn("__src", F.lit("new_new"))
+        )
+    ).select(
+        F.col("id").alias("id_b"), F.col("toks").alias("toks_b"), "__src"
     )
-    paired = cand.join(pa, "id_a").join(pb, "id_b")
+    paired = (
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .filter(F.col("pair_type") == F.col("__src"))
+    )
     verified = (
         paired.select(
             "id_a",

@@ -1790,7 +1790,10 @@ def winnow_stats(
     join is materialized."""
     fp = winnow_fingerprints(docs, k, w).select("doc_id", "fp").distinct()
     dfc = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
-    pair = F.col("df") * (F.col("df") - 1) / F.lit(2)
+    # integer DIV, never float: df·(df−1) is always even, and 'exact
+    # pair-join input size' must stay exact past 2^53 — the hot-
+    # boilerplate regime this readout exists to measure
+    pair = F.expr("(df * (df - 1)) div 2")
     cap = F.lit(max_df if max_df is not None else None).cast("bigint")
     return dfc.agg(
         F.countDistinct("fp").alias("n_fps"),
@@ -1955,9 +1958,9 @@ _WINNOW_MAX_DF = 5
            CAST(MAX(df) AS BIGINT) AS max_df_seen,
            CAST(MAX(df) * COUNT(*) AS DOUBLE) / CAST(SUM(df) AS DOUBLE)
              AS fp_skew,
-           CAST(SUM(df * (df - 1) / 2) AS BIGINT) AS pair_rows,
+           CAST(SUM((df * (df - 1)) // 2) AS BIGINT) AS pair_rows,
            CAST(SUM(CASE WHEN df <= {_WINNOW_MAX_DF}
-                         THEN df * (df - 1) / 2 ELSE 0 END) AS BIGINT)
+                         THEN (df * (df - 1)) // 2 ELSE 0 END) AS BIGINT)
              AS pair_rows_railed,
            CAST(SUM(CASE WHEN df > {_WINNOW_MAX_DF} THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_hot_fps

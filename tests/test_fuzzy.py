@@ -490,3 +490,28 @@ def test_winnow_hypothesis_vs_reference(spark):
             for r in winnow_fingerprints(docs, k=k, w=w).collect()
         }
         assert got == want, (seed, k, w)
+
+
+def test_shingle_guard_measures_lowered_length(spark):
+    """r15 review: lowercasing can LENGTHEN a string (U+0130 'İ'
+    lowercases to two code points on the JVM), and shingles are cut
+    from lower(text) — the sub-k guard must measure the lowered form,
+    or raw-5-char docs with valid lowered 6-shingles get dropped."""
+    from bayesiandatafusion_jl_spark.functions.fuzzy import (
+        set_similarity_join,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "AİBİC"), (2, "AİBİC")],
+        "id long, text string",
+    )
+    (n,) = docs.select(F.length(F.lower("text")).alias("n")).distinct().collect()
+    if n["n"] < 6:
+        import pytest as _pytest
+
+        _pytest.skip("lowercasing did not expand on this JVM locale")
+    pairs = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in set_similarity_join(docs, tau=0.5, shingle_k=6).collect()
+    }
+    assert pairs == {(1, 2, 1.0)}

@@ -550,13 +550,22 @@ def test_vacuum_store_reclaims_crashed_tmp_dirs(spark, tmp_path, monkeypatch):
         compact_setsim_index(spark, d)
     monkeypatch.undo()
     assert os.path.isdir(f"{d}/tokens.__compact_tmp")
-    # plant crashed-write residue too
+    # plant crashed-write residue too — at the dataset root AND at an
+    # epoch-targeted write's directory (the pipeline-shards shape, which
+    # a one-level probe would miss)
     os.makedirs(f"{d}/tokens/_temporary/0", exist_ok=True)
+    os.makedirs(f"{d}/tokens/tok_bucket=0/__epoch=s1/_temporary/0",
+                exist_ok=True)
 
     rows = {r["path"]: r["bytes"] for r in vacuum_store(spark, d).collect()}
-    assert set(rows) == {"tokens.__compact_tmp", "tokens/_temporary"}
+    assert set(rows) == {
+        "tokens.__compact_tmp",
+        "tokens/_temporary",
+        "tokens/tok_bucket=0/__epoch=s1/_temporary",
+    }
     assert not os.path.isdir(f"{d}/tokens.__compact_tmp")
     assert not os.path.isdir(f"{d}/tokens/_temporary")
+    assert not os.path.isdir(f"{d}/tokens/tok_bucket=0/__epoch=s1/_temporary")
     assert probe() == before
     # a healthy store vacuums to an empty frame, and the interrupted
     # compaction still completes afterwards (the real swap is restored)

@@ -193,3 +193,41 @@ def test_guards_and_stats(spark, tmp_path):
     (norm,) = index_stats(spark, d).collect()
     assert norm["family"] == "setsim"
     assert norm["n_entries"] == row["n_tokens"]
+
+
+def test_append_refuses_live_id_collision(spark, tmp_path):
+    """r15 review: a shard doc_id already LIVE under another epoch
+    (upstream redelivery) must refuse loudly on append — silently
+    appending would merge token sets across epochs on later probes. A
+    same-epoch replay stays allowed, and a probe-only call with a
+    colliding id scores each pair kind against its own side's sets
+    (one row per pair, no fan-out)."""
+    base = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta eta"),
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "setsim_clash")
+    write_setsim_index(base, d)
+    shard = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta theta")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="already indexed"):
+        setsim_incremental(shard, d, tau=0.5, update_index=True, epoch="s1")
+    # probe-only with the colliding id: the self-pair (1,1) is excluded
+    # by contract, and the (1,2) pair appears EXACTLY ONCE, scored
+    # against stored doc 2 (no fan-out from doc 1's two copies)
+    rows = setsim_incremental(shard, d, tau=0.5).collect()
+    got = [(r["id_a"], r["id_b"], r["jaccard"], r["pair_type"]) for r in rows]
+    assert got == [(1, 2, 0.75, "new_index")]
+    # a fresh (non-colliding) id appends fine, and a REPLAY of that same
+    # epoch is still allowed (the replay guard excludes its own epoch)
+    ok = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    setsim_incremental(ok, d, tau=0.5, update_index=True, epoch="s1")
+    setsim_incremental(ok, d, tau=0.5, update_index=True, epoch="s1")
