@@ -220,12 +220,16 @@ def rag_build_index(
     n_assign: int = 2,
     pq_m: int = 16,
     pq_ksub: int = 64,
+    pq_opq: bool = False,
 ) -> None:
     """Build the persisted retrieval index ONCE: chunk → hash_embed →
     ``write_ivf_index(pq)``. The serving architecture at 100 TB — the
     quantizer fit, assignment, and PQ encode are paid at BUILD time;
     every retrieval after that is a probe (``rag_retrieve_index``) that
-    never re-reads or re-encodes the corpus.
+    never re-reads or re-encodes the corpus. ``pq_opq`` (r15) threads
+    the learned OPQ rotation into the build — the rotation persists in
+    the index artifact, so probes, appends and the ingest stream pick it
+    up with no further flags (see vector_index.write_ivf_index).
 
     The RAG-layer config (chunk window, embedding dim, lineage bits) is
     pinned in a ``rag_meta`` row next to the index's own meta: a
@@ -262,6 +266,7 @@ def rag_build_index(
         n_assign=n_assign,
         pq_m=pq_m,
         pq_ksub=pq_ksub,
+        pq_opq=pq_opq,
     )
     (rag_meta_path,) = index_paths(index_dir, "rag_meta")
     write_meta(

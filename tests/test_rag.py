@@ -605,3 +605,55 @@ def test_rag_compaction_purges_deleted_docs_physically(spark, tmp_path):
         for r in rag_retrieve_index(queries, index_dir, k=3, n_probe=4).collect()
     )
     assert after == before
+
+
+def test_rag_opq_build_serves_and_appends(spark, tmp_path):
+    """r15: an OPQ-rotated RAG index (rag_build_index(pq_opq=True))
+    persists its rotation, retrieves planted twins exactly like the
+    plain build (the rotation rides the artifact — probes need no
+    flag), and appended docs encode under the STORED rotation so they
+    are retrievable too."""
+    import os
+
+    from bayesiandatafusion_jl_spark.functions.rag import (
+        rag_append_docs,
+        rag_build_index,
+        rag_retrieve_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}w{j}" for j in range(40))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    index_dir = str(tmp_path / "ragix_opq")
+    rag_build_index(
+        docs, index_dir, n_cells=4, pq_m=4, pq_ksub=16, pq_opq=True
+    )
+    assert os.path.isdir(f"{index_dir}/rotation")
+    # self-queries: the matching doc's chunk must rank 1
+    queries = docs.filter(F.col("doc_id") < 8).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    hits = rag_retrieve_index(queries, index_dir, k=3, n_probe=4).collect()
+    top1 = {
+        r["qid"] - 1000: r["nb_doc_id"] for r in hits if r["rk"] == 1
+    }
+    assert sum(1 for q, d in top1.items() if q == d) >= 7
+    # appended docs encode under the stored rotation (in-distribution
+    # text — a near-twin of doc 5 — so the drift guard stays quiet)
+    extra = spark.createDataFrame(
+        [
+            (
+                100,
+                " ".join(f"tok5w{j}" for j in range(36))
+                + " " + " ".join(f"nw{j}" for j in range(4)),
+            )
+        ],
+        "doc_id long, text string",
+    )
+    rag_append_docs(extra, index_dir, epoch="s1")
+    q2 = extra.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    # doc 100's first chunk is BY CONSTRUCTION identical to doc 5's
+    # (scores tie at 1.0) — the appended doc must surface beside it
+    hit2 = rag_retrieve_index(q2, index_dir, k=2, n_probe=4).collect()
+    assert {r["nb_doc_id"] for r in hit2} == {5, 100}
