@@ -7,6 +7,7 @@ readout grown next to its build path:
 - MinHash-LSH signature index → ``signature_index_stats``  (dedup_index.py)
 - BM25 posting index          → ``bm25_index_stats``       (sparse_retrieval.py)
 - exact set-sim (PPJoin) index → ``setsim_index_stats``    (setsim_index.py)
+- winnowing fingerprint index → ``winnow_index_stats``     (winnow_index.py)
 - persisted training pipeline → ``pipeline_stats``         (pipeline_store.py)
 
 (The non-persisted winnowing fingerprint family gets the same readout
@@ -61,6 +62,9 @@ _FAMILIES = {
     # r15: the exact set-similarity (PPJoin) index — entries = stored
     # (id, token) rows, skew = tok_bucket hot-spot ratio
     "setsim": ("order", "n_tokens", "bucket_skew"),
+    # r15: the winnowing fingerprint index — entries = stored (id, fp)
+    # rows, skew = fp_bucket hot-spot ratio
+    "winnow": ("fps", "n_fps", "bucket_skew"),
 }
 
 
@@ -84,7 +88,7 @@ def detect_index_family(spark: SparkSession, index_dir: str) -> str:
         " centers/ (IVF, write_ivf_index), sigs/ (signature,"
         " write_signature_index), stats/ (BM25, write_bm25_index),"
         " manifest/ (pipeline, build_pipeline), order/ (set-sim,"
-        " write_setsim_index)"
+        " write_setsim_index), fps/ (winnowing, write_winnow_index)"
     )
 
 
@@ -127,6 +131,12 @@ def index_stats(
         )
 
         frame = setsim_index_stats(spark, index_dir)
+    elif family == "winnow":
+        from bayesiandatafusion_jl_spark.functions.winnow_index import (
+            winnow_index_stats,
+        )
+
+        frame = winnow_index_stats(spark, index_dir)
     else:
         from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
             bm25_index_stats,

@@ -80,6 +80,14 @@ NOTES = {
         " struct over w rows, no global sort), one distinct on the"
         " selections; oracle is the O(n·w) window join"
     ),
+    "q_text_winnow_incremental": (
+        "r15: incremental MOSS overlap — shard fingerprinted once"
+        " (checkpointed: one scan + one doc window), stored (id, fp)"
+        " scan partition-pruned to the shard's fp buckets, ONE"
+        " fp-collision join covers cross + intra pairs, one pair-grain"
+        " agg; base corpus never re-fingerprinted; oracle = full"
+        " winnowing + all-pairs SQL restricted to shard-touching pairs"
+    ),
     "q_text_winnow_stats": (
         "r15: winnow fp-skew health row — one fingerprint scan, one"
         " fp-grain df agg, one 1-row aggregate; skew as max·n_fps/"
