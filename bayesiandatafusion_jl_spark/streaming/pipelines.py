@@ -453,6 +453,49 @@ def setsim_ingest_stream(
     )
 
 
+def winnow_ingest_stream(
+    docs_stream: DataFrame,
+    index_dir: str,
+    pairs_out: str,
+    checkpoint_dir: str,
+    min_shared: int = 2,
+    max_df: int | None = None,
+):
+    """Streaming incremental span-overlap detection (r15): every
+    micro-batch of (doc_id, text) probes the persisted winnowing
+    fingerprint index (``functions.winnow_index``) for overlap pairs
+    against ALL history, appends its pairs to ``pairs_out``, and appends
+    its fingerprints — the third member of the dedup-stream trio
+    (``near_dup_stream`` estimates, ``setsim_ingest_stream`` exact
+    Jaccard, this one span-grain). Same foreachBatch/epoch replay
+    contract: both writes idempotent per batch, the probe excludes its
+    own epoch, a replay reproduces the original pair set."""
+    from bayesiandatafusion_jl_spark.functions.winnow_index import (
+        winnow_overlap_incremental,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        pairs = winnow_overlap_incremental(
+            batch_df.select("doc_id", "text"),
+            index_dir,
+            min_shared=min_shared,
+            max_df=max_df,
+            update_index=True,
+            epoch=f"batch_{batch_id}",
+        ).withColumn("batch_id", F.lit(batch_id))
+        pairs.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(pairs_out)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def rag_ingest_stream(
     docs_stream: DataFrame,
     index_dir: str,

@@ -302,6 +302,21 @@ def main() -> None:
         lambda: setsim_incremental(ss_shard, ss_dir, tau=0.8),
     )
 
+    # r15: incremental MOSS span-overlap probe — the shard fingerprints
+    # only itself; the stored (id, fp) scan is fp_bucket-pruned
+    from bayesiandatafusion_jl_spark.functions.winnow_index import (
+        winnow_overlap_incremental,
+        write_winnow_index,
+    )
+
+    wn_dir = "/tmp/bdf_bench_winnow_index"
+    shutil.rmtree(wn_dir, ignore_errors=True)
+    write_winnow_index(docs_all.filter(FF.col("doc_id") < cut), wn_dir)
+    time_probe(
+        "winnow_index_probe",
+        lambda: winnow_overlap_incremental(ss_shard, wn_dir, min_shared=2),
+    )
+
     # ML sweep throughput: one BPMF Gibbs sweep (I3 kernel both entities +
     # moments + NW) on the events-derived matrix, K=16 (BASELINE.md (c))
     from pyspark.sql import functions as F  # noqa: E402

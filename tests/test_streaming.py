@@ -995,3 +995,62 @@ def test_setsim_ingest_stream_exact_cross_batch(spark, tmp_path):
     assert rows[(3, 100)] == (want_j, "new_index")
     assert rows[(101, 200)] == (want_j, "new_index")
     assert not any(201 in k for k in rows)
+
+
+def test_winnow_ingest_stream_cross_batch(spark, tmp_path):
+    """r15: the span-grain member of the dedup-stream trio — a batch-2
+    doc sharing a long run with a batch-1 doc must pair via the index
+    append; pre-stream index docs pair too; unrelated docs never."""
+    from bayesiandatafusion_jl_spark.functions.winnow_index import (
+        write_winnow_index,
+    )
+    from bayesiandatafusion_jl_spark.streaming import pipelines as P
+
+    src = str(tmp_path / "wn_docs_in")
+    index_dir = str(tmp_path / "wn_index")
+    pairs_out = str(tmp_path / "wn_pairs")
+    ckpt = str(tmp_path / "wn_ckpt")
+
+    def doc(i, shared=None):
+        own = [f"w{i}x{j}" for j in range(20)]
+        return (i, " ".join(own + (shared.split() if shared else [])))
+
+    run = "a long shared boilerplate run of twelve very specific tokens x y"
+    seed = spark.createDataFrame(
+        [doc(0, run)] + [doc(i) for i in range(1, 8)],
+        "doc_id long, text string",
+    )
+    write_winnow_index(seed, index_dir)
+
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run2 = "another distinct plagiarized span carried across micro batches q r"
+    b1 = [doc(100, run), doc(101, run2), doc(102)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    q = P.winnow_ingest_stream(
+        stream, index_dir, pairs_out, ckpt, min_shared=1
+    )
+    try:
+        q.processAllAvailable()
+        b2 = [doc(200, run2), doc(201)]
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    pairs = {
+        (r.id_a, r.id_b): r.pair_type
+        for r in spark.read.parquet(pairs_out).collect()
+    }
+    assert pairs[(0, 100)] == "new_index"    # stream vs pre-stream index
+    assert pairs[(101, 200)] == "new_index"  # batch 2 vs batch 1 via append
+    assert not any(201 in k or 102 in k for k in pairs)
