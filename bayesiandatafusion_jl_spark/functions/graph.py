@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from bayesiandatafusion_jl_spark.catalog import load_table
 from bayesiandatafusion_jl_spark.functions.exprs import ordered_pairs
 from bayesiandatafusion_jl_spark.registry import register
+from bayesiandatafusion_jl_spark.session import checkpoint_df
 
 
 def connected_components(
@@ -391,6 +392,15 @@ def pagerank(
             .groupBy("src", "dst")
             .agg(F.sum("w").cast("decimal(38,12)").alias("w"))
         )
+    # materialize the edge frame ONCE (r15 optimization): every one of the
+    # n_iter rounds joins against `e`, and so do the nodes/degree builds —
+    # without this the whole upstream edge construction (for the co-
+    # occurrence graphs: a 2-shuffle collect_set + pair-explode build,
+    # evaluated TWICE per reference through the symmetrizing union) re-ran
+    # per round (~12 evaluations for n_iter=10; guide §2.4 "remove shuffles
+    # outright" / §5 reuse rule). checkpoint_df, not bare localCheckpoint,
+    # per the repo-wide rule: the persist half grounds sizeInBytes.
+    e = checkpoint_df(e)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -534,7 +544,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "importance" readout an item graph actually serves (which parts
     anchor the co-purchase structure)."""
     li = load_table(spark, sf_dir, "lineitem")
-    co = (
+    co = checkpoint_df(
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
         .filter(F.size("ps") > 1)
@@ -543,6 +553,9 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+    # co checkpointed (r15): the symmetrizing union references it twice,
+    # so pagerank's own edge materialization would otherwise run the
+    # 2-shuffle co-occurrence build twice in one job (guide §2.4)
     edges = co.select(F.col("pa").alias("u"), F.col("pb").alias("v")).union(
         co.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )
@@ -565,7 +578,7 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which parts sit closest to the seed set in co-purchase structure).
     Output adds ``is_seed`` so the locality claim is inspectable."""
     li = load_table(spark, sf_dir, "lineitem")
-    co = (
+    co = checkpoint_df(
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
         .filter(F.size("ps") > 1)
@@ -574,6 +587,8 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+    # co checkpointed (r15): the union + the seed frame reference it
+    # multiple times (see q_graph_pagerank)
     edges = co.select(F.col("pa").alias("u"), F.col("pb").alias("v")).union(
         co.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )

@@ -93,22 +93,38 @@ def hash_embed(
     texts — stay zero rather than dividing by zero).
 
     Two shuffles, both on shrinking keys: (id, bucket) partial-agg
-    counts, then one row per id. The densify is a map-side
-    ``transform(sequence(...))`` over the per-id bucket map.
+    counts, then one row per id; the densify+normalize is one Arrow
+    batch kernel over the per-id bucket list (r15: no join-back — the
+    explode_outer/NULL-bucket construction keeps zero-token ids).
     """
     if dim < 2:
         raise ValueError(f"dim must be >= 2, got {dim}")
+    # explode_outer + null-masked buckets (r15): blank/absent tokens ride
+    # through the aggregation as a NULL-bucket group instead of being
+    # filtered out, so every input id reaches the output WITHOUT the old
+    # join-back against ``df`` — that join re-evaluated the whole upstream
+    # frame (for chunked corpora: a second full chunk pass) and added a
+    # third shuffle (guide §2.4). Identical vectors: real tokens hash the
+    # same, the NULL-bucket entry is skipped by the densify kernel, and
+    # all-blank/empty texts still come out as the zero vector. Assumes
+    # unique ids (every caller's contract — doc ids, chunk lineage ids,
+    # vec ids); duplicate ids would now collapse to one row instead of
+    # duplicating.
     tok = df.select(
-        F.col(id_col), F.explode(F.split(F.lower(text_col), " ")).alias("tok")
-    ).filter(F.col("tok") != "")
+        F.col(id_col),
+        F.explode_outer(F.split(F.lower(text_col), " ")).alias("tok"),
+    )
+    valid = F.col("tok").isNotNull() & (F.col("tok") != "")
     h = tok.select(
         id_col,
-        F.pmod(F.xxhash64("tok"), F.lit(dim)).cast("int").alias("bucket"),
+        F.when(valid, F.pmod(F.xxhash64("tok"), F.lit(dim)).cast("int")).alias(
+            "bucket"
+        ),
         # independent second hash decides the sign: collisions cancel in
         # expectation (the signed construction of Weinberger et al. §3)
-        (F.pmod(F.xxhash64(F.lit(1), F.col("tok")), F.lit(2)) * 2 - 1).alias(
-            "sign"
-        ),
+        F.when(
+            valid, F.pmod(F.xxhash64(F.lit(1), F.col("tok")), F.lit(2)) * 2 - 1
+        ).alias("sign"),
     )
     counts = h.groupBy(id_col, "bucket").agg(F.sum("sign").alias("v"))
     sparse = counts.groupBy(id_col).agg(
@@ -128,22 +144,28 @@ def hash_embed(
         for e in entries:
             v = np.zeros(dim)
             if e is not None and len(e):
-                idx = np.array([x["bucket"] for x in e])
-                val = np.array([x["v"] for x in e], dtype=np.float64)
-                v[idx] = val
-                n = float(np.sqrt((v * v).sum()))
-                if n > 0:
-                    v = v / n
+                # the NULL-bucket entry (blank/absent tokens) carries no
+                # mass — skip it; an all-blank doc stays the zero vector
+                pairs = [x for x in e if x["bucket"] is not None]
+                if pairs:
+                    # explicit int cast: a batch whose struct column holds
+                    # any NULL bucket reaches pandas as floats
+                    idx = np.array(
+                        [x["bucket"] for x in pairs], dtype=np.int64
+                    )
+                    val = np.array([x["v"] for x in pairs], dtype=np.float64)
+                    v[idx] = val
+                    n = float(np.sqrt((v * v).sum()))
+                    if n > 0:
+                        v = v / n
             out.append(v.tolist())
         return pd.Series(out)
 
     _densify.__annotations__ = {"entries": pd.Series, "return": pd.Series}
     densify = pandas_udf(_densify, "array<double>")
-    # left join back so texts with zero tokens keep a (zero) vector —
-    # dropping ids silently would break the (id, embedding) contract
-    return df.select(id_col).join(sparse, id_col, "left").select(
-        id_col, densify(F.col("__m")).alias(out_col)
-    )
+    # every id reaches ``sparse`` by construction (explode_outer above),
+    # so no join-back is needed to keep zero-token docs
+    return sparse.select(id_col, densify(F.col("__m")).alias(out_col))
 
 
 def rag_retrieve(
@@ -528,9 +550,12 @@ def _pool_embeddings(
     (post_path,) = index_paths(index_dir, "postings")
     base = spark.read.parquet(post_path)
     ids_df = pool.select("nb_id").distinct()
-    n_ids = ids_df.count()
-    if n_ids <= _REFINE_IN_MAX_IDS:
-        ids = [r["nb_id"] for r in ids_df.collect()]
+    # one action decides the regime AND fetches the ids (r15: was a
+    # count() + collect() pair — two jobs); limit(MAX+1) bounds the
+    # transfer, and a result under the cap is the full id set
+    id_rows = ids_df.limit(_REFINE_IN_MAX_IDS + 1).collect()
+    if len(id_rows) <= _REFINE_IN_MAX_IDS:
+        ids = [r["nb_id"] for r in id_rows]
         vecs = base.filter(int_in_list("vec_id", ids))
     else:
         vecs = base.join(

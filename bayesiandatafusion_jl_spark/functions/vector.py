@@ -212,22 +212,33 @@ _KMEANS_FIT_PER_CELL = 256
 _KMEANS_FIT_MAX_ROWS = 200_000
 
 
-def bounded_identity_sample(df: DataFrame, id_col: str, max_rows: int) -> DataFrame:
+def bounded_identity_sample(
+    df: DataFrame, id_col: str, max_rows: int, n: int | None = None
+) -> DataFrame:
     """Deterministic identity-hash sample of expected size ≤ max_rows:
     one count to size the modulus, then a map-only
     ``pmod(xxhash64(id)) == 0`` filter — no shuffle, no RNG state, the
     same rows on any cluster at any partitioning. THE sampling idiom for
     every bounded trainer in the package (coarse-quantizer fit, PQ
     codebook fit, drift statistic, BPE trainer) — one implementation so
-    the hash convention can't drift between them."""
-    n = df.count()
+    the hash convention can't drift between them.
+
+    ``n`` (r15): a caller that already knows ``df.count()`` passes it to
+    skip the count pass — an index build that fits three trainers over
+    one checkpointed corpus (kmeans, PQ, the drift stat) was paying the
+    same full count three times. The SAME n yields the SAME modulus and
+    therefore the SAME sample rows, so precomputing changes nothing."""
+    if n is None:
+        n = df.count()
     if n <= max_rows:
         return df
     m = -(-n // max_rows)
     return df.filter(F.pmod(F.xxhash64(id_col), F.lit(m)) == 0)
 
 
-def _spherical_kmeans(emb: DataFrame, n_cells: int, iters: int = 4) -> list:
+def _spherical_kmeans(
+    emb: DataFrame, n_cells: int, iters: int = 4, n: int | None = None
+) -> list:
     """Spherical k-means coarse quantizer: bounded sample → driver Lloyd.
 
     Quantizer TRAINING is bounded by construction — ~256 vectors per
@@ -261,7 +272,7 @@ def _spherical_kmeans(emb: DataFrame, n_cells: int, iters: int = 4) -> list:
     import numpy as np
 
     target = min(_KMEANS_FIT_PER_CELL * n_cells, _KMEANS_FIT_MAX_ROWS)
-    sample = bounded_identity_sample(emb, "vec_id", target)
+    sample = bounded_identity_sample(emb, "vec_id", target, n=n)
     rows = sample.select("vec_id", "embedding").collect()
     if not rows:
         raise ValueError("cannot fit a quantizer on an empty corpus")

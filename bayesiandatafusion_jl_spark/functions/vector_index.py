@@ -150,7 +150,9 @@ _DRIFT_SAMPLE_MAX_ROWS = 50_000
 _REFINE_IN_MAX_IDS = 100_000
 
 
-def _assign_score_mean(df: DataFrame, centers: list, vec_col: str) -> float:
+def _assign_score_mean(
+    df: DataFrame, centers: list, vec_col: str, n: int | None = None
+) -> float:
     """Mean best-cell cosine of a deterministic identity-hash sample of
     ``df`` under ``centers`` — the assignment-quality statistic the drift
     guard compares. Map-only sample filter (same ``pmod(xxhash64)``
@@ -161,7 +163,7 @@ def _assign_score_mean(df: DataFrame, centers: list, vec_col: str) -> float:
         bounded_identity_sample,
     )
 
-    sample = bounded_identity_sample(df, "vec_id", _DRIFT_SAMPLE_MAX_ROWS)
+    sample = bounded_identity_sample(df, "vec_id", _DRIFT_SAMPLE_MAX_ROWS, n=n)
     attach = _cells_attacher(spark, centers)
     src, cells = attach(sample)
     best = F.array_max(_cell_scores(cells, vec_col))["cd"]
@@ -294,7 +296,12 @@ def write_ivf_index(
                 else:
                     raise ValueError(msg)
     else:
-        centers = _spherical_kmeans(corpus, n_cells)
+        # ONE corpus count shared by every bounded trainer below (r15):
+        # kmeans fit, PQ/OPQ fit and the assign_ppm drift stat each sized
+        # their identity-hash sample with their own full count pass —
+        # same n → same modulus → identical samples, three passes saved
+        n_corpus = corpus.count()
+        centers = _spherical_kmeans(corpus, n_cells, n=n_corpus)
         if not centers:
             raise ValueError("cannot fit an IVF quantizer on an empty corpus")
         codebooks = None
@@ -309,7 +316,7 @@ def write_ivf_index(
                 )
 
                 rotation, codebooks = opq_train(
-                    corpus, m=pq_m, ksub=pq_ksub, centers=centers
+                    corpus, m=pq_m, ksub=pq_ksub, centers=centers, n=n_corpus
                 )
             else:
                 from bayesiandatafusion_jl_spark.functions.vector_pq import (
@@ -317,7 +324,7 @@ def write_ivf_index(
                 )
 
                 codebooks = pq_train(
-                    corpus, m=pq_m, ksub=pq_ksub, centers=centers
+                    corpus, m=pq_m, ksub=pq_ksub, centers=centers, n=n_corpus
                 )
 
     if mode != "append":
@@ -408,7 +415,8 @@ def write_ivf_index(
             n_assign=n_assign,
             dim=len(centers[0]),
             assign_ppm=round(
-                _assign_score_mean(corpus, centers, "embedding") * 1e6
+                _assign_score_mean(corpus, centers, "embedding", n=n_corpus)
+                * 1e6
             ),
             **meta_extra,
         )
@@ -722,19 +730,22 @@ def ann_ivfpq_query_index(
     scored = _without_tombstones(spark, index_dir, scored, "nb_id")
     if refine <= 0:
         return pq_adc_topk(scored, k)
-    # two consumers (shortlist-ids collect/count + re-rank join) → checkpoint
+    # two consumers (shortlist-ids collect + re-rank join) → checkpoint
     short = checkpoint_df(pq_adc_shortlist(scored, k, refine))
     sids = short.select("nb_id").distinct()
-    n_short = sids.count()
+    # ONE action decides the regime AND fetches the ids (r15: the old
+    # count()-then-collect() pair paid two jobs): limit(MAX+1) bounds the
+    # driver transfer; if it comes back under the cap it IS the full set
+    short_rows = sids.limit(_REFINE_IN_MAX_IDS + 1).collect()
     base = spark.read.parquet(post_path).filter(F.col("cell_id").isin(probed))
-    if n_short <= _REFINE_IN_MAX_IDS:
+    if len(short_rows) <= _REFINE_IN_MAX_IDS:
         # int_in_list, not isin: |Q|·refine·k ids as one parsed IN (isin
         # builds a py4j literal per id — 5.7 s at 8.6k ids); same Catalyst
         # In node, so the shortlist filter pushes into the parquet scan
         # (row-group skipping on vec_id stats)
         from bayesiandatafusion_jl_spark.functions.exprs import int_in_list
 
-        ids = [r["nb_id"] for r in sids.collect()]
+        ids = [r["nb_id"] for r in short_rows]
         vecs = base.filter(int_in_list("vec_id", ids))
     else:
         # huge query batches: a driver round-trip + plan literal that

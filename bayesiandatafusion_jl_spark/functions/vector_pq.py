@@ -60,6 +60,7 @@ def pq_train(
     id_col: str = "vec_id",
     iters: int = 8,
     centers: list | None = None,
+    n: int | None = None,
 ) -> list:
     """Fit M per-subspace codebooks (returned as an M × ksub × dsub
     nested list) on a bounded deterministic sample of ``corpus``.
@@ -86,7 +87,7 @@ def pq_train(
     import numpy as np
 
     target = min(_KMEANS_FIT_PER_CELL * ksub, _KMEANS_FIT_MAX_ROWS)
-    sample = bounded_identity_sample(corpus, id_col, target)
+    sample = bounded_identity_sample(corpus, id_col, target, n=n)
     rows = sample.select(id_col, vec_col).collect()
     if not rows:
         raise ValueError("cannot fit PQ codebooks on an empty corpus")
@@ -159,6 +160,7 @@ def opq_train(
     iters: int = 8,
     centers: list | None = None,
     opq_iters: int = 6,
+    n: int | None = None,
 ) -> tuple[list, list]:
     """Optimized Product Quantization (Ge, He, Ke & Sun, "Optimized
     product quantization for approximate nearest neighbor search",
@@ -181,7 +183,7 @@ def opq_train(
     import numpy as np
 
     target = min(_KMEANS_FIT_PER_CELL * ksub, _KMEANS_FIT_MAX_ROWS)
-    sample = bounded_identity_sample(corpus, id_col, target)
+    sample = bounded_identity_sample(corpus, id_col, target, n=n)
     rows = sample.select(id_col, vec_col).collect()
     if not rows:
         raise ValueError("cannot fit OPQ codebooks on an empty corpus")

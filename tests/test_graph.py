@@ -362,7 +362,12 @@ def test_weighted_pagerank_matches_numpy(spark):
     W = np.zeros((4, 4))
     for u, v, w in edges:
         W[u, v] += w
-    P = np.divide(W, W.sum(1, keepdims=True), where=W.sum(1, keepdims=True) > 0)
+    # out= is REQUIRED with where=: without it the masked slots (the
+    # dangling row) keep uninitialized memory, which turns the reference
+    # into NaN whenever the allocator hands back a dirty buffer (observed
+    # as an order-dependent flake in full-suite runs)
+    rowsum = W.sum(1, keepdims=True)
+    P = np.divide(W, rowsum, out=np.zeros_like(W), where=rowsum > 0)
     r = np.full(4, 0.25)
     for _ in range(25):
         dang = r[W.sum(1) == 0].sum()
