@@ -167,16 +167,36 @@ def rrf_fuse(
     cross-engine; ties (e.g. a rank-r-only-dense doc vs a
     rank-r-only-sparse doc) break on nb_id.
 
-    The fuse is a (qid, nb_id) full outer join of two ALREADY top-k'd
-    frames — |Q|·k rows a side, never corpus-scaled.
+    The fuse runs on two ALREADY top-k'd frames — |Q|·k rows a side,
+    never corpus-scaled. Each leg carries at most one row per
+    (qid, nb_id) (they are rankings by construction), so the full-outer
+    pairing is computed as union + ONE (qid, nb_id) aggregation (r15):
+    the union is shuffle-free and min() over the ≤1 non-null rank per
+    side reproduces the outer join's null semantics exactly, replacing
+    the old join's two sorted exchanges with one partial-agg exchange
+    (guide §2.4).
     """
     contrib = lambda c: F.coalesce(  # noqa: E731
         F.round(F.lit(1.0) / (F.lit(k0) + F.col(c)), 6).cast("decimal(18,6)"),
         F.lit(0).cast("decimal(18,6)"),
     )
-    a = ranked_a.select("qid", "nb_id", F.col("rk").alias("rk_a"))
-    b = ranked_b.select("qid", "nb_id", F.col("rk").alias("rk_b"))
-    j = a.join(b, ["qid", "nb_id"], "full_outer")
+    a = ranked_a.select(
+        "qid",
+        "nb_id",
+        F.col("rk").cast("int").alias("rk_a"),
+        F.lit(None).cast("int").alias("rk_b"),
+    )
+    b = ranked_b.select(
+        "qid",
+        "nb_id",
+        F.lit(None).cast("int").alias("rk_a"),
+        F.col("rk").cast("int").alias("rk_b"),
+    )
+    j = (
+        a.unionByName(b)
+        .groupBy("qid", "nb_id")
+        .agg(F.min("rk_a").alias("rk_a"), F.min("rk_b").alias("rk_b"))
+    )
     scored = j.select(
         "qid",
         "nb_id",
@@ -756,12 +776,18 @@ def bm25_query_index(
         read_meta,
     )
 
+    from bayesiandatafusion_jl_spark.session import checkpoint_df
+
     spark = queries.sparkSession
     post_path, stats_path, meta_path = index_paths(
         index_dir, "postings", "stats", "meta"
     )
     n_buckets = read_meta(spark, meta_path)["n_buckets"]
-    qterms = (
+    # checkpointed (r15): three consumers re-evaluated the query
+    # tokenize + DISTINCT shuffle each time (the bucket collect below +
+    # the two broadcasts into the probe join); query-batch-sized, so the
+    # materialization is tiny at any scale
+    qterms = checkpoint_df(
         tokens(queries, "text")
         .select("qid", "token")
         .distinct()
