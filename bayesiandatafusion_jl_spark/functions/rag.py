@@ -438,10 +438,11 @@ def rag_retrieve_index(
     re-ranked with Maximal Marginal Relevance (``vector.mmr_rerank``) so
     near-duplicate chunks don't crowd out a second relevant source —
     the output keeps top-k per query by the MMR order and gains an
-    ``mmr`` column. The extra cost is bounded by construction: one
-    pushed-filter read of the pool's embeddings (|Q|·k·mmr_pool rows)
-    and a per-qid pandas kernel over that pool — the corpus is still
-    never re-read.
+    ``mmr`` column. The extra cost is bounded by construction: the
+    pool's embeddings ride along from the exact re-rank that already
+    fetched them (``keep_emb``; a refine=0 probe instead pays one
+    pushed-filter read of |Q|·k·mmr_pool rows) plus a per-qid pandas
+    kernel over that pool — the corpus is still never re-read.
 
     Chunk window and embedding dim come from the index's pinned
     ``rag_meta`` (build-time config), and the lineage-bit pin refuses an
@@ -492,6 +493,13 @@ def rag_retrieve_index(
     if mmr_lambda is not None and mmr_pool < 1:
         raise ValueError(f"mmr_pool must be >= 1, got {mmr_pool}")
     k_pool = k * mmr_pool if mmr_lambda is not None else k
+    # MMR needs the pool's embeddings; when the exact re-rank runs
+    # (refine > 0) it already holds exactly those rows, so carry them
+    # through (keep_emb) instead of re-fetching the pool from the
+    # postings afterwards — that re-fetch was a second ids collect +
+    # pushed-IN scan + dedup exchange per probe (r15, guide §1.2). The
+    # refine=0 path keeps the fetch: raw ADC never touches embeddings.
+    keep_emb = mmr_lambda is not None and refine > 0
     hits = ann_ivfpq_query_index(
         q_emb,
         index_dir,
@@ -499,19 +507,26 @@ def rag_retrieve_index(
         n_probe=n_probe,
         refine=refine,
         exclude_self=False,  # query ids live in a different id space
+        keep_emb=keep_emb,
     )
     if query_mode == "max":
         # max over the query's chunks, then re-rank to pool grain per
         # query DOC; both steps run on |Q_chunks|·k_pool rows — tiny
-        # next to the ADC scan
+        # next to the ADC scan. nb_emb is functionally dependent on
+        # nb_id (one stored vector per id), so min() over the group's
+        # identical copies IS that vector — a deterministic pick.
+        aggs = [F.max("score").alias("score")]
+        if keep_emb:
+            aggs.append(F.min("nb_emb").alias("nb_emb"))
         doc_hits = (
             hits.select(
                 F.shiftright(F.col("qid"), _CHUNK_BITS).alias("qid"),
                 "nb_id",
                 "score",
+                *(["nb_emb"] if keep_emb else []),
             )
             .groupBy("qid", "nb_id")
-            .agg(F.max("score").alias("score"))
+            .agg(*aggs)
         )
         wq = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("nb_id"))
         hits = (
@@ -520,14 +535,22 @@ def rag_retrieve_index(
         )
     if mmr_lambda is None:
         return hits.select("qid", "nb_id", "score", "rk", *_decode_lineage())
-    pool = checkpoint_df(hits.select("qid", "nb_id", "score"))
-    diversified = mmr_rerank(
-        pool.join(
-            _pool_embeddings(spark, index_dir, pool), "nb_id"
-        ),
-        k=k,
-        lam=mmr_lambda,
-    )
+    if keep_emb:
+        # single consumer of the hits frame — no checkpoint, no re-read
+        diversified = mmr_rerank(
+            hits.select("qid", "nb_id", "score", "nb_emb"),
+            k=k,
+            lam=mmr_lambda,
+        )
+    else:
+        pool = checkpoint_df(hits.select("qid", "nb_id", "score"))
+        diversified = mmr_rerank(
+            pool.join(
+                _pool_embeddings(spark, index_dir, pool), "nb_id"
+            ),
+            k=k,
+            lam=mmr_lambda,
+        )
     return diversified.select(
         "qid", "nb_id", "score", "mmr", "rk", *_decode_lineage()
     )

@@ -669,6 +669,7 @@ def ann_ivfpq_query_index(
     n_probe: int = 6,
     refine: int = 4,
     exclude_self: bool = True,
+    keep_emb: bool = False,
 ) -> DataFrame:
     """Top-k ANN for a (qid, qe) batch against a PQ-bearing stored index
     — the ADC probe path.
@@ -689,7 +690,18 @@ def ann_ivfpq_query_index(
        pushed ``vec_id IN (...)`` filter — the only touch of embedding
        bytes in the whole query, proportional to the shortlist, not the
        candidates.
+
+    ``keep_emb`` (r15) returns each hit's embedding as ``nb_emb`` —
+    free here because the re-rank already holds those rows (see
+    ``pq_exact_rerank``); requires ``refine > 0`` (the raw-ADC leg never
+    touches embeddings, so honoring it there would mean adding exactly
+    the fetch the flag exists to avoid).
     """
+    if keep_emb and refine <= 0:
+        raise ValueError(
+            "keep_emb=True needs refine > 0: the raw-ADC path never reads"
+            " embeddings, so there is nothing in hand to keep"
+        )
     post_path, centers_path, _ = _paths(index_dir)
     spark = queries.sparkSession
     centers = _load_centers(spark, centers_path)
@@ -757,7 +769,7 @@ def ann_ivfpq_query_index(
             F.broadcast(sids), base["vec_id"] == sids["nb_id"], "left_semi"
         )
     vecs = vecs.select("vec_id", "embedding").dropDuplicates(["vec_id"])
-    return pq_exact_rerank(short, vecs, queries, k)
+    return pq_exact_rerank(short, vecs, queries, k, keep_emb=keep_emb)
 
 
 @register(

@@ -429,11 +429,24 @@ def pq_adc_shortlist(scored: DataFrame, k: int, refine: int) -> DataFrame:
 
 
 def pq_exact_rerank(
-    short: DataFrame, vectors: DataFrame, queries: DataFrame, k: int
+    short: DataFrame, vectors: DataFrame, queries: DataFrame, k: int,
+    keep_emb: bool = False,
 ) -> DataFrame:
     """Exact top-k over the shortlist only: |Q|·refine·k (qid, nb_id)
     rows broadcast against a (vec_id, embedding) lookup frame — the one
-    place original vectors are read in an ADC query."""
+    place original vectors are read in an ADC query.
+
+    ``keep_emb`` (r15, guide §1.2 "don't compute things twice"): carry
+    each survivor's embedding through as ``nb_emb`` — the rows are
+    already in hand here, so a downstream re-ranker that needs the
+    vectors (MMR) can consume them directly instead of paying a second
+    shortlist fetch (ids collect + pushed-IN postings scan + dedup) for
+    the SAME rows. Off by default: the extra column widens the top-k
+    exchange by the vector bytes, which only pays for itself when it
+    replaces that second fetch."""
+    cols = ["qid", "nb_id", F.round(dot("qe", "embedding"), 4).alias("score")]
+    if keep_emb:
+        cols.append(F.col("embedding").alias("nb_emb"))
     rescored = (
         F.broadcast(short.select("qid", "nb_id"))
         .join(vectors, F.col("nb_id") == F.col("vec_id"))
@@ -441,9 +454,7 @@ def pq_exact_rerank(
             queries.withColumnRenamed("qid", "__qid"),
             F.col("qid") == F.col("__qid"),
         )
-        .select(
-            "qid", "nb_id", F.round(dot("qe", "embedding"), 4).alias("score")
-        )
+        .select(*cols)
     )
     wr = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("nb_id"))
     return rescored.withColumn("rk", F.row_number().over(wr)).filter(

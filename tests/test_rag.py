@@ -441,6 +441,83 @@ def test_mmr_diversifies_duplicate_chunks(spark, tmp_path):
         assert (r["nb_doc_id"] << _CHUNK_BITS) + r["nb_chunk_id"] == r["nb_id"]
 
 
+def test_mmr_keep_emb_matches_pool_refetch(spark, tmp_path):
+    """r15: the MMR path consumes the embeddings the exact re-rank
+    already fetched (keep_emb) instead of re-reading the pool from the
+    postings — the output must be BIT-IDENTICAL to the old refetch
+    path, reconstructed here inline (pool ids → _pool_embeddings →
+    mmr_rerank)."""
+    from bayesiandatafusion_jl_spark.functions.rag import (
+        _pool_embeddings,
+        rag_build_index,
+        rag_retrieve_index,
+    )
+    from bayesiandatafusion_jl_spark.functions.vector import mmr_rerank
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"tok{i % 11}w{j}" for j in range(40)))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    index_dir = str(tmp_path / "ragix_keepemb")
+    rag_build_index(docs, index_dir, n_cells=4, pq_m=4, pq_ksub=16)
+    queries = docs.filter(F.col("doc_id") < 6).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    k, mmr_pool, lam = 3, 4, 0.4
+    new_path = sorted(
+        map(
+            tuple,
+            rag_retrieve_index(
+                queries, index_dir, k=k, n_probe=3,
+                mmr_lambda=lam, mmr_pool=mmr_pool,
+            ).collect(),
+        )
+    )
+    # old path: plain probe at pool grain, then refetch pool embeddings
+    # from the postings and re-rank — the pre-r15 plan, spelled out
+    pool = rag_retrieve_index(
+        queries, index_dir, k=k * mmr_pool, n_probe=3
+    ).select("qid", "nb_id", "score")
+    old = mmr_rerank(
+        pool.join(_pool_embeddings(spark, index_dir, pool), "nb_id"),
+        k=k,
+        lam=lam,
+    )
+    from bayesiandatafusion_jl_spark.functions.rag import _decode_lineage
+
+    old_path = sorted(
+        map(
+            tuple,
+            old.select(
+                "qid", "nb_id", "score", "mmr", "rk", *_decode_lineage()
+            ).collect(),
+        )
+    )
+    assert new_path == old_path
+    # the carried column must not leak into the output schema
+    got_cols = rag_retrieve_index(
+        queries, index_dir, k=k, n_probe=3, mmr_lambda=lam
+    ).columns
+    assert "nb_emb" not in got_cols
+    # keep_emb on the raw-ADC leg is a loud contract error
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        ann_ivfpq_query_index,
+    )
+
+    with pytest.raises(ValueError, match="refine > 0"):
+        ann_ivfpq_query_index(
+            queries.limit(1).select(
+                F.col("doc_id").alias("qid"), F.lit(None).alias("qe")
+            ),
+            index_dir,
+            refine=0,
+            keep_emb=True,
+        )
+
+
 def test_mmr_rerank_partition_invariance_and_guards(spark):
     """Unit gates on the generic kernel: output independent of input
     partitioning; pool cap raises; lam validated."""
