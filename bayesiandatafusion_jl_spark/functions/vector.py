@@ -148,15 +148,24 @@ def _cells_literal(centers: list) -> "F.Column":
     Field order (cd later prepended first) makes struct comparison do the
     argmax: max over (cd, nid) picks highest dot, then nid = -cell_id
     breaks ties toward the LOWEST cell id — deterministic, pure codegen.
+
+    Built as ONE parsed ``F.expr`` (the ``int_in_list`` precedent, r15):
+    the element-wise ``F.lit``/``F.struct`` form paid one py4j round-trip
+    per scalar — measured 2.9 s of pure driver chatter PER CALL at
+    32 cells × 64 dims (~2.3k round-trips), on the critical path of every
+    ANN probe, assignment and k-means round — vs ~10 ms for a single
+    parse of the same tree. ``repr`` emits the shortest round-trip
+    decimal and the JVM's parse is correctly rounded, so the folded
+    literal is BIT-identical to the ``F.lit`` form (pinned, including the
+    -0.0 sign, by tests/test_vector_index.py::test_cells_literal_one_expr
+    _matches_per_element_form); the analyzed casts constant-fold, so the
+    optimized plan is the same literal array as before.
     """
-    return F.array(*[
-        F.struct(
-            F.lit(i).alias("cell_id"),
-            F.lit(-i).alias("nid"),
-            F.array(*[F.lit(v) for v in c]).alias("ce"),
-        )
-        for i, c in enumerate(centers)
-    ])
+    parts = []
+    for i, c in enumerate(centers):
+        ce = ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in c)
+        parts.append(f"named_struct('cell_id',{i},'nid',{-i},'ce',array({ce}))")
+    return F.expr(f"array({','.join(parts)})")
 
 
 def _cell_scores(cells, vec_col) -> "F.Column":

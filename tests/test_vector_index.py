@@ -456,3 +456,45 @@ def test_ivf_recall_sweep_monotone_to_exhaustive(spark, index_dir):
     assert rows[-1][1] == 1.0, rows  # exhaustive probe == brute force
     assert rows[0][2] == 1 / 8 and rows[-1][2] == 1.0
     assert recalls[0] > 0.3, rows  # clustered data: even 1 cell finds some
+
+
+def test_cells_literal_one_expr_matches_per_element_form(spark):
+    """The r15 one-``F.expr`` centers literal is BIT-identical to the
+    per-element ``F.lit`` form it replaced (~2.3k py4j round-trips per
+    probe/fit/assignment call): same schema, same doubles — including
+    the -0.0 sign, a subnormal-range value, and a non-terminating
+    binary fraction — so every ANN score downstream is unchanged."""
+    import math
+    import random
+
+    from bayesiandatafusion_jl_spark.functions.vector import _cells_literal
+
+    rng = random.Random(7)
+    centers = [[rng.uniform(-1, 1) for _ in range(9)] for _ in range(5)]
+    centers[0][0] = -0.0
+    centers[0][1] = 1e-300
+    centers[1][2] = 1 / 3
+
+    old = F.array(*[
+        F.struct(
+            F.lit(i).alias("cell_id"),
+            F.lit(-i).alias("nid"),
+            F.array(*[F.lit(v) for v in c]).alias("ce"),
+        )
+        for i, c in enumerate(centers)
+    ])
+    df = spark.range(1).select(old.alias("o"), _cells_literal(centers).alias("n"))
+    assert (
+        df.schema["o"].dataType.simpleString()
+        == df.schema["n"].dataType.simpleString()
+    )
+    row = df.select(
+        F.expr("transform(o, s -> s.ce)").alias("oc"),
+        F.expr("transform(n, s -> s.ce)").alias("nc"),
+        F.expr("transform(o, s -> s.cell_id)").alias("oid"),
+        F.expr("transform(n, s -> s.cell_id)").alias("nid_"),
+    ).collect()[0]
+    assert row["oid"] == row["nid_"]
+    for ca, cb in zip(row["oc"], row["nc"]):
+        for a, b in zip(ca, cb):
+            assert a == b and math.copysign(1, a) == math.copysign(1, b)
