@@ -212,7 +212,15 @@ def load_quality_model(spark: SparkSession, model_dir: str):
         featurizer_fp=_featurizer_fp(),
     )
     meta = read_meta(spark, meta_path).asDict()
-    model = LogisticRegressionModel.load(model_path)
+    # memoized like every bounded index artifact (index_meta.memo_artifact):
+    # the MLlib load is a couple of Spark jobs a serving session otherwise
+    # replays per scoring call; a retrain rewrites the model files and
+    # invalidates the memo (the model object is immutable)
+    from bayesiandatafusion_jl_spark.functions.index_meta import memo_artifact
+
+    model = memo_artifact(
+        spark, model_path, lambda: LogisticRegressionModel.load(model_path)
+    )
     if int(model.numFeatures) != int(meta["n_features"]):
         raise ValueError(
             f"quality model at {model_dir} is corrupt: model bytes carry"

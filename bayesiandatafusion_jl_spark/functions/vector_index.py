@@ -67,8 +67,17 @@ def _paths(index_dir: str) -> tuple[str, str, str]:
 
 
 def _load_centers(spark: SparkSession, centers_path: str) -> list:
-    rows = spark.read.parquet(centers_path).orderBy("cell_id").collect()
-    return [list(r.ce) for r in rows]
+    """Memoized on the artifact's file listing (index_meta.memo_artifact):
+    each load is a full collect job (~0.5-0.9 s measured) a serving
+    session otherwise replays per probe; a rebuild/refit rewrites the
+    files and invalidates the memo. Treat the returned list as frozen."""
+    from bayesiandatafusion_jl_spark.functions.index_meta import memo_artifact
+
+    def _raw() -> list:
+        rows = spark.read.parquet(centers_path).orderBy("cell_id").collect()
+        return [list(r.ce) for r in rows]
+
+    return memo_artifact(spark, centers_path, _raw)
 
 
 def _codebooks_path(index_dir: str) -> str:
@@ -86,26 +95,37 @@ def _load_rotation(spark: SparkSession, index_dir: str) -> list | None:
     write_ivf_index(pq_opq=True)); None for plain-PQ indexes."""
     from bayesiandatafusion_jl_spark.functions.index_compact import _fs
 
+    from bayesiandatafusion_jl_spark.functions.index_meta import memo_artifact
+
     path = _rotation_path(index_dir)
-    fs, hpath, _ = _fs(spark, path)
-    if not fs.exists(hpath):
-        return None
-    rows = spark.read.parquet(path).orderBy("i").collect()
-    return [list(r.r) for r in rows]
+
+    def _raw() -> list | None:
+        fs, hpath, _ = _fs(spark, path)
+        if not fs.exists(hpath):
+            return None
+        rows = spark.read.parquet(path).orderBy("i").collect()
+        return [list(r.r) for r in rows]
+
+    # memoized like the centers; an absent dir fingerprints as "absent",
+    # so an OPQ rebuild over a plain index invalidates the stored None
+    return memo_artifact(spark, path, _raw)
 
 
 def _load_codebooks(spark: SparkSession, index_dir: str) -> list:
-    rows = (
-        spark.read.parquet(_codebooks_path(index_dir))
-        .orderBy("m", "j")
-        .collect()
-    )
-    books: list = []
-    for r in rows:
-        if r["m"] == len(books):
-            books.append([])
-        books[r["m"]].append(list(r["c"]))
-    return books
+    from bayesiandatafusion_jl_spark.functions.index_meta import memo_artifact
+
+    path = _codebooks_path(index_dir)
+
+    def _raw() -> list:
+        rows = spark.read.parquet(path).orderBy("m", "j").collect()
+        books: list = []
+        for r in rows:
+            if r["m"] == len(books):
+                books.append([])
+            books[r["m"]].append(list(r["c"]))
+        return books
+
+    return memo_artifact(spark, path, _raw)
 
 
 def _encode_postings(
@@ -365,10 +385,14 @@ def write_ivf_index(
         outer_cols=("cell_id",),
     )
     if mode != "append":
+        # coalesce(1) on these KB-sized driver-built frames: the default
+        # fan-out wrote one part file per parallelism slice (18 files for
+        # 16 rows), paying task overhead on every probe-side load and
+        # bloating the memo fingerprint listing (guide §6)
         spark.createDataFrame(
             [(i, [float(v) for v in c]) for i, c in enumerate(centers)],
             "cell_id int, ce array<double>",
-        ).write.mode(mode).parquet(centers_path)
+        ).coalesce(1).write.mode(mode).parquet(centers_path)
         meta_extra: dict = {}
         from bayesiandatafusion_jl_spark.functions.index_compact import _fs
 
@@ -394,7 +418,7 @@ def write_ivf_index(
             spark.createDataFrame(
                 [(i, [float(v) for v in r]) for i, r in enumerate(rotation)],
                 "i int, r array<double>",
-            ).write.mode(mode).parquet(_rotation_path(index_dir))
+            ).coalesce(1).write.mode(mode).parquet(_rotation_path(index_dir))
         if codebooks is not None:
             spark.createDataFrame(
                 [
@@ -403,7 +427,7 @@ def write_ivf_index(
                     for j, c in enumerate(b)
                 ],
                 "m int, j int, c array<double>",
-            ).write.mode(mode).parquet(_codebooks_path(index_dir))
+            ).coalesce(1).write.mode(mode).parquet(_codebooks_path(index_dir))
             meta_extra = {"pq_m": len(codebooks), "pq_ksub": len(codebooks[0])}
             if rotation is not None:
                 meta_extra["opq"] = 1

@@ -498,3 +498,77 @@ def test_cells_literal_one_expr_matches_per_element_form(spark):
     for ca, cb in zip(row["oc"], row["nc"]):
         for a, b in zip(ca, cb):
             assert a == b and math.copysign(1, a) == math.copysign(1, b)
+
+
+def test_artifact_memo_hit_and_rebuild_invalidation(spark, index_dir):
+    """The r15 artifact memo: a repeat probe serves centers/codebooks/
+    meta from the per-process memo (identical object — no reload job),
+    and ANY rewrite of the artifact files (here a full rebuild with a
+    different n_cells and corpus slice) invalidates it, so a probe can
+    never plan against a stale quantizer."""
+    from bayesiandatafusion_jl_spark.functions.index_meta import read_meta
+    from bayesiandatafusion_jl_spark.functions.vector_index import (
+        _load_centers,
+        _load_codebooks,
+        _load_rotation,
+        _paths,
+    )
+
+    corpus = _clustered(spark)
+    write_ivf_index(corpus, index_dir, n_cells=8, n_assign=2, pq_m=4)
+    _, centers_path, meta_path = _paths(index_dir)
+
+    c1 = _load_centers(spark, centers_path)
+    assert _load_centers(spark, centers_path) is c1  # memo hit
+    b1 = _load_codebooks(spark, index_dir)
+    assert _load_codebooks(spark, index_dir) is b1
+    assert _load_rotation(spark, index_dir) is None  # plain PQ: no rotation
+    m1 = read_meta(spark, meta_path)
+    assert read_meta(spark, meta_path) is m1
+    assert m1["n_cells"] == 8
+
+    # rebuild under a different config over a different corpus slice:
+    # every artifact file is rewritten -> fingerprints change -> reloads
+    write_ivf_index(
+        corpus.filter(F.col("vec_id") < 80),
+        index_dir,
+        n_cells=4,
+        n_assign=2,
+        pq_m=4,
+        pq_opq=True,
+    )
+    c2 = _load_centers(spark, centers_path)
+    assert c2 is not c1 and len(c2) == 4
+    m2 = read_meta(spark, meta_path)
+    assert m2["n_cells"] == 4 and "opq" in m2.asDict()
+    b2 = _load_codebooks(spark, index_dir)
+    assert b2 is not b1
+    # absent -> present transition: the memoized None must not survive
+    # the OPQ rebuild
+    rot = _load_rotation(spark, index_dir)
+    assert rot is not None and len(rot) == len(c2[0])
+
+    # probe end-to-end on the rebuilt index (memo-served artifacts):
+    # results must reflect the NEW quantizer, not the memo of the old
+    q = corpus.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    got = ann_ivf_query_index(q, index_dir, k=3, n_probe=4).collect()
+    assert got and all(r.nb_id < 80 for r in got)
+
+
+def test_bounded_artifacts_written_as_one_file(spark, index_dir):
+    """centers/codebooks/meta are KB-sized driver-built frames; the
+    default write fanned them into one part file per parallelism slice
+    (18 files for 16 rows), taxing every probe-side load (guide §6)."""
+    import os
+
+    corpus = _clustered(spark)
+    write_ivf_index(corpus, index_dir, n_cells=8, n_assign=2, pq_m=4)
+    for sub in ("centers", "codebooks", "meta"):
+        files = [
+            f
+            for f in os.listdir(os.path.join(index_dir, sub))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (sub, files)
