@@ -127,6 +127,63 @@ def memo_artifact(spark: SparkSession, path: str, loader):
     return val
 
 
+def epoch_names(
+    spark: SparkSession, path: str, nested: bool = False
+) -> frozenset | None:
+    """The set of ``__epoch=<name>`` partition values under ``path`` —
+    ``None`` when the directory is absent. ``nested=True`` looks one
+    outer partition level down (the postings layout
+    ``tok_bucket=*/__epoch=*``). Local filesystems take the pure-Python
+    scandir path (a probe pays this per call; the py4j listing costs
+    ~0.1 s it must not); anything else pays one or two Hadoop listings
+    — still directory metadata, never a data read."""
+    import os
+
+    from bayesiandatafusion_jl_spark.functions.index_compact import _fs
+
+    fs, hpath, _ = _fs(spark, path)
+
+    def _epochs_of(names):
+        return [
+            n.split("=", 1)[1] for n in names if n.startswith("__epoch=")
+        ]
+
+    if fs.getScheme() == "file":
+        local = hpath.toUri().getPath()
+        if not os.path.isdir(local):
+            return None
+        first = [e.name for e in os.scandir(local) if e.is_dir()]
+        if not nested:
+            return frozenset(_epochs_of(first))
+        out = []
+        for d in first:
+            out.extend(
+                _epochs_of(
+                    e.name
+                    for e in os.scandir(os.path.join(local, d))
+                    if e.is_dir()
+                )
+            )
+        return frozenset(out)
+    if not fs.exists(hpath):
+        return None
+    first_sts = [st for st in fs.listStatus(hpath) if st.isDirectory()]
+    if not nested:
+        return frozenset(
+            _epochs_of(st.getPath().getName() for st in first_sts)
+        )
+    out = []
+    for st in first_sts:
+        out.extend(
+            _epochs_of(
+                s.getPath().getName()
+                for s in fs.listStatus(st.getPath())
+                if s.isDirectory()
+            )
+        )
+    return frozenset(out)
+
+
 # --- shared epoch store (r14) ----------------------------------------------
 #
 # Every persisted family (matview, top-k view, signature/IVF/BM25

@@ -620,6 +620,28 @@ def write_bm25_index(
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     from bayesiandatafusion_jl_spark.functions.index_meta import write_epoch
 
+    # per-epoch (token, df) sidecar (r15 optimization): the probe's df
+    # pass becomes vocabulary-sized instead of posting-list-sized. Free
+    # here — df is one agg over the already-checkpointed tf frame.
+    # Written BEFORE the postings epoch: a crash between the two leaves
+    # token_df with an epoch the postings lack, which the probe's
+    # epoch-set consistency check detects (exact fallback to deriving df
+    # from the postings); replaying the append overwrites both
+    # idempotently. A crash mid-way through a FRESH overwrite can leave
+    # any mix of old/new frames — same as the postings/stats pair today;
+    # the documented recovery is re-running the build.
+    (df_path,) = index_paths(index_dir, "token_df")
+    token_df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df")).select(
+        "token",
+        "df",
+        F.pmod(F.xxhash64("token"), F.lit(n_buckets))
+        .cast("int")
+        .alias("tok_bucket"),
+    )
+    write_epoch(
+        token_df.repartition("tok_bucket"), df_path, epoch,
+        fresh=(mode != "append"), outer_cols=("tok_bucket",),
+    )
     postings = tf.join(dl, "doc_id").select(
         "token",
         "doc_id",
@@ -759,10 +781,12 @@ def bm25_query_index(
     """(qid, nb_id, score, rk): BM25 top-k against a persisted index —
     NO corpus scan of any kind. The postings read carries a static
     ``tok_bucket IN (...)`` predicate (partition pruning, plan-asserted
-    in tests), df comes from the probed posting lists themselves, and
-    corpus stats sum across the epoch rows — so the result is EXACTLY
-    ``bm25_topk`` on the union of all epochs (equality pytest-gated, and
-    the registered query's oracle is the one-shot BM25 SQL verbatim).
+    in tests), df comes from the vocabulary-sized ``token_df`` sidecar
+    when it is epoch-consistent with the postings (exact fallback: count
+    the probed posting lists themselves), and corpus stats sum across
+    the epoch rows — so the result is EXACTLY ``bm25_topk`` on the union
+    of all epochs (equality pytest-gated, and the registered query's
+    oracle is the one-shot BM25 SQL verbatim).
 
     ``max_df_ratio`` (probe-cost rail, default off = exact): drop query
     terms whose df exceeds ratio·N before candidate generation. A
@@ -803,17 +827,49 @@ def bm25_query_index(
     posts = spark.read.parquet(post_path).filter(
         F.col("tok_bucket").isin(buckets)
     )
-    # df = posting-list length, counted over ONLY the probed buckets (a
-    # token's list lives wholly in its bucket, so this is the exact
-    # corpus-wide df); semi-join first so unprobed tokens in a probed
-    # bucket don't inflate the frame
-    dfs = (
-        posts.join(
-            F.broadcast(qterms.select("token").distinct()), "token", "left_semi"
+    # df source (r15 optimization): prefer the persisted per-epoch
+    # (token, df) sidecar — vocabulary-sized — over re-counting posting
+    # rows — posting-list-sized. The sidecar is trusted ONLY when its
+    # epoch set equals the postings' (two directory listings; local fs
+    # stays pure-Python): every crash window of write/append/compact
+    # leaves the sets unequal, in which case df falls back to the exact
+    # posting-derived count below. Summing the per-epoch rows is exact —
+    # a document lives in exactly one epoch. Deleted docs stay counted
+    # in df either way until compaction (the documented Lucene
+    # deleted-docs semantics).
+    from bayesiandatafusion_jl_spark.functions.index_meta import epoch_names
+
+    (df_path,) = index_paths(index_dir, "token_df")
+    df_epochs = epoch_names(spark, df_path, nested=True)
+    dfs = None
+    if df_epochs is not None and df_epochs == epoch_names(
+        spark, post_path, nested=True
+    ):
+        dfs = (
+            spark.read.parquet(df_path)
+            .filter(F.col("tok_bucket").isin(buckets))
+            .join(
+                F.broadcast(qterms.select("token").distinct()),
+                "token",
+                "left_semi",
+            )
+            .groupBy("token")
+            .agg(F.sum("df").alias("df"))
         )
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    if dfs is None:
+        # df = posting-list length, counted over ONLY the probed buckets
+        # (a token's list lives wholly in its bucket, so this is the
+        # exact corpus-wide df); semi-join first so unprobed tokens in a
+        # probed bucket don't inflate the frame
+        dfs = (
+            posts.join(
+                F.broadcast(qterms.select("token").distinct()),
+                "token",
+                "left_semi",
+            )
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
     stats = _read_stats(spark, stats_path).agg(
         F.sum("n_docs").cast("bigint").alias("n_docs"),
         (
@@ -1076,6 +1132,9 @@ def compact_bm25_index(
     the swap (functions/index_compact.py crash-ordering rationale), and
     ``write_bm25_index(mode="append")`` rejects a replayed folded epoch
     instead of resurrecting its rows. Returns the per-frame stats frame.
+    The ``token_df`` sidecar is rebuilt from the post-fold postings (one
+    extra scan of data being rewritten anyway), which also heals indexes
+    persisted before the sidecar existed.
 
     Tombstones are applied PHYSICALLY here (r13): deleted doc_ids leave
     the postings during the rewrite (the data is being rewritten anyway,
@@ -1213,6 +1272,43 @@ def compact_bm25_index(
         spark, post_path, new_epoch, outer_cols=("tok_bucket",),
         target_mb=target_mb, transform=purge,
     )
+    # rebuild the token_df sidecar from the post-fold postings (r15): df
+    # per (token, epoch) is recomputed from the rows AS THEY NOW STAND,
+    # so epoch-set consistency with the postings holds by construction —
+    # including the purge branch (the victims just left the rows) and
+    # indexes persisted before the sidecar existed (this heals them).
+    # tmp+swap: a crash before the swap leaves the old sidecar, whose
+    # epoch set no longer matches → probes fall back to the exact
+    # posting-derived df until the next maintenance op. Skipped only
+    # when the fold itself no-opped AND the sidecar is already
+    # consistent (nothing changed, don't churn files).
+    from bayesiandatafusion_jl_spark.functions.index_meta import epoch_names
+
+    (df_path,) = index_paths(index_dir, "token_df")
+    df_consistent = epoch_names(spark, df_path, nested=True) == epoch_names(
+        spark, post_path, nested=True
+    )
+    if p_stats[0] or not df_consistent:
+        new_df = (
+            spark.read.parquet(post_path)
+            .groupBy("token", "tok_bucket", "__epoch")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .select("token", "df", "tok_bucket", "__epoch")
+        )
+        df_tmp = df_path.rstrip("/") + ".__compact_tmp"
+        new_df.repartition("tok_bucket").write.mode("overwrite").partitionBy(
+            "tok_bucket", "__epoch"
+        ).parquet(df_tmp)
+        dfs_fs, df_h, df_jvm = _fs(spark, df_path)
+        if dfs_fs.exists(df_h):
+            _swap_dir(spark, df_tmp, df_path)
+        elif not dfs_fs.rename(
+            df_jvm.org.apache.hadoop.fs.Path(df_tmp), df_h
+        ):
+            # healing a pre-sidecar index: nothing to swap out, plain move
+            raise IOError(
+                f"sidecar rebuild: could not rename {df_tmp} -> {df_path}"
+            )
     if purge is None and not has_pending:
         s_stats = compact_epochs(
             spark, stats_path, new_epoch, target_mb=target_mb

@@ -944,3 +944,180 @@ def test_planted_eval_fixture_shape(spark):
     for qid, qtext in q.items():
         for tokn in qtext.split():
             assert all_marked_text.count(tokn) == 1, (qid, tokn)
+
+
+# --- token_df sidecar (r15 optimization) ------------------------------------
+#
+# The probe's df pass prefers the vocabulary-sized per-epoch (token, df)
+# sidecar over re-counting posting rows, and trusts it ONLY when its
+# epoch set equals the postings'. Every test pins the one contract that
+# matters: sidecar or fallback, the probe equals the one-shot scorer.
+
+
+def _scan_locations(df):
+    import re
+
+    from bayesiandatafusion_jl_spark.plans.inspect import formatted_plan
+
+    return re.findall(r"Location:.*", formatted_plan(df))
+
+
+def _probe_tuples(queries, d, **kw):
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        bm25_query_index,
+    )
+
+    return sorted(
+        (r["qid"], r["rk"], r["nb_id"], r["score"])
+        for r in bm25_query_index(queries, d, k=5, **kw).collect()
+    )
+
+
+def test_bm25_df_sidecar_served_and_exact(spark, tmp_path):
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        bm25_query_index,
+        write_bm25_index,
+    )
+
+    corpus = _index_corpus(spark)
+    queries = corpus.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("qid"), "text"
+    )
+    d = str(tmp_path / "bm25_df")
+    write_bm25_index(corpus, d, n_buckets=16)
+    probe_df = bm25_query_index(queries, d, k=5, exclude_self=True)
+    locs = _scan_locations(probe_df)
+    # df comes from the sidecar: exactly ONE posting-list scan remains
+    # (the candidate join); the df input scan reads token_df instead
+    assert sum("/token_df" in loc for loc in locs) == 1, locs
+    assert sum("/postings" in loc for loc in locs) == 1, locs
+    probe = sorted(
+        (r["qid"], r["rk"], r["nb_id"], r["score"])
+        for r in probe_df.collect()
+    )
+    oneshot = sorted(
+        (r["qid"], r["rk"], r["nb_id"], r["score"])
+        for r in bm25_topk(corpus, queries, k=5).collect()
+    )
+    assert probe == oneshot and len(probe) > 0
+    # the sidecar's per-epoch rows sum to exactly the posting-derived df
+    side = {
+        (r["token"], r["df"])
+        for r in spark.read.parquet(f"{d}/token_df")
+        .groupBy("token").agg(F.sum("df").alias("df")).collect()
+    }
+    derived = {
+        (r["token"], r["df"])
+        for r in spark.read.parquet(f"{d}/postings")
+        .groupBy("token").agg(F.count(F.lit(1)).alias("df")).collect()
+    }
+    assert side == derived
+
+
+def test_bm25_df_sidecar_mismatch_falls_back(spark, tmp_path):
+    import shutil
+
+    from bayesiandatafusion_jl_spark.functions.index_meta import write_epoch
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        bm25_query_index,
+        write_bm25_index,
+    )
+
+    corpus = _index_corpus(spark)
+    queries = corpus.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("qid"), "text"
+    )
+    d = str(tmp_path / "bm25_fb")
+    write_bm25_index(corpus, d, n_buckets=16)
+    oneshot = sorted(
+        (r["qid"], r["rk"], r["nb_id"], r["score"])
+        for r in bm25_topk(corpus, queries, k=5).collect()
+    )
+    # (a) sidecar absent (an index persisted before the sidecar existed)
+    shutil.rmtree(f"{d}/token_df")
+    probe_df = bm25_query_index(queries, d, k=5, exclude_self=True)
+    locs = _scan_locations(probe_df)
+    assert sum("/token_df" in loc for loc in locs) == 0, locs
+    assert sum("/postings" in loc for loc in locs) == 2, locs
+    assert _probe_tuples(queries, d, exclude_self=True) == oneshot
+    # (b) sidecar carries an epoch the postings lack (a crashed append —
+    # the sidecar lands BEFORE the postings): detected, exact fallback
+    ghost = spark.createDataFrame(
+        [("zzzghost", 1, 0)], "token string, df bigint, tok_bucket int"
+    )
+    write_epoch(ghost, f"{d}/token_df", "ghost", fresh=True,
+                outer_cols=("tok_bucket",))
+    probe_df = bm25_query_index(queries, d, k=5, exclude_self=True)
+    assert sum("/token_df" in loc for loc in _scan_locations(probe_df)) == 0
+    assert _probe_tuples(queries, d, exclude_self=True) == oneshot
+
+
+def test_bm25_df_sidecar_append_replay_and_compaction(spark, tmp_path):
+    import shutil
+
+    from bayesiandatafusion_jl_spark.functions.index_meta import epoch_names
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        compact_bm25_index,
+        delete_from_bm25_index,
+        write_bm25_index,
+    )
+
+    corpus = _index_corpus(spark)
+    queries = corpus.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("qid"), "text"
+    )
+    d = str(tmp_path / "bm25_df_lc")
+    write_bm25_index(corpus.filter(F.col("doc_id") < 30), d, n_buckets=16)
+    write_bm25_index(
+        corpus.filter(F.col("doc_id") >= 30), d, n_buckets=16,
+        mode="append", epoch="s2",
+    )
+    # replay of the same (shard, epoch) is idempotent for the sidecar too
+    write_bm25_index(
+        corpus.filter(F.col("doc_id") >= 30), d, n_buckets=16,
+        mode="append", epoch="s2",
+    )
+    assert epoch_names(spark, f"{d}/token_df", nested=True) == frozenset(
+        {"base", "s2"}
+    )
+    oneshot = sorted(
+        (r["qid"], r["rk"], r["nb_id"], r["score"])
+        for r in bm25_topk(corpus, queries, k=5).collect()
+    )
+    assert _probe_tuples(queries, d, exclude_self=True) == oneshot
+    # compaction rebuilds the sidecar from the PURGED postings: df drops
+    # where victims' rows left, and the epoch sets stay equal
+    victims = [3, 17, 41]
+    delete_from_bm25_index(spark, d, victims)
+    compact_bm25_index(spark, d)
+    post_epochs = epoch_names(spark, f"{d}/postings", nested=True)
+    assert epoch_names(spark, f"{d}/token_df", nested=True) == post_epochs
+    side = {
+        (r["token"], r["df"])
+        for r in spark.read.parquet(f"{d}/token_df")
+        .groupBy("token").agg(F.sum("df").alias("df")).collect()
+    }
+    derived = {
+        (r["token"], r["df"])
+        for r in spark.read.parquet(f"{d}/postings")
+        .groupBy("token").agg(F.count(F.lit(1)).alias("df")).collect()
+    }
+    assert side == derived
+    ref = str(tmp_path / "bm25_df_lc_ref")
+    write_bm25_index(
+        corpus.filter(~F.col("doc_id").isin(victims)), ref, n_buckets=16
+    )
+    r9 = lambda t: [(q, rk, nb, round(s, 9)) for q, rk, nb, s in t]  # noqa: E731
+    assert r9(_probe_tuples(queries, d, exclude_self=True)) == r9(
+        _probe_tuples(queries, ref, exclude_self=True)
+    )
+    # a compaction over a sidecar-less index HEALS it (pre-sidecar
+    # artifacts converge at the next maintenance op)
+    shutil.rmtree(f"{d}/token_df")
+    compact_bm25_index(spark, d)
+    assert epoch_names(spark, f"{d}/token_df", nested=True) == epoch_names(
+        spark, f"{d}/postings", nested=True
+    )
+    assert r9(_probe_tuples(queries, d, exclude_self=True)) == r9(
+        _probe_tuples(queries, ref, exclude_self=True)
+    )
