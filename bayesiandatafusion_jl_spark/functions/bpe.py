@@ -321,6 +321,7 @@ def save_bpe(
     applied to the tokenizer, closing the silent-vocabulary-drift gap
     (two jobs encoding with different in-session tables)."""
     from bayesiandatafusion_jl_spark.functions.index_meta import (
+        driver_frame,
         index_paths,
         write_meta,
     )
@@ -329,10 +330,11 @@ def save_bpe(
     if not merges:
         raise ValueError("refusing to persist an empty merge table")
     merges_path, meta_path = index_paths(tokenizer_dir, "merges", "meta")
-    spark.createDataFrame(
+    driver_frame(
+        spark,
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, a string, b string",
-    ).coalesce(1).write.mode("overwrite").parquet(merges_path)
+    ).write.mode("overwrite").parquet(merges_path)
     write_meta(
         spark,
         meta_path,

@@ -18,16 +18,29 @@ def index_paths(index_dir: str, *names: str) -> tuple[str, ...]:
     return tuple(f"{d}/{n}" for n in names)
 
 
+def driver_frame(spark: SparkSession, rows: list, schema: str):
+    """One-partition DataFrame from driver-built rows — THE way to write
+    a KB-sized artifact as a single parquet file. The naive
+    ``createDataFrame(rows).coalesce(1)`` evaluates every one of the
+    defaultParallelism pickled slices SEQUENTIALLY inside the single
+    post-coalesce task — one Python-worker round-trip per slice,
+    measured ~5 s per one-row write at local[32] (vs 0.5 s uncoalesced
+    and ~0.27 s for this form); a single parallelize slice keeps the
+    one-file layout at ONE worker round-trip."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=1), schema
+    )
+
+
 def write_meta(spark: SparkSession, meta_path: str, mode: str, **params: int) -> None:
     cols = sorted(params)
-    # coalesce(1): a one-row driver-built frame otherwise fans out into
-    # defaultParallelism write tasks (measured 18 part files for a 16-row
-    # centers frame) — one file reads faster and keeps the probe-side
-    # artifact fingerprint (below) one stat call (guide §6 small files)
-    spark.createDataFrame(
+    # one part file: reads faster and keeps the probe-side artifact
+    # fingerprint (below) one stat call (guide §6 small files)
+    driver_frame(
+        spark,
         [tuple(int(params[c]) for c in cols)],
         ", ".join(f"{c} int" for c in cols),
-    ).coalesce(1).write.mode(mode).parquet(meta_path)
+    ).write.mode(mode).parquet(meta_path)
 
 
 def check_meta(

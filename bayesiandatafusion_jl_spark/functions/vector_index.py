@@ -385,14 +385,21 @@ def write_ivf_index(
         outer_cols=("cell_id",),
     )
     if mode != "append":
-        # coalesce(1) on these KB-sized driver-built frames: the default
-        # fan-out wrote one part file per parallelism slice (18 files for
-        # 16 rows), paying task overhead on every probe-side load and
-        # bloating the memo fingerprint listing (guide §6)
-        spark.createDataFrame(
+        # single-file driver frames for these KB-sized artifacts: the
+        # default fan-out wrote one part file per parallelism slice (18
+        # files for 16 rows), paying task overhead on every probe-side
+        # load and bloating the memo fingerprint listing (guide §6);
+        # driver_frame (not coalesce(1) — see its docstring) keeps the
+        # write itself one Python-worker round-trip
+        from bayesiandatafusion_jl_spark.functions.index_meta import (
+            driver_frame,
+        )
+
+        driver_frame(
+            spark,
             [(i, [float(v) for v in c]) for i, c in enumerate(centers)],
             "cell_id int, ce array<double>",
-        ).coalesce(1).write.mode(mode).parquet(centers_path)
+        ).write.mode(mode).parquet(centers_path)
         meta_extra: dict = {}
         from bayesiandatafusion_jl_spark.functions.index_compact import _fs
 
@@ -415,19 +422,21 @@ def write_ivf_index(
             if fs.exists(hpath):
                 fs.delete(hpath, True)
         else:
-            spark.createDataFrame(
+            driver_frame(
+                spark,
                 [(i, [float(v) for v in r]) for i, r in enumerate(rotation)],
                 "i int, r array<double>",
-            ).coalesce(1).write.mode(mode).parquet(_rotation_path(index_dir))
+            ).write.mode(mode).parquet(_rotation_path(index_dir))
         if codebooks is not None:
-            spark.createDataFrame(
+            driver_frame(
+                spark,
                 [
                     (mi, j, [float(v) for v in c])
                     for mi, b in enumerate(codebooks)
                     for j, c in enumerate(b)
                 ],
                 "m int, j int, c array<double>",
-            ).coalesce(1).write.mode(mode).parquet(_codebooks_path(index_dir))
+            ).write.mode(mode).parquet(_codebooks_path(index_dir))
             meta_extra = {"pq_m": len(codebooks), "pq_ksub": len(codebooks[0])}
             if rotation is not None:
                 meta_extra["opq"] = 1
