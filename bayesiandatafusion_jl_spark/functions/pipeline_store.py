@@ -62,14 +62,18 @@ from the corpus scan backwards). The manifest counts equal
 ``pipeline_stage_counts``'s rows by construction — both derive from the
 same flags/pack implementations — and the equality is pytest-pinned.
 
-Scale shape: the corpus text is read exactly twice end-to-end — once
-into the doc-grain flags frame (stage 1), once re-reading ONLY the
+Scale shape: a fresh build reads the corpus text exactly twice
+end-to-end — once into the doc-grain flags frame (stage 1; the corpus
+snapshot fingerprint rides this scan as an ``observe`` aggregate
+rather than paying its own pass — r16), once re-reading ONLY the
 mixture survivors for the shard write (a plain doc_id equi-join on the
 packed frame, stage 3 — un-hinted, because the base build's survivor
 set is corpus-sized; AQE broadcasts it when it is actually small,
 while the shard APPEND path broadcasts its own shard-bounded packed
-frame explicitly). Stage 2's packing and every count run on doc-grain
-frames, orders of magnitude smaller than the text.
+frame explicitly). A RESUME additionally pays one fingerprint scan to
+verify the caller's corpus against the pin — the refusal contract's
+price. Stage 2's packing and every count run on doc-grain frames,
+orders of magnitude smaller than the text.
 """
 
 from __future__ import annotations
@@ -160,11 +164,48 @@ def _score_clf(docs: DataFrame, model_dir: str, threshold: float) -> DataFrame:
 def _corpus_fp(docs: DataFrame) -> int:
     """Order-independent 28-bit fingerprint of the input corpus snapshot
     (doc ids + text): a resume against a corpus that changed since the
-    build must refuse — the artifact describes THAT snapshot."""
-    row = docs.select(
-        (F.xxhash64("doc_id", "text") % F.lit(1 << 28)).alias("h")
-    ).agg(F.sum("h").alias("s"), F.count(F.lit(1)).alias("n")).collect()[0]
+    build must refuse — the artifact describes THAT snapshot.
+
+    This standalone form pays a full corpus scan; it runs ONLY on the
+    resume path (meta already pinned — the contract price of verifying
+    the caller's corpus). A FRESH build instead rides the identical
+    per-row hash through the stage-1 flags scan as an ``observe``
+    aggregate (``_fp_observation``) — CollectMetrics is a pushdown
+    barrier, so the eval-source filter inside ``_pipeline_flags`` cannot
+    slide below it and every corpus row is counted (plan-verified; the
+    fp equality vs this form is pytest-pinned)."""
+    row = docs.select(_fp_hash().alias("h")).agg(
+        F.sum("h").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
     return int(((row["s"] or 0) + row["n"]) % (1 << 28))
+
+
+def _fp_hash() -> F.Column:
+    """The one per-row hash both fingerprint forms share — any drift
+    between them would make every resume refuse. (A function, not a
+    module constant: Column construction needs an active SparkContext.)"""
+    return F.xxhash64("doc_id", "text") % F.lit(1 << 28)
+
+
+def _fp_observation(docs: DataFrame):
+    """(observed_docs, Observation): attach the corpus-fingerprint
+    aggregate to ``docs`` so the ONE stage-1 text scan also produces the
+    snapshot pin — no separate fingerprint pass (guide §1.2: the fresh
+    build read the corpus text three times; this makes it two)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    return (
+        docs.observe(
+            obs, F.sum(_fp_hash()).alias("s"), F.count(F.lit(1)).alias("n")
+        ),
+        obs,
+    )
+
+
+def _fp_from_observation(obs) -> int:
+    got = obs.get
+    return int(((got["s"] or 0) + got["n"]) % (1 << 28))
 
 
 def _done_stages(spark: SparkSession, manifest_path: str) -> set[str]:
@@ -234,9 +275,13 @@ def build_pipeline(
     )
     import os
 
-    fp = _corpus_fp(docs)
     m_seed_fp, m_nf, m_thr = _model_pin(spark, model_dir, model_threshold)
+    fp: int | None = None
     if os.path.isdir(meta_path):
+        # resume: verifying the caller's corpus against the pin is the
+        # contract price — the one place the standalone fingerprint scan
+        # still runs (a fresh build rides it on the flags scan below)
+        fp = _corpus_fp(docs)
         from bayesiandatafusion_jl_spark.functions.index_meta import (
             read_meta,
         )
@@ -265,20 +310,17 @@ def build_pipeline(
             " threshold — build a new pipeline_dir for a new config",
             **pins,
         )
-    else:
-        write_meta(
-            spark,
-            meta_path,
-            "overwrite",
-            capacity=capacity,
-            n_shards=n_shards,
-            seed=seed,
-            corpus_fp=fp,
-            model_seed_fp=m_seed_fp,
-            model_nf=m_nf,
-            model_thr_ppm=m_thr,
-        )
     done = _done_stages(spark, manifest_path)
+    if fp is None and set(_FLAG_STAGES) <= done:
+        # meta absent but the manifest marks stage 1 done — impossible
+        # under this module's write order (meta lands BEFORE the first
+        # manifest write), so the artifact was hand-edited or torn by an
+        # external actor; refusing beats pinning a fingerprint we cannot
+        # attribute to the flags on disk
+        raise ValueError(
+            f"pipeline at {pipeline_dir} has a manifest but no meta pin —"
+            " the artifact is torn; rebuild into a fresh directory"
+        )
     flag_stages = _FLAG_STAGES if model_dir is None else _FLAG_STAGES_CLF
 
     # ---- stage 1: flags (the one corpus text scan) -------------------
@@ -299,10 +341,34 @@ def build_pipeline(
             # and every later shard gate at the identical threshold
             else _score_clf(docs, model_dir, m_thr / 1_000_000)
         )
+        obs = None
+        if fp is None:
+            # fresh build: the snapshot fingerprint rides the flags scan
+            # as an observe aggregate instead of paying its own full
+            # corpus pass (r16; CollectMetrics is a pushdown barrier, so
+            # the eval-source filter cannot drop rows from the count)
+            scored, obs = _fp_observation(scored)
         write_epoch(
             _pipeline_flags(scored, spark.read.parquet(ev_path)),
             flags_path, "base", fresh=True,
         )
+        if obs is not None:
+            fp = _fp_from_observation(obs)
+            # meta lands BEFORE the first manifest write: a stage may
+            # only be marked done under a pinned configuration (a crash
+            # in between re-runs stage 1, whose writes are idempotent)
+            write_meta(
+                spark,
+                meta_path,
+                "overwrite",
+                capacity=capacity,
+                n_shards=n_shards,
+                seed=seed,
+                corpus_fp=fp,
+                model_seed_fp=m_seed_fp,
+                model_nf=m_nf,
+                model_thr_ppm=m_thr,
+            )
         _write_manifest(
             _stage_count_rows(
                 spark.read.parquet(flags_path),

@@ -646,3 +646,56 @@ def test_pipeline_append_honors_model_pin(spark, tmp_path):
     build_pipeline(base, d_plain)
     with _pytest.raises(ValueError, match="built WITHOUT a classifier"):
         append_pipeline_shard(shard, d_plain, "s1", model_dir=mdir)
+
+
+def test_fresh_build_fp_rides_flags_scan(spark, tmp_path):
+    """r16: the fresh build's corpus fingerprint comes from the observe
+    aggregate on the stage-1 flags scan — it must equal the standalone
+    ``_corpus_fp`` scan bit-for-bit (else every resume would refuse),
+    and the no-op resume + corpus-drift refusal must keep working."""
+    import pytest as _pytest
+
+    from bayesiandatafusion_jl_spark.functions.index_meta import read_meta
+    from bayesiandatafusion_jl_spark.functions.pipeline_store import (
+        _corpus_fp,
+        build_pipeline,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "text")
+    d = str(tmp_path / "pipe_fp_obs")
+    first = [tuple(r) for r in build_pipeline(docs, d, n_shards=4).collect()]
+    pinned = int(read_meta(spark, f"{d}/meta")["corpus_fp"])
+    assert pinned == _corpus_fp(docs)
+    # resume under the same corpus: the pin verifies and nothing re-runs
+    again = [tuple(r) for r in build_pipeline(docs, d, n_shards=4).collect()]
+    assert again == first
+    # a drifted corpus still refuses against the observe-derived pin
+    with _pytest.raises(ValueError, match="configuration"):
+        build_pipeline(
+            docs.filter(F.col("doc_id") % 2 == 0), d, n_shards=4
+        )
+
+
+def test_torn_manifest_without_meta_refuses(spark, tmp_path):
+    """r16: meta lands before the first manifest write, so a manifest
+    with no meta pin can only be a hand-edited/torn artifact — the build
+    must refuse rather than re-pin a fingerprint it cannot attribute to
+    the flags on disk."""
+    import shutil
+
+    import pytest as _pytest
+
+    from bayesiandatafusion_jl_spark.functions.pipeline_store import (
+        build_pipeline,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "text")
+    d = str(tmp_path / "pipe_torn")
+    build_pipeline(docs, d, n_shards=4)
+    shutil.rmtree(f"{d}/meta")
+    with _pytest.raises(ValueError, match="torn"):
+        build_pipeline(docs, d, n_shards=4)
