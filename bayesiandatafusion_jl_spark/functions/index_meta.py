@@ -148,13 +148,17 @@ def epoch_names(
     outer partition level down (the postings layout
     ``tok_bucket=*/__epoch=*``). Local filesystems take the pure-Python
     scandir path (a probe pays this per call; the py4j listing costs
-    ~0.1 s it must not); anything else pays one or two Hadoop listings
-    — still directory metadata, never a data read."""
+    ~0.1 s it must not); anything else pays ONE Hadoop call — a plain
+    ``listStatus`` when flat, a single ``globStatus(path/*/__epoch=*)``
+    when nested (r15 ADVICE: the per-bucket listStatus loop was 1 +
+    n_buckets RPCs against a remote NameNode/object store, ~130 per
+    BM25 probe across its two framesets) — still directory metadata,
+    never a data read."""
     import os
 
     from bayesiandatafusion_jl_spark.functions.index_compact import _fs
 
-    fs, hpath, _ = _fs(spark, path)
+    fs, hpath, jvm = _fs(spark, path)
 
     def _epochs_of(names):
         return [
@@ -180,21 +184,25 @@ def epoch_names(
         return frozenset(out)
     if not fs.exists(hpath):
         return None
-    first_sts = [st for st in fs.listStatus(hpath) if st.isDirectory()]
     if not nested:
         return frozenset(
-            _epochs_of(st.getPath().getName() for st in first_sts)
-        )
-    out = []
-    for st in first_sts:
-        out.extend(
             _epochs_of(
-                s.getPath().getName()
-                for s in fs.listStatus(st.getPath())
-                if s.isDirectory()
+                st.getPath().getName()
+                for st in fs.listStatus(hpath)
+                if st.isDirectory()
             )
         )
-    return frozenset(out)
+    glob = jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "/*/__epoch=*"
+    )
+    sts = fs.globStatus(glob)
+    return frozenset(
+        _epochs_of(
+            st.getPath().getName()
+            for st in (sts if sts is not None else [])
+            if st.isDirectory()
+        )
+    )
 
 
 # --- shared epoch store (r14) ----------------------------------------------

@@ -623,13 +623,25 @@ def write_bm25_index(
     # per-epoch (token, df) sidecar (r15 optimization): the probe's df
     # pass becomes vocabulary-sized instead of posting-list-sized. Free
     # here — df is one agg over the already-checkpointed tf frame.
-    # Written BEFORE the postings epoch: a crash between the two leaves
-    # token_df with an epoch the postings lack, which the probe's
-    # epoch-set consistency check detects (exact fallback to deriving df
-    # from the postings); replaying the append overwrites both
-    # idempotently. A crash mid-way through a FRESH overwrite can leave
-    # any mix of old/new frames — same as the postings/stats pair today;
-    # the documented recovery is re-running the build.
+    # Crash-ordering is MODE-DEPENDENT (r16, closing the r15 ADVICE
+    # window):
+    #
+    # - append: sidecar BEFORE the postings epoch — a crash between the
+    #   two leaves token_df with an epoch the postings lack, which the
+    #   probe's epoch-set consistency check detects (exact fallback to
+    #   deriving df from the postings); replaying the append overwrites
+    #   both idempotently.
+    # - fresh overwrite: the OLD sidecar is DELETED up front and the new
+    #   one lands LAST. The r15 ordering (sidecar first) could crash
+    #   between the sidecar and postings writes leaving a NEW-corpus
+    #   sidecar whose epoch set ({base}) equals the STALE postings'
+    #   ({base}) — trusted, silently wrong df. Deleting first means every
+    #   crash window of the rebuild leaves the sidecar absent → probes
+    #   fall back to the exact posting-derived df until the consistent
+    #   pair lands. (A crash inside the final sidecar job itself is the
+    #   same narrow driver-side commit window the postings already live
+    #   with; documented recovery for a torn fresh build is re-running
+    #   it.)
     (df_path,) = index_paths(index_dir, "token_df")
     token_df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df")).select(
         "token",
@@ -638,10 +650,27 @@ def write_bm25_index(
         .cast("int")
         .alias("tok_bucket"),
     )
-    write_epoch(
-        token_df.repartition("tok_bucket"), df_path, epoch,
-        fresh=(mode != "append"), outer_cols=("tok_bucket",),
-    )
+    # sort_cols rather than a manual repartition("tok_bucket") (r16,
+    # guide §2.5/§6): hashing n_buckets distinct values caps the write at
+    # n_buckets tasks — at the 100 TB design point that is 64 writer
+    # threads for a corpus-sized postings frame — and collides ~1/e of
+    # the buckets into shared straggler tasks. Range-clustering on
+    # (tok_bucket, token) keeps write parallelism at the scale-adaptive
+    # shuffle-partition count, still packs each task's output into few
+    # bucket directories (contiguous ranges), and sorts files by token.
+    # Same rows, same probe results — layout only.
+    if mode == "append":
+        write_epoch(
+            token_df, df_path, epoch,
+            fresh=False, outer_cols=("tok_bucket",),
+            sort_cols=("tok_bucket", "token"),
+        )
+    else:
+        from bayesiandatafusion_jl_spark.functions.index_compact import _fs
+
+        fs_df, df_h, _ = _fs(spark, df_path)
+        if fs_df.exists(df_h):
+            fs_df.delete(df_h, True)
     postings = tf.join(dl, "doc_id").select(
         "token",
         "doc_id",
@@ -652,8 +681,9 @@ def write_bm25_index(
         .alias("tok_bucket"),
     )
     write_epoch(
-        postings.repartition("tok_bucket"), post_path, epoch,
+        postings, post_path, epoch,
         fresh=(mode != "append"), outer_cols=("tok_bucket",),
+        sort_cols=("tok_bucket", "token"),
     )
     n_docs = corpus.count()
     stats_row = dl.agg(
@@ -694,6 +724,14 @@ def write_bm25_index(
         fs, pending_h, _ = _fs(spark, pending_path)
         if fs.exists(pending_h):
             fs.delete(pending_h, True)
+        # the sidecar lands LAST (see the crash-ordering block above):
+        # only a build whose postings+stats+meta all committed may have a
+        # sidecar whose epoch set matches its postings'
+        write_epoch(
+            token_df, df_path, epoch,
+            fresh=True, outer_cols=("tok_bucket",),
+            sort_cols=("tok_bucket", "token"),
+        )
 
 
 _STATS_BIGINT = ("n_docs", "n_docs_tokened", "sum_dl")
@@ -794,6 +832,15 @@ def bm25_query_index(
     scale it dominates the probe's row count while moving scores by
     almost nothing. Pruning bounds per-term candidates at ratio·N rows;
     rankings shift only where near-zero-IDF terms were tiebreakers.
+
+    Concurrency contract: probes assume NO concurrent maintenance on the
+    index (the single-writer discipline every family documents).
+    ``compact_bm25_index``'s ``_swap_dir`` is delete-then-rename — a
+    probe mid-scan of a frame being swapped can fail with a
+    FileNotFoundException rather than reading either generation; re-run
+    the probe after maintenance completes (a probe that merely LISTS
+    between the delete and the rename falls back to the exact
+    posting-derived df path benignly).
     """
     from bayesiandatafusion_jl_spark.functions.index_meta import (
         index_paths,
@@ -870,20 +917,42 @@ def bm25_query_index(
             .groupBy("token")
             .agg(F.count(F.lit(1)).alias("df"))
         )
-    stats = _read_stats(spark, stats_path).agg(
-        F.sum("n_docs").cast("bigint").alias("n_docs"),
-        (
-            F.sum("sum_dl").cast("double")
-            / F.sum("n_docs_tokened").cast("double")
-        ).alias("avgdl"),
+    # corpus scalars (n_docs, avgdl) as LITERALS via the bounded-artifact
+    # memo (r16; the r15 handoff's "BM25 stats one-row reads"): the stats
+    # frame is epoch-rows-sized — bounded at ANY corpus size — so the
+    # per-probe scan + broadcast-exchange job it used to pay is pure
+    # fixed overhead. memo_artifact keys the aggregated row on the stats
+    # directory's file listing: appends write a new epoch partition and
+    # compaction/migration swap the directory, so any stats rewrite
+    # forces a reload; deletes don't touch stats (the documented Lucene
+    # deleted-docs semantics — a stale-free memo hit is CORRECT there).
+    # The values are collected from the IDENTICAL aggregate the plan used
+    # to embed, so the injected literals are bit-equal to the old
+    # crossJoin columns.
+    from bayesiandatafusion_jl_spark.functions.index_meta import (
+        memo_artifact,
+    )
+
+    srow = memo_artifact(
+        spark,
+        stats_path,
+        lambda: _read_stats(spark, stats_path)
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            (
+                F.sum("sum_dl").cast("double")
+                / F.sum("n_docs_tokened").cast("double")
+            ).alias("avgdl"),
+        )
+        .collect()[0],
     )
     if max_df_ratio is not None:
-        n_docs_total = stats.collect()[0]["n_docs"]
-        dfs = dfs.filter(F.col("df") <= max_df_ratio * n_docs_total)
+        dfs = dfs.filter(F.col("df") <= max_df_ratio * srow["n_docs"])
     cand = (
         posts.join(F.broadcast(qterms.select("qid", "token")), "token")
         .join(F.broadcast(dfs), "token")
-        .crossJoin(F.broadcast(stats))
+        .withColumn("n_docs", F.lit(srow["n_docs"]).cast("bigint"))
+        .withColumn("avgdl", F.lit(srow["avgdl"]).cast("double"))
     )
     # logically-deleted documents never reach the top-k; df/avgdl/N still
     # count them until a fresh rebuild — the Lucene deleted-docs
@@ -1296,9 +1365,13 @@ def compact_bm25_index(
             .select("token", "df", "tok_bucket", "__epoch")
         )
         df_tmp = df_path.rstrip("/") + ".__compact_tmp"
-        new_df.repartition("tok_bucket").write.mode("overwrite").partitionBy(
-            "tok_bucket", "__epoch"
-        ).parquet(df_tmp)
+        # range-clustered like the build-time sidecar write (r16): write
+        # parallelism stays scale-adaptive instead of capped at n_buckets
+        new_df.repartitionByRange(
+            F.col("tok_bucket"), F.col("token")
+        ).sortWithinPartitions("tok_bucket", "token").write.mode(
+            "overwrite"
+        ).partitionBy("tok_bucket", "__epoch").parquet(df_tmp)
         dfs_fs, df_h, df_jvm = _fs(spark, df_path)
         if dfs_fs.exists(df_h):
             _swap_dir(spark, df_tmp, df_path)

@@ -1121,3 +1121,63 @@ def test_bm25_df_sidecar_append_replay_and_compaction(spark, tmp_path):
     assert r9(_probe_tuples(queries, d, exclude_self=True)) == r9(
         _probe_tuples(queries, ref, exclude_self=True)
     )
+
+
+def test_bm25_df_sidecar_torn_rebuild_never_trusted(spark, tmp_path):
+    """r16 (closes the r15 ADVICE window): a fresh overwrite onto an
+    EXISTING index deletes the old sidecar up front and writes the new
+    one LAST, so a rebuild that crashes anywhere in between leaves the
+    sidecar ABSENT — the probe falls back to the exact posting-derived
+    df instead of trusting a sidecar from the wrong corpus whose epoch
+    set happens to equal the fresh postings' ({base} == {base})."""
+    import os
+
+    import pytest as _pytest
+
+    from bayesiandatafusion_jl_spark.functions import index_compact
+    from bayesiandatafusion_jl_spark.functions.sparse_retrieval import (
+        write_bm25_index,
+    )
+
+    corpus = _index_corpus(spark)
+    old = corpus.filter(F.col("doc_id") < 30)
+    new = corpus.filter(F.col("doc_id") >= 10)  # overlapping, different df
+    queries = new.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("qid"), "text"
+    )
+    d = str(tmp_path / "bm25_torn")
+    write_bm25_index(old, d, n_buckets=16)
+
+    # rebuild with the NEW corpus, dying after postings+stats+meta landed
+    # but before the final sidecar write (reset_ledger sits in between)
+    real = index_compact.reset_ledger
+
+    def dying_reset(*a, **kw):
+        raise IOError("injected kill before the sidecar write")
+
+    index_compact.reset_ledger = dying_reset
+    try:
+        with _pytest.raises(IOError, match="injected kill"):
+            write_bm25_index(new, d, n_buckets=16)
+    finally:
+        index_compact.reset_ledger = real
+    assert not os.path.isdir(f"{d}/token_df")
+    # the probe serves the NEW postings exactly, from the fallback path
+    probe_df = __import__(
+        "bayesiandatafusion_jl_spark.functions.sparse_retrieval",
+        fromlist=["bm25_query_index"],
+    ).bm25_query_index(queries, d, k=5, exclude_self=True)
+    assert sum("/token_df" in loc for loc in _scan_locations(probe_df)) == 0
+    oneshot = sorted(
+        (r["qid"], r["rk"], r["nb_id"], r["score"])
+        for r in bm25_topk(new, queries, k=5).collect()
+    )
+    assert _probe_tuples(queries, d, exclude_self=True) == oneshot
+    # a clean rebuild restores the sidecar-served plan and stays exact
+    write_bm25_index(new, d, n_buckets=16)
+    probe_df = __import__(
+        "bayesiandatafusion_jl_spark.functions.sparse_retrieval",
+        fromlist=["bm25_query_index"],
+    ).bm25_query_index(queries, d, k=5, exclude_self=True)
+    assert sum("/token_df" in loc for loc in _scan_locations(probe_df)) == 1
+    assert _probe_tuples(queries, d, exclude_self=True) == oneshot
