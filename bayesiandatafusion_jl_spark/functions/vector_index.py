@@ -377,12 +377,22 @@ def write_ivf_index(
         assigned = _encode_postings(assigned, centers, codebooks, rotation)
     # shared epoch-store write (index_meta.write_epoch): fresh build
     # wipes the whole directory regardless of the session default;
-    # appends overwrite only their own (cell_id, __epoch) partitions
+    # appends overwrite only their own (cell_id, __epoch) partitions.
+    # sort_cols (r16, guide §6): without clustering, EVERY upstream task
+    # holds rows of ~every cell, so the partitioned write fans out to
+    # (tasks × n_cells) files — measured 1024 files for 32 cells on the
+    # bench's RAG build; at the 100 TB design point that is millions of
+    # KB-sized postings files. Range-clustering on (cell_id, vec_id)
+    # bounds files at ~max(shuffle partitions, n_cells), keeps write
+    # parallelism scale-adaptive (NOT capped at n_cells), and sorts each
+    # file by vec_id so the exact-refine re-read's pushed ``vec_id IN``
+    # filter prunes row groups on footer stats. Same rows, same probe
+    # results — layout only.
     from bayesiandatafusion_jl_spark.functions.index_meta import write_epoch
 
     write_epoch(
         assigned, post_path, epoch, fresh=(mode != "append"),
-        outer_cols=("cell_id",),
+        outer_cols=("cell_id",), sort_cols=("cell_id", "vec_id"),
     )
     if mode != "append":
         # single-file driver frames for these KB-sized artifacts: the

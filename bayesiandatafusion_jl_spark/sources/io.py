@@ -207,14 +207,24 @@ def write_shuffled_shards(
 
     One hash-repartition on ``shard`` (each shard lands wholly in one
     task, so each directory holds exactly one file whose row order IS the
-    serving order); re-seeding rewrites layout only, data unmodified."""
+    serving order); re-seeding rewrites layout only, data unmodified.
+
+    The repartition over-provisions partitions 16× (r16, guide §2.5):
+    hashing n_shards DISTINCT key values into exactly n_shards
+    partitions collides ~1/e of them — tasks carrying two shards
+    straggle the write while their neighbours idle. 16·n_shards
+    partitions make collisions rare (expected colliding shards ≈
+    n/32); empty partitions schedule as no-op tasks. Each shard still
+    lands wholly in ONE task and ``partitionBy`` still emits one
+    pos-sorted file per shard directory — the layout contract is
+    byte-identical, only the task-to-shard packing changes."""
     from pyspark.sql import functions as F
 
     from bayesiandatafusion_jl_spark.operators.sampling import shuffle_shards
 
     staged = shuffle_shards(df, id_cols, n_shards, seed)
     (
-        staged.repartition(n_shards, F.col("shard"))
+        staged.repartition(16 * n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "pos", *id_cols)
         .write.mode(mode)
         .partitionBy("shard")
