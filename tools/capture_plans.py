@@ -1,5 +1,6 @@
 """Capture .explain("formatted") for every registered driver-visible query
-into plans/r15/<query>_<tag>.txt (tag = before/after).
+into plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<tag>.txt (tag = before/after;
+round defaults to r16).
 
 Usage: python tools/capture_plans.py <tag> [query ...]
 With no query args, captures every driver-visible (non-demoted) spec that
@@ -24,7 +25,8 @@ def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+    rnd = os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r16")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plan-capture")
     all_specs = specs(include_demoted=True)
