@@ -650,20 +650,33 @@ def write_bm25_index(
         .cast("int")
         .alias("tok_bucket"),
     )
-    # sort_cols rather than a manual repartition("tok_bucket") (r16,
-    # guide §2.5/§6): hashing n_buckets distinct values caps the write at
-    # n_buckets tasks — at the 100 TB design point that is 64 writer
-    # threads for a corpus-sized postings frame — and collides ~1/e of
-    # the buckets into shared straggler tasks. Range-clustering on
-    # (tok_bucket, token) keeps write parallelism at the scale-adaptive
-    # shuffle-partition count, still packs each task's output into few
-    # bucket directories (contiguous ranges), and sorts files by token.
-    # Same rows, same probe results — layout only.
+    # Salted-hash clustering rather than the old repartition("tok_bucket")
+    # (r16, guide §2.5/§6): hashing n_buckets distinct values caps the
+    # write at n_buckets tasks — at the 100 TB design point that is 64
+    # writer threads for a corpus-sized postings frame — and collides
+    # ~1/e of the buckets into shared straggler tasks. Hash on
+    # (tok_bucket, salt(token)) keeps write parallelism at the
+    # scale-adaptive shuffle-partition count and bounds files at
+    # ~4·(shuffle partitions). Hash, not repartitionByRange: range
+    # boundaries are SAMPLED and the sampling pass re-evaluates the
+    # frame's child (here the tf⋈dl join / the df aggregate) once more
+    # per write. A token's posting list still lands wholly in one task
+    # (salt is a pure function of token), files stay token-sorted, and
+    # the assignment is deterministic under task retry. Same rows, same
+    # probe results — layout only.
+    def _cluster(df, npart_hint):
+        salt_mod = max(1, 4 * npart_hint // max(n_buckets, 1))
+        return df.repartition(
+            F.col("tok_bucket"), F.pmod(F.xxhash64("token"), F.lit(salt_mod))
+        ).sortWithinPartitions("tok_bucket", "token")
+
+    from bayesiandatafusion_jl_spark.session import shuffle_partitions
+
+    _npart = shuffle_partitions(spark)
     if mode == "append":
         write_epoch(
-            token_df, df_path, epoch,
+            _cluster(token_df, _npart), df_path, epoch,
             fresh=False, outer_cols=("tok_bucket",),
-            sort_cols=("tok_bucket", "token"),
         )
     else:
         from bayesiandatafusion_jl_spark.functions.index_compact import _fs
@@ -681,9 +694,8 @@ def write_bm25_index(
         .alias("tok_bucket"),
     )
     write_epoch(
-        postings, post_path, epoch,
+        _cluster(postings, _npart), post_path, epoch,
         fresh=(mode != "append"), outer_cols=("tok_bucket",),
-        sort_cols=("tok_bucket", "token"),
     )
     n_docs = corpus.count()
     stats_row = dl.agg(
@@ -728,9 +740,8 @@ def write_bm25_index(
         # only a build whose postings+stats+meta all committed may have a
         # sidecar whose epoch set matches its postings'
         write_epoch(
-            token_df, df_path, epoch,
+            _cluster(token_df, _npart), df_path, epoch,
             fresh=True, outer_cols=("tok_bucket",),
-            sort_cols=("tok_bucket", "token"),
         )
 
 
@@ -1365,10 +1376,22 @@ def compact_bm25_index(
             .select("token", "df", "tok_bucket", "__epoch")
         )
         df_tmp = df_path.rstrip("/") + ".__compact_tmp"
-        # range-clustered like the build-time sidecar write (r16): write
-        # parallelism stays scale-adaptive instead of capped at n_buckets
-        new_df.repartitionByRange(
-            F.col("tok_bucket"), F.col("token")
+        # salted-hash-clustered like the build-time sidecar write (r16):
+        # write parallelism stays scale-adaptive instead of capped at
+        # n_buckets, with no range-sampling re-evaluation of the df agg
+        from bayesiandatafusion_jl_spark.functions.index_meta import (
+            read_meta,
+        )
+        from bayesiandatafusion_jl_spark.session import shuffle_partitions
+
+        n_buckets_c = int(
+            read_meta(spark, index_paths(index_dir, "meta")[0])["n_buckets"]
+        )
+        salt_mod = max(
+            1, 4 * shuffle_partitions(spark) // max(n_buckets_c, 1)
+        )
+        new_df.repartition(
+            F.col("tok_bucket"), F.pmod(F.xxhash64("token"), F.lit(salt_mod))
         ).sortWithinPartitions("tok_bucket", "token").write.mode(
             "overwrite"
         ).partitionBy("tok_bucket", "__epoch").parquet(df_tmp)

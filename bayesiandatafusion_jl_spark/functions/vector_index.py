@@ -378,21 +378,32 @@ def write_ivf_index(
     # shared epoch-store write (index_meta.write_epoch): fresh build
     # wipes the whole directory regardless of the session default;
     # appends overwrite only their own (cell_id, __epoch) partitions.
-    # sort_cols (r16, guide §6): without clustering, EVERY upstream task
-    # holds rows of ~every cell, so the partitioned write fans out to
-    # (tasks × n_cells) files — measured 1024 files for 32 cells on the
-    # bench's RAG build; at the 100 TB design point that is millions of
-    # KB-sized postings files. Range-clustering on (cell_id, vec_id)
-    # bounds files at ~max(shuffle partitions, n_cells), keeps write
-    # parallelism scale-adaptive (NOT capped at n_cells), and sorts each
-    # file by vec_id so the exact-refine re-read's pushed ``vec_id IN``
-    # filter prunes row groups on footer stats. Same rows, same probe
-    # results — layout only.
+    # Salted-hash clustering before the write (r16, guide §6/§2.5):
+    # without it, EVERY upstream task holds rows of ~every cell, so the
+    # partitioned write fans out to (tasks × n_cells) files — measured
+    # 1024 files for 32 cells on the bench's RAG build; at the 100 TB
+    # design point that is millions of KB-sized postings files.
+    # Hash-on-(cell_id, salt) rather than repartitionByRange on purpose:
+    # range boundaries are SAMPLED, and the sampling pass re-evaluates
+    # this frame's child — including the PQ encode, the most expensive
+    # map-side step of the build (measured: the bench RAG build doubled,
+    # 10.7 → 20.2 s, under the range form). The salt (~4 keys per
+    # shuffle partition) keeps write parallelism scale-adaptive, bounds
+    # files at ~4·(shuffle partitions), splits a hot cell across tasks,
+    # and stays deterministic under task retry (pure function of
+    # vec_id). Files are vec_id-sorted so the exact-refine re-read's
+    # pushed ``vec_id IN`` filter prunes row groups on footer stats.
+    # Same rows, same probe results — layout only.
     from bayesiandatafusion_jl_spark.functions.index_meta import write_epoch
+    from bayesiandatafusion_jl_spark.session import shuffle_partitions
 
+    salt_mod = max(1, 4 * shuffle_partitions(spark) // max(n_cells, 1))
+    assigned = assigned.repartition(
+        F.col("cell_id"), F.pmod(F.xxhash64("vec_id"), F.lit(salt_mod))
+    ).sortWithinPartitions("cell_id", "vec_id")
     write_epoch(
         assigned, post_path, epoch, fresh=(mode != "append"),
-        outer_cols=("cell_id",), sort_cols=("cell_id", "vec_id"),
+        outer_cols=("cell_id",),
     )
     if mode != "append":
         # single-file driver frames for these KB-sized artifacts: the
