@@ -71,7 +71,11 @@ def _eval_grams(docs: DataFrame) -> DataFrame:
     )
 
 
-def _pipeline_flags(docs: DataFrame, ev_grams: DataFrame | None = None) -> DataFrame:
+def _pipeline_flags(
+    docs: DataFrame,
+    ev_grams: DataFrame | None = None,
+    include_cfp: bool = False,
+) -> DataFrame:
     """The ONE-text-scan doc-grain flags frame every stage derives from:
     (doc_id, n_tokens, keep_q, keep_mix, __fp, contam, keep_dd). Shared
     by the composed counts query (which checkpoints it) and the
@@ -81,11 +85,23 @@ def _pipeline_flags(docs: DataFrame, ev_grams: DataFrame | None = None) -> DataF
     ``g``) — shard appends pass the PERSISTED build-time set; None
     derives it from ``docs`` (the one-shot form). ``__keep_clf`` (r15):
     an optional precomputed trained-classifier verdict column rides the
-    same scan (see the gate comment below)."""
+    same scan (see the gate comment below). ``include_cfp`` (r16): add
+    the per-document corpus-fingerprint hash as a ``__cfp`` column, so
+    the pipeline store's fresh build recovers its snapshot pin from the
+    written artifact instead of paying a separate full-corpus pass;
+    the composed counts query keeps its unchanged plan (False)."""
+    cfp_cols = []
+    if include_cfp:
+        from bayesiandatafusion_jl_spark.functions.pipeline_store import (
+            _fp_hash,
+        )
+
+        cfp_cols = [_fp_hash().alias("__cfp")]
     toks = docs.select(
         "doc_id",
         "source",
         F.split(F.lower("text"), " ").alias("tk"),
+        *cfp_cols,
         *(["__keep_clf"] if "__keep_clf" in docs.columns else []),
     )
     n_tok = F.size("tk")
@@ -132,6 +148,7 @@ def _pipeline_flags(docs: DataFrame, ev_grams: DataFrame | None = None) -> DataF
         keep_clf.alias("keep_clf"),
         keep_mix.alias("keep_mix"),
         fp.alias("__fp"),
+        *(["__cfp"] if include_cfp else []),
         F.explode_outer(_ngrams("tk", _DECON_N)).alias("g"),
     )
     flags = (
@@ -143,6 +160,11 @@ def _pipeline_flags(docs: DataFrame, ev_grams: DataFrame | None = None) -> DataF
             F.first("keep_clf").alias("keep_clf"),
             F.first("keep_mix").alias("keep_mix"),
             F.first("__fp").alias("__fp"),
+            *(
+                [F.first("__cfp").alias("__cfp")]
+                if include_cfp
+                else []
+            ),
             F.coalesce(F.max("__h") == 1, F.lit(False)).alias("contam"),
         )
     )

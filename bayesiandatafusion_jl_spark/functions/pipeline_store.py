@@ -169,11 +169,17 @@ def _corpus_fp(docs: DataFrame) -> int:
     This standalone form pays a full corpus scan; it runs ONLY on the
     resume path (meta already pinned — the contract price of verifying
     the caller's corpus). A FRESH build instead rides the identical
-    per-row hash through the stage-1 flags scan as an ``observe``
-    aggregate (``_fp_observation``) — CollectMetrics is a pushdown
-    barrier, so the eval-source filter inside ``_pipeline_flags`` cannot
-    slide below it and every corpus row is counted (plan-verified; the
-    fp equality vs this form is pytest-pinned)."""
+    per-row hash through the stage-1 flags scan as the ``__cfp`` rider
+    column (``_pipeline_flags(include_cfp=True)``) and recovers the pin
+    from the WRITTEN doc-grain flags artifact plus one tiny
+    source-pruned scan of the eval rows the flags exclude
+    (``_fp_from_artifact``) — no full-corpus fingerprint pass. NOT an
+    ``observe()`` aggregate on purpose: pyspark's Observation
+    permanently initializes the session's ObservationManager, which is
+    not java-serializable, and any LATER task closure that captures the
+    session — e.g. a freshly trained MLlib model whose trainingSummary
+    holds one — then dies with Task-not-serializable (reproduced on
+    Spark 4.1.2; regression-pinned in tests/test_pipeline.py)."""
     row = docs.select(_fp_hash().alias("h")).agg(
         F.sum("h").alias("s"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
@@ -187,25 +193,25 @@ def _fp_hash() -> F.Column:
     return F.xxhash64("doc_id", "text") % F.lit(1 << 28)
 
 
-def _fp_observation(docs: DataFrame):
-    """(observed_docs, Observation): attach the corpus-fingerprint
-    aggregate to ``docs`` so the ONE stage-1 text scan also produces the
-    snapshot pin — no separate fingerprint pass (guide §1.2: the fresh
-    build read the corpus text three times; this makes it two)."""
-    from pyspark.sql import Observation
+def _fp_from_artifact(spark: SparkSession, flags_path: str, docs: DataFrame) -> int:
+    """The fresh build's corpus fingerprint, recovered WITHOUT a
+    full-corpus pass: the non-eval component is the sum of the ``__cfp``
+    rider column over the doc-grain flags artifact stage 1 just wrote
+    (cheap — no text), the eval component is one source-pruned scan of
+    exactly the rows ``_pipeline_flags`` excludes (the module already
+    calls the eval side 'a second, tiny read'). non-eval + eval = every
+    corpus row, so the result is bit-identical to ``_corpus_fp(docs)``
+    (pytest-pinned)."""
+    from bayesiandatafusion_jl_spark.functions.pipeline import _EVAL_SOURCE
 
-    obs = Observation()
-    return (
-        docs.observe(
-            obs, F.sum(_fp_hash()).alias("s"), F.count(F.lit(1)).alias("n")
-        ),
-        obs,
-    )
-
-
-def _fp_from_observation(obs) -> int:
-    got = obs.get
-    return int(((got["s"] or 0) + got["n"]) % (1 << 28))
+    f = spark.read.parquet(flags_path).agg(
+        F.sum("__cfp").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    e = docs.filter(F.col("source") == _EVAL_SOURCE).select(
+        _fp_hash().alias("h")
+    ).agg(F.sum("h").alias("s"), F.count(F.lit(1)).alias("n")).collect()[0]
+    total = (f["s"] or 0) + (e["s"] or 0) + f["n"] + e["n"]
+    return int(total % (1 << 28))
 
 
 def _done_stages(spark: SparkSession, manifest_path: str) -> set[str]:
@@ -341,19 +347,19 @@ def build_pipeline(
             # and every later shard gate at the identical threshold
             else _score_clf(docs, model_dir, m_thr / 1_000_000)
         )
-        obs = None
-        if fp is None:
-            # fresh build: the snapshot fingerprint rides the flags scan
-            # as an observe aggregate instead of paying its own full
-            # corpus pass (r16; CollectMetrics is a pushdown barrier, so
-            # the eval-source filter cannot drop rows from the count)
-            scored, obs = _fp_observation(scored)
+        fresh = fp is None
+        # fresh build: the snapshot fingerprint rides the flags scan as
+        # the __cfp rider column instead of paying its own full corpus
+        # pass (r16; see _corpus_fp's docstring for why this is a rider
+        # column and NOT an observe() aggregate)
         write_epoch(
-            _pipeline_flags(scored, spark.read.parquet(ev_path)),
+            _pipeline_flags(
+                scored, spark.read.parquet(ev_path), include_cfp=fresh
+            ),
             flags_path, "base", fresh=True,
         )
-        if obs is not None:
-            fp = _fp_from_observation(obs)
+        if fresh:
+            fp = _fp_from_artifact(spark, flags_path, docs)
             # meta lands BEFORE the first manifest write: a stage may
             # only be marked done under a pinned configuration (a crash
             # in between re-runs stage 1, whose writes are idempotent)
@@ -563,12 +569,18 @@ def append_pipeline_shard(
     # against every OTHER epoch's kept representatives (excluding this
     # epoch makes the append replay-idempotent)
     ev = spark.read.parquet(ev_path)
-    shard_flags = _pipeline_flags(shard_docs, ev)
-    # a pre-r15 artifact's flag partitions have no keep_clf column —
+    existing_cols = spark.read.parquet(flags_path).columns
+    # schema uniformity with the base partitions, both directions: a
+    # pre-r15 artifact's flag partitions have no keep_clf column —
     # writing one only in the shard partition would leave a mixed
-    # schema whose resolution depends on which footer Spark samples;
-    # drop the (vacuously-true) column instead to keep the dir uniform
-    if "keep_clf" not in spark.read.parquet(flags_path).columns:
+    # schema whose resolution depends on which footer Spark samples —
+    # and an r16 build's base partition carries the __cfp fingerprint
+    # rider, which the shard then computes too (free: it rides the
+    # shard's own flags scan); a pre-r16 artifact gets no __cfp
+    shard_flags = _pipeline_flags(
+        shard_docs, ev, include_cfp="__cfp" in existing_cols
+    )
+    if "keep_clf" not in existing_cols:
         shard_flags = shard_flags.drop("keep_clf")
     existing_kept_fps = (
         _with_clf_column(spark.read.parquet(flags_path))

@@ -699,3 +699,30 @@ def test_torn_manifest_without_meta_refuses(spark, tmp_path):
     shutil.rmtree(f"{d}/meta")
     with _pytest.raises(ValueError, match="torn"):
         build_pipeline(docs, d, n_shards=4)
+
+
+def test_build_then_fresh_model_scoring_same_session(spark, tmp_path):
+    """r16 regression pin for the Observation hazard: pyspark's
+    Observation permanently initializes the session's non-serializable
+    ObservationManager, so ANY later task closure capturing the session
+    (a freshly trained MLlib model's trainingSummary holds one) dies
+    with Task-not-serializable. The fingerprint rider column must keep
+    this sequence working: pipeline build → in-session train → score."""
+    from bayesiandatafusion_jl_spark.functions.pipeline_store import (
+        build_pipeline,
+    )
+    from bayesiandatafusion_jl_spark.functions.quality_model import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "text")
+    build_pipeline(docs, str(tmp_path / "pipe_then_model"), n_shards=4)
+    train = docs.withColumn(
+        "label", (F.col("doc_id") % 2).cast("double")
+    )
+    model = train_quality_classifier(train)
+    scored = score_quality(model, docs).collect()  # must not raise
+    assert len(scored) == docs.count()
